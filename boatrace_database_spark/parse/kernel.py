@@ -1,0 +1,220 @@
+"""Per-file parse kernel: CP932 lines -> tagged silver rows, one pass.
+
+Re-implements the reference state machine (main.py:126-218) with the
+same observable semantics, but vectorized and single-pass:
+
+- the reference scans each K file THREE times (result/env/odds,
+  main.py:249-252); this kernel derives all four tables from one scan
+  (SURVEY §4 "redundant-scan elimination"),
+- per-line record patterns (schedule/result/env) run as vectorized
+  pandas ``str.extract`` over the whole file at once,
+- only the genuinely sequential parts stay imperative: the section
+  header lookahead (name at +2 lines, venue at +4 — main.py:139-156)
+  and the 10-line odds stanza cursor (main.py:166-185). Both touch a
+  handful of lines per race section.
+
+Faithfulness notes (SURVEY §2.4 is the spec):
+- lines h+1..h+3 after a section header are consumed unprocessed (the
+  reference's ``f.readline()`` lookahead); the venue line h+4 IS
+  re-processed for markers/records, exactly like the reference where
+  ``line`` still holds it after the lookahead,
+- the odds stanza consumes 9 lines after the anchor (複勝1/複勝2 share
+  a line); unmatched payouts become ``-1``; a レース不成立 line yields
+  ten ``-1`` and consumes nothing,
+- result ranks only match the ``0d`` shape — F/L0/S0-S2/K0 rows drop,
+- race_num increments on distance markers (half-width ``H1800m`` in K
+  files, full-width in B files) and resets at each section header.
+
+The kernel runs inside Arrow-batched ``mapInPandas`` with one input
+file per group — no shuffle, state never crosses a file boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from boatrace_database_spark.parse import patterns as P
+from boatrace_database_spark.sources.bronze import file_meta
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("race_date", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("race_id", T.StringType()),
+        T.StructField("vals", T.ArrayType(T.StringType())),
+    ]
+)
+
+_N_ODDS = len(P.ODDS_STANZA)
+
+
+def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
+    """Parse one decoded file's lines into (table, race_id, vals) rows.
+
+    Pure pandas/numpy — unit-testable without Spark.
+
+    Lines must behave like the reference's ``f.readline()`` output, which
+    keeps the trailing newline — RACE_PLACE's closing ``\\s`` depends on
+    it (venue names embed full-width spaces: without the newline,
+    ``大　村`` truncates to ``大``). We re-append it defensively.
+    """
+    lines = [l if l.endswith("\n") else l + "\n" for l in lines]
+    n = len(lines)
+    s = pd.Series(lines, dtype="object")
+
+    is_header = s.str.match(P.SECTION_HEADER).to_numpy(dtype=bool)
+    header_idx = np.flatnonzero(is_header)
+
+    # --- sequential context: race name / venue via fixed lookahead -------
+    processed = np.ones(n, dtype=bool)
+    names = np.empty(n, dtype=object)
+    places = np.empty(n, dtype=object)
+    names[:] = None
+    places[:] = None
+    bounds = list(header_idx) + [n]
+    for i, h in enumerate(header_idx):
+        processed[h + 1 : min(h + 4, n)] = False  # lookahead-consumed lines
+        name = place = None
+        if h + 2 < n:
+            m = P.RACE_NAME.match(lines[h + 2])
+            name = m.group(1) if m else None
+        if h + 4 < n:
+            m = P.RACE_PLACE.search(lines[h + 4])
+            place = m.group(1) if m else None
+        names[h : bounds[i + 1]] = name
+        places[h : bounds[i + 1]] = place
+
+    # --- running race counter (P4): markers reset per section ------------
+    is_marker = (
+        s.str.contains(P.DISTANCE_MARKER, regex=True).to_numpy(dtype=bool) & processed
+    )
+    marker_cum = np.cumsum(is_marker)
+    base = np.zeros(n, dtype=np.int64)
+    for i, h in enumerate(header_idx):
+        base[h : bounds[i + 1]] = marker_cum[h]
+    race_num = marker_cum - base
+
+    def race_ids(idx: np.ndarray) -> np.ndarray:
+        return np.array(
+            [
+                f"{race_date}{places[j]}{names[j]}{race_num[j]}R"
+                for j in idx
+            ],
+            dtype=object,
+        )
+
+    frames: list[pd.DataFrame] = []
+
+    def emit(table: str, idx: np.ndarray, vals: list[list[str]]) -> None:
+        if len(idx):
+            frames.append(
+                pd.DataFrame(
+                    {"table": table, "race_id": race_ids(idx), "vals": vals}
+                )
+            )
+
+    if kind == "K":
+        # result: vectorized extract of the per-boat finish lines
+        ext = s.str.extract(P.RESULT)
+        hit = ext[0].notna().to_numpy(dtype=bool) & processed
+        idx = np.flatnonzero(hit)
+        emit("result", idx, ext.iloc[idx].astype(str).to_numpy().tolist())
+
+        # env: the race-header line carries the weather payload
+        ext = s.str.extract(P.ENV)
+        hit = ext[0].notna().to_numpy(dtype=bool) & processed
+        idx = np.flatnonzero(hit)
+        vals = [
+            [w, d, sp, wv, places[j] or ""]
+            for (w, d, sp, wv), j in zip(ext.iloc[idx].astype(str).to_numpy(), idx)
+        ]
+        emit("env", idx, vals)
+
+        # odds: per-anchor positional stanza walk (sequential by design)
+        anchor_hit = (
+            s.str.contains(P.ODDS_ANCHOR, regex=True).to_numpy(dtype=bool) & processed
+        )
+        odds_idx = np.flatnonzero(anchor_hit)
+        odds_vals: list[list[str]] = []
+        for i0 in odds_idx:
+            if P.CANCELLED in lines[i0]:
+                odds_vals.append(["-1"] * _N_ODDS)
+                continue
+            row: list[str] = []
+            j = int(i0)
+            for k, pat in enumerate(P.ODDS_STANZA):
+                m = pat.match(lines[j]) if j < n else None
+                row.append(m.group(1) if m else "-1")
+                if k != 1:  # 複勝1 and 複勝2 share one line (main.py:184)
+                    j += 1
+            odds_vals.append(row)
+        emit("odds", odds_idx, odds_vals)
+
+    elif kind == "B":
+        ext = s.str.extract(P.SCHEDULE)
+        hit = ext[0].notna().to_numpy(dtype=bool) & processed
+        idx = np.flatnonzero(hit)
+        emit("schedule", idx, ext.iloc[idx].astype(str).to_numpy().tolist())
+
+    if not frames:
+        # dtypes must be object, not float64, or Arrow can't map the
+        # empty vals column to list<string>
+        return pd.DataFrame(
+            {
+                "table": pd.Series(dtype="object"),
+                "race_id": pd.Series(dtype="object"),
+                "vals": pd.Series(dtype="object"),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _parse_binary_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """binaryFile rows -> parsed rows. Decode+parse fused: no shuffle."""
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name, kind, race_date = file_meta(path)
+            text = bytes(content).decode("cp932", errors="replace")
+            out = parse_file(text.splitlines(), kind, race_date)
+            out.insert(0, "race_date", race_date)
+            out.insert(0, "kind", kind)
+            out.insert(0, "file", name)
+            yield out
+
+
+def parse_txt_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One-pass scan: raw TXT files -> tagged parsed rows.
+
+    The scale path: one task per file, decode and parse fused inside a
+    single ``mapInPandas`` so raw lines never shuffle. ~10 MB/s/core in
+    the reference becomes n_cores-parallel here.
+    """
+    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return binary.mapInPandas(_parse_binary_batches, schema=PARSED_SCHEMA)
+
+
+def parse_bronze_lines(bronze: DataFrame) -> DataFrame:
+    """Alternate entry: parse an existing bronze lines DataFrame.
+
+    Groups by file (shuffle) — use ``parse_txt_files`` when starting
+    from raw files; this path serves pre-staged bronze tables.
+    """
+
+    def _parse_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("line_no")
+        kind = pdf["kind"].iloc[0]
+        race_date = pdf["race_date"].iloc[0]
+        out = parse_file(pdf["line"].tolist(), kind, race_date)
+        out.insert(0, "race_date", race_date)
+        out.insert(0, "kind", kind)
+        out.insert(0, "file", pdf["file"].iloc[0])
+        return out
+
+    return bronze.groupBy("file").applyInPandas(_parse_group, schema=PARSED_SCHEMA)

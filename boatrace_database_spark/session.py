@@ -1,0 +1,83 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference is single-threaded CPython (SURVEY §4: no parallelism, no
+optimizer). Here every concern the reference lacks is delegated to
+Catalyst/Tungsten; this module only sets the knobs that matter:
+
+- AQE on (runtime coalescing, skew-join splitting, plan re-opt),
+- shuffle partitions sized for the local harness via env override
+  (a 1000-executor cluster would set this to ~2-4x total cores or rely
+  on AQE coalescing from a high initial value),
+- Arrow enabled for the pandas-UDF parse kernels,
+- UTC session timezone so results hash-compare cleanly against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "boatrace_database_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Local tests run ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the
+    same code runs unchanged — the configs below are safe at both scales.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # -- optimizer / runtime ------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- python/arrow boundary ----------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- determinism for oracle comparison ----------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- storage ------------------------------------------------------
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_star_schema(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver's synthetic star schema and register temp views.
+
+    Parquet scans get Catalyst column pruning + predicate pushdown for
+    free; callers never need to cache these (each query reads only the
+    columns/row-groups it touches).
+    """
+    dfs = {}
+    for name in STAR_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs
