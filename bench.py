@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Also times the boatrace corpus end-to-end (62 raw TXT -> silver ->
+gold race join -> count) as `boatrace_month_e2e`, directly comparable
+to BASELINE.md's single-thread ≈2.75 s for the same work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from boatrace_database_spark.queries import QUERIES
+from boatrace_database_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_composite_key",
+    "agg_features",
+    "window_rank_per_group",
+    "running_counter",
+    "time_tumble",
+    "rollup_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "text_profile",
+    "asof_join_events",
+]
+
+BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"
+
+
+def time_boatrace(spark) -> float:
+    from boatrace_database_spark.gold import race_table
+    from boatrace_database_spark.parse.kernel import parse_txt_files
+    from boatrace_database_spark.silver import silver_tables
+
+    t0 = time.perf_counter()
+    parsed = parse_txt_files(spark, BOATRACE_TXT).persist()
+    t = silver_tables(parsed)
+    race = race_table(t["result"], t["env"], t["schedule"])
+    n = race.count()
+    parsed.unpersist()
+    dt = time.perf_counter() - t0
+    print(f"boatrace_month_e2e: {n} rows in {dt:.2f}s", file=sys.stderr)
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen + python-worker warmup so the first measured query
+    # isn't paying one-time startup costs
+    spark.range(1000).selectExpr("sum(id)").collect()
+    timings: dict[str, float] = {}
+    if os.path.exists("/root/reference/txt"):
+        from boatrace_database_spark.parse.kernel import parse_txt_files
+
+        parse_txt_files(spark, "/root/reference/txt/K200801.TXT").count()
+        timings["boatrace_month_e2e"] = round(time_boatrace(spark), 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"{name}: {len(rows)} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+- exact: hash-groupBy on the dedup key — one shuffle, map-side partial.
+- n-gram Jaccard: exact pairwise similarity via shingle inverted index
+  (explode -> self-join on shingle -> count) — correct but O(pairs);
+  use on candidate sets, not the full corpus.
+- MinHash+LSH: the scale path. Signatures via xxhash64 (JVM, codegen)
+  — k independent hashes from k seeds; banding turns all-pairs into
+  per-bucket joins. Only candidate pairs (sharing a band bucket) are
+  scored. This is shuffle-bounded by bucket size, not corpus size².
+- SimHash: 64-bit weighted-majority fingerprint; near-dup = small
+  Hamming distance; banding over 16-bit chunks for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per duplicate group (deterministic)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles
+def word_shingles(text_col, n: int = 3):
+    """Distinct n-word shingles of a text column (array<string>)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) inverted-index rows.
+
+    Repartitions the input first: document tables often arrive as one
+    file = one partition, which would serialize the shingle+hash work
+    onto a single core. One cheap narrow-input shuffle buys full
+    parallelism for everything downstream.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index pair join)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold (id_a < id_b).
+
+    Co-occurrence counting via the inverted index: pairs that share no
+    shingle are never materialized.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "set_size": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "set_size": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures.
+
+    Scalable form: explode shingles once, then one groupBy(id) with k
+    static `min(xxhash64(shingle, seed_k))` aggregates — k independent
+    JVM-side hash functions, map-side partial mins, a single shuffle.
+    (A nested higher-order-function formulation re-evaluates the
+    shingle array per hash and serializes on one core — 64x slower.)
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"m{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{seed}") for seed in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + signature-estimated Jaccard.
+
+    rows/band = num_hashes/bands; a pair collides if any band's hash
+    slice matches exactly. Estimated Jaccard = fraction of equal
+    signature positions. The expensive all-pairs comparison never
+    happens — only per-bucket joins.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n)
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # estimated jaccard = matching signature positions / num_hashes
+    cand = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
+            )
+            / F.lit(float(num_hashes)),
+            6,
+        ),
+    )
+    return cand.where(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """(id, sim) 64-bit SimHash per row: per-shingle xxhash64, weighted
+    majority per bit.
+
+    Scalable form: explode shingles -> one groupBy with 64 static
+    bit-vote aggregates (shift amounts must be Python ints — Spark's
+    shiftright takes no column offset). One shuffle on id; everything
+    stays in whole-stage codegen.
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    votes = sh.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        sig = sig + F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sig.alias("sim"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded on 16-bit chunks.
+
+    Blocking: eight 8-bit chunks — a pair within Hamming distance <= 7
+    must share at least one chunk exactly (pigeonhole), and wider
+    distances still collide with high probability. Random non-dup
+    pairs share a given 8-bit chunk w.p. 1/256, so candidate noise
+    stays ~3% per pair.
+    """
+    sig = simhash_table(df, id_col, text_col, shingle_n)
+    chunked = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", c * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.key")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. Dot products via zip_with +
+  aggregate (JVM higher-order functions, no Python). The query side is
+  tiny -> broadcast; the corpus scan is one pass, no shuffle until the
+  per-query top-k (window over k·|queries| rows).
+- LSH-bucketed ANN: random-hyperplane signs as the bucket key. Planes
+  are derived deterministically from xxhash64(dim, plane) so the
+  operator needs no stored model. At 100 TB: bucket key is computed in
+  the scan, candidates co-shuffle by bucket, each bucket's top-k is
+  local; recall tunes with n_planes/probes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision (element-order deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self), deterministic
+    tie-break on neighbor id. Rounded score so downstream comparisons
+    are engine-portable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # single-file parquet arrives as one partition; spread the O(|corpus|
+    # × |queries| × dim) dot-product work across all cores first
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
+    """Deterministic random-hyperplane sign bits -> bucket key (long).
+
+    Plane p's component for dimension d is a pseudo-random value in
+    [-0.5, 0.5) derived from xxhash64(d, p) — no stored model, identical
+    on every executor, no broadcast needed.
+    """
+    def plane_dot(p: int) -> Column:
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(d, F.lit(p)), F.lit(1000)).cast("double") / 1000.0
+                - 0.5
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # plane index must be a Python int (shift amounts are static in Spark)
+    total = F.lit(0).cast("long")
+    for p in range(n_planes):
+        total = total + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return total
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    Multi-probe (default): each query also probes the n_planes buckets
+    at Hamming distance 1 (one sign flipped) — the standard recall
+    lever. Cost scales the tiny query side only (×(n_planes+1) probe
+    keys); the corpus is still touched once per matching bucket.
+    Recall < 1 by design; tests measure it against cosine_topk.
+    """
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "qvec", F.explode(probes).alias("bucket")
+        )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )

@@ -1,0 +1,283 @@
+"""LLM-data-pipeline operator demos over documents/embeddings
+(BASELINE.json north star: dedup, similarity search, text analysis,
+multimodal columns).
+
+MinHash/SimHash/ANN use xxhash64 (JVM-side; no DuckDB equivalent) so
+they carry no oracle — the driver records rows-only checks; their
+correctness is covered by pytest recall/agreement tests against the
+exact operators (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boatrace_database_spark.operators import dedup as D
+from boatrace_database_spark.operators import multimodal as M
+from boatrace_database_spark.operators import similarity as SIM
+from boatrace_database_spark.operators import text as TX
+from boatrace_database_spark.operators.joins import asof_join
+
+
+from boatrace_database_spark.queries._util import load_table as _t
+
+
+# --------------------------------------------------------------------------
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(d, ["text"], "doc_id")
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keeper_id
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_JACCARD_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM docs, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_inter / (sa.set_size + sb.set_size - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """Scale-path near-dup: MinHash signatures + LSH banding (no oracle —
+    xxhash64; recall vs exact Jaccard asserted in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+def text_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.text_profile(d, "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_computed",
+            "stopword_ratio",
+            "digit_ratio",
+            "quality",
+            "lang_pred",
+            "fingerprint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_PROFILE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\s+') AS lw,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       length(text) AS n_chars_computed,
+       round(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','it','for','on','with')))
+             / greatest(len(lw), 1), 6) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       round((least(length(text) / 500.0, 1.0)
+              + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / greatest(length(text), 1))
+              + least(len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','it','for','on','with')))
+                      / greatest(len(lw), 1) * 4, 1.0)) / 3, 6) AS quality,
+       CASE WHEN len(list_filter(lw, x -> x IN ('the','a','an','of','to','and','in','is','it','for','on','with'))) >= 2
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+def text_rolling_hash(spark, sf_dir):
+    """Character-level polynomial rolling hash (document fingerprinting
+    via higher-order fold — no oracle; validated in unit tests against
+    a Python reimplementation)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.rolling_hash(F.col("text")).alias("rhash")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+def embedding_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(e, queries, k=5).orderBy("query_id", "rk")
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           FROM (SELECT unnest(qvec) AS x, unnest(cvec) AS y))
+      / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qvec) AS x)))
+         * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(cvec) AS y)))),
+      6) AS score
+  FROM c, q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+def embedding_norm_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(SIM.l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+NORM_STATS_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate NN via deterministic hyperplane LSH buckets (no
+    oracle; recall vs brute force asserted in tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.lsh_ann_topk(e, queries, k=5, n_planes=6).orderBy("query_id", "rk")
+
+
+# --------------------------------------------------------------------------
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: wrap text as payloads, extract features via
+    the Arrow kernel (decode is a documented stub; plumbing is real)."""
+    d = _t(spark, sf_dir, "documents")
+    media = M.to_media_table(d, "doc_id", "text", "source")
+    return (
+        M.extract_features(media)
+        .select("media_id", "n_bytes", "mime", "width", "height")
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       'application/octet-stream' AS mime,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height
+FROM documents ORDER BY media_id
+"""
+
+
+# --------------------------------------------------------------------------
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-equal view event (DuckDB oracle: native ASOF JOIN)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("value_asof"), F.lit(-1.0)), 4).alias("last_view_value"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id,
+       round(coalesce(v.value, -1.0), 4) AS last_view_value
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "text_profile": text_profile,
+    "text_rolling_hash": text_rolling_hash,
+    "embedding_cosine_topk": embedding_cosine_topk,
+    "embedding_norm_stats": embedding_norm_stats,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_features": multimodal_features,
+    "asof_join_events": asof_join_events,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": None,
+    "dedup_simhash": None,
+    "text_profile": TEXT_PROFILE_SQL,
+    "text_rolling_hash": None,
+    "embedding_cosine_topk": COSINE_TOPK_SQL,
+    "embedding_norm_stats": NORM_STATS_SQL,
+    "ann_lsh_topk": None,
+    "multimodal_features": MULTIMODAL_SQL,
+    "asof_join_events": ASOF_SQL,
+}

@@ -1,0 +1,484 @@
+"""Relational operator demos (SURVEY §2.2 P1-P15 + §2.5 absent categories).
+
+Each query maps a reference operator onto the driver's TPC-H-ish star
+schema; the docstring cites the reference behavior it re-expresses.
+All joins/aggregations are plain DataFrame ops — Catalyst handles
+pushdown, pruning, and join strategy; broadcast hints mark the
+genuinely-small sides (dimension tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+from boatrace_database_spark.queries._util import load_table as _t
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1 shape — partial-aggregate-friendly wide agg.
+def q1_pricing_summary(spark, sf_dir):
+    """Wide hash aggregate with map-side partial aggregation (A1 analog)."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = l.l_extendedprice * (1 - l.l_discount)
+    return (
+        l.where(l.l_shipdate <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + l.l_tax)), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join + agg + deterministic top-10 (broadcast the dim side)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1996-03-15")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-03-15")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """5-way snowflake join; dims broadcast, fact shuffles once."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# P9: single-key inner equi-join (env ⋈ result, main.py:262) — broadcast dim.
+def join_single_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_SINGLE_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# P10: composite-key inner equi-join ((レースID, 選手登番), main.py:262).
+def join_composite_key(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    per_pair = l.groupBy("l_orderkey", "l_partkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("pair_qty")
+    )
+    return (
+        l.join(per_pair, on=["l_orderkey", "l_partkey"], how="inner")
+        .where(F.col("pair_qty") > 90)
+        .select("l_orderkey", "l_partkey", "l_linenumber", "pair_qty")
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+JOIN_COMPOSITE_SQL = """
+WITH per_pair AS (
+  SELECT l_orderkey, l_partkey, round(sum(l_quantity), 2) AS pair_qty
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+)
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, p.pair_qty
+FROM lineitem l JOIN per_pair p
+  ON l.l_orderkey = p.l_orderkey AND l.l_partkey = p.l_partkey
+WHERE p.pair_qty > 90
+ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber
+"""
+
+
+# P11: LIKE-prefix filter (read_db.py:19) — becomes partition pruning on a
+# date-partitioned table; here shown on a derived date string.
+def prefix_filter(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    key = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return (
+        o.where(key.startswith("1995-03"))
+        .select("o_orderkey", key.alias("o_date"), "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+PREFIX_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1995-03%'
+ORDER BY o_orderkey
+"""
+
+
+# P12: disjunctive prefix filter (read_db.py:22-27).
+def prefix_filter_disjunction(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    key = F.date_format("o_orderdate", "yyyy-MM-dd")
+    cond = key.startswith("1995-01") | key.startswith("1995-02") | key.startswith("1996-12")
+    return (
+        o.where(cond)
+        .groupBy(F.substring(key, 1, 7).alias("month"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("month")
+    )
+
+
+PREFIX_DISJ_SQL = """
+SELECT substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) AS month, count(*) AS n
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m-%d') LIKE '1995-01%'
+   OR strftime(o_orderdate, '%Y-%m-%d') LIKE '1995-02%'
+   OR strftime(o_orderdate, '%Y-%m-%d') LIKE '1996-12%'
+GROUP BY 1 ORDER BY month
+"""
+
+
+# P8: append / bag-union (to_sql 'append', main.py:224).
+def append_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderdate") < "1996-01-01")
+    b = o.where(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+APPEND_SQL = """
+WITH u AS (
+  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# P7: sentinel fill (missing payout -> -1, main.py:170,180).
+def sentinel_fill(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "2001-06-01")
+    per_cust = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("recent"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("recent"), F.lit(-1.0)).alias("recent_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SENTINEL_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS recent
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01' GROUP BY o_custkey
+)
+SELECT c_custkey, coalesce(recent, -1.0) AS recent_total
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+# P1: regex gate (re.search as row filter, main.py:162).
+def regex_gate(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").rlike("^(red|blue) (bolt|widget)$"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+REGEX_GATE_SQL = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE regexp_matches(p_name, '^(red|blue) (bolt|widget)$')
+ORDER BY p_partkey
+"""
+
+
+# P2: regex projection (capture groups -> columns, patterns.py:26-28).
+def regex_extract(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)\s+(\w+)$", 1).alias("color"),
+            F.regexp_extract("p_name", r"^(\w+)\s+(\w+)$", 2).alias("item"),
+            F.regexp_extract("p_brand", r"#(\d+)$", 1).alias("brand_no"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+REGEX_EXTRACT_SQL = """
+SELECT p_partkey,
+       coalesce(regexp_extract(p_name, '^(\\w+)\\s+(\\w+)$', 1), '') AS color,
+       coalesce(regexp_extract(p_name, '^(\\w+)\\s+(\\w+)$', 2), '') AS item,
+       coalesce(regexp_extract(p_brand, '#(\\d+)$', 1), '') AS brand_no
+FROM part ORDER BY p_partkey
+"""
+
+
+# P5: composite natural-key synthesis (f-string concat, main.py:163).
+def concat_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.col("o_orderpriority"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("R"),
+            ).alias("synth_id"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+CONCAT_KEY_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') || o_orderpriority
+         || CAST(o_orderkey AS VARCHAR) || 'R' AS synth_id
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# P4: running counter (race_num += 1 on marker lines, main.py:158-160) —
+# the sessionization-counter idiom as a window running sum.
+def running_counter(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .over(w)
+            .alias("clicks_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+RUNNING_COUNTER_SQL = """
+SELECT user_id, event_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clicks_so_far
+FROM events ORDER BY user_id, event_id
+"""
+
+
+# P3: stateful last-value propagation (section header context carried to
+# every subsequent record, main.py:139-156) — last(ignorenulls) window.
+def last_value_propagation(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_val = F.when(F.col("event_type") == "signup", F.col("value"))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.coalesce(F.last(signup_val, ignorenulls=True).over(w), F.lit(-1.0)), 4
+            ).alias("last_signup_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+LAST_VALUE_SQL = """
+SELECT user_id, event_id,
+       round(coalesce(
+         last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         -1.0), 4) AS last_signup_value
+FROM events ORDER BY user_id, event_id
+"""
+
+
+# P6: fixed-offset lookahead (odds stanza consumes the next k lines,
+# main.py:166-185) — lead(k) over an ordered per-key sequence.
+def stanza_lookahead(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.coalesce(F.lead("event_type", 1).over(w), F.lit("-1")).alias("next1"),
+            F.coalesce(F.lead("event_type", 2).over(w), F.lit("-1")).alias("next2"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+STANZA_SQL = """
+SELECT user_id, event_id, event_type,
+       coalesce(lead(event_type, 1) OVER w, '-1') AS next1,
+       coalesce(lead(event_type, 2) OVER w, '-1') AS next2
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+# P15: date-range driver (calendar.monthrange loop, main.py:270-279) —
+# declarative sequence() explode.
+def date_range_explode(spark, sf_dir):
+    return spark.sql(
+        """
+        SELECT CAST(d AS STRING) AS day
+        FROM (SELECT explode(sequence(DATE '2020-08-01', DATE '2020-09-30')) AS d)
+        ORDER BY day
+        """
+    )
+
+
+DATE_RANGE_SQL = """
+SELECT CAST(unnest(generate_series(DATE '2020-08-01', DATE '2020-09-30',
+                                   INTERVAL 1 DAY)) AS VARCHAR)[:10] AS day
+ORDER BY day
+"""
+
+
+# P13: full select / schema inspect (SELECT * FROM race, read_db.py:36).
+def full_select(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+
+
+FULL_SELECT_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "join_single_key": join_single_key,
+    "join_composite_key": join_composite_key,
+    "prefix_filter": prefix_filter,
+    "prefix_filter_disjunction": prefix_filter_disjunction,
+    "append_union": append_union,
+    "sentinel_fill": sentinel_fill,
+    "regex_gate": regex_gate,
+    "regex_extract": regex_extract,
+    "concat_key": concat_key,
+    "running_counter": running_counter,
+    "last_value_propagation": last_value_propagation,
+    "stanza_lookahead": stanza_lookahead,
+    "date_range_explode": date_range_explode,
+    "full_select": full_select,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "join_single_key": JOIN_SINGLE_SQL,
+    "join_composite_key": JOIN_COMPOSITE_SQL,
+    "prefix_filter": PREFIX_SQL,
+    "prefix_filter_disjunction": PREFIX_DISJ_SQL,
+    "append_union": APPEND_SQL,
+    "sentinel_fill": SENTINEL_SQL,
+    "regex_gate": REGEX_GATE_SQL,
+    "regex_extract": REGEX_EXTRACT_SQL,
+    "concat_key": CONCAT_KEY_SQL,
+    "running_counter": RUNNING_COUNTER_SQL,
+    "last_value_propagation": LAST_VALUE_SQL,
+    "stanza_lookahead": STANZA_SQL,
+    "date_range_explode": DATE_RANGE_SQL,
+    "full_select": FULL_SELECT_SQL,
+}
