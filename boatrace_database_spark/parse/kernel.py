@@ -137,6 +137,44 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
         ]
         emit("env", idx, vals)
 
+        # result_ext (extension): every per-boat line incl. disqualification
+        # codes, with the fields the parity regex drops (motor/boat no,
+        # entry course, start timing, race time) — fixed-width tail slice
+        ext_hit = s.str.match(P.RESULT_EXT_HEAD).to_numpy(dtype=bool) & processed
+        ext_idx = np.flatnonzero(ext_hit)
+        ext_vals = []
+        for j in ext_idx:
+            line = lines[j]
+            t0 = P.RESULT_EXT_TAIL_START
+            tail = line.rstrip("\n")[t0:]
+            ext_vals.append(
+                [
+                    line[2:4].strip(),        # rank_code (01-06/F/L0/L1/S0-S2/K0/K1)
+                    line[6],                  # lane
+                    line[8:12],               # player_id
+                    line[13:21].strip("　"),  # player_name (full-width padded)
+                    tail[0:4].strip(),        # motor_no
+                    tail[4:9].strip(),        # boat_no
+                    tail[9:15].strip(),       # exhibition
+                    tail[15:19].strip(),      # entry_course
+                    tail[19:28].strip(),      # start_timing
+                    tail[28:40].strip(),      # race_time
+                ]
+            )
+        emit("result_ext", ext_idx, ext_vals)
+
+        # race_meta (extension): winning technique from the column-header
+        # line (text after the ﾚｰｽﾀｲﾑ label, full-width padding stripped)
+        meta_hit = s.str.match(P.RACE_META_LINE).to_numpy(dtype=bool) & processed
+        meta_idx = np.flatnonzero(meta_hit)
+        meta_vals = []
+        for j in meta_idx:
+            line = lines[j].rstrip("\n")
+            pos = line.find(P.KIMARITE_ANCHOR)
+            tail = line[pos + len(P.KIMARITE_ANCHOR):] if pos >= 0 else ""
+            meta_vals.append([tail.strip().strip("　")])
+        emit("race_meta", meta_idx, meta_vals)
+
         # odds: per-anchor positional stanza walk (sequential by design)
         anchor_hit = (
             s.str.contains(P.ODDS_ANCHOR, regex=True).to_numpy(dtype=bool) & processed

@@ -81,3 +81,21 @@ ODDS_STANZA = (
 DISTANCE_MARKER = re.compile(r"H\d+m|Ｈ[^ｍ]+ｍ")
 
 CANCELLED = "レース不成立"
+
+# ---------------------------------------------------------------------------
+# EXTENSION grammar (not in the reference parser — SURVEY §1.2 lists these
+# as dropped fields; README.md:19 shows 平均スタートタイミング was a model
+# feature, so the engine parses them). Matches every per-boat K-file line
+# including the disqualification codes the parity RESULT regex drops.
+RESULT_EXT_HEAD = re.compile(r"^  (0[0-6]|F |L[01]|S[012]|K[01])\s+([1-6]) (\d{4}) ")
+
+# Fixed ASCII tail layout after the 8-char full-width name (byte-validated
+# over the full Aug-2020 corpus: 28,860/28,860 lines slice cleanly):
+#   [0:4) motor_no  [4:9) boat_no  [9:15) exhibition  [15:19) entry course
+#   [19:28) start timing (0.15 / F0.01 / K . / L .)  [28:40) race time
+RESULT_EXT_TAIL_START = 21
+
+# Per-race column-header line carrying the winning technique (決まり手)
+# after the ﾚｰｽﾀｲﾑ column label.
+RACE_META_LINE = re.compile(r"^  着 艇 登番")
+KIMARITE_ANCHOR = "ﾚｰｽﾀｲﾑ"

@@ -53,6 +53,15 @@ RESULT_SCHEMA = _all_string(RESULT_COLUMNS)
 ODDS_SCHEMA = _all_string(ODDS_COLUMNS)
 ENV_SCHEMA = _all_string(ENV_COLUMNS)
 
+# EXTENSION tables (fields the reference drops — SURVEY §1.2): romanized
+# names directly, no Japanese-parity requirement.
+RESULT_EXT_COLUMNS = [
+    "race_id", "rank_code", "lane", "player_id", "player_name",
+    "motor_no", "boat_no", "exhibition", "entry_course",
+    "start_timing", "race_time",
+]
+RACE_META_COLUMNS = ["race_id", "kimarite"]
+
 # Bronze: one row per decoded text line, tagged with provenance.
 BRONZE_LINES_SCHEMA = T.StructType(
     [

@@ -39,6 +39,17 @@ def env_table(parsed: DataFrame) -> DataFrame:
     return _extract(parsed, "env", S.ENV_COLUMNS)
 
 
+def result_ext_table(parsed: DataFrame) -> DataFrame:
+    """Extension: all per-boat lines (incl. disqualification codes) with
+    motor/boat numbers, entry course, start timing, race time."""
+    return _extract(parsed, "result_ext", S.RESULT_EXT_COLUMNS)
+
+
+def race_meta_table(parsed: DataFrame) -> DataFrame:
+    """Extension: per-race winning technique (決まり手)."""
+    return _extract(parsed, "race_meta", S.RACE_META_COLUMNS)
+
+
 def silver_tables(parsed: DataFrame) -> dict[str, DataFrame]:
     """All four silver tables from one parsed DataFrame.
 
@@ -52,6 +63,8 @@ def silver_tables(parsed: DataFrame) -> dict[str, DataFrame]:
         "result": result_table(parsed),
         "odds": odds_table(parsed),
         "env": env_table(parsed),
+        "result_ext": result_ext_table(parsed),
+        "race_meta": race_meta_table(parsed),
     }
 
 

@@ -1,0 +1,80 @@
+"""Structured Streaming extensions (SURVEY §7.1 M7).
+
+The reference ingests batch daily files; the streaming layer makes the
+same pipeline incremental:
+
+- `stream_events_rollup`: watermarked tumbling-window aggregate over an
+  event stream (the streaming twin of queries/analytics.time_tumble —
+  same window semantics, late data bounded by the watermark).
+- `stream_ingest_parquet`: file-source stream that appends newly
+  arriving parquet files into a warehouse table via foreachBatch
+  (exactly-once per epoch for an idempotent append-by-filename sink).
+
+Both are file-source streams, so local tests drive them synchronously
+with processAllAvailable(); on a cluster the same code tails a bucket
+or a Kafka topic by swapping readStream.format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_events_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "events_rollup",
+) -> StreamingQuery:
+    """Watermarked tumbling-window count/sum per event_type -> memory sink.
+
+    The watermark bounds state: windows older than (max ts - watermark)
+    finalize and late rows drop — the knob that keeps unbounded streams
+    at bounded memory on a real cluster.
+    """
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(events.dtypes).get("ts") == "bigint":  # nanos-as-long testdata
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_ingest_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental file ingest: new parquet files under source_dir are
+    appended to the target parquet table per micro-batch."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _append(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

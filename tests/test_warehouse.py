@@ -1,0 +1,134 @@
+"""Warehouse build, legacy query API, CSV export parity, downloader
+(network stubbed), and the extended-parse tables."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from boatrace_database_spark import analytics as A
+from boatrace_database_spark import schemas as S
+from boatrace_database_spark import warehouse as W
+from boatrace_database_spark.sources import downloader as DL
+
+TXT = "/root/reference/txt/*200801.TXT"
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("wh"))
+    tables = W.build_warehouse(spark, TXT, out)
+    return out, tables
+
+
+def test_build_and_views(spark, wh):
+    out, tables = wh
+    assert set(tables) == {"schedule", "result", "odds", "env", "result_ext", "race_meta", "race"}
+    # S6: named scans via SQL (non-ASCII identifiers back-quoted)
+    n = spark.sql("SELECT count(*) AS n FROM race").collect()[0][0]
+    assert n == 854
+    # partitioned layout on disk
+    assert os.path.isdir(f"{out}/race/race_date=2020-08-01")
+
+
+def test_day_slice_prunes(spark, wh):
+    _, tables = wh
+    sliced = W.day_slice(tables["race"], "2020-08-01")
+    assert sliced.count() == 854
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = sliced._jdf.queryExecution().explainString(mode)
+    # partition filter must reach the scan (pruning, not a post-filter)
+    assert "PartitionFilters: [isnotnull(race_date" in plan
+
+
+def test_overwrite_rebuild_idempotent(spark, tmp_path):
+    # own directory: rebuilding over existing files (S7 semantics) must
+    # not disturb other tests' readers
+    out = str(tmp_path)
+    W.build_warehouse(spark, TXT, out)
+    tables = W.build_warehouse(spark, TXT, out)
+    assert tables["race"].count() == 854
+
+
+def test_csv_export_reference_layout(spark, wh, tmp_path):
+    _, tables = wh
+    written = W.export_reference_csvs(tables, str(tmp_path))
+    by_name = {os.path.relpath(p, tmp_path): p for p in written}
+    assert "table/2020-08-01.csv" in by_name and "odds/2020-08-01.csv" in by_name
+    with open(by_name["table/2020-08-01.csv"], encoding="utf-8") as fh:
+        rows = list(csv.reader(fh))
+    with open("/root/reference/table/2020-08-01.csv", encoding="utf-8") as fh:
+        golden = list(csv.reader(fh))
+    assert rows[0] == golden[0]  # byte-identical header
+    assert len(rows) == len(golden)
+
+
+def test_result_ext_covers_dropped_codes(spark, wh):
+    _, tables = wh
+    ext = tables["result_ext"]
+    parity = tables["result"]
+    # ext sees every boat incl. disqualifications -> strictly more rows
+    assert ext.count() >= parity.count()
+    codes = {r[0] for r in ext.select("rank_code").distinct().collect()}
+    assert codes & {"F", "S0", "S1", "S2", "K0", "L0"}, codes
+    # start timing parses numerically for ranked boats
+    st_ok = ext.where(
+        F.col("rank_code").rlike("^0[1-6]$")
+        & F.regexp_extract("start_timing", r"^F?(\d+\.\d+)$", 1).cast("double").isNotNull()
+    ).count()
+    ranked = ext.where(F.col("rank_code").rlike("^0[1-6]$")).count()
+    assert st_ok / ranked > 0.99
+
+
+def test_race_meta_kimarite(spark, wh):
+    _, tables = wh
+    vals = {r[0] for r in tables["race_meta"].select("kimarite").distinct().collect()}
+    assert "逃げ" in vals, vals
+
+
+def test_player_features_and_roi(spark, wh):
+    _, tables = wh
+    race = tables["race"]
+    feats = A.player_features(race, tables["result_ext"])
+    assert feats.where(F.col("avg_start_timing").isNotNull()).count() > 0
+    row = A.roi_simulation(race, tables["odds"]).collect()[0]
+    # inner-join semantics: only races present in result∩schedule∩odds
+    # (12 of 156 drop on 2020-08-01 — a venue with no B-file section)
+    assert 140 <= row.n_races <= 156
+    assert 0 < row.n_hits < row.n_races
+    assert row.roi_win > 0
+    acc = A.accuracy_metrics(race, tables["odds"]).collect()[0]
+    assert abs(acc.hit_rate_win - row.n_hits / row.n_races) < 1e-6
+    # assembled feature table keeps race grain
+    assert A.feature_table(race, feats).count() == race.count()
+
+
+def test_downloader_stubbed(tmp_path):
+    calls = []
+
+    def fake_fetch(url: str) -> bytes:
+        calls.append(url)
+        return b"LZH" + url.encode()
+
+    slept = []
+    paths = DL.download_archives(
+        ["2020-08-01", "2020-08-02"],
+        out_dir=str(tmp_path),
+        fetch=fake_fetch,
+        sleep=slept.append,
+    )
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+    assert calls[0] == "http://www1.mbrace.or.jp/od2/K/202008/k200801.lzh"
+    assert len(slept) == 4  # politeness interval honored per request
+    # skip-if-exists cache: second run fetches nothing
+    calls.clear()
+    DL.download_archives(["2020-08-01"], out_dir=str(tmp_path), fetch=fake_fetch, sleep=slept.append)
+    assert not calls
+
+
+def test_month_dates():
+    days = DL.month_dates(2020, 8)
+    assert days[0] == "2020-08-01" and days[-1] == "2020-08-31" and len(days) == 31
