@@ -94,3 +94,33 @@ def accuracy_metrics(race: DataFrame, odds: DataFrame) -> DataFrame:
     return odds.join(hits, on=S.RACE_ID, how="inner").agg(
         F.round(F.avg("hit"), 6).alias("hit_rate_win")
     )
+
+
+def train_win_model(race: DataFrame):
+    """A5 (optional surface — README.md:9,20 trains LightGBM in Colab):
+    in-engine equivalent via Spark ML — logistic regression on the
+    per-boat features predicting a win. Returns (model, auc).
+
+    Distributed training: VectorAssembler + LBFGS logistic regression
+    both scale with the partitioned input; no data leaves the cluster.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = race.select(
+        (_rank() == 1).cast("int").alias("label"),
+        F.col("艇番").try_cast("int").alias("lane"),
+        F.col("全国勝率").try_cast("double").alias("natl_win_rate"),
+        F.col("当地勝率").try_cast("double").alias("local_win_rate"),
+        F.col("モーター2率").try_cast("double").alias("motor_top2"),
+        F.col("展示").try_cast("double").alias("exhibition"),
+    ).na.drop()
+    assembler = VectorAssembler(
+        inputCols=["lane", "natl_win_rate", "local_win_rate", "motor_top2", "exhibition"],
+        outputCol="features",
+    )
+    data = assembler.transform(feats)
+    model = LogisticRegression(maxIter=20).fit(data)
+    auc = BinaryClassificationEvaluator().evaluate(model.transform(data))
+    return model, auc

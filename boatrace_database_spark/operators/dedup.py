@@ -107,7 +107,7 @@ def minhash_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
@@ -130,14 +130,29 @@ def minhash_table(
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop degenerate LSH buckets (the hash-space analog of stopwords).
+
+    A bucket holding b ids yields b²/2 candidate pairs; corpora with a
+    shared vocabulary produce a few huge buckets that dominate runtime
+    while contributing near-zero precision. Capping bounds the join at
+    O(buckets × max_bucket²) — the standard scale guard.
+    """
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    return banded.join(
+        F.broadcast(counts.where(F.col("_bsz") <= max_bucket)), on=keys
+    ).drop("_bsz")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + signature-estimated Jaccard.
 
@@ -164,6 +179,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -201,15 +217,19 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2, bits: int = 32
 ) -> DataFrame:
-    """(id, sim) 64-bit SimHash per row: per-shingle xxhash64, weighted
-    majority per bit.
+    """(id, sim) SimHash per row: per-shingle xxhash64, weighted majority
+    per bit.
 
-    Scalable form: explode shingles -> one groupBy with 64 static
+    Scalable form: explode shingles -> one groupBy with `bits` static
     bit-vote aggregates (shift amounts must be Python ints — Spark's
-    shiftright takes no column offset). One shuffle on id; everything
-    stays in whole-stage codegen.
+    shiftright takes no column offset). One shuffle on id, map-side
+    partial sums. Default 32 bits: the generated aggregate method is
+    half the size of 64 (whole-stage codegen compiles quickly instead
+    of falling back) at Hamming resolution still ample for near-dup
+    thresholds — pass bits=64 when finer granularity is worth the
+    compile cost.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n).withColumn(
         "h", F.xxhash64("shingle")
@@ -219,11 +239,11 @@ def simhash_table(
             F.sum(
                 F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(bits):
         bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
         sig = sig + F.when(F.col(f"v{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
     return votes.select("id", sig.alias("sim"))
@@ -237,18 +257,21 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
+    max_hamming: int = 4,
     shingle_n: int = 2,
+    max_bucket: int = 256,
+    bits: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded on 16-bit chunks.
+    """Near-dup pairs by SimHash Hamming distance, banded on 8-bit chunks.
 
-    Blocking: eight 8-bit chunks — a pair within Hamming distance <= 7
-    must share at least one chunk exactly (pigeonhole), and wider
-    distances still collide with high probability. Random non-dup
-    pairs share a given 8-bit chunk w.p. 1/256, so candidate noise
-    stays ~3% per pair.
+    Blocking: bits/8 8-bit chunks — a pair within Hamming distance <
+    bits/8 must share at least one chunk exactly (pigeonhole), and
+    wider distances still collide with high probability. Random
+    non-dup pairs share a given chunk w.p. 1/256, so candidate noise
+    stays small; degenerate buckets are capped (_cap_buckets).
     """
-    sig = simhash_table(df, id_col, text_col, shingle_n)
+    n_chunks = bits // 8
+    sig = simhash_table(df, id_col, text_col, shingle_n, bits)
     chunked = sig.select(
         "id",
         "sim",
@@ -261,11 +284,12 @@ def simhash_pairs(
                         .bitwiseAND(F.lit(0xFF))
                         .alias("key"),
                     )
-                    for c in range(8)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cc"),
     ).select("id", "sim", "cc.chunk", "cc.key")
+    chunked = _cap_buckets(chunked, ["chunk", "key"], max_bucket)
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (

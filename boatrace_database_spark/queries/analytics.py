@@ -581,6 +581,23 @@ FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 """
 
 
+# sampling / approx (§2.5): approximate distinct + quantile sketches.
+# No SQL oracle (sketch results are engine-specific); pytest bounds the
+# error against exact counts instead.
+def approx_distinct_quantile(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.round(F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 2).alias(
+                "approx_median"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "agg_features": agg_features,
     "feature_assembly": feature_assembly,
@@ -607,6 +624,7 @@ QUERIES = {
     "sample_systematic": sample_systematic,
     "percentile_quantile": percentile_quantile,
     "time_tumble": time_tumble,
+    "approx_distinct_quantile": approx_distinct_quantile,
 }
 
 ORACLES = {
@@ -635,4 +653,5 @@ ORACLES = {
     "sample_systematic": SAMPLE_SQL,
     "percentile_quantile": PERCENTILE_SQL,
     "time_tumble": TIME_TUMBLE_SQL,
+    "approx_distinct_quantile": None,
 }

@@ -76,19 +76,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     xxhash64; recall vs exact Jaccard asserted in tests)."""
     d = _t(spark, sf_dir, "documents")
     return (
-        D.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+        D.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5)
         .orderBy("id_a", "id_b")
     )
 
 
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=4).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
 def text_profile(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # single-file parquet = one partition; spread the per-row feature
+    # computation before the scan of 7 derived columns
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return (
         TX.text_profile(d, "text")
         .select(

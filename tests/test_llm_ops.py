@@ -33,18 +33,18 @@ def exact_pairs(docs):
 def test_minhash_lsh_finds_exact_near_dups(docs, exact_pairs):
     assert exact_pairs, "fixture should contain injected near-dup pairs"
     lsh = D.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
     ).collect()
     found = {(r.id_a, r.id_b): r.est_jaccard for r in lsh}
     missed = set(exact_pairs) - set(found)
-    # jaccard >= 0.8 pairs collide in >= 1 of 16 bands w.p. ~1 - (1-0.8^4)^16 ≈ 1
+    # jaccard >= 0.8 pairs collide in >= 1 of 16 two-row bands w.p. ~1-(1-0.64)^16
     assert not missed, f"LSH missed exact near-dups: {missed}"
     for pair, exact in exact_pairs.items():
         assert abs(found[pair] - exact) < 0.25, (pair, found[pair], exact)
 
 
 def test_simhash_flags_exact_near_dups(docs, exact_pairs):
-    sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()
+    sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
     found = {(r.id_a, r.id_b) for r in sim}
     missed = set(exact_pairs) - found
     assert len(missed) <= max(1, len(exact_pairs) // 5), (

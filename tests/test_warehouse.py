@@ -132,3 +132,31 @@ def test_downloader_stubbed(tmp_path):
 def test_month_dates():
     days = DL.month_dates(2020, 8)
     assert days[0] == "2020-08-01" and days[-1] == "2020-08-31" and len(days) == 31
+
+
+def test_train_win_model(spark, wh):
+    _, tables = wh
+    model, auc = A.train_win_model(tables["race"])
+    # lane-1 dominance makes wins separable well above chance
+    assert auc > 0.7, auc
+
+
+def test_approx_agg_close_to_exact(spark):
+    from boatrace_database_spark.queries.analytics import approx_distinct_quantile
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r for r in approx_distinct_quantile(spark, sf).collect()}
+    l = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.05
+        assert abs(a.approx_median - e.median) / e.median < 0.05
