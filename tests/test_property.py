@@ -1,0 +1,115 @@
+"""Property-based checks (hypothesis): the as-of join against pandas
+merge_asof on random inputs, and Jaccard-operator invariants on random
+document corpora."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from boatrace_database_spark.operators import dedup as D
+from boatrace_database_spark.operators.joins import asof_join
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = draw(st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3, unique=True))
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 100)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(keys),
+                st.integers(0, 100),
+                st.floats(0, 10, allow_nan=False),
+            ),
+            min_size=0,
+            max_size=20,
+        )
+    )
+    # merge_asof tie-breaks among equal right timestamps by taking the
+    # LAST row; make right (key, ts) unique so both engines agree
+    seen = set()
+    right = [r for r in right if not (r[:2] in seen or seen.add(r[:2]))]
+    return left, right
+
+
+@given(asof_case())
+@settings(**_SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, case):
+    left, right = case
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "rid INT, k STRING, t INT"
+    )
+    rdf = spark.createDataFrame(right, "k STRING, t INT, val DOUBLE") if right else \
+        spark.createDataFrame([], "k STRING, t INT, val DOUBLE")
+    got = {
+        r.rid: r.val_asof
+        for r in asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t", value_cols=["val"]).collect()
+    }
+
+    lp = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(left)], columns=["rid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "t", "val"]).sort_values("t", kind="stable")
+    if len(rp):
+        merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        expected = dict(zip(merged["rid"], merged["val"]))
+    else:
+        expected = {i: None for i in lp["rid"]}
+    assert set(got) == set(expected)
+    for rid in got:
+        e = expected[rid]
+        if e is None or pd.isna(e):
+            assert got[rid] is None, (rid, got[rid], e)
+        else:
+            assert got[rid] == pytest.approx(e), (rid, got[rid], e)
+
+
+@st.composite
+def corpus(draw):
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=12).map(" ".join),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    return docs
+
+
+@given(corpus())
+@settings(**_SETTINGS)
+def test_jaccard_pairs_invariants(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id INT, text STRING")
+    pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    import re
+
+    def shingles(t):
+        w = re.split(r"\s+", t.strip())
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    expected = {}
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i < j:
+                sa, sb = shingles(a), shingles(b)
+                inter = len(sa & sb)
+                if inter:
+                    expected[(i, j)] = inter / len(sa | sb)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-5), (k, got[k], v)
