@@ -14,10 +14,10 @@ cannot flip the driver's value hash.
 
 from __future__ import annotations
 
-from boatrace_database_spark.queries import analytics, llm, relational
+from boatrace_database_spark.queries import advanced, analytics, llm, relational
 
 QUERIES = {}
 ORACLES = {}
-for mod in (relational, analytics, llm):
+for mod in (relational, analytics, advanced, llm):
     QUERIES.update(mod.QUERIES)
     ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})

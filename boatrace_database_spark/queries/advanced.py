@@ -1,0 +1,353 @@
+"""Advanced relational demos: correlated subqueries, window frames,
+sessionization, ordered string aggregation, min_by/max_by, date/null
+batteries, and the salted skew-join technique (result is salt-invariant,
+so the oracle checks it like any plain join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from boatrace_database_spark.queries._util import load_table as _t
+
+
+# correlated scalar subquery: orders priced above their customer's average.
+def correlated_scalar_subquery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    avg_per_cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(F.broadcast(avg_per_cust), on="o_custkey")
+        .where(F.col("o_totalprice") > F.col("cust_avg") * 1.5)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_orderkey")
+    )
+
+
+CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM orders i WHERE i.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+# HAVING: post-aggregation filter.
+def having_filter(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .where(F.col("n") >= 120)
+        .orderBy("l_suppkey")
+    )
+
+
+HAVING_SQL = """
+SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 120
+ORDER BY l_suppkey
+"""
+
+
+# min_by / max_by: the argmin/argmax aggregate.
+def min_max_by(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+MIN_MAX_BY_SQL = """
+SELECT o_orderpriority,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       max_by(o_orderkey, o_totalprice) AS priciest_order
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ordered string aggregation (deterministic via sort).
+def string_agg_sorted(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+STRING_AGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# RANGE window frame over event time: per-user sum of the trailing 10 minutes.
+def window_range_frame(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-600, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("trailing_10m"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 2) AS trailing_10m
+FROM events ORDER BY user_id, event_id
+"""
+
+
+# ROWS frame moving average.
+def moving_avg_rows(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    # exact decimal sum / count: engines disagree rounding doubles at
+    # the .xx5 boundary, exact sums never reach it
+    ma3 = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", ma3.alias("ma3"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / count(*) OVER w AS ma3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# ntile / cume_dist / percent_rank.
+def ntile_cume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.round("c_acctbal", 2), "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+NTILE_SQL = """
+SELECT c_custkey,
+       ntile(4) OVER w AS quartile,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (ORDER BY round(c_acctbal, 2), c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# sessionization: gap > 30 min starts a new session (lag + running sum).
+def sessionize_gaps(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        e.withColumn("new_s", new_session)
+        .withColumn("session_no", F.sum("new_s").over(wcum))
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_no")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(date_trunc('second', ts)) - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+# skew technique: salted aggregation — hot keys split across salts, then
+# merged. The result is salt-invariant, so the oracle is the plain agg.
+def salted_skew_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("v").cast("double")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# date/time scalar battery.
+def date_battery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year(d).alias("y"),
+            F.month(d).alias("m"),
+            F.dayofmonth(d).alias("dom"),
+            F.dayofweek(d).alias("dow"),
+            F.quarter(d).alias("q"),
+            F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+            F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS y, month(o_orderdate) AS m,
+       dayofmonth(o_orderdate) AS dom, dayofweek(o_orderdate) + 1 AS dow,
+       quarter(o_orderdate) AS q,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# null-handling battery.
+def null_battery(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    agg = o.groupBy("o_custkey").agg(F.max(F.round("o_totalprice", 2)).alias("big"))
+    j = c.join(agg, c.c_custkey == agg.o_custkey, "left")
+    return (
+        j.select(
+            "c_custkey",
+            F.coalesce("big", F.lit(0.0)).alias("big_or_zero"),
+            F.col("big").isNull().cast("int").alias("is_missing"),
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_or_null"),
+            F.nvl2(F.col("big"), F.lit("has"), F.lit("none")).alias("presence"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+NULL_SQL = """
+WITH agg AS (
+  SELECT o_custkey, max(round(o_totalprice, 2)) AS big
+  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(big, 0.0) AS big_or_zero,
+       CAST(big IS NULL AS INT) AS is_missing,
+       nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
+       CASE WHEN big IS NOT NULL THEN 'has' ELSE 'none' END AS presence
+FROM customer LEFT JOIN agg ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+# union distinct set op.
+def union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_nationkey")
+    return a.union(b).distinct().orderBy("c_nationkey")
+
+
+UNION_DISTINCT_SQL = """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_nationkey FROM customer WHERE c_acctbal > 9000
+ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "correlated_scalar_subquery": correlated_scalar_subquery,
+    "having_filter": having_filter,
+    "min_max_by": min_max_by,
+    "string_agg_sorted": string_agg_sorted,
+    "window_range_frame": window_range_frame,
+    "moving_avg_rows": moving_avg_rows,
+    "ntile_cume": ntile_cume,
+    "sessionize_gaps": sessionize_gaps,
+    "salted_skew_agg": salted_skew_agg,
+    "date_battery": date_battery,
+    "null_battery": null_battery,
+    "union_distinct": union_distinct,
+}
+
+ORACLES = {
+    "correlated_scalar_subquery": CORRELATED_SQL,
+    "having_filter": HAVING_SQL,
+    "min_max_by": MIN_MAX_BY_SQL,
+    "string_agg_sorted": STRING_AGG_SQL,
+    "window_range_frame": RANGE_FRAME_SQL,
+    "moving_avg_rows": MOVING_AVG_SQL,
+    "ntile_cume": NTILE_SQL,
+    "sessionize_gaps": SESSIONIZE_SQL,
+    "salted_skew_agg": SALTED_SQL,
+    "date_battery": DATE_SQL,
+    "null_battery": NULL_SQL,
+    "union_distinct": UNION_DISTINCT_SQL,
+}
