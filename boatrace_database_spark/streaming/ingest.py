@@ -59,6 +59,53 @@ def stream_events_rollup(
     )
 
 
+def stream_running_counters(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    query_name: str = "running_counters",
+) -> StreamingQuery:
+    """Custom stateful streaming operator: per-user running event count
+    and value sum via applyInPandasWithState (SURVEY §7 M7 'custom
+    stateful operators').
+
+    State = one (count, total) pair per user, updated per micro-batch;
+    arbitrary state survives across batches through the GroupState
+    handle — the building block any reference-style running counter
+    (P4) needs when the input is unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        stateStructType="n LONG, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_ingest_parquet(
     spark: SparkSession,
     source_dir: str,

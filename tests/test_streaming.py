@@ -74,3 +74,41 @@ def test_stream_ingest_appends_incrementally(spark, tmp_path):
         assert spark.read.parquet(tgt).count() == n + 100
     finally:
         q.stop()
+
+
+def test_stream_stateful_running_counters(spark, tmp_path):
+    from boatrace_database_spark.streaming.ingest import stream_running_counters
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    shutil.copy(SRC, f"{src}/a.parquet")
+    schema = _events_schema(spark)
+    q = stream_running_counters(spark, src, schema, query_name="counters_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM counters_t").collect()
+        }
+        batch = {
+            r.user_id: (r.n, r.total)
+            for r in spark.read.parquet(SRC)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .collect()
+        }
+        assert got == batch
+        # state carries across micro-batches: feed the same file again
+        shutil.copy(SRC, f"{src}/b.parquet")
+        q.processAllAvailable()
+        got2 = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT user_id, n_events, total_value FROM ("
+                " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn"
+                " FROM counters_t) WHERE rn = 1"
+            ).collect()
+        }
+        assert all(got2[u][0] == 2 * batch[u][0] for u in batch)
+    finally:
+        q.stop()

@@ -160,3 +160,19 @@ def test_approx_agg_close_to_exact(spark):
         a = approx[k]
         assert abs(a.approx_parts - e.parts) / e.parts < 0.05
         assert abs(a.approx_median - e.median) / e.median < 0.05
+
+
+def test_odds_map_view(spark, wh):
+    from boatrace_database_spark.gold import odds_map_view
+
+    _, tables = wh
+    m = odds_map_view(tables["odds"])
+    row = m.orderBy("race_id").limit(1).collect()[0]
+    assert set(row.payouts.keys()) == {
+        "単勝", "複勝1", "複勝2", "2連単", "2連複",
+        "拡連複12", "拡連複13", "拡連複23", "3連単", "3連複",
+    }
+    # sentinel -1 becomes NULL in the map
+    n_null = m.where(F.col("payouts")["複勝2"].isNull()).count()
+    flat_null = tables["odds"].where(F.col("複勝2") == "-1").count()
+    assert n_null == flat_null
