@@ -230,11 +230,17 @@ def _parse_binary_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 def parse_txt_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """One-pass scan: raw TXT files -> tagged parsed rows.
 
-    The scale path: one task per file, decode and parse fused inside a
-    single ``mapInPandas`` so raw lines never shuffle. ~10 MB/s/core in
-    the reference becomes n_cores-parallel here.
+    The scale path: decode and parse fused inside a single
+    ``mapInPandas`` so raw lines never shuffle. The binaryFile source
+    emits one partition per file; daily TXT files are ~160 KB, so the
+    scan is coalesced (narrow, no shuffle) to a few partitions per core
+    — per-task scheduling + Arrow overhead would otherwise dominate on
+    small-file corpora. With large files the coalesce is a no-op.
     """
     binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    # coalesce never increases partition count, so this is a no-op when
+    # the corpus has fewer files than 2x cores
+    binary = binary.coalesce(spark.sparkContext.defaultParallelism * 2)
     return binary.mapInPandas(_parse_binary_batches, schema=PARSED_SCHEMA)
 
 
