@@ -75,26 +75,61 @@ def read_txt_lines(spark: SparkSession, path_glob: str) -> DataFrame:
     return binary.mapInPandas(_decode_batches, schema=BRONZE_LINES_SCHEMA)
 
 
-def decompress_lzh_to_dir(lzh_paths: list[str], out_dir: str) -> list[str]:
-    """Driver-side LZH expansion (reference main.py:89-100).
+def decompress_lzh_to_dir(
+    lzh_paths: list[str], out_dir: str, normalize_newlines: bool = True
+) -> list[str]:
+    """Driver-side LZH expansion (reference main.py:89-100), using the
+    bundled pure-Python -lh5- decoder (sources/lzh.py) — no external
+    package needed.
 
-    ``lhafile`` is an optional dependency (not in the base image); the
-    committed ``txt/`` corpus makes this path optional for tests.
+    The official archives store CRLF line endings while the committed
+    ``txt/`` corpus is LF; ``normalize_newlines`` (default) reproduces
+    the committed bytes.
     """
-    try:
-        import lhafile  # type: ignore
-    except ImportError as exc:  # pragma: no cover - optional dep
-        raise NotImplementedError(
-            "LZH decompression requires the optional 'lhafile' package"
-        ) from exc
+    from boatrace_database_spark.sources.lzh import read_lzh
 
     os.makedirs(out_dir, exist_ok=True)
     written: list[str] = []
     for path in lzh_paths:
-        archive = lhafile.Lhafile(path)
-        for info in archive.infolist():
-            target = os.path.join(out_dir, info.filename)
+        for member in read_lzh(path):
+            data = member.data
+            if normalize_newlines:
+                data = data.replace(b"\r\n", b"\n")
+            target = os.path.join(out_dir, os.path.basename(member.filename))
             with open(target, "wb") as fh:
-                fh.write(archive.read(info.filename))
+                fh.write(data)
             written.append(target)
     return written
+
+
+def read_lzh_txt_lines(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Bronze directly from ``.lzh`` archives: binaryFile scan ->
+    in-memory -lh5- decode -> CP932 lines. Fully cluster-side S2+S3;
+    one archive per task group, no shuffle."""
+    from boatrace_database_spark.sources.lzh import read_lzh_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for content in pdf["content"]:
+                for member in read_lzh_bytes(bytes(content)):
+                    name, kind, race_date = file_meta(member.filename)
+                    text = member.data.decode("cp932", errors="replace")
+                    lines = text.splitlines()
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "file": name,
+                                "kind": kind,
+                                "race_date": race_date,
+                                "line_no": range(len(lines)),
+                                "line": lines,
+                            }
+                        )
+                    )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["file", "kind", "race_date", "line_no", "line"]
+            )
+
+    binary = spark.read.format("binaryFile").load(path_glob).select("content")
+    return binary.mapInPandas(batches, schema=BRONZE_LINES_SCHEMA)
