@@ -58,6 +58,23 @@ def time_boatrace(spark) -> float:
     return dt
 
 
+def time_boatrace_year(spark) -> float:
+    """Full 2020: 732 lzh archives -> fused decode+parse -> gold join.
+    Reference extrapolation: ~33 s single-threaded (2.75 s/month)."""
+    from boatrace_database_spark.gold import race_table
+    from boatrace_database_spark.parse.kernel import parse_lzh_files
+    from boatrace_database_spark.silver import silver_tables
+
+    t0 = time.perf_counter()
+    parsed = parse_lzh_files(spark, "/root/reference/lzh/*.lzh").persist()
+    t = silver_tables(parsed)
+    n = race_table(t["result"], t["env"], t["schedule"]).count()
+    parsed.unpersist()
+    dt = time.perf_counter() - t0
+    print(f"boatrace_year_from_lzh: {n} rows in {dt:.2f}s", file=sys.stderr)
+    return dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -73,6 +90,8 @@ def main() -> None:
 
         parse_txt_files(spark, "/root/reference/txt/K200801.TXT").count()
         timings["boatrace_month_e2e"] = round(time_boatrace(spark), 3)
+        if os.path.exists("/root/reference/lzh"):
+            timings["boatrace_year_from_lzh"] = round(time_boatrace_year(spark), 3)
 
     for name in HEADLINE:
         fn = QUERIES[name]

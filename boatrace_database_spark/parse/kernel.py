@@ -244,6 +244,31 @@ def parse_txt_files(spark: SparkSession, path_glob: str) -> DataFrame:
     return binary.mapInPandas(_parse_binary_batches, schema=PARSED_SCHEMA)
 
 
+def _parse_lzh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """LZH archive bytes -> decode members -> parse. Fused, no shuffle."""
+    from boatrace_database_spark.sources.lzh import read_lzh_bytes
+
+    for pdf in batches:
+        for content in pdf["content"]:
+            for member in read_lzh_bytes(bytes(content)):
+                name, kind, race_date = file_meta(member.filename)
+                text = member.data.decode("cp932", errors="replace")
+                out = parse_file(text.splitlines(), kind, race_date)
+                out.insert(0, "race_date", race_date)
+                out.insert(0, "kind", kind)
+                out.insert(0, "file", name)
+                yield out
+
+
+def parse_lzh_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One-pass scan over raw ``.lzh`` archives: decompress (bundled
+    -lh5- decoder) + decode + parse fused in a single ``mapInPandas`` —
+    the full S1->silver path with zero shuffles."""
+    binary = spark.read.format("binaryFile").load(path_glob).select("content")
+    binary = binary.coalesce(spark.sparkContext.defaultParallelism * 2)
+    return binary.mapInPandas(_parse_lzh_batches, schema=PARSED_SCHEMA)
+
+
 def parse_bronze_lines(bronze: DataFrame) -> DataFrame:
     """Alternate entry: parse an existing bronze lines DataFrame.
 

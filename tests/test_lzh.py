@@ -45,3 +45,28 @@ def test_lzh_bronze_equals_txt_bronze(spark):
     a = sorted(tuple(r) for r in via_lzh.collect())
     b = sorted(tuple(r) for r in via_txt.collect())
     assert a == b
+
+
+def test_full_year_from_archives(spark):
+    """The whole committed 2020 archive set (732 lzh) parses through the
+    fused no-shuffle path; the August subset must equal the golden
+    month exactly."""
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.gold import race_table
+    from boatrace_database_spark.parse.kernel import parse_lzh_files
+    from boatrace_database_spark.silver import silver_tables
+
+    parsed = parse_lzh_files(spark, "/root/reference/lzh/*.lzh").persist()
+    t = silver_tables(parsed)
+    race = race_table(t["result"], t["env"], t["schedule"])
+    by_month = dict(
+        (r.m, r["count"])
+        for r in race.groupBy(F.substring("race_date", 1, 7).alias("m"))
+        .count()
+        .collect()
+    )
+    parsed.unpersist()
+    assert len(by_month) == 12
+    assert by_month["2020-08"] == 27185  # golden month
+    assert sum(by_month.values()) == 306834
