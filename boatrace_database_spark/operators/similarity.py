@@ -70,6 +70,36 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, score >= threshold).
+
+    Exact all-pairs — O(n²) dot products — correct for candidate sets
+    and small corpora; the scale path blocks candidates through
+    `lsh_ann_topk`'s hyperplane buckets first and scores only
+    collisions.
+    """
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     """Deterministic random-hyperplane sign bits -> bucket key (long).
 

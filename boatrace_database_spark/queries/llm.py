@@ -257,6 +257,27 @@ ORDER BY p.event_id
 """
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the fourth dedup modality):
+    exact all-pairs at demo scale; LSH blocking is the scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
+
+
+EMB_DEDUP_SQL = """
+WITH c AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+   / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x)))
+    * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y)))), 4) AS score
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= 0.45 ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -265,6 +286,7 @@ QUERIES = {
     "text_profile": text_profile,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
@@ -279,6 +301,7 @@ ORACLES = {
     "text_profile": TEXT_PROFILE_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
+    "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
     "ann_lsh_topk": None,
     "multimodal_features": MULTIMODAL_SQL,
