@@ -86,3 +86,12 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_contract_invariants():
+    """Driver-contract hygiene: every oracle key maps to a query, SQL
+    strings are non-empty, and the module imports without a session."""
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(isinstance(v, str) and v.strip() for v in os_.values())
+    assert len(qs) >= 60
