@@ -103,16 +103,16 @@ def _ctx(bronze: DataFrame) -> DataFrame:
     )
 
 
-def _extract_groups(df: DataFrame, pattern: str, n: int, anchored: bool) -> list:
+def _extract_groups(pattern: str, n: int) -> list:
     src = F.concat(F.col("line"), F.lit(_N))
-    # rlike is search-semantics; regexp_extract with a non-anchored
-    # pattern also searches — matching re.search/re.match of the ref
+    # regexp_extract with a non-anchored pattern searches — matching the
+    # reference's re.search/re.match semantics
     return [F.regexp_extract(src, _U(pattern), i) for i in range(1, n + 1)]
 
 
 def schedule_df(bronze: DataFrame) -> DataFrame:
     ctx = _ctx(bronze.where(F.col("kind") == "B"))
-    gs = _extract_groups(ctx, P.SCHEDULE.pattern, 13, True)
+    gs = _extract_groups(P.SCHEDULE.pattern, 13)
     from boatrace_database_spark.schemas import SCHEDULE_COLUMNS
 
     keep = ctx.where(
@@ -127,7 +127,7 @@ def schedule_df(bronze: DataFrame) -> DataFrame:
 
 def result_df(bronze: DataFrame) -> DataFrame:
     ctx = _ctx(bronze.where(F.col("kind") == "K"))
-    gs = _extract_groups(ctx, P.RESULT.pattern, 3, False)
+    gs = _extract_groups(P.RESULT.pattern, 3)
     from boatrace_database_spark.schemas import RESULT_COLUMNS
 
     keep = ctx.where(
@@ -141,7 +141,7 @@ def result_df(bronze: DataFrame) -> DataFrame:
 
 def env_df(bronze: DataFrame) -> DataFrame:
     ctx = _ctx(bronze.where(F.col("kind") == "K"))
-    gs = _extract_groups(ctx, P.ENV.pattern, 4, False)
+    gs = _extract_groups(P.ENV.pattern, 4)
     from boatrace_database_spark.schemas import ENV_COLUMNS
 
     keep = ctx.where(

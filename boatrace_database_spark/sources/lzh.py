@@ -193,16 +193,13 @@ def read_lzh_bytes(buf: bytes) -> list[LzhMember]:
             name = buf[pos + 22 : pos + 22 + name_len].decode("cp932", "replace")
             data_start = pos + 2 + header_size
             if level == 1:
-                # level-1: packed includes extension headers; walk them
-                ext_start = data_start
-                # skip extension headers chained by 2-byte next-size
+                # level-1: packed includes the chained extension headers
                 p = pos + 22 + name_len + 2 + 1  # crc(2)+os(1)
                 ext_total = 0
                 next_size = struct.unpack_from("<H", buf, p)[0]
                 p += 2
                 while next_size:
                     ext_total += next_size
-                    name_candidate = None
                     if buf[p] == 0x01:  # filename header
                         name = buf[p + 1 : p + next_size - 2].decode("cp932", "replace")
                     next_size_new = struct.unpack_from("<H", buf, p + next_size - 2)[0]
