@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver calls queries() on ITS OWN session — pin the dynamic
+    # confs our results depend on (timestamp rendering must match the
+    # UTC-naive DuckDB oracle regardless of the host session's defaults)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
