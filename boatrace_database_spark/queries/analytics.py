@@ -494,9 +494,10 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 def unpivot_stack(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
     wide = c.groupBy("c_nationkey").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.sum(bal).cast("double").alias("total_bal"),
+        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
     )
     return (
         wide.selectExpr(
@@ -509,8 +510,9 @@ def unpivot_stack(spark, sf_dir):
 
 UNPIVOT_SQL = """
 WITH wide AS (
-  SELECT c_nationkey, round(sum(c_acctbal), 2) AS total_bal,
-         round(avg(c_acctbal), 2) AS avg_bal
+  SELECT c_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
   FROM customer GROUP BY c_nationkey
 )
 SELECT c_nationkey, metric, val FROM (
