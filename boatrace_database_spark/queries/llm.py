@@ -199,6 +199,17 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_ann_topk(e, queries, k=5, n_planes=6).orderBy("query_id", "rk")
 
 
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate NN: k-means coarse quantizer + cell probing (no
+    oracle — k-means training; recall vs brute force asserted in
+    tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 5)
+    return SIM.ivf_topk(e, queries, k=5, n_cells=16, nprobe=4).orderBy("query_id", "rk")
+
+
 # --------------------------------------------------------------------------
 def multimodal_features(spark, sf_dir):
     """Binary-column plumbing: wrap text as payloads, extract features via
@@ -289,6 +300,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_norm_stats": embedding_norm_stats,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "multimodal_features": multimodal_features,
     "asof_join_events": asof_join_events,
 }
@@ -304,6 +316,7 @@ ORACLES = {
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
     "ann_lsh_topk": None,
+    "ann_ivf_topk": None,
     "multimodal_features": MULTIMODAL_SQL,
     "asof_join_events": ASOF_SQL,
 }

@@ -125,3 +125,20 @@ def test_asof_join_fixture(spark):
     got = {r.event_id: r.val_asof for r in out.collect()}
     # t=10 matches the right row at t=10 (<= semantics); t=5 has no prior
     assert got == {1: 2.0, 2: 3.0, 3: None, 4: None}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    approx = SIM.ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    es, aps = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        aps.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    mean_recall = sum(recalls) / len(recalls)
+    # probing 4/16 cells scans ~25% of the corpus but the nearest cells
+    # concentrate neighbors — recall must beat the scan fraction
+    assert mean_recall > 0.30, f"IVF mean recall {mean_recall:.3f}"
