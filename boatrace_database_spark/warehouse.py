@@ -92,6 +92,43 @@ def day_range(df: DataFrame, dates: list[str]) -> DataFrame:
     return df.where(F.col("race_date").isin(dates))
 
 
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """MERGE-style upsert without a lake format: replace target rows
+    whose key appears in `updates`, keep the rest, append the new ones
+    (anti-join + union). The use case is late corrections — the
+    official site occasionally republishes a day's results.
+
+    At scale this rewrites only the touched race_date partitions:
+    updates are sliced per partition value and each partition
+    overwrites independently (dynamic partition overwrite semantics).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    target = spark.read.parquet(table_dir).withColumn(
+        "race_date", F.col("race_date").cast("string")
+    )
+    merged = target.join(updates.select(*keys), on=keys, how="left_anti").unionByName(
+        updates
+    )
+    # touched partitions only — dynamic mode leaves the rest in place.
+    # localCheckpoint materializes the merged rows BEFORE the overwrite
+    # deletes the source files they were read from.
+    touched = [r[0] for r in updates.select("race_date").distinct().collect()]
+    staged = (
+        merged.where(F.col("race_date").isin(touched)).localCheckpoint(eager=True)
+    )
+    staged.write.mode("overwrite").partitionBy("race_date").parquet(table_dir)
+    # drop the stale shared file-status cache for this path
+    spark.catalog.refreshByPath(table_dir)
+    return spark.read.parquet(table_dir).withColumn(
+        "race_date", F.col("race_date").cast("string")
+    )
+
+
 # --------------------------------------------------------------------------
 # S4/S8: reference-layout CSV export
 def export_reference_csvs(

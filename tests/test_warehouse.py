@@ -176,3 +176,28 @@ def test_odds_map_view(spark, wh):
     n_null = m.where(F.col("payouts")["複勝2"].isNull()).count()
     flat_null = tables["odds"].where(F.col("複勝2") == "-1").count()
     assert n_null == flat_null
+
+
+def test_merge_upsert_late_corrections(spark, tmp_path):
+    out = str(tmp_path / "m")
+    W.build_warehouse(spark, TXT, out)
+    env_dir = f"{out}/env"
+    env = spark.read.parquet(env_dir)
+    n_before = env.count()
+    # late correction: weather fixed for two races of the day
+    some = (
+        env.withColumn("race_date", F.col("race_date").cast("string"))
+        .orderBy(S.RACE_ID)
+        .limit(2)
+        .withColumn("天候", F.lit("雪"))
+        # updates must not keep lineage into files the merge overwrites
+        .localCheckpoint(eager=True)
+    )
+    merged = W.merge_upsert(spark, env_dir, some, keys=[S.RACE_ID])
+    assert merged.count() == n_before  # upsert, not append
+    fixed = merged.where(F.col("天候") == "雪").count()
+    assert fixed == 2
+    # idempotent: merging the same updates again changes nothing
+    again = W.merge_upsert(spark, env_dir, some, keys=[S.RACE_ID])
+    assert again.count() == n_before
+    assert again.where(F.col("天候") == "雪").count() == 2
