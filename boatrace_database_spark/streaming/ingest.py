@@ -106,6 +106,61 @@ def stream_running_counters(
     )
 
 
+def stream_asof_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    query_name: str = "asof_enriched",
+) -> StreamingQuery:
+    """Streaming as-of join twin (operators/joins.asof_join, unbounded):
+    purchases are enriched with the user's most recent prior-or-equal
+    view value. State per user = (last_view_ts_us, last_view_value);
+    rows are replayed in timestamp order inside each micro-batch, so
+    within-batch ordering matches the batch operator.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    relevant = events.where(F.col("event_type").isin("view", "purchase"))
+
+    def enrich(key, pdfs, state: GroupState):
+        last_ts, last_val = state.get if state.exists else (None, None)
+        out_rows = []
+        batch = pd.concat(list(pdfs))
+        for row in batch.sort_values(["ts", "event_id"]).itertuples():
+            ts_us = int(row.ts.value // 1000)
+            if row.event_type == "view":
+                if last_ts is None or ts_us >= last_ts:
+                    last_ts, last_val = ts_us, float(row.value)
+            else:  # purchase
+                out_rows.append(
+                    (int(row.event_id), key[0],
+                     round(last_val, 4) if last_val is not None else -1.0)
+                )
+        state.update((last_ts if last_ts is not None else -1,
+                      last_val if last_val is not None else -1.0))
+        yield pd.DataFrame(
+            out_rows, columns=["event_id", "user_id", "last_view_value"]
+        )
+
+    out = relevant.groupBy("user_id").applyInPandasWithState(
+        enrich,
+        outputStructType="event_id LONG, user_id LONG, last_view_value DOUBLE",
+        stateStructType="last_ts LONG, last_val DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_ingest_parquet(
     spark: SparkSession,
     source_dir: str,

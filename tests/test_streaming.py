@@ -112,3 +112,31 @@ def test_stream_stateful_running_counters(spark, tmp_path):
         assert all(got2[u][0] == 2 * batch[u][0] for u in batch)
     finally:
         q.stop()
+
+
+def test_stream_asof_matches_batch_operator(spark, tmp_path):
+    """The streaming as-of enrichment must equal the batch asof_join
+    (queries/llm.asof_join_events) when the whole input arrives."""
+    from boatrace_database_spark.queries.llm import asof_join_events
+    from boatrace_database_spark.streaming.ingest import stream_asof_enrich
+
+    src = str(tmp_path / "asof_src")
+    os.makedirs(src)
+    shutil.copy(SRC, f"{src}/a.parquet")
+    schema = _events_schema(spark)
+    q = stream_asof_enrich(spark, src, schema, query_name="asof_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            r.event_id: r.last_view_value
+            for r in spark.sql("SELECT * FROM asof_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.event_id: r.last_view_value
+        for r in asof_join_events(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(batch)
+    diffs = {k: (got[k], batch[k]) for k in batch if got[k] != batch[k]}
+    assert not diffs, list(diffs.items())[:5]
