@@ -117,6 +117,7 @@ def schedule_df(bronze: DataFrame) -> DataFrame:
 
     keep = ctx.where(
         F.col("processed")
+        & F.col("race_id").isNotNull()
         & F.concat(F.col("line"), F.lit(_N)).rlike(_U(P.SCHEDULE.pattern))
     )
     cols = [F.col("race_id").alias(SCHEDULE_COLUMNS[0])] + [
@@ -131,7 +132,9 @@ def result_df(bronze: DataFrame) -> DataFrame:
     from boatrace_database_spark.schemas import RESULT_COLUMNS
 
     keep = ctx.where(
-        F.col("processed") & F.concat(F.col("line"), F.lit(_N)).rlike(_U(P.RESULT.pattern))
+        F.col("processed")
+        & F.col("race_id").isNotNull()
+        & F.concat(F.col("line"), F.lit(_N)).rlike(_U(P.RESULT.pattern))
     )
     cols = [F.col("race_id").alias(RESULT_COLUMNS[0])] + [
         g.alias(c) for g, c in zip(gs, RESULT_COLUMNS[1:])
@@ -145,7 +148,9 @@ def env_df(bronze: DataFrame) -> DataFrame:
     from boatrace_database_spark.schemas import ENV_COLUMNS
 
     keep = ctx.where(
-        F.col("processed") & F.concat(F.col("line"), F.lit(_N)).rlike(_U(P.ENV.pattern))
+        F.col("processed")
+        & F.col("race_id").isNotNull()
+        & F.concat(F.col("line"), F.lit(_N)).rlike(_U(P.ENV.pattern))
     )
     cols = [F.col("race_id").alias(ENV_COLUMNS[0])] + [
         g.alias(c) for g, c in zip(gs, ENV_COLUMNS[1:-1])
@@ -174,7 +179,7 @@ def odds_df(bronze: DataFrame) -> DataFrame:
             f"lead{k}",
             F.concat(F.coalesce(F.lead(F.col("line"), k).over(w), F.lit("")), F.lit(_N)),
         )
-    keep = anchors.where(F.col("is_anchor"))
+    keep = anchors.where(F.col("is_anchor") & F.col("race_id").isNotNull())
     cancelled = F.col("line").contains(P.CANCELLED)
     payout_cols = []
     for (name, pat), off in zip(

@@ -113,7 +113,13 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
     frames: list[pd.DataFrame] = []
 
     def emit(table: str, idx: np.ndarray, vals: list[list[str]]) -> None:
-        if len(idx):
+        # records before any section header have no race context (the
+        # reference would crash there — NameError on race_place); drop
+        # them instead of emitting garbage ids
+        keep = [k for k, j in enumerate(idx) if names[j] is not None and places[j] is not None]
+        if keep:
+            idx = idx[keep]
+            vals = [vals[k] for k in keep]
             frames.append(
                 pd.DataFrame(
                     {"table": table, "race_id": race_ids(idx), "vals": vals}

@@ -322,6 +322,37 @@ ORDER BY c_nationkey
 """
 
 
+# first_value / nth_value / dense_rank battery.
+def window_value_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_orderkey").over(wall).alias("first_order"),
+            F.nth_value("o_orderkey", 2).over(wall).alias("second_order"),
+            F.dense_rank().over(
+                Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+            ).alias("prio_rank"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_VALUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER wall AS first_order,
+       nth_value(o_orderkey, 2) OVER wall AS second_order,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_rank
+FROM orders
+WINDOW wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "having_filter": having_filter,
@@ -335,6 +366,7 @@ QUERIES = {
     "date_battery": date_battery,
     "null_battery": null_battery,
     "union_distinct": union_distinct,
+    "window_value_funcs": window_value_funcs,
 }
 
 ORACLES = {
@@ -350,4 +382,5 @@ ORACLES = {
     "date_battery": DATE_SQL,
     "null_battery": NULL_SQL,
     "union_distinct": UNION_DISTINCT_SQL,
+    "window_value_funcs": WINDOW_VALUE_SQL,
 }

@@ -137,3 +137,22 @@ def test_race_counter_resets_per_section():
     env = _rows(out, "env")
     # both races are 1R — the counter reset at the second section header
     assert list(env["race_id"]) == ["2020-08-01大　村テスト記念レース1R"] * 2
+
+
+def test_odds_stanza_truncated_at_eof():
+    # anchor as the LAST line: every lead falls off the file -> all -1
+    # except what the anchor line itself provides
+    out = _k([RACE_HEADER, "        単勝     1          130  "])
+    vals = _rows(out, "odds").iloc[0]["vals"]
+    assert vals[0] == "130" and vals[1:] == ["-1"] * 9
+
+
+def test_empty_file_and_headerless_records():
+    out = parse_file([], "K", "2020-08-01")
+    assert len(out) == 0
+    # record-shaped lines before any section header are dropped (no context)
+    out2 = parse_file(
+        ["  01  1 4880 澤　崎　　雄　哉 32   55  6.98   1    0.15     1.58.8"],
+        "K", "2020-08-01",
+    )
+    assert len(_rows(out2, "result")) == 0
