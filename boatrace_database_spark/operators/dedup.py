@@ -76,7 +76,9 @@ def ngram_jaccard_pairs(
     Co-occurrence counting via the inverted index: pairs that share no
     shingle are never materialized.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # the inverted index feeds the sizes aggregate AND both self-join
+    # branches; Spark re-evaluates common subplans, so materialize once
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -179,7 +181,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket)
+    # both self-join branches would recompute the signatures otherwise
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket).localCheckpoint(
+        eager=False
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -289,7 +294,9 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("id", "sim", "cc.chunk", "cc.key")
-    chunked = _cap_buckets(chunked, ["chunk", "key"], max_bucket)
+    chunked = _cap_buckets(chunked, ["chunk", "key"], max_bucket).localCheckpoint(
+        eager=False
+    )
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (
