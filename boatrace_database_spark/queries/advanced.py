@@ -208,8 +208,8 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM g
 )
 SELECT user_id, session_no, count(*) AS n_events

@@ -347,8 +347,8 @@ def running_counter(spark, sf_dir):
 
 RUNNING_COUNTER_SQL = """
 SELECT user_id, event_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS clicks_so_far
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS clicks_so_far
 FROM events ORDER BY user_id, event_id
 """
 
