@@ -175,6 +175,171 @@ def cosine_pairs(
     )
 
 
+def rademacher_planes(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (xorshift64 bit stream).
+
+    Pure function of (n_planes, dim, seed) so the *identical* literal
+    matrices can be inlined into both the Spark plan and a SQL oracle.
+    ±1 components keep every product ``float32_value * plane`` exactly
+    representable in double, so the sign of the dot product is
+    engine-portable (no FP-boundary flips between Spark and DuckDB).
+    """
+    x = (seed & 0xFFFFFFFFFFFFFFFF) or 1
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(1.0 if x & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    lits = F.array(*[F.lit(c) for c in plane])
+    return F.aggregate(
+        F.zip_with(vec, lits, lambda x, c: x.cast("double") * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_pairs_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    dim: int = 64,
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Near-dup pairs via hyperplane-LSH blocking + exact cosine on
+    candidates only (id_a < id_b, score >= threshold).
+
+    The scale path for `cosine_pairs`: signatures are banded; a pair is
+    a candidate iff it shares at least one band's full sign slice, so
+    the self-join is a hash equi-join on (band, key) — never a
+    cartesian product. Exact cosine is computed only for collisions.
+    Recall = 1-(1-p^r)^b with p = 1-θ/π; shallow bands (r=2) suit
+    mid-range thresholds like 0.45, deep bands (r=8) give the real
+    100 TB pruning at near-dup thresholds (≥0.9) — see
+    tests/test_llm_ops.py for both regimes.
+    """
+    planes = rademacher_planes(bands * rows_per_band, dim, seed)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    base = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+
+    def band_key(b: int) -> Column:
+        key = F.lit(0)
+        for j in range(rows_per_band):
+            key = key + F.when(
+                _plane_dot(F.col("vec"), planes[b * rows_per_band + j]) > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+        return key
+
+    sig = base.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "vec", "bk.band", "bk.key")
+    # both self-join branches would recompute the signatures otherwise
+    sig = sig.localCheckpoint(eager=False)
+
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def cosine_pairs_lsh_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    dim: int = 64,
+    seed: int = 0x5EED,
+) -> str:
+    """DuckDB SQL computing the *same* bucketed result: identical ±1
+    plane literals, identical banding, exact cosine on collisions."""
+    planes = rademacher_planes(bands * rows_per_band, dim, seed)
+
+    def lit_list(plane: list[float]) -> str:
+        return "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
+
+    band_selects = []
+    for b in range(bands):
+        key_terms = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {lit_list(planes[b * rows_per_band + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT id, vec, {b} AS band, {key_terms} AS key FROM c"
+        )
+    sig_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vec
+  FROM {table}
+),
+sig AS (
+{sig_sql}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(ca.vec, cb.vec)
+               / (sqrt(list_dot_product(ca.vec, ca.vec))
+                  * sqrt(list_dot_product(cb.vec, cb.vec))), 4) AS score
+  FROM cand
+  JOIN c ca ON cand.id_a = ca.id
+  JOIN c cb ON cand.id_b = cb.id
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     """Deterministic random-hyperplane sign bits -> bucket key (long).
 

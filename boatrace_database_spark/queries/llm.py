@@ -270,23 +270,21 @@ ORDER BY p.event_id
 
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fourth dedup modality):
-    exact all-pairs at demo scale; LSH blocking is the scale path."""
+    hyperplane-LSH blocking + exact cosine on bucket collisions only —
+    the self-join is a hash equi-join on (band, key), never a cartesian
+    product. The oracle replicates the identical ±1 plane literals and
+    banding, so both engines compute the same candidate set
+    deterministically. `cosine_pairs` (exact all-pairs) remains the
+    in-repo test baseline (tests/test_llm_ops.py measures recall)."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs(e, threshold=0.45).orderBy("id_a", "id_b")
+    return SIM.cosine_pairs_lsh(
+        e, threshold=0.45, bands=8, rows_per_band=2, dim=64
+    ).orderBy("id_a", "id_b")
 
 
-EMB_DEDUP_SQL = """
-WITH c AS (SELECT vec_id, embedding FROM embeddings),
-scored AS (
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
-   / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x)))
-    * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y)))), 4) AS score
-FROM c a JOIN c b ON a.vec_id < b.vec_id
+EMB_DEDUP_SQL = SIM.cosine_pairs_lsh_oracle_sql(
+    threshold=0.45, bands=8, rows_per_band=2, dim=64
 )
-SELECT id_a, id_b, score FROM scored WHERE score >= 0.45 ORDER BY id_a, id_b
-"""
 
 
 QUERIES = {

@@ -127,6 +127,65 @@ def test_asof_join_fixture(spark):
     assert got == {1: 2.0, 2: 3.0, 3: None, 4: None}
 
 
+def test_cosine_pairs_lsh_agreement(spark):
+    """The bucketed near-dup operator agrees with the exact all-pairs
+    baseline: precision 1.0 (every reported pair is a true pair, since
+    collisions are exact-scored) and high recall at shallow bands."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in SIM.cosine_pairs(emb, threshold=0.45).collect()
+    }
+    assert exact, "corpus should contain pairs at the demo threshold"
+    lsh_rows = SIM.cosine_pairs_lsh(
+        emb, threshold=0.45, bands=8, rows_per_band=2, dim=64
+    )
+    plan = lsh_rows._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    found = {(r.id_a, r.id_b): r.score for r in lsh_rows.collect()}
+    assert set(found) <= set(exact), "bucketed op reported a non-pair"
+    recall = len(found) / len(exact)
+    # deterministic planes: recall is fixed given the corpus; r=2, b=8 at
+    # cos>=0.45 (p~0.649) gives 1-(1-p^2)^8 ~ 0.99 expected
+    assert recall >= 0.85, f"recall {recall:.2f}"
+    for pair, score in found.items():
+        assert score == exact[pair], pair
+
+
+def test_cosine_pairs_lsh_deep_bands_planted(spark):
+    """Deep-band regime (r=8, b=4): at real near-dup thresholds the
+    256-key bands prune candidates ~corpus/256 per band. Plant exact
+    near-dups (one component zeroed, cos ~ 0.99) and require full
+    recall on them."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(F.col("vec_id") < 100)
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0)), F.slice("embedding", 2, 63)
+        ).alias("embedding"),
+        "label",
+    ).where(F.col("vec_id") % 10 == 0)
+    corpus = emb.unionByName(planted)
+    out = SIM.cosine_pairs_lsh(
+        corpus, threshold=0.9, bands=4, rows_per_band=8, dim=64
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in out}
+    expected = {(r.vec_id, r.vec_id + 100000) for r in emb.collect()
+                if r.vec_id % 10 == 0}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs(corpus, threshold=0.9).collect()
+    }
+    assert found <= exact
+    # planted copies differ in one of 64 components -> cos ~ 0.99 ->
+    # per-plane agreement ~0.97, band recall 1-(1-0.97^8)^4 ~ 0.97;
+    # allow at most one deterministic miss
+    assert len(expected - found) <= 1, f"missed planted pairs: {expected - found}"
+
+
 def test_ivf_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
