@@ -49,21 +49,31 @@ def _ctx(bronze: DataFrame) -> DataFrame:
     # venue 2 further (reference main.py:139-154)
     name_src = F.lead(F.col("line"), 2).over(w)
     place_src = F.concat(F.lead(F.col("line"), 4).over(w), F.lit(_N))
+    # Wrap both extracts in ONE struct tagged to the header line: the
+    # struct is non-null at every header even when an inner extract
+    # fails (regexp_extract returns '' on no-match -> nullif), so
+    # last(ignorenulls) always carries the CURRENT section's context.
+    # A malformed name/venue line therefore yields NULL name/place for
+    # the whole section — race_id concats to NULL and the records drop,
+    # matching the kernel's emit() semantics (names[j] is None).
     df = df.withColumn(
-        "hdr_name",
+        "hdr_ctx",
         F.when(
             F.col("is_header"),
-            F.regexp_extract(name_src, _U(r"^\s{10}([^\s]+)"), 1),
-        ),
-    ).withColumn(
-        "hdr_place",
-        F.when(
-            F.col("is_header"), F.regexp_extract(place_src, _U(P.RACE_PLACE.pattern), 1)
+            F.struct(
+                F.nullif(
+                    F.regexp_extract(name_src, _U(r"^\s{10}([^\s]+)"), 1), F.lit("")
+                ).alias("name"),
+                F.nullif(
+                    F.regexp_extract(place_src, _U(P.RACE_PLACE.pattern), 1), F.lit("")
+                ).alias("place"),
+            ),
         ),
     )
     df = (
-        df.withColumn("race_name", F.last("hdr_name", ignorenulls=True).over(wcum))
-        .withColumn("race_place", F.last("hdr_place", ignorenulls=True).over(wcum))
+        df.withColumn("_ctx", F.last("hdr_ctx", ignorenulls=True).over(wcum))
+        .withColumn("race_name", F.col("_ctx.name"))
+        .withColumn("race_place", F.col("_ctx.place"))
         .withColumn(
             "hdr_line_no",
             F.last(F.when(F.col("is_header"), F.col("line_no")), ignorenulls=True).over(

@@ -115,9 +115,22 @@ def merge_upsert(
         updates
     )
     # touched partitions only — dynamic mode leaves the rest in place.
+    # A key match may live in a DIFFERENT partition than its update row
+    # (e.g. a correction moves a race to another date, or keys omit the
+    # date), so the touched set is partitions holding update rows UNION
+    # partitions holding superseded target rows — otherwise superseded
+    # rows in unrewritten partitions would survive as duplicates.
     # localCheckpoint materializes the merged rows BEFORE the overwrite
     # deletes the source files they were read from.
-    touched = [r[0] for r in updates.select("race_date").distinct().collect()]
+    touched_df = (
+        updates.select("race_date")
+        .union(
+            target.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+            .select("race_date")
+        )
+        .distinct()
+    )
+    touched = [r[0] for r in touched_df.collect()]
     staged = (
         merged.where(F.col("race_date").isin(touched)).localCheckpoint(eager=True)
     )
@@ -137,11 +150,14 @@ def export_reference_csvs(
     """Write per-day CSVs in the committed reference layout:
     ``table/{date}.csv`` (21-col joined race) and ``odds/{date}.csv``.
 
-    One file per day mirrors the reference byte layout, so each slice
-    coalesces to a single writer task — correct here (a day is ~1k
-    rows), not a pattern for large outputs.
+    Scale-safe: the dates filter is pushed into the scan (partition
+    pruning), rows never collect to the driver — Spark writes one CSV
+    per race_date partition (repartition("race_date") puts each day in
+    exactly one task) and a driver-side rename pass maps the part file
+    to the reference's ``{sub}/{date}.csv`` name.
     """
-    import csv
+    import glob
+    import shutil
 
     race = race_table(tables["result"], tables["env"], tables["schedule"])
     odds = tables["odds"]
@@ -151,14 +167,34 @@ def export_reference_csvs(
         ("odds", odds, [c for c in odds.columns if c != "race_date"]),
     ):
         os.makedirs(f"{out_dir}/{sub}", exist_ok=True)
-        pdf = df.toPandas()
-        for date, group in pdf.groupby(pdf["race_date"].astype(str)):
-            if dates and date not in dates:
-                continue
+        df = df.withColumn("race_date", F.col("race_date").cast("string"))
+        if dates:
+            df = df.where(F.col("race_date").isin(list(dates)))
+        tmp = f"{out_dir}/_spark_{sub}"
+        (
+            df.repartition("race_date")
+            .sortWithinPartitions("race_date")
+            .select("race_date", *cols)
+            .write.mode("overwrite")
+            .partitionBy("race_date")
+            .option("header", True)
+            # match csv.writer QUOTE_MINIMAL: no quotes unless needed,
+            # empty string stays an empty field
+            .option("emptyValue", "")
+            .csv(tmp)
+        )
+        for pdir in glob.glob(f"{tmp}/race_date=*"):
+            date = pdir.rsplit("race_date=", 1)[1]
+            parts = sorted(glob.glob(f"{pdir}/part-*.csv"))
             path = f"{out_dir}/{sub}/{date}.csv"
-            with open(path, "w", encoding="utf-8", newline="") as fh:
-                w = csv.writer(fh)
-                w.writerow(cols)
-                w.writerows(group[cols].itertuples(index=False, name=None))
+            if len(parts) == 1:
+                shutil.move(parts[0], path)
+            else:  # defensive: concatenate, keeping one header
+                with open(path, "w", encoding="utf-8", newline="") as out:
+                    for i, p in enumerate(parts):
+                        with open(p, encoding="utf-8") as fh:
+                            lines = fh.readlines()
+                        out.writelines(lines if i == 0 else lines[1:])
             written.append(path)
+        shutil.rmtree(tmp)
     return written

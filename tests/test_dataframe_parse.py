@@ -31,3 +31,42 @@ def test_dataframe_parse_equals_kernel(both, table):
     assert len(a) == len(b), f"{table}: {len(a)} vs {len(b)}"
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{table}: first diffs {mismatches[:3]}"
+
+
+def test_malformed_header_drops_section_in_both_paths(spark):
+    """A section whose name/venue lines fail to extract must emit ZERO
+    records in both paths — and must not inherit the previous section's
+    context (the regexp_extract('')-propagation divergence)."""
+    good = [
+        "24KBGN",
+        "                            ＊＊＊　競走成績　＊＊＊",
+        "",
+        "          テスト記念レース",
+        "",
+        "   第 1日          2020/ 8/ 1                             ボートレース大　村",
+        "   1R       一　般　　　                 H1800m  晴　  風  西　　 2m  波　  1cm",
+    ]
+    bad = [
+        "24KBGN",
+        "                            ＊＊＊　競走成績　＊＊＊",
+        "",
+        "MALFORMED-NAME-LINE",  # name regex needs 10 leading spaces
+        "",
+        "   第 1日          2020/ 8/ 1              (venue line missing its marker)",
+        "   2R       一　般　　　                 H1800m  晴　  風  西　　 2m  波　  1cm",
+    ]
+    from boatrace_database_spark.parse.dataframe_parse import env_df
+    from boatrace_database_spark.parse.kernel import parse_file
+
+    lines = good + bad
+    bronze = spark.createDataFrame(
+        [("t.txt", "K", "2020-08-01", i, l) for i, l in enumerate(lines)],
+        "file STRING, kind STRING, race_date STRING, line_no INT, line STRING",
+    )
+    declarative = env_df(bronze).collect()
+    kernel_rows = parse_file(lines, "K", "2020-08-01")
+    kernel_env = kernel_rows[kernel_rows["table"] == "env"]
+    # one env row each (the good section); the bad section drops entirely
+    assert len(declarative) == 1 == len(kernel_env)
+    assert declarative[0]["レースID"] == "2020-08-01大　村テスト記念レース1R"
+    assert kernel_env.iloc[0]["race_id"] == "2020-08-01大　村テスト記念レース1R"

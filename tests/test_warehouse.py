@@ -201,3 +201,28 @@ def test_merge_upsert_late_corrections(spark, tmp_path):
     again = W.merge_upsert(spark, env_dir, some, keys=[S.RACE_ID])
     assert again.count() == n_before
     assert again.where(F.col("天候") == "雪").count() == 2
+
+
+def test_merge_upsert_cross_partition_move(spark, tmp_path):
+    """A correction that MOVES a race to a different date: the
+    superseded row lives in a partition the update rows do not name —
+    the merge must rewrite that partition too, or the old row survives
+    as a duplicate."""
+    out = str(tmp_path / "m2")
+    W.build_warehouse(spark, TXT, out)
+    env_dir = f"{out}/env"
+    env = spark.read.parquet(env_dir).withColumn(
+        "race_date", F.col("race_date").cast("string")
+    )
+    n_before = env.count()
+    moved = (
+        env.orderBy(S.RACE_ID)
+        .limit(1)
+        .withColumn("race_date", F.lit("2020-08-02"))
+        .localCheckpoint(eager=True)
+    )
+    key = moved.collect()[0][S.RACE_ID]
+    merged = W.merge_upsert(spark, env_dir, moved, keys=[S.RACE_ID])
+    assert merged.count() == n_before, "superseded row left behind"
+    rows = merged.where(F.col(S.RACE_ID) == key).collect()
+    assert len(rows) == 1 and rows[0]["race_date"] == "2020-08-02"
