@@ -32,12 +32,13 @@ def player_features(race: DataFrame, result_ext: DataFrame | None = None) -> Dat
         F.round(F.avg(F.col("展示").try_cast("double")), 4).alias("avg_exhibition"),
     )
     if result_ext is not None:
-        st = result_ext.select(
+        from boatrace_database_spark.gold import result_ext_typed
+
+        # numeric ST via the typed gold view (F0.01 flying marks count,
+        # K ./L . absences stay NULL)
+        st = result_ext_typed(result_ext).select(
             F.col("player_id").alias(S.PLAYER_ID),
-            # numeric part of 0.15 / F0.01; K ./L . stay NULL
-            F.regexp_extract("start_timing", r"(\d+\.\d+)", 1)
-            .try_cast("double")
-            .alias("st"),
+            F.col("start_timing_s").alias("st"),
         )
         mean_st = st.groupBy(S.PLAYER_ID).agg(
             F.round(F.avg("st"), 4).alias("avg_start_timing")

@@ -65,6 +65,46 @@ def odds_map_view(odds: DataFrame) -> DataFrame:
     )
 
 
+def result_ext_typed(result_ext: DataFrame) -> DataFrame:
+    """Typed view of the extension table: the fields the reference
+    parser drops but its published model consumes (README.md:19 lists
+    平均スタートタイミング as a feature).
+
+    - ``is_flying``: F-flag boolean (start timing ``F0.01`` marks a
+      flying start; rank code F loses the race but the ST is real),
+    - ``start_timing_s``: numeric ST seconds (NULL for K./L. absences),
+    - ``race_time_s``: ``1.58.8`` (1'58"8) -> 118.8 seconds,
+    - lanes / courses / equipment numbers as ints.
+    """
+    st_num = F.nullif(
+        F.regexp_extract("start_timing", r"^F?(\d+\.\d+)$", 1), F.lit("")
+    )
+    rt = [
+        F.nullif(F.regexp_extract("race_time", r"^(\d+)\.(\d+)\.(\d+)$", i), F.lit(""))
+        for i in (1, 2, 3)
+    ]
+    race_time_s = (
+        rt[0].try_cast("int") * 60
+        + rt[1].try_cast("int")
+        + rt[2].try_cast("int") / 10.0
+    )
+    return result_ext.select(
+        "race_date",
+        "race_id",
+        "rank_code",
+        F.col("lane").try_cast("int").alias("lane"),
+        "player_id",
+        "player_name",
+        F.col("motor_no").try_cast("int").alias("motor_no"),
+        F.col("boat_no").try_cast("int").alias("boat_no"),
+        F.col("exhibition").try_cast("double").alias("exhibition"),
+        F.col("entry_course").try_cast("int").alias("entry_course"),
+        F.col("start_timing").startswith("F").alias("is_flying"),
+        st_num.try_cast("double").alias("start_timing_s"),
+        race_time_s.alias("race_time_s"),
+    )
+
+
 def typed_view(df: DataFrame, columns: list[str], aliases: list[str]) -> DataFrame:
     """Romanized, typed, NULL-normalized view of a silver/gold table.
 

@@ -42,7 +42,7 @@ _ORDER = [
     # tier 2 — oracle-backed queries without a CORRECTNESS_r01 row
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",
     "embedding_cosine_topk", "dedup_embedding_cosine",
-    "embedding_norm_stats", "multimodal_features", "asof_join_events",
+    "embedding_norm_stats", "multimodal_features", "asof_join_events", "flag_timing_features",
     "sessionize_gaps", "salted_skew_agg", "date_battery", "null_battery",
     "union_distinct", "window_value_funcs",
     # tier 3 — remaining oracle-backed relational/analytic demos

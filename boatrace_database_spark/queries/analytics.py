@@ -41,6 +41,41 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+# A1b: the avg_start_timing shape (gold.result_ext_typed +
+# analytics.player_features; reference README.md:19 平均スタートタイミング):
+# parse a flag-prefixed string field into a boolean + numeric component,
+# then aggregate per entity — here o_orderpriority '1-URGENT' stands in
+# for the 'F0.01' start-timing string.
+def flag_timing_features(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pr_num = F.nullif(
+        F.regexp_extract("o_orderpriority", r"^(\d+)-", 1), F.lit("")
+    ).try_cast("int")
+    return (
+        o.select(
+            "o_custkey",
+            F.col("o_orderpriority").startswith("1").alias("is_urgent"),
+            pr_num.alias("pr"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("is_urgent"), 1)).alias("n_urgent"),
+            F.round(F.avg("pr"), 4).alias("avg_priority"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+FLAG_TIMING_SQL = r"""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END) AS n_urgent,
+       round(avg(CAST(nullif(regexp_extract(o_orderpriority, '^(\d+)-', 1), '') AS INT)), 4) AS avg_priority
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 # A2: feature-table assembly — aggregates joined back per entity
 # (broadcast: the agg side is one row per customer).
 def feature_assembly(spark, sf_dir):
@@ -602,6 +637,7 @@ def approx_distinct_quantile(spark, sf_dir):
 
 QUERIES = {
     "agg_features": agg_features,
+    "flag_timing_features": flag_timing_features,
     "feature_assembly": feature_assembly,
     "roi_simulation": roi_simulation,
     "accuracy_metrics": accuracy_metrics,
@@ -631,6 +667,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_features": AGG_FEATURES_SQL,
+    "flag_timing_features": FLAG_TIMING_SQL,
     "feature_assembly": FEATURE_ASSEMBLY_SQL,
     "roi_simulation": ROI_SQL,
     "accuracy_metrics": ACCURACY_SQL,

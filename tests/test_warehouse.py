@@ -89,6 +89,40 @@ def test_race_meta_kimarite(spark, wh):
     assert "逃げ" in vals, vals
 
 
+def test_result_ext_typed_view(spark, wh):
+    from boatrace_database_spark.gold import result_ext_typed
+
+    _, tables = wh
+    typed = result_ext_typed(tables["result_ext"])
+    # F0.01 flying marks become booleans with their numeric ST kept
+    # (2020-08-01 has no flying start; 2020-08-12 has five — SURVEY §2.4)
+    from boatrace_database_spark.parse.kernel import parse_txt_files
+    from boatrace_database_spark.silver import silver_tables
+
+    day12 = silver_tables(
+        parse_txt_files(spark, "/root/reference/txt/*200812.TXT")
+    )["result_ext"]
+    flying = result_ext_typed(day12).where(F.col("is_flying")).collect()
+    assert flying and all(r.start_timing_s is not None for r in flying)
+    # race time parses to plausible seconds (1'40" .. 2'30" at 1800 m)
+    rt = typed.where(F.col("race_time_s").isNotNull())
+    lo, hi = rt.agg(F.min("race_time_s"), F.max("race_time_s")).collect()[0]
+    assert 90 < lo < hi < 160, (lo, hi)
+    # typed ST agrees with the player_features aggregate
+    feats = A.player_features(tables["race"], tables["result_ext"])
+    via_view = (
+        typed.groupBy("player_id")
+        .agg(F.round(F.avg("start_timing_s"), 4).alias("st"))
+    )
+    joined = feats.join(
+        via_view, feats[S.PLAYER_ID] == via_view.player_id
+    ).where(
+        F.col("avg_start_timing").isNotNull()
+        & (F.col("avg_start_timing") != F.col("st"))
+    )
+    assert joined.count() == 0
+
+
 def test_player_features_and_roi(spark, wh):
     _, tables = wh
     race = tables["race"]
