@@ -244,9 +244,18 @@ def parse_txt_files(spark: SparkSession, path_glob: str) -> DataFrame:
     small-file corpora. With large files the coalesce is a no-op.
     """
     binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return parse_binary_df(binary)
+
+
+def parse_binary_df(binary: DataFrame) -> DataFrame:
+    """Fused decode+parse over an existing (path, content) DataFrame —
+    shared by the batch glob reader and the streaming foreachBatch
+    ingest (streaming/ingest.stream_ingest_boatrace)."""
     # coalesce never increases partition count, so this is a no-op when
     # the corpus has fewer files than 2x cores
-    binary = binary.coalesce(spark.sparkContext.defaultParallelism * 2)
+    binary = binary.select("path", "content").coalesce(
+        binary.sparkSession.sparkContext.defaultParallelism * 2
+    )
     return binary.mapInPandas(_parse_binary_batches, schema=PARSED_SCHEMA)
 
 

@@ -76,6 +76,55 @@ def test_stream_ingest_appends_incrementally(spark, tmp_path):
         q.stop()
 
 
+def test_stream_boatrace_day_replay_equals_batch(spark, tmp_path):
+    """Replaying the corpus day-by-day through the streaming ingest
+    converges to the same warehouse as the one-shot batch build — the
+    reference's daily-append workflow made incremental, without its
+    duplicate-append defect. Six days keep the test fast; every day is
+    one micro-batch through the identical merge path."""
+    import glob as g
+
+    from boatrace_database_spark import warehouse as W
+    from boatrace_database_spark.streaming.ingest import stream_ingest_boatrace
+
+    days = [f"2020-08-0{d}" for d in range(1, 7)]
+    watch = str(tmp_path / "watch")
+    wh_stream = str(tmp_path / "wh_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    q = stream_ingest_boatrace(spark, watch, wh_stream, ckpt)
+    try:
+        for day in days:
+            stamp = day[2:4] + day[5:7] + day[8:10]  # 2020-08-01 -> 200801
+            for path in g.glob(f"/root/reference/txt/?{stamp}.TXT"):
+                shutil.copy(path, watch)
+            q.processAllAvailable()
+        # a republished day must replace its partition, not duplicate it
+        os.makedirs(f"{watch}/redo")
+        shutil.copy("/root/reference/txt/K200801.TXT", f"{watch}/redo/K200801.TXT")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    wh_batch = str(tmp_path / "wh_batch")
+    W.build_warehouse(spark, "/root/reference/txt/?20080[1-6].TXT", wh_batch)
+    for name in (*W.SILVER_TABLES, "race"):
+        a = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{wh_stream}/{name}")
+            .withColumn("race_date", F.col("race_date").cast("string"))
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{wh_batch}/{name}")
+            .withColumn("race_date", F.col("race_date").cast("string"))
+            .collect()
+        )
+        assert a == b, f"{name}: {len(a)} vs {len(b)} rows"
+
+
 def test_stream_stateful_running_counters(spark, tmp_path):
     from boatrace_database_spark.streaming.ingest import stream_running_counters
 
