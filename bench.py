@@ -31,12 +31,16 @@ HEADLINE = [
     "time_tumble",
     "rollup_agg",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_cosine_topk",
+    "dedup_embedding_cosine",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_profile",
     "asof_join_events",
+    "flag_timing_features",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

@@ -75,6 +75,58 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_dedup_lsh_signatures_not_reevaluated(spark):
+    """The MinHash signature subtree must feed both self-join branches
+    from ONE materialization (the 7f3a7e8 regression guard): the
+    banded/capped input is checkpointed, so the join plan reads an
+    ExistingRDD twice and contains zero inline xxhash64 recomputation;
+    the candidate join itself is a hash equi-join, never a cartesian."""
+    from boatrace_database_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16)
+    plan = _plan(spark, pairs)
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "xxhash64" not in plan, "signatures recomputed inside the join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_simhash_same_shape(spark):
+    from boatrace_database_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(spark, simhash_pairs(docs, "doc_id", "text"))
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "xxhash64" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_lsh_same_shape(spark):
+    from boatrace_database_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(spark, cosine_pairs_lsh(emb))
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucket_cap_join_broadcasts(spark):
+    """The degenerate-bucket cap joins the tiny (band,bucket,count)
+    side by broadcast — no shuffle of the banded corpus."""
+    from boatrace_database_spark.operators.dedup import _cap_buckets
+
+    banded = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("doc_id AS id", "hash(text, 1) % 8 AS band", "hash(text) AS bucket")
+    )
+    capped = _cap_buckets(banded, ["band", "bucket"], 256)
+    plan = _plan(spark, capped)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_race_join_is_shuffle_free(spark):
     """The gold race join: AQE converts both joins to broadcast-hash —
     zero shuffle exchanges in the final plan."""
