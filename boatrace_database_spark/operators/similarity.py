@@ -102,7 +102,11 @@ def ivf_topk(
     )
     fv = array_to_vector(F.col("cvec").cast("array<double>"))
     base_v = base.withColumn("fv", fv)
-    model = KMeans(k=n_cells, seed=7, featuresCol="fv", predictionCol="cell").fit(base_v)
+    # a coarse quantizer needs rough cells, not convergence — cap the
+    # iterations (recall is governed by nprobe, not centroid polish)
+    model = KMeans(
+        k=n_cells, seed=7, maxIter=8, featuresCol="fv", predictionCol="cell"
+    ).fit(base_v)
     indexed = model.transform(base_v).select("neighbor_id", "cvec", "cell")
 
     centroids = model.clusterCenters()  # tiny: n_cells x dim, driver-side

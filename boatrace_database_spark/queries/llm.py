@@ -134,6 +134,42 @@ FROM t ORDER BY doc_id
 """
 
 
+def udtf_tokenize(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.5 'UDF/UDAF/UDTF'): a table
+    function lateral-joined per input row, exploding each document into
+    (pos, token) rows. Arrow-optimized (useArrow): rows batch over
+    Arrow instead of pickling one at a time — the eval loop is still
+    per-row Python, so the bulk-scan twin for hot paths remains
+    text_profile's built-in split (JVM). DuckDB oracle:
+    generate_series over the split list."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, token STRING", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, pos, token "
+        "FROM documents_for_udtf, LATERAL tokenize_udtf(text) "
+        "ORDER BY doc_id, pos"
+    )
+
+
+UDTF_TOKENIZE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS token
+FROM w, unnest(generate_series(1, len(words))) AS t(i)
+ORDER BY doc_id, pos
+"""
+
+
 def text_rolling_hash(spark, sf_dir):
     """Character-level polynomial rolling hash (document fingerprinting
     via higher-order fold — no oracle; validated in unit tests against
@@ -293,6 +329,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "text_profile": text_profile,
+    "udtf_tokenize": udtf_tokenize,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -309,6 +346,7 @@ ORACLES = {
     "dedup_minhash_lsh": None,
     "dedup_simhash": None,
     "text_profile": TEXT_PROFILE_SQL,
+    "udtf_tokenize": UDTF_TOKENIZE_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,

@@ -179,8 +179,12 @@ def export_reference_csvs(
             .partitionBy("race_date")
             .option("header", True)
             # match csv.writer QUOTE_MINIMAL: no quotes unless needed,
-            # empty string stays an empty field
+            # empty string stays an empty field; Spark's writer trims
+            # surrounding whitespace by default — the reference keeps
+            # it (weather '曇り ' carries its trailing space)
             .option("emptyValue", "")
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             .csv(tmp)
         )
         for pdir in glob.glob(f"{tmp}/race_date=*"):

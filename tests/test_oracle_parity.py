@@ -41,7 +41,7 @@ def _canon(v):
         # collapse -0.0/0.0 and float noise at the 9th decimal
         return round(v, 9) + 0.0
     if isinstance(v, int):
-        return float(v) + 0.0 if isinstance(v, bool) else v
+        return v
     return v
 
 
