@@ -170,6 +170,56 @@ ORDER BY doc_id, pos
 """
 
 
+def corpus_clean_pipeline(spark, sf_dir):
+    """The composite shape a training-data pipeline actually runs:
+    quality gate (token count + digit ratio) -> exact dedup on the
+    normalized text (keep lowest doc_id) -> per-source survivor stats.
+    One scan, one dedup shuffle, one stats shuffle — every stage is
+    built-in functions, so the whole pipeline stays in codegen."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    staged = d.select(
+        "doc_id",
+        "source",
+        norm.alias("norm_text"),
+        toks.alias("n_tokens"),
+        (digits / F.greatest(F.length("text"), F.lit(1))).alias("digit_ratio"),
+    ).where((F.col("n_tokens") >= 10) & (F.col("digit_ratio") < 0.3))
+    keepers = staged.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
+    kept = staged.join(keepers, on=["norm_text", "doc_id"])
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_CLEAN_SQL = r"""
+WITH staged AS (
+  SELECT doc_id, source,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / greatest(length(text), 1) AS digit_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM staged WHERE n_tokens >= 10 AND digit_ratio < 0.3
+),
+keepers AS (
+  SELECT norm_text, min(doc_id) AS doc_id FROM filtered GROUP BY norm_text
+)
+SELECT f.source, count(*) AS n_docs, round(avg(f.n_tokens), 4) AS avg_tokens
+FROM filtered f JOIN keepers k ON f.norm_text = k.norm_text AND f.doc_id = k.doc_id
+GROUP BY f.source ORDER BY f.source
+"""
+
+
 def text_rolling_hash(spark, sf_dir):
     """Character-level polynomial rolling hash (document fingerprinting
     via higher-order fold — no oracle; validated in unit tests against
@@ -330,6 +380,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "text_profile": text_profile,
     "udtf_tokenize": udtf_tokenize,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -347,6 +398,7 @@ ORACLES = {
     "dedup_simhash": None,
     "text_profile": TEXT_PROFILE_SQL,
     "udtf_tokenize": UDTF_TOKENIZE_SQL,
+    "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
