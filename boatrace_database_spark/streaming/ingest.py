@@ -213,10 +213,19 @@ def stream_ingest_boatrace(
         tables = silver_tables(parsed)
         for name in W.SILVER_TABLES:
             _upsert(name, tables[name])
-        race = race_table(
-            tables["result"], tables["env"], tables["schedule"]
-        # merge needs update rows decoupled from the files it rewrites
-        ).localCheckpoint(eager=True)
+        # rebuild gold for the touched dates from the MERGED silver, not
+        # the batch frames: a day's K (results) and B (program) files
+        # may arrive in different micro-batches, and the inner race join
+        # needs both sides — joining only the batch's own rows would
+        # silently drop the day whenever the pair splits across batches
+        dates = [r[0] for r in parsed.select("race_date").distinct().collect()]
+        silver = {
+            name: spark.read.parquet(f"{warehouse_dir}/{name}")
+            .withColumn("race_date", F.col("race_date").cast("string"))
+            .where(F.col("race_date").isin(dates))
+            for name in ("result", "env", "schedule")
+        }
+        race = race_table(silver["result"], silver["env"], silver["schedule"])
         _upsert("race", race)
         parsed.unpersist()
 

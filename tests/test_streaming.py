@@ -89,20 +89,35 @@ def test_stream_boatrace_day_replay_equals_batch(spark, tmp_path):
 
     days = [f"2020-08-0{d}" for d in range(1, 7)]
     watch = str(tmp_path / "watch")
+    stage = str(tmp_path / "stage")
     wh_stream = str(tmp_path / "wh_stream")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(watch)
+    os.makedirs(stage)
+
+    def arrive(src: str, dst: str) -> None:
+        # stage + rename: the running stream must never list a
+        # half-copied file (copy is not atomic, rename is)
+        tmp = f"{stage}/{os.path.basename(dst)}"
+        shutil.copy(src, tmp)
+        os.replace(tmp, dst)
 
     q = stream_ingest_boatrace(spark, watch, wh_stream, ckpt)
     try:
         for day in days:
             stamp = day[2:4] + day[5:7] + day[8:10]  # 2020-08-01 -> 200801
-            for path in g.glob(f"/root/reference/txt/?{stamp}.TXT"):
-                shutil.copy(path, watch)
+            for path in sorted(g.glob(f"/root/reference/txt/?{stamp}.TXT")):
+                arrive(path, f"{watch}/{os.path.basename(path)}")
+                if day == days[-1]:
+                    # deterministically split the last day's K (results)
+                    # and B (program) files across micro-batches: the
+                    # gold join must still converge because it rebuilds
+                    # from the merged silver, not the batch frames
+                    q.processAllAvailable()
             q.processAllAvailable()
         # a republished day must replace its partition, not duplicate it
         os.makedirs(f"{watch}/redo")
-        shutil.copy("/root/reference/txt/K200801.TXT", f"{watch}/redo/K200801.TXT")
+        arrive("/root/reference/txt/K200801.TXT", f"{watch}/redo/K200801.TXT")
         q.processAllAvailable()
     finally:
         q.stop()
