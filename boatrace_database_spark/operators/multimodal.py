@@ -78,6 +78,84 @@ def _decode_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
     raise NotImplementedError("media decode libraries not installed")
 
 
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, use_stub: bool = True
+) -> DataFrame:
+    """Resize transform: binary in -> binary out, same media layout.
+
+    STUB resample: the payload is truncated/cycled to exactly
+    width*height bytes (a real implementation decodes, resamples with
+    PIL/ffmpeg, re-encodes — same signature). The plumbing is the real
+    pattern: payload bytes stay inside one Arrow batch, metadata updates
+    in place, output schema identical so resize stages compose.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            if not use_stub:  # pragma: no cover
+                raise NotImplementedError("real media resample not available")
+
+            def _resize(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = -(-target // len(b))  # ceil
+                return (bytes(b) * reps)[:target]
+
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(_resize)
+            out["meta"] = pdf["meta"].map(
+                lambda m: {**m, "n_bytes": target}
+            )
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 4,
+    use_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling: one media row -> many frame rows (the video
+    pattern). STUB decode: the payload is treated as a container of
+    fixed-size frames and every n-th one is emitted; real ffmpeg
+    keyframe extraction has the same one-to-many mapInPandas shape.
+    Partitioning stays by media_id — frames of one clip never split
+    across tasks, so downstream per-clip ops need no shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_stub:  # pragma: no cover
+                raise NotImplementedError("real frame decode not available")
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(b[fno * frame_bytes:(fno + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAMES_SCHEMA)
+
+
 def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

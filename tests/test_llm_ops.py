@@ -112,6 +112,30 @@ def test_multimodal_plumbing(spark, docs):
         assert f.width == r.doc_id % 640 + 1
 
 
+def test_multimodal_resize_and_frames(spark, docs):
+    media = M.to_media_table(docs.limit(10), "doc_id", "text", "source")
+    resized = M.resize_media(media, width=8, height=8)
+    rows = resized.collect()
+    assert all(len(r.payload) == 64 for r in rows)
+    assert all(r.meta.n_bytes == 64 for r in rows)
+    # resize composes: output schema == input schema
+    again = M.resize_media(resized, width=4, height=4).collect()
+    assert all(len(r.payload) == 16 for r in again)
+
+    frames = M.sample_frames(media, frame_bytes=16, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, fr in by_id.items():
+        n_frames = max(len(src[mid]) // 16, 1)
+        assert [f.frame_no for f in sorted(fr, key=lambda x: x.frame_no)] == list(
+            range(0, n_frames, 2)
+        )
+        f0 = min(fr, key=lambda x: x.frame_no)
+        assert bytes(f0.frame) == src[mid][:16]
+
+
 def test_asof_join_fixture(spark):
     left = spark.createDataFrame(
         [(1, "u", 10), (2, "u", 20), (3, "u", 5), (4, "v", 100)],
