@@ -15,6 +15,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,15 +32,22 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # shingles
 def word_shingles(text_col, n: int = 3):
-    """Distinct n-word shingles of a text column (array<string>)."""
+    """Distinct n-word shingles of a text column (array<string>).
+
+    JVM higher-order functions — measured faster than an Arrow kernel
+    at this shingle volume (the per-doc work is tiny; Python worker
+    round-trips dominate). Documents with fewer than n tokens yield an
+    empty array explicitly: Spark's sequence(1, k) DESCENDS when k < 1,
+    which would feed slice() an invalid 0 start."""
     words = F.split(F.trim(text_col), r"\s+")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.array_distinct(
+    k = F.size(words) - (n - 1)
+    shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         )
     )
+    return F.when(k >= 1, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_table(
