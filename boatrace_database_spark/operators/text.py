@@ -30,6 +30,18 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-style pre-tokenizer core: letter runs, digit runs, single
+# punctuation marks. A real BPE then merges within these pieces, so
+# this count upper-bounds (and tracks) BPE token counts without a vocab.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-style token count via the BPE pre-tokenizer regex —
+    JVM-side regexp_count, no vocabulary needed."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(F.lower(text))
     stop = F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))

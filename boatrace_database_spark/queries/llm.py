@@ -170,6 +170,28 @@ ORDER BY doc_id, pos
 """
 
 
+def token_count_battery(spark, sf_dir):
+    """Token counting both ways (BASELINE north star 'whitespace + a
+    BPE-ish regex'): whitespace tokens vs GPT-2-style pre-tokenizer
+    pieces (letter runs / digit runs / single punctuation), one scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def corpus_clean_pipeline(spark, sf_dir):
     """The composite shape a training-data pipeline actually runs:
     quality gate (token count + digit ratio) -> exact dedup on the
@@ -381,6 +403,7 @@ QUERIES = {
     "text_profile": text_profile,
     "udtf_tokenize": udtf_tokenize,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "token_count_battery": token_count_battery,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -399,6 +422,7 @@ ORACLES = {
     "text_profile": TEXT_PROFILE_SQL,
     "udtf_tokenize": UDTF_TOKENIZE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
+    "token_count_battery": TOKEN_COUNT_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
