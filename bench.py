@@ -93,9 +93,16 @@ def main() -> None:
         from boatrace_database_spark.parse.kernel import parse_txt_files
 
         parse_txt_files(spark, "/root/reference/txt/K200801.TXT").count()
-        timings["boatrace_month_e2e"] = round(time_boatrace(spark), 3)
+        # min-of-2 like the star-schema queries below: BASELINE.md's
+        # reference numbers are steady-state measurements too, and the
+        # first run absorbs one-time JVM codegen compilation
+        timings["boatrace_month_e2e"] = round(
+            min(time_boatrace(spark) for _ in range(2)), 3
+        )
         if os.path.exists("/root/reference/lzh"):
-            timings["boatrace_year_from_lzh"] = round(time_boatrace_year(spark), 3)
+            timings["boatrace_year_from_lzh"] = round(
+                min(time_boatrace_year(spark) for _ in range(2)), 3
+            )
 
     # min of 2 runs: steady-state timing, like BASELINE's measured
     # numbers — one-shot runs occasionally absorb GC/compile noise from
