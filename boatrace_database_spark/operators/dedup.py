@@ -228,6 +228,83 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# duplicate clusters (what a pipeline does with the pair lists)
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure over near-dup pairs -> (id, component) with
+    component = the smallest id reachable from `id`.
+
+    Iterative min-label propagation (the scalable alternating
+    small-star/large-star family in its simplest form): each round
+    every node adopts the minimum label among itself and its
+    neighbors; rounds needed ~= graph diameter (near-dup clusters are
+    shallow). Each round is one join + one aggregate; lineage is cut
+    per round (localCheckpoint) so plans stay flat. Convergence is
+    detected by counting label changes — the loop is driver-side but
+    touches only a scalar per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.where("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Assign every row its duplicate-cluster keeper: rows appearing in
+    `pairs` collapse to their component's minimum id, untouched rows
+    keep themselves. The end state of a dedup pipeline — filter
+    `WHERE id = keeper_id` to drop duplicates."""
+    comp = connected_components(pairs, id_a, id_b)
+    return df.join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).select(
+        id_col,
+        F.coalesce("comp", F.col(id_col)).alias("keeper_id"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2, bits: int = 32

@@ -44,7 +44,7 @@ _ORDER = [
     "embedding_cosine_topk", "dedup_embedding_cosine",
     "embedding_norm_stats", "multimodal_features", "asof_join_events", "flag_timing_features",
     "sessionize_gaps", "salted_skew_agg", "date_battery", "null_battery",
-    "union_distinct", "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline", "token_count_battery",
+    "union_distinct", "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline", "token_count_battery", "dedup_cluster_assign",
     # tier 3 — remaining oracle-backed relational/analytic demos
     "cube_agg", "grouping_sets", "distinct_pairs", "count_distinct_agg",
     "semi_join", "anti_join", "outer_join", "range_join",

@@ -170,6 +170,57 @@ ORDER BY doc_id, pos
 """
 
 
+def dedup_cluster_assign(spark, sf_dir):
+    """Transitive closure of the near-dup graph: every document mapped
+    to its duplicate-cluster keeper (smallest reachable doc_id via
+    n-gram-Jaccard edges at 0.5). Min-label propagation, one
+    join+aggregate per round, ~diameter rounds. Oracle: recursive CTE
+    reachability in DuckDB over the same edge set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return (
+        D.dedup_clusters(d, pairs, "doc_id")
+        .select("doc_id", "keeper_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTER_SQL = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM docs, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE n_inter / (sa.set_size + sb.set_size - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.id
+),
+comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS keeper_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+ORDER BY d.doc_id
+"""
+
+
 def token_count_battery(spark, sf_dir):
     """Token counting both ways (BASELINE north star 'whitespace + a
     BPE-ish regex'): whitespace tokens vs GPT-2-style pre-tokenizer
@@ -404,6 +455,7 @@ QUERIES = {
     "udtf_tokenize": udtf_tokenize,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "token_count_battery": token_count_battery,
+    "dedup_cluster_assign": dedup_cluster_assign,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -423,6 +475,7 @@ ORACLES = {
     "udtf_tokenize": UDTF_TOKENIZE_SQL,
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "token_count_battery": TOKEN_COUNT_SQL,
+    "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,

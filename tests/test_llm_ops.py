@@ -112,6 +112,51 @@ def test_multimodal_plumbing(spark, docs):
         assert f.width == r.doc_id % 640 + 1
 
 
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation equals a reference union-find on a graph
+    with chains (diameter > 1), a cycle, and singleton-free nodes."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),       # chain, comp 1
+        (10, 11), (11, 12), (12, 10),          # cycle, comp 10
+        (20, 21),                              # pair, comp 20
+        (30, 31), (31, 32), (30, 32), (32, 33) # clique + tail, comp 30
+    ]
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r.id: r.comp for r in D.connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+    assert got == expected
+
+
+def test_dedup_clusters_assigns_keepers(docs, spark):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    out = D.dedup_clusters(docs, pairs, "doc_id")
+    rows = {r.doc_id: r.keeper_id for r in out.collect()}
+    assert len(rows) == docs.count()
+    # keepers are fixpoints; members map to a smaller-or-equal id
+    for doc, keeper in rows.items():
+        assert keeper <= doc
+        assert rows[keeper] == keeper
+    # every paired doc shares its keeper with its partner
+    for r in pairs.collect():
+        assert rows[r.id_a] == rows[r.id_b]
+
+
 def test_multimodal_resize_and_frames(spark, docs):
     media = M.to_media_table(docs.limit(10), "doc_id", "text", "source")
     resized = M.resize_media(media, width=8, height=8)
