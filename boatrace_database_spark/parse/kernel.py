@@ -259,6 +259,71 @@ def parse_binary_df(binary: DataFrame) -> DataFrame:
     return binary.mapInPandas(_parse_binary_batches, schema=PARSED_SCHEMA)
 
 
+_SECTION_SCHEMA = (
+    "file STRING, kind STRING, race_date STRING, section_no INT, text STRING"
+)
+
+
+def _split_section_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(path, content) -> one row per venue section (NN[KB]BGN marker).
+
+    Narrow pass: decode + line split only; the expensive regex parse
+    happens after sections redistribute across the cluster."""
+    import re
+
+    bgn = re.compile(r"^\d{2}[KB]BGN")
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name, kind, race_date = file_meta(path)
+            lines = bytes(content).decode("cp932", errors="replace").splitlines()
+            starts = [i for i, l in enumerate(lines) if bgn.match(l)]
+            if not starts:
+                continue
+            bounds = starts[1:] + [len(lines)]
+            yield pd.DataFrame(
+                {
+                    "file": name,
+                    "kind": kind,
+                    "race_date": race_date,
+                    "section_no": range(len(starts)),
+                    "text": [
+                        "\n".join(lines[a:b]) for a, b in zip(starts, bounds)
+                    ],
+                }
+            )
+
+
+def _parse_section_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        for file, kind, race_date, text in zip(
+            pdf["file"], pdf["kind"], pdf["race_date"], pdf["text"]
+        ):
+            out = parse_file(text.split("\n"), kind, race_date)
+            out.insert(0, "race_date", race_date)
+            out.insert(0, "kind", kind)
+            out.insert(0, "file", file)
+            yield out
+
+
+def parse_txt_files_sectioned(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Large-file scale path (SURVEY §7.4(5)): split each file into its
+    venue sections (``NNKBGN`` markers) in a cheap narrow pass, then
+    redistribute the sections and run the SAME parse kernel per
+    section. Sections are self-contained (every header resets the
+    parse state), so the output is row-identical to
+    ``parse_txt_files`` — asserted on the committed month in
+    tests/test_parse_golden.py. Use when single files are large enough
+    that one-file-one-task would serialize the scan (a multi-GB
+    day-file becomes ~a dozen independent tasks; at 100 TB the split
+    pass streams bytes while the parse pass holds one section each).
+    """
+    binary = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    sections = binary.mapInPandas(_split_section_batches, schema=_SECTION_SCHEMA)
+    parallelism = spark.sparkContext.defaultParallelism
+    sections = sections.repartition(parallelism, "file", "section_no")
+    return sections.mapInPandas(_parse_section_batches, schema=PARSED_SCHEMA)
+
+
 def _parse_lzh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """LZH archive bytes -> decode members -> parse. Fused, no shuffle."""
     from boatrace_database_spark.sources.lzh import read_lzh_bytes
