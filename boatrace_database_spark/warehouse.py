@@ -142,6 +142,54 @@ def merge_upsert(
     )
 
 
+def export_sqlite(
+    tables: dict[str, DataFrame],
+    db_path: str,
+    include: tuple[str, ...] = ("env", "result", "schedule", "odds", "race"),
+) -> str:
+    """S5 literal-compatibility sink: materialize the warehouse as the
+    reference's ``boatrace.db`` (SQLite, every column TEXT — the
+    reference declares no types, main.py:221-225), so the reference's
+    own read_db.py queries (``SELECT * FROM race WHERE レースID LIKE
+    '2020-09-28%'``) run unchanged against our build.
+
+    Driver-side by design: SQLite is a single-file embedded DB — the
+    same scale regime as the reference itself (SURVEY §6: 11.9 MB for
+    a month). The cluster-scale sink is the partitioned parquet
+    warehouse; this is the compatibility exit for small slices.
+    """
+    import sqlite3
+
+    import pandas as pd
+
+    if "race" in include and "race" not in tables:
+        tables = dict(tables)
+        tables["race"] = race_table(
+            tables["result"], tables["env"], tables["schedule"]
+        )
+    con = sqlite3.connect(db_path)
+    try:
+        for name in include:
+            df = tables[name]
+            cols = [c for c in df.columns if c != "race_date"]
+            col_defs = ", ".join(f'"{c}" TEXT' for c in cols)
+            con.execute(f'DROP TABLE IF EXISTS "{name}"')
+            con.execute(f'CREATE TABLE "{name}" ({col_defs})')
+            pdf = df.select(*cols).toPandas()
+            rows = [
+                [None if pd.isna(v) else str(v) for v in r]
+                for r in pdf.itertuples(index=False, name=None)
+            ]
+            placeholders = ", ".join("?" * len(cols))
+            con.executemany(
+                f'INSERT INTO "{name}" VALUES ({placeholders})', rows
+            )
+        con.commit()
+    finally:
+        con.close()
+    return db_path
+
+
 # --------------------------------------------------------------------------
 # S4/S8: reference-layout CSV export
 def export_reference_csvs(

@@ -96,6 +96,32 @@ def test_csv_export_reimport_roundtrip(spark, wh, tmp_path):
     assert a == b
 
 
+def test_sqlite_export_runs_reference_queries(spark, wh, tmp_path):
+    """The exported boatrace.db answers the reference's read_db.py
+    query shapes verbatim (LIKE-prefix day slice, disjunctive range,
+    full select + column inspect) with the expected cardinalities."""
+    import sqlite3
+
+    _, tables = wh
+    db = W.export_sqlite(tables, str(tmp_path / "boatrace.db"))
+    con = sqlite3.connect(db)
+    try:
+        n = con.execute(
+            "SELECT count(*) FROM race WHERE レースID LIKE '2020-08-01%'"
+        ).fetchone()[0]
+        assert n == 854
+        n2 = con.execute(
+            "SELECT count(*) FROM race WHERE レースID LIKE '2020-08-01%' "
+            "OR レースID LIKE '2020-08-02%'"
+        ).fetchone()[0]
+        assert n2 == n  # single-day fixture: the disjunction adds nothing
+        cols = [d[0] for d in con.execute("SELECT * FROM race LIMIT 1").description]
+        assert cols == [c for c in tables["race"].columns if c != "race_date"]
+        assert con.execute("SELECT count(*) FROM env").fetchone()[0] == 156
+    finally:
+        con.close()
+
+
 def test_result_ext_covers_dropped_codes(spark, wh):
     _, tables = wh
     ext = tables["result_ext"]
