@@ -5,6 +5,7 @@
     python -m boatrace_database_spark build --lzh '/root/reference/lzh/*.lzh' --out /tmp/wh
     python -m boatrace_database_spark query --out /tmp/wh --date 2020-08-01
     python -m boatrace_database_spark export --out /tmp/wh --csv-dir /tmp/csv
+    python -m boatrace_database_spark export-sqlite --out /tmp/wh --db /tmp/boatrace.db
 """
 
 from __future__ import annotations
@@ -31,6 +32,12 @@ def main(argv: list[str] | None = None) -> None:
     e.add_argument("--out", required=True)
     e.add_argument("--csv-dir", required=True)
     e.add_argument("--dates", nargs="*", default=None)
+
+    s = sub.add_parser(
+        "export-sqlite", help="materialize the reference's boatrace.db (S5)"
+    )
+    s.add_argument("--out", required=True)
+    s.add_argument("--db", required=True, help="target .db path")
 
     args = ap.parse_args(argv)
 
@@ -75,6 +82,10 @@ def main(argv: list[str] | None = None) -> None:
         written = W.export_reference_csvs(tables, args.csv_dir, dates=args.dates)
         for path in written:
             print(path)
+
+    elif args.cmd == "export-sqlite":
+        tables = W.register_views(spark, args.out)
+        print(W.export_sqlite(tables, args.db))
 
 
 if __name__ == "__main__":
