@@ -190,6 +190,52 @@ def export_sqlite(
     return db_path
 
 
+def import_sqlite(
+    spark: SparkSession, db_path: str, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Migration entry: read an existing reference ``boatrace.db`` into
+    DataFrames (all-TEXT columns, exactly as the reference stores them)
+    and register temp views — a reference user's accumulated database
+    loads without re-downloading the corpus. A ``race_date`` column is
+    derived from the レースID prefix when absent, so the imported
+    tables drop into the same partitioned-parquet warehouse layout.
+
+    Driver-side read (embedded single-file DB, reference scale); write
+    the result with ``df.write.partitionBy('race_date')`` to graduate
+    it to the cluster layout.
+    """
+    import sqlite3
+
+    con = sqlite3.connect(db_path)
+    try:
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        ]
+        if tables is not None:
+            names = [n for n in names if n in tables]
+        out: dict[str, DataFrame] = {}
+        for name in names:
+            cur = con.execute(f'SELECT * FROM "{name}"')
+            cols = [d[0] for d in cur.description]
+            rows = [
+                [None if v is None else str(v) for v in r] for r in cur.fetchall()
+            ]
+            schema = ", ".join(f"`{c}` STRING" for c in cols)
+            df = spark.createDataFrame(rows, schema)
+            if "race_date" not in cols and S.RACE_ID in cols:
+                df = df.withColumn(
+                    "race_date", F.substring(F.col(S.RACE_ID), 1, 10)
+                )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+    finally:
+        con.close()
+
+
 # --------------------------------------------------------------------------
 # S4/S8: reference-layout CSV export
 def export_reference_csvs(

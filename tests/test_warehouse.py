@@ -122,6 +122,33 @@ def test_sqlite_export_runs_reference_queries(spark, wh, tmp_path):
         con.close()
 
 
+def test_sqlite_roundtrip_import(spark, wh, tmp_path):
+    """export_sqlite -> import_sqlite round-trips every table value and
+    re-derives the race_date partition column from レースID."""
+    _, tables = wh
+    db = W.export_sqlite(tables, str(tmp_path / "rt.db"))
+    back = W.import_sqlite(spark, db)
+    assert set(back) == {"env", "result", "schedule", "odds", "race"}
+    for name in ("env", "race"):
+        orig = sorted(
+            tuple(r)
+            for r in tables[name]
+            .drop("race_date")
+            .collect()
+        )
+        got = sorted(
+            tuple(r) for r in back[name].drop("race_date").collect()
+        )
+        assert got == orig, name
+    dates = {r[0] for r in back["race"].select("race_date").distinct().collect()}
+    assert dates == {"2020-08-01"}
+    # imported views answer SQL directly
+    n = spark.sql(
+        "SELECT count(*) FROM race WHERE `レースID` LIKE '2020-08-01%'"
+    ).collect()[0][0]
+    assert n == 854
+
+
 def test_result_ext_covers_dropped_codes(spark, wh):
     _, tables = wh
     ext = tables["result_ext"]
