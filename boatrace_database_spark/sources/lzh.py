@@ -53,15 +53,33 @@ class _BitReader:
         self.bitbuf &= (1 << self.nbits) - 1
         return out
 
+    def peek(self, n: int) -> int:
+        """Look at the next n bits without consuming (zero-padded at EOF)."""
+        while self.nbits < n:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | byte
+            self.nbits += 8
+        return self.bitbuf >> (self.nbits - n)
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.bitbuf &= (1 << self.nbits) - 1
+
 
 class _Huffman:
-    """Canonical Huffman decoder from a code-length array (symbol order)."""
+    """Canonical Huffman decoder from a code-length array (symbol order).
 
-    __slots__ = ("codes", "single", "minlen", "maxlen")
+    Boundary-based decode: peek `maxlen` bits once; codes of length
+    <= l occupy [0, bound[l]) when left-aligned to maxlen, so the code
+    length is the first l whose bound exceeds the peeked window — one
+    peek plus a few integer compares per symbol instead of a dict
+    lookup per bit (the decoder hot path)."""
+
+    __slots__ = ("single", "minlen", "maxlen", "bounds", "first", "syms")
 
     def __init__(self, bitlen: list[int], single: int | None = None):
         self.single = single
-        self.codes: dict[tuple[int, int], int] = {}
         lens = [l for l in bitlen if l]
         self.minlen = min(lens) if lens else 0
         self.maxlen = max(lens) if lens else 0
@@ -74,25 +92,32 @@ class _Huffman:
         for l in range(1, 17):
             next_code[l] = code
             code = (code + count[l]) << 1
+        self.first = list(next_code)  # first canonical code per length
+        # symbols in canonical order per length
+        per_len: list[list[int]] = [[] for _ in range(18)]
         for sym, l in enumerate(bitlen):
             if l:
-                self.codes[(l, next_code[l])] = sym
-                next_code[l] += 1
+                per_len[l].append(sym)
+        self.syms = per_len
+        # bound[l] = end of length-l code space, left-aligned to maxlen
+        self.bounds = [0] * 18
+        for l in range(1, 17):
+            end = next_code[l] + count[l]
+            self.bounds[l] = end << (self.maxlen - l) if l <= self.maxlen else 0
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        length = 0
-        while True:
-            code = (code << 1) | br.read(1)
-            length += 1
-            if length >= self.minlen:
-                sym = self.codes.get((length, code))
-                if sym is not None:
-                    return sym
-            if length > self.maxlen:
+        maxlen = self.maxlen
+        v = br.peek(maxlen)
+        l = self.minlen
+        bounds = self.bounds
+        while v >= bounds[l]:
+            l += 1
+            if l > maxlen:
                 raise ValueError("corrupt huffman stream")
+        br.skip(l)
+        return self.syms[l][(v >> (maxlen - l)) - self.first[l]]
 
 
 def _read_pt(br: _BitReader, nn: int, nbit: int, i_special: int) -> _Huffman:
@@ -159,8 +184,14 @@ def decode_lh5(data: bytes, original_size: int) -> bytes:
             if p > 0:
                 p = (1 << (p - 1)) + br.read(p - 1)
             start = len(out) - p - 1
-            for k in range(length):
-                out.append(out[start + k])
+            if p + 1 >= length:
+                # non-overlapping: one slice copy
+                out += out[start : start + length]
+            else:
+                # overlapping run: replicate the period, then slice
+                period = out[start:]
+                reps = -(-length // len(period))
+                out += (period * reps)[:length]
     return bytes(out[:original_size])
 
 
