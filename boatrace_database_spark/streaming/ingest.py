@@ -161,6 +161,66 @@ def stream_asof_enrich(
     )
 
 
+def stream_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream_dedup",
+) -> StreamingQuery:
+    """Incremental exact dedup over an unbounded document stream: each
+    arriving document is flagged against every document seen so far.
+
+    State = one keeper id per normalized-text fingerprint (md5 of
+    lowercased, whitespace-collapsed text — the same canonical form as
+    operators/text.fingerprint), held via applyInPandasWithState keyed
+    by fingerprint. Output: (id, keeper_id, is_duplicate). Replaying a
+    corpus in any chunking converges to the batch `exact_dedup`
+    assignment, because the keeper is the minimum id WITHIN each
+    micro-batch and the stored keeper wins across batches only if it
+    arrived earlier — i.e. first-seen-wins across batches, min-id
+    within a batch (asserted against batch dedup in tests for ordered
+    replay). At 100 TB the state shards by fingerprint hash across
+    executors — the streaming twin of the hash-groupBy shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    normalized = F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"\s+", " "
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("id"), F.md5(normalized).alias("fp")
+    )
+
+    def flag(key, pdfs, state: GroupState):
+        keeper = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs)).sort_values("id")
+        out = []
+        for doc_id in batch["id"]:
+            if keeper is None:
+                keeper = int(doc_id)
+            out.append((int(doc_id), keeper, int(doc_id) != keeper))
+        state.update((keeper,))
+        yield pd.DataFrame(out, columns=["id", "keeper_id", "is_duplicate"])
+
+    flagged = keyed.groupBy("fp").applyInPandasWithState(
+        flag,
+        outputStructType="id LONG, keeper_id LONG, is_duplicate BOOLEAN",
+        stateStructType="keeper LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_ingest_boatrace(
     spark: SparkSession,
     watch_dir: str,

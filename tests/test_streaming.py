@@ -178,6 +178,75 @@ def test_stream_stateful_running_counters(spark, tmp_path):
         q.stop()
 
 
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup over a two-chunk replay equals the batch
+    exact_dedup keeper assignment (chunks split on doc_id order, so
+    first-seen == min-id and the results must agree exactly)."""
+    from boatrace_database_spark.operators.dedup import exact_dedup
+    from boatrace_database_spark.streaming.ingest import stream_dedup_exact
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # the synthetic corpus has no EXACT duplicates — plant copies of the
+    # first chunk's texts under new ids so the second micro-batch must
+    # flag them against state established by the first
+    planted = (
+        base.where(F.col("doc_id") < 50)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    docs = base.unionByName(planted)
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    lo = docs.where(F.col("doc_id") < 100).localCheckpoint(eager=True)
+    hi = docs.where(F.col("doc_id") >= 100).localCheckpoint(eager=True)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_exact(spark, src, docs.schema, query_name="sdedup_t")
+    try:
+        deliver(lo, "c1", f"{src}/chunk1.parquet")
+        q.processAllAvailable()
+        deliver(hi, "c2", f"{src}/chunk2.parquet")
+        q.processAllAvailable()
+        got = {
+            r.id: (r.keeper_id, r.is_duplicate)
+            for r in spark.sql("SELECT * FROM sdedup_t").collect()
+        }
+    finally:
+        q.stop()
+
+    assert len(got) == docs.count()
+    batch = exact_dedup(
+        docs.withColumn(
+            "norm", F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ),
+        ["norm"],
+        "doc_id",
+    )
+    keeper_of = {}
+    for r in batch.collect():
+        keeper_of[r.keeper_id] = r.keeper_id
+    # each batch group: every member maps to the min id of its group
+    members = (
+        docs.withColumn(
+            "norm", F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        )
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keeper"), F.collect_list("doc_id").alias("ids"))
+        .collect()
+    )
+    n_dup_groups = sum(1 for g in members if len(g.ids) > 1)
+    assert n_dup_groups == 50, "planted duplicates must form real groups"
+    for g in members:
+        for doc_id in g.ids:
+            assert got[doc_id] == (g.keeper, doc_id != g.keeper), doc_id
+
+
 def test_stream_asof_matches_batch_operator(spark, tmp_path):
     """The streaming as-of enrichment must equal the batch asof_join
     (queries/llm.asof_join_events) when the whole input arrives."""
