@@ -284,6 +284,15 @@ def connected_components(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # silent non-convergence would split one cluster into several
+        # keepers; a component wider than max_iterations hops must be
+        # an explicit decision (raise, caller bumps the budget)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({n_changed} labels still changing) — raise "
+            "max_iterations (rounds needed ~= component diameter)"
+        )
     return labels
 
 

@@ -147,6 +147,10 @@ def udtf_tokenize(spark, sf_dir):
     @udtf(returnType="pos INT, token STRING", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
+            # NULL/empty text yields no rows (matches the oracle's
+            # empty-token filter)
+            if not text:
+                return
             for i, tok in enumerate(text.split()):
                 yield i, tok
 
@@ -162,7 +166,10 @@ def udtf_tokenize(spark, sf_dir):
 
 UDTF_TOKENIZE_SQL = r"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     x -> x != '') AS words
+  FROM documents
 )
 SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[i] AS token
 FROM w, unnest(generate_series(1, len(words))) AS t(i)

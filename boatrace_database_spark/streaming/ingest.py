@@ -187,12 +187,11 @@ def stream_dedup_exact(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from boatrace_database_spark.operators.text import fingerprint
+
     docs = spark.readStream.schema(schema).parquet(source_dir)
-    normalized = F.regexp_replace(
-        F.trim(F.lower(F.col(text_col))), r"\s+", " "
-    )
     keyed = docs.select(
-        F.col(id_col).alias("id"), F.md5(normalized).alias("fp")
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
     )
 
     def flag(key, pdfs, state: GroupState):
@@ -239,8 +238,6 @@ def stream_ingest_boatrace(
     consumed, and the partition-replace merge is idempotent per day, so
     replays after failure converge to the batch-build state.
     """
-    import os
-
     from boatrace_database_spark import warehouse as W
     from boatrace_database_spark.gold import race_table
     from boatrace_database_spark.parse.kernel import parse_binary_df
@@ -259,9 +256,24 @@ def stream_ingest_boatrace(
         .load(watch_dir)
     )
 
+    def _exists(path: str) -> bool:
+        # Hadoop FS probe, not os.path — the warehouse may live on
+        # HDFS/S3 at cluster scale
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        return fs.exists(jpath)
+
     def _upsert(name: str, df: DataFrame) -> None:
+        # an empty frame (the day's other file kind hasn't arrived yet)
+        # must not create a footerless parquet dir the next read chokes
+        # on — and has nothing to merge anyway
+        if df.isEmpty():
+            return
         tdir = f"{warehouse_dir}/{name}"
-        if os.path.exists(tdir):
+        if _exists(tdir):
             W.merge_upsert(spark, tdir, df, keys=["race_date"])
         else:
             df.write.partitionBy("race_date").parquet(tdir)
@@ -277,16 +289,20 @@ def stream_ingest_boatrace(
         # the batch frames: a day's K (results) and B (program) files
         # may arrive in different micro-batches, and the inner race join
         # needs both sides — joining only the batch's own rows would
-        # silently drop the day whenever the pair splits across batches
-        dates = [r[0] for r in parsed.select("race_date").distinct().collect()]
-        silver = {
-            name: spark.read.parquet(f"{warehouse_dir}/{name}")
-            .withColumn("race_date", F.col("race_date").cast("string"))
-            .where(F.col("race_date").isin(dates))
-            for name in ("result", "env", "schedule")
-        }
-        race = race_table(silver["result"], silver["env"], silver["schedule"])
-        _upsert("race", race)
+        # silently drop the day whenever the pair splits across batches.
+        # Until all three inputs exist on disk the join is empty anyway.
+        if all(
+            _exists(f"{warehouse_dir}/{n}") for n in ("result", "env", "schedule")
+        ):
+            dates = [r[0] for r in parsed.select("race_date").distinct().collect()]
+            silver = {
+                name: spark.read.parquet(f"{warehouse_dir}/{name}")
+                .withColumn("race_date", F.col("race_date").cast("string"))
+                .where(F.col("race_date").isin(dates))
+                for name in ("result", "env", "schedule")
+            }
+            race = race_table(silver["result"], silver["env"], silver["schedule"])
+            _upsert("race", race)
         parsed.unpersist()
 
     return (

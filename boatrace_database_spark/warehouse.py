@@ -122,15 +122,16 @@ def merge_upsert(
     # rows in unrewritten partitions would survive as duplicates.
     # localCheckpoint materializes the merged rows BEFORE the overwrite
     # deletes the source files they were read from.
-    touched_df = (
-        updates.select("race_date")
-        .union(
+    touched_df = updates.select("race_date")
+    if "race_date" not in keys:
+        # only possible when the merge key does not pin the partition:
+        # with race_date among the keys a matching target row shares the
+        # update's partition by definition, so skip the extra scan
+        touched_df = touched_df.union(
             target.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
             .select("race_date")
         )
-        .distinct()
-    )
-    touched = [r[0] for r in touched_df.collect()]
+    touched = [r[0] for r in touched_df.distinct().collect()]
     staged = (
         merged.where(F.col("race_date").isin(touched)).localCheckpoint(eager=True)
     )
@@ -265,9 +266,17 @@ def export_reference_csvs(
         if dates:
             df = df.where(F.col("race_date").isin(list(dates)))
         tmp = f"{out_dir}/_spark_{sub}"
+        # deterministic row order inside each day's file: sort by the
+        # race key (+ finishing rank for the joined table) so repeated
+        # exports are byte-stable; the committed goldens' parse order
+        # is not reproducible from the relational layer, so golden
+        # comparisons are order-insensitive (see test)
+        sort_cols = ["race_date", S.RACE_ID] + (
+            ["順位"] if "順位" in df.columns else []
+        )
         (
             df.repartition("race_date")
-            .sortWithinPartitions("race_date")
+            .sortWithinPartitions(*sort_cols)
             .select("race_date", *cols)
             .write.mode("overwrite")
             .partitionBy("race_date")

@@ -108,11 +108,14 @@ def test_stream_boatrace_day_replay_equals_batch(spark, tmp_path):
             stamp = day[2:4] + day[5:7] + day[8:10]  # 2020-08-01 -> 200801
             for path in sorted(g.glob(f"/root/reference/txt/?{stamp}.TXT")):
                 arrive(path, f"{watch}/{os.path.basename(path)}")
-                if day == days[-1]:
-                    # deterministically split the last day's K (results)
-                    # and B (program) files across micro-batches: the
-                    # gold join must still converge because it rebuilds
-                    # from the merged silver, not the batch frames
+                if day in (days[0], days[-1]):
+                    # deterministically split this day's K (results) and
+                    # B (program) files across micro-batches: the gold
+                    # join must still converge because it rebuilds from
+                    # the merged silver, not the batch frames. Splitting
+                    # the FIRST day also exercises the empty-warehouse
+                    # case (a lone B file must not create footerless
+                    # dirs or crash the same-batch gold rebuild).
                     q.processAllAvailable()
             q.processAllAvailable()
         # a republished day must replace its partition, not duplicate it
