@@ -15,7 +15,6 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

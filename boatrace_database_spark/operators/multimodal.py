@@ -72,10 +72,30 @@ def to_media_table(
     )
 
 
-def _decode_real(payload: bytes) -> tuple[int, int]:  # pragma: no cover
-    """Real decode would go here (PIL/ffmpeg). Not available in this
-    container — see extract_features' deterministic stub."""
-    raise NotImplementedError("media decode libraries not installed")
+def _pil_image():
+    """Optional-import hook: Pillow if installed, else None. The
+    container this repo is developed in ships no media libraries, so
+    every real-decode path degrades to a clear NotImplementedError —
+    but when Pillow IS present (a real deployment), `use_stub=False`
+    decodes actual image bytes with no code change."""
+    try:  # pragma: no cover - exercised only where Pillow exists
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_real(payload: bytes) -> tuple[int, int]:
+    """Real decode: Pillow when available (width, height), else a
+    clearly-marked NotImplementedError — see extract_features' stub."""
+    image_mod = _pil_image()
+    if image_mod is None:
+        raise NotImplementedError("media decode libraries not installed")
+    import io  # pragma: no cover - Pillow-only path
+
+    with image_mod.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return im.width, im.height
 
 
 def resize_media(
@@ -93,20 +113,33 @@ def resize_media(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in it:
-            if not use_stub:  # pragma: no cover
-                raise NotImplementedError("real media resample not available")
+            if use_stub:
+                def _resize(b: bytes) -> bytes:
+                    if not b:
+                        return bytes(target)
+                    reps = -(-target // len(b))  # ceil
+                    return (bytes(b) * reps)[:target]
+            else:
+                image_mod = _pil_image()
+                if image_mod is None:
+                    raise NotImplementedError(
+                        "real media resample needs Pillow installed"
+                    )
 
-            def _resize(b: bytes) -> bytes:
-                if not b:
-                    return bytes(target)
-                reps = -(-target // len(b))  # ceil
-                return (bytes(b) * reps)[:target]
+                def _resize(b: bytes) -> bytes:  # pragma: no cover
+                    import io
+
+                    with image_mod.open(io.BytesIO(bytes(b))) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format="PNG")
+                        return buf.getvalue()
 
             out = pdf.copy()
             out["payload"] = pdf["payload"].map(_resize)
-            out["meta"] = pdf["meta"].map(
-                lambda m: {**m, "n_bytes": target}
-            )
+            out["meta"] = [
+                {**m, "n_bytes": len(p)}
+                for m, p in zip(out["meta"], out["payload"])
+            ]
             yield out
 
     return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
@@ -166,16 +199,27 @@ def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not use_stub:  # pragma: no cover
-                raise NotImplementedError("real decode not available")
             payloads = pdf["payload"]
+            if use_stub:
+                width = (pdf["media_id"] % 640 + 1).astype("int32")
+                height = (pdf["media_id"] % 480 + 1).astype("int32")
+            else:
+                # true dimensions via Pillow when installed; a clear
+                # NotImplementedError (from _decode_real) otherwise
+                dims = [_decode_real(bytes(b)) for b in payloads]
+                width = pd.Series(
+                    [d[0] for d in dims], index=pdf.index, dtype="int32"
+                )
+                height = pd.Series(
+                    [d[1] for d in dims], index=pdf.index, dtype="int32"
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int32"),
                     "mime": pdf["meta"].map(lambda m: m["mime"]),
-                    "width": (pdf["media_id"] % 640 + 1).astype("int32"),
-                    "height": (pdf["media_id"] % 480 + 1).astype("int32"),
+                    "width": width,
+                    "height": height,
                     "checksum": payloads.map(lambda b: sum(b) % 2**31).astype("int64"),
                 }
             )

@@ -224,13 +224,45 @@ def rademacher_planes(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[
     return planes
 
 
-def _plane_dot(vec: Column, plane: list[float]) -> Column:
-    lits = F.array(*[F.lit(c) for c in plane])
-    return F.aggregate(
-        F.zip_with(vec, lits, lambda x, c: x.cast("double") * c),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _band_keys_udf(
+    planes: list[list[float]], bands: int, rows_per_band: int
+):
+    """Arrow-vectorized banded hyperplane signatures: ONE numpy matmul
+    (vecs @ planesᵀ) computes every plane dot for a batch, replacing
+    bands·rows_per_band interpreted `aggregate` folds per row (the r2
+    bench's cost center for `dedup_embedding_cosine`).
+
+    Sign portability: plane components are ±1 and inputs float32, so
+    every product is exact in double; only the SUM's rounding depends on
+    order, and numpy's pairwise/SIMD order differs from the sequential
+    fold DuckDB and Spark's `aggregate` use. Any |dot| below a ~1e-6
+    guard (vastly above the ~1e-12 worst-case pairwise-vs-sequential
+    divergence at dim 64) is recomputed with a strict left-to-right
+    fold, so the emitted sign bit is bit-identical to the SQL oracle's.
+    """
+    P = np.array(planes, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=object))
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        D = A @ P.T  # (n, bands·rows_per_band)
+        risky = np.abs(D) < 1e-6
+        if risky.any():
+            for i, j in zip(*np.nonzero(risky)):
+                acc = 0.0
+                for x, c in zip(A[i], P[j]):
+                    acc += x * c
+                D[i, j] = acc
+        bits = (D > 0).astype(np.int32)
+        keys = np.zeros((A.shape[0], bands), dtype=np.int32)
+        for b in range(bands):
+            for j in range(rows_per_band):
+                keys[:, b] += bits[:, b * rows_per_band + j] << j
+        return pd.Series(list(keys))
+
+    return band_keys
 
 
 def cosine_pairs_lsh(
@@ -265,29 +297,15 @@ def cosine_pairs_lsh(
         l2_norm(F.col(vec_col)).alias("norm"),
     ).localCheckpoint(eager=False)
 
-    def band_key(b: int) -> Column:
-        key = F.lit(0)
-        for j in range(rows_per_band):
-            key = key + F.when(
-                _plane_dot(F.col("vec"), planes[b * rows_per_band + j]) > 0,
-                F.lit(1 << j),
-            ).otherwise(F.lit(0))
-        return key
-
-    # candidate generation moves only (id, band, key) longs — vectors
+    # candidate generation moves only (id, band, key) ints — vectors
     # rejoin AFTER pair dedup via two broadcast/hash joins against the
-    # materialized base, so the wide arrays never ride the big shuffle
+    # materialized base, so the wide arrays never ride the big shuffle.
+    # All bands·rows_per_band plane dots come from one Arrow-batched
+    # numpy matmul per batch (see _band_keys_udf).
+    band_keys = _band_keys_udf(planes, bands, rows_per_band)
     sig = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+        "id", F.posexplode(band_keys(F.col("vec"))).alias("band", "key")
+    )
     # both self-join branches would recompute the signatures otherwise
     sig = sig.localCheckpoint(eager=False)
 

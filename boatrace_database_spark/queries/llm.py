@@ -90,8 +90,11 @@ def dedup_simhash(spark, sf_dir):
 def text_profile(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # single-file parquet = one partition; spread the per-row feature
-    # computation before the scan of 7 derived columns
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # computation. Range-partitioning on doc_id (not hash) means the
+    # same exchange also satisfies the final orderBy's distribution —
+    # one shuffle instead of hash-repartition + range-sort (the double
+    # exchange behind the r2 bench regression on this query).
+    d = d.repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
     return (
         TX.text_profile(d, "text")
         .select(

@@ -136,6 +136,19 @@ def merge_upsert(
         merged.where(F.col("race_date").isin(touched)).localCheckpoint(eager=True)
     )
     staged.write.mode("overwrite").partitionBy("race_date").parquet(table_dir)
+    # Dynamic mode only rewrites partitions PRESENT in the written data.
+    # If an update moved every row out of a touched partition, staged has
+    # zero rows for it and the stale directory survives — delete those
+    # emptied partitions explicitly (Hadoop FS API, so any scheme works).
+    staged_dates = {r[0] for r in staged.select("race_date").distinct().collect()}
+    emptied = [d for d in touched if d not in staged_dates]
+    if emptied:
+        hconf = spark._jsc.hadoopConfiguration()
+        for d in emptied:
+            p = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{table_dir}/race_date={d}"
+            )
+            p.getFileSystem(hconf).delete(p, True)
     # drop the stale shared file-status cache for this path
     spark.catalog.refreshByPath(table_dir)
     return spark.read.parquet(table_dir).withColumn(
@@ -147,6 +160,7 @@ def export_sqlite(
     tables: dict[str, DataFrame],
     db_path: str,
     include: tuple[str, ...] = ("env", "result", "schedule", "odds", "race"),
+    max_rows_per_table: int = 5_000_000,
 ) -> str:
     """S5 literal-compatibility sink: materialize the warehouse as the
     reference's ``boatrace.db`` (SQLite, every column TEXT — the
@@ -157,7 +171,9 @@ def export_sqlite(
     Driver-side by design: SQLite is a single-file embedded DB — the
     same scale regime as the reference itself (SURVEY §6: 11.9 MB for
     a month). The cluster-scale sink is the partitioned parquet
-    warehouse; this is the compatibility exit for small slices.
+    warehouse; this is the compatibility exit for small slices —
+    ``max_rows_per_table`` guards against pointing it at a cluster-scale
+    table (the whole export funnels through ``toPandas`` on the driver).
     """
     import sqlite3
 
@@ -172,6 +188,17 @@ def export_sqlite(
     try:
         for name in include:
             df = tables[name]
+            # cheap bounded probe: don't count the world, just detect
+            # "more rows than the cap" with a limit(cap+1) scan
+            over = df.limit(max_rows_per_table + 1).count()
+            if over > max_rows_per_table:
+                raise ValueError(
+                    f"export_sqlite: table {name!r} exceeds "
+                    f"{max_rows_per_table} rows; SQLite export is a "
+                    "driver-side compatibility exit for small slices — "
+                    "use the partitioned parquet warehouse for bulk data "
+                    "or raise max_rows_per_table explicitly"
+                )
             cols = [c for c in df.columns if c != "race_date"]
             col_defs = ", ".join(f'"{c}" TEXT' for c in cols)
             con.execute(f'DROP TABLE IF EXISTS "{name}"')

@@ -112,6 +112,39 @@ def test_multimodal_plumbing(spark, docs):
         assert f.width == r.doc_id % 640 + 1
 
 
+def test_multimodal_real_decode_gate(spark, docs):
+    """use_stub=False decodes real images when Pillow is installed and
+    fails with a clear NotImplementedError otherwise — never a silent
+    fake."""
+    import pytest
+
+    media = M.to_media_table(docs.limit(3), "doc_id", "text", "source")
+    if M._pil_image() is None:
+        with pytest.raises(Exception) as exc:
+            M.extract_features(media, use_stub=False).collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+        return
+    # Pillow present: build real PNG payloads and check true dimensions
+    import io  # pragma: no cover - Pillow-only branch
+
+    image_mod = M._pil_image()
+    rows = []
+    for i, (w, h) in enumerate([(12, 7), (3, 9), (20, 20)]):
+        buf = io.BytesIO()
+        image_mod.new("RGB", (w, h)).save(buf, format="PNG")
+        rows.append((i, buf.getvalue(), {"mime": "image/png", "source": "t", "n_bytes": buf.getbuffer().nbytes}))
+    png = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in M.extract_features(png, use_stub=False).collect()}
+    assert (feats[0].width, feats[0].height) == (12, 7)
+    assert (feats[1].width, feats[1].height) == (3, 9)
+    resized = M.resize_media(png, width=5, height=4, use_stub=False).collect()
+    for r in resized:
+        w, h = M._decode_real(bytes(r.payload))
+        assert (w, h) == (5, 4)
+
+
 def test_connected_components_vs_union_find(spark):
     """Min-label propagation equals a reference union-find on a graph
     with chains (diameter > 1), a cycle, and singleton-free nodes."""

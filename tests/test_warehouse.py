@@ -122,6 +122,33 @@ def test_sqlite_export_runs_reference_queries(spark, wh, tmp_path):
         con.close()
 
 
+def test_sqlite_export_size_guard(spark, wh, tmp_path):
+    """The driver-side SQLite exit refuses cluster-scale tables instead
+    of silently funneling them through toPandas."""
+    import pytest
+
+    _, tables = wh
+    with pytest.raises(ValueError, match="exceeds 100 rows"):
+        W.export_sqlite(
+            tables,
+            str(tmp_path / "big.db"),
+            include=("env",),
+            max_rows_per_table=100,
+        )
+    # under the cap it still works
+    db = W.export_sqlite(
+        tables, str(tmp_path / "ok.db"), include=("env",),
+        max_rows_per_table=10_000,
+    )
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    try:
+        assert con.execute("SELECT count(*) FROM env").fetchone()[0] == 156
+    finally:
+        con.close()
+
+
 def test_sqlite_roundtrip_import(spark, wh, tmp_path):
     """export_sqlite -> import_sqlite round-trips every table value and
     re-derives the race_date partition column from レースID."""
@@ -343,3 +370,32 @@ def test_merge_upsert_cross_partition_move(spark, tmp_path):
     assert merged.count() == n_before, "superseded row left behind"
     rows = merged.where(F.col(S.RACE_ID) == key).collect()
     assert len(rows) == 1 and rows[0]["race_date"] == "2020-08-02"
+
+
+def test_merge_upsert_emptied_partition(spark, tmp_path):
+    """A correction that moves EVERY row out of a partition: dynamic
+    partition overwrite never rewrites a partition absent from the
+    written data, so the emptied directory must be deleted explicitly
+    or all its superseded rows survive as duplicates."""
+    import os
+
+    out = str(tmp_path / "m3")
+    W.build_warehouse(spark, TXT, out)
+    env_dir = f"{out}/env"
+    env = spark.read.parquet(env_dir).withColumn(
+        "race_date", F.col("race_date").cast("string")
+    )
+    n_before = env.count()
+    victim = env.agg(F.min("race_date")).collect()[0][0]
+    moved = (
+        env.where(F.col("race_date") == victim)
+        .withColumn("race_date", F.lit("2020-08-09"))
+        .localCheckpoint(eager=True)
+    )
+    n_moved = moved.count()
+    assert n_moved > 0
+    merged = W.merge_upsert(spark, env_dir, moved, keys=[S.RACE_ID])
+    assert merged.count() == n_before, "emptied partition left on disk"
+    assert merged.where(F.col("race_date") == victim).count() == 0
+    assert merged.where(F.col("race_date") == "2020-08-09").count() == n_moved
+    assert not os.path.exists(f"{env_dir}/race_date={victim}")
