@@ -46,6 +46,9 @@ HEADLINE = [
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"
 
 
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+
 def time_boatrace(spark) -> float:
     from boatrace_database_spark.gold import race_table
     from boatrace_database_spark.parse.kernel import parse_txt_files
@@ -85,38 +88,75 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen + python-worker warmup so the first measured query
-    # isn't paying one-time startup costs
+    # JVM/codegen warmup, then spin up the FULL reused-python-worker
+    # pool with a fanned-out Arrow pandas_udf — otherwise the first LSH
+    # query measured pays 32 interpreter+numpy cold starts, and with
+    # worker reuse that one-time cost lands on whichever query runs
+    # first (the source of multi-second per-process outliers in r2).
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def _warm(v):
+        import numpy as np  # noqa: F401  (loads numpy in every worker)
+
+        return v * 1.0
+
+    (
+        spark.range(100_000)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(_warm(col("id").cast("double")))
+        .count()
+    )
     timings: dict[str, float] = {}
     if os.path.exists("/root/reference/txt"):
-        from boatrace_database_spark.parse.kernel import parse_txt_files
+        from boatrace_database_spark.parse.kernel import (
+            parse_txt_files,
+            parse_txt_files_sectioned,
+        )
 
         parse_txt_files(spark, "/root/reference/txt/K200801.TXT").count()
-        # min-of-2 like the star-schema queries below: BASELINE.md's
+        # min-of-N like the star-schema queries below: BASELINE.md's
         # reference numbers are steady-state measurements too, and the
         # first run absorbs one-time JVM codegen compilation
         timings["boatrace_month_e2e"] = round(
-            min(time_boatrace(spark) for _ in range(2)), 3
+            min(time_boatrace(spark) for _ in range(ITERS)), 3
+        )
+        # the large-file scale path (split into venue sections, shuffle,
+        # parse per-section) — tracked beside the whole-file kernel so a
+        # regression in either shows up
+        def _sectioned() -> float:
+            t0 = time.perf_counter()
+            parse_txt_files_sectioned(spark, BOATRACE_TXT).count()
+            return time.perf_counter() - t0
+
+        timings["boatrace_month_sectioned"] = round(
+            min(_sectioned() for _ in range(ITERS)), 3
         )
         if os.path.exists("/root/reference/lzh"):
             timings["boatrace_year_from_lzh"] = round(
-                min(time_boatrace_year(spark) for _ in range(2)), 3
+                min(time_boatrace_year(spark) for _ in range(ITERS)), 3
             )
 
-    # min of 2 runs: steady-state timing, like BASELINE's measured
-    # numbers — one-shot runs occasionally absorb GC/compile noise from
-    # neighboring queries
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best, nrows = float("inf"), 0
-        for _ in range(2):
+    # min of N runs, INTERLEAVED: run the whole list N times and keep
+    # the per-query minimum. Back-to-back repeats of one query share any
+    # multi-second host-interference window (observed poisoning 5
+    # consecutive queries); interleaving means such a window costs each
+    # query at most one of its N samples.
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    counts: dict[str, int] = {}
+    for _ in range(ITERS):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-            nrows = len(rows)
-        timings[name] = round(best, 3)
-        print(f"{name}: {nrows} rows in {timings[name]:.2f}s", file=sys.stderr)
+            rows = QUERIES[name](spark, sf_dir).collect()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            counts[name] = len(rows)
+    for name in HEADLINE:
+        timings[name] = round(best[name], 3)
+        print(
+            f"{name}: {counts[name]} rows in {timings[name]:.2f}s",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -49,7 +49,11 @@ def get_spark(app_name: str = "boatrace_database_spark", master: str | None = No
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: driver heap IS the executor heap. 16g
+        # keeps localCheckpoint blocks + 32 task threads out of GC-churn
+        # territory (the host has 128 GiB); a real cluster sets executor
+        # memory instead and this knob only covers the driver program.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()
 
