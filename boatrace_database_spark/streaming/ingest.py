@@ -172,17 +172,31 @@ def stream_dedup_exact(
     """Incremental exact dedup over an unbounded document stream: each
     arriving document is flagged against every document seen so far.
 
+    **Keeper semantics: FIRST-SEEN-WINS** (min-id only within a single
+    micro-batch). This is the same contract as Spark's own streaming
+    ``dropDuplicates``: append mode cannot retract rows already
+    emitted, so once a keeper is chosen for a fingerprint it is final —
+    a lower id arriving in a LATER micro-batch is flagged as a
+    duplicate of the earlier keeper, NOT promoted. Consequences:
+
+    - The duplicate *sets* (which documents share a fingerprint) are
+      identical to batch ``exact_dedup`` under ANY replay order /
+      chunking — set membership is a pure function of the text.
+    - The keeper *identity* matches batch dedup's global min-id only
+      when the replay is id-ordered across batches (asserted in
+      tests); under unordered replay the keeper is the first arrival
+      (still exactly one per set, still a member of its set — the
+      property test replays a shuffled corpus and checks these
+      invariants). Callers needing batch-identical keepers must either
+      replay in id order or re-key downstream with one batch
+      ``min(id) GROUP BY fp`` over the flagged output.
+
     State = one keeper id per normalized-text fingerprint (md5 of
     lowercased, whitespace-collapsed text — the same canonical form as
     operators/text.fingerprint), held via applyInPandasWithState keyed
-    by fingerprint. Output: (id, keeper_id, is_duplicate). Replaying a
-    corpus in any chunking converges to the batch `exact_dedup`
-    assignment, because the keeper is the minimum id WITHIN each
-    micro-batch and the stored keeper wins across batches only if it
-    arrived earlier — i.e. first-seen-wins across batches, min-id
-    within a batch (asserted against batch dedup in tests for ordered
-    replay). At 100 TB the state shards by fingerprint hash across
-    executors — the streaming twin of the hash-groupBy shuffle.
+    by fingerprint. Output: (id, keeper_id, is_duplicate). At 100 TB
+    the state shards by fingerprint hash across executors — the
+    streaming twin of the hash-groupBy shuffle.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -250,6 +250,90 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
             assert got[doc_id] == (g.keeper, doc_id != g.keeper), doc_id
 
 
+def test_stream_dedup_shuffled_replay_invariants(spark, tmp_path):
+    """Property test for the documented FIRST-SEEN-WINS contract: a
+    corpus replayed in a deterministically shuffled, non-id-ordered
+    chunking must yield (a) the SAME duplicate sets as batch dedup —
+    set membership is a pure function of the text — with exactly one
+    keeper per set, the keeper a member of its own set and flagged
+    non-duplicate; and (b) the specific first-seen keeper: the min id
+    of the earliest-delivered chunk that contains the fingerprint. The
+    shuffle is chosen so at least one group's streaming keeper differs
+    from the batch global-min keeper — the divergence the docstring
+    warns about must actually occur for the test to mean anything."""
+    from boatrace_database_spark.streaming.ingest import stream_dedup_exact
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = (
+        base.where(F.col("doc_id") < 40)
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    docs = base.unionByName(planted)
+    # deterministic non-id order: xxhash64 of the id, 3 chunks
+    chunked = docs.withColumn(
+        "chunk", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3))
+    ).localCheckpoint(eager=True)
+
+    src = str(tmp_path / "shuf_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_exact(spark, src, docs.schema, query_name="sdedup_shuf")
+    try:
+        for c in range(3):
+            deliver(
+                chunked.where(F.col("chunk") == c).drop("chunk"),
+                f"sc{c}",
+                f"{src}/chunk{c}.parquet",
+            )
+            q.processAllAvailable()
+        got = {
+            r.id: (r.keeper_id, r.is_duplicate)
+            for r in spark.sql("SELECT * FROM sdedup_shuf").collect()
+        }
+    finally:
+        q.stop()
+
+    assert len(got) == docs.count()
+    groups = (
+        chunked.withColumn(
+            "norm", F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        )
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("global_min"),
+            F.collect_list(F.struct("doc_id", "chunk")).alias("members"),
+        )
+        .collect()
+    )
+    diverged = 0
+    for g in groups:
+        ids = {m.doc_id for m in g.members}
+        first_chunk = min(m.chunk for m in g.members)
+        expected_keeper = min(
+            m.doc_id for m in g.members if m.chunk == first_chunk
+        )
+        keepers = {got[i][0] for i in ids}
+        # one keeper per set, a member of the set, first-seen-min
+        assert keepers == {expected_keeper}, g.norm[:40]
+        for i in ids:
+            assert got[i][1] == (i != expected_keeper)
+        if expected_keeper != g.global_min:
+            diverged += 1
+    n_dup_groups = sum(1 for g in groups if len(g.members) > 1)
+    assert n_dup_groups == 40, "planted duplicates must form real groups"
+    assert diverged > 0, (
+        "shuffle failed to exercise the first-seen-vs-global-min divergence"
+    )
+
+
 def test_stream_asof_matches_batch_operator(spark, tmp_path):
     """The streaming as-of enrichment must equal the batch asof_join
     (queries/llm.asof_join_events) when the whole input arrives."""
