@@ -97,15 +97,21 @@ def accuracy_metrics(race: DataFrame, odds: DataFrame) -> DataFrame:
     )
 
 
-def train_win_model(race: DataFrame):
+def train_win_model(race: DataFrame, algorithm: str = "lr"):
     """A5 (optional surface — README.md:9,20 trains LightGBM in Colab):
-    in-engine equivalent via Spark ML — logistic regression on the
-    per-boat features predicting a win. Returns (model, auc).
+    in-engine equivalent via Spark ML on the per-boat features
+    predicting a win. Returns (model, auc).
 
-    Distributed training: VectorAssembler + LBFGS logistic regression
-    both scale with the partitioned input; no data leaves the cluster.
+    ``algorithm``: ``"lr"`` = LBFGS logistic regression (fast linear
+    baseline); ``"gbt"`` = gradient-boosted trees — the in-cluster
+    analogue of the reference's published LightGBM model (boosted
+    decision trees capture the same lane×rate interactions the linear
+    model cannot).
+
+    Distributed training either way: VectorAssembler and both learners
+    scale with the partitioned input; no data leaves the cluster.
     """
-    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
@@ -122,6 +128,12 @@ def train_win_model(race: DataFrame):
         outputCol="features",
     )
     data = assembler.transform(feats)
-    model = LogisticRegression(maxIter=20).fit(data)
+    if algorithm == "lr":
+        learner = LogisticRegression(maxIter=20)
+    elif algorithm == "gbt":
+        learner = GBTClassifier(maxIter=20, maxDepth=4, seed=0)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'lr' or 'gbt'")
+    model = learner.fit(data)
     auc = BinaryClassificationEvaluator().evaluate(model.transform(data))
     return model, auc

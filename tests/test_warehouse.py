@@ -285,6 +285,18 @@ def test_train_win_model(spark, wh):
     assert auc > 0.7, auc
 
 
+def test_train_win_model_gbt_beats_lr(spark, wh):
+    """A5 parity: the reference's published model is LightGBM (boosted
+    trees, README.md:9,20); the GBT variant must train on the golden
+    month and match-or-beat the linear baseline's training AUC."""
+    _, tables = wh
+    _, lr_auc = A.train_win_model(tables["race"], algorithm="lr")
+    _, gbt_auc = A.train_win_model(tables["race"], algorithm="gbt")
+    assert gbt_auc >= lr_auc, (gbt_auc, lr_auc)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        A.train_win_model(tables["race"], algorithm="xgb")
+
+
 def test_approx_agg_close_to_exact(spark):
     from boatrace_database_spark.queries.analytics import approx_distinct_quantile
 
