@@ -108,6 +108,23 @@ def main() -> None:
         .select(_warm(col("id").cast("double")))
         .count()
     )
+    # host-noise fingerprint: r3's driver bench swung +43% on untouched
+    # queries (isolated re-runs implicated host contention). loadavg +
+    # a fixed trivial-query reference time make each bench run
+    # self-describing: a noisy host shows up as ref_query_sec inflation
+    # the reader can normalize by.
+    def _ref_query() -> float:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(id * 2)", "count(distinct id % 1000)"
+        ).collect()
+        return time.perf_counter() - t0
+
+    host = {
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "ref_query_sec": round(min(_ref_query() for _ in range(3)), 3),
+    }
+
     timings: dict[str, float] = {}
     if os.path.exists("/root/reference/txt"):
         from boatrace_database_spark.parse.kernel import (
@@ -138,6 +155,17 @@ def main() -> None:
                 min(time_boatrace_year(spark) for _ in range(ITERS)), 3
             )
 
+    # IVF deployment shape: the index is built once (its own timing
+    # line) and every ann_ivf_topk invocation below measures SEARCH
+    # against the cached index — r3's bench re-trained k-means 3x inside
+    # the probe timing.
+    from boatrace_database_spark.queries.llm import ivf_index_for
+
+    t0 = time.perf_counter()
+    ivf_index_for(spark, sf_dir)
+    timings["ann_ivf_build"] = round(time.perf_counter() - t0, 3)
+    print(f"ann_ivf_build: index in {timings['ann_ivf_build']:.2f}s", file=sys.stderr)
+
     # min of N runs, INTERLEAVED: run the whole list N times and keep
     # the per-query minimum. Back-to-back repeats of one query share any
     # multi-second host-interference window (observed poisoning 5
@@ -158,6 +186,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # driver-visible recall/agreement for the no-oracle hash operators
+    # (what pytest asserts; see boatrace_database_spark/quality.py)
+    from boatrace_database_spark.quality import quality_metrics
+
+    quality = quality_metrics(spark, sf_dir)
+    print(f"quality: {quality}", file=sys.stderr)
+    host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -166,6 +202,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "quality": quality,
+                "host": host,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -72,25 +72,21 @@ def cosine_topk(
     )
 
 
-def ivf_topk(
+def ivf_build_index(
     corpus: DataFrame,
-    queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 4,
-) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer + cell-probed
-    exact scoring.
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: k-means coarse quantizer over the corpus.
 
-    Train: Spark ML k-means over the corpus (seeded). Index: each
-    vector assigned to its nearest centroid cell. Search: each query
-    probes its `nprobe` nearest cells and exact-scores only those
-    candidates — the classic inverted-file ANN layout. At 100 TB the
-    index is a partitioned table clustered by cell; a probe touches
-    nprobe/n_cells of the corpus. Recall tunes with nprobe (= n_cells
-    recovers brute force).
+    Returns ``(indexed, centroids)`` — ``indexed`` is the corpus with a
+    `cell` assignment (the inverted file), ``centroids`` the tiny
+    n_cells × dim lookup the probe ranks against. This is the
+    deployment shape at 100 TB: the index is built ONCE and persisted
+    as a table partitioned/clustered by `cell`; probes are a separate,
+    far cheaper job. Callers that want a one-shot search use
+    ``ivf_topk`` (build + probe fused).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -113,12 +109,28 @@ def ivf_topk(
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        f"cell INT, centroid ARRAY<DOUBLE>",
+        "cell INT, centroid ARRAY<DOUBLE>",
     )
+    return indexed, cent_df
 
+
+def ivf_probe(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search against a prebuilt index (``ivf_build_index``): each
+    query ranks the centroid table, probes its `nprobe` nearest cells,
+    and exact-scores only those candidates — a probe touches
+    nprobe/n_cells of the corpus. Recall tunes with nprobe (= n_cells
+    recovers brute force)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     # rank cells per query by centroid distance; keep nprobe cells
-    qc = q.crossJoin(F.broadcast(cent_df)).select(
+    qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "qvec",
         "cell",
@@ -149,6 +161,23 @@ def ivf_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score", "rk")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """One-shot IVF approximate top-k (build + probe fused). Prefer the
+    split ``ivf_build_index`` / ``ivf_probe`` pair whenever the index
+    can be reused across searches — training inside every call is the
+    anti-pattern the round-3 bench flagged."""
+    indexed, centroids = ivf_build_index(corpus, id_col, vec_col, n_cells)
+    return ivf_probe(indexed, centroids, queries, id_col, vec_col, k, nprobe)
 
 
 def cosine_pairs(

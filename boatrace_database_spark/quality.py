@@ -1,0 +1,91 @@
+"""Driver-visible quality metrics for the no-oracle (hash-based)
+operators.
+
+The DuckDB harness can only record row counts for MinHash/SimHash/ANN
+queries (their outputs depend on hash functions DuckDB doesn't share),
+so their real acceptance criteria — recall against the exact
+counterpart — lived only in pytest. This module computes the same
+numbers (same parameters as tests/test_llm_ops.py) so bench.py can
+emit them in its JSON line and the driver's artifacts show what pytest
+asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from boatrace_database_spark.operators import dedup as D
+from boatrace_database_spark.operators import similarity as SIM
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    sets: dict[int, set[int]] = {}
+    for r in rows:
+        sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sets
+
+
+def _mean_recall(exact: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    return sum(recalls) / len(recalls) if recalls else 0.0
+
+
+def ann_recalls(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 10
+) -> dict[str, float]:
+    """Mean top-k recall of the LSH and IVF ANN paths vs brute-force
+    cosine (the tests/test_llm_ops.py definitions, bounded query set so
+    the exact baseline stays cheap at sf0.1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < n_queries)
+    exact = _topk_sets(SIM.cosine_topk(emb, queries, k=k).collect())
+    lsh = _topk_sets(
+        SIM.lsh_ann_topk(emb, queries, k=k, n_planes=6).collect()
+    )
+    indexed, centroids = SIM.ivf_build_index(emb, n_cells=16)
+    ivf = _topk_sets(
+        SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=4).collect()
+    )
+    return {
+        "ann_lsh_recall": round(_mean_recall(exact, lsh), 4),
+        "ann_ivf_recall": round(_mean_recall(exact, ivf), 4),
+    }
+
+
+def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Recall of the hash-blocked near-dup paths against exact n-gram
+    Jaccard (threshold 0.8 — the planted near-dup regime the pytest
+    suite asserts on)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    if not exact:
+        return {"minhash_lsh_recall": None, "simhash_recall": None}
+    mh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    sh = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    }
+    return {
+        "minhash_lsh_recall": round(len(exact & mh) / len(exact), 4),
+        "simhash_recall": round(len(exact & sh) / len(exact), 4),
+    }
+
+
+def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    out.update(ann_recalls(spark, sf_dir))
+    out.update(dedup_recalls(spark, sf_dir))
+    return out

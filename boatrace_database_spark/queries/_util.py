@@ -1,18 +1,20 @@
 """Shared table loader for the query catalog.
 
-events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as long
-(legacy conf, set defensively at runtime — it is a dynamic SQL conf)
-and convert to a microsecond TimestampType with integer division, so
-`ts` behaves as a normal timestamp downstream. DuckDB keeps native
-TIMESTAMP_NS; sub-microsecond ordering ties are broken by event_id in
-every catalog query, so the truncation cannot flip results.
+events.parquet's ts encoding has drifted between driver rounds
+(TIMESTAMP(NANOS) → timestamp[us]); ``timeutil.normalize_ts`` absorbs
+every observed encoding so `ts` is always a plain TimestampType
+downstream. The nanosAsLong conf is still set defensively (it is a
+dynamic SQL conf) for the NANOS case, which Spark's reader otherwise
+rejects (PARQUET_TYPE_ILLEGAL). DuckDB reads the same file natively;
+sub-microsecond ordering ties are broken by event_id in every catalog
+query, so micro truncation cannot flip results.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from boatrace_database_spark.timeutil import normalize_ts
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -22,8 +24,5 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -150,9 +150,13 @@ def join_composite_key(spark, sf_dir):
     per_pair = l.groupBy("l_orderkey", "l_partkey").agg(
         F.round(F.sum("l_quantity"), 2).alias("pair_qty")
     )
+    # threshold 60 (not 90): non-degenerate at EVERY testdata scale
+    # factor (pairs passing: 22 @ sf0.001, 20 @ sf0.01, 19 @ sf0.1) so
+    # the sf0.1 bench times a join with real probe-side output instead
+    # of an empty result (round-3 verdict finding).
     return (
         l.join(per_pair, on=["l_orderkey", "l_partkey"], how="inner")
-        .where(F.col("pair_qty") > 90)
+        .where(F.col("pair_qty") > 60)
         .select("l_orderkey", "l_partkey", "l_linenumber", "pair_qty")
         .orderBy("l_orderkey", "l_partkey", "l_linenumber")
     )
@@ -166,7 +170,7 @@ WITH per_pair AS (
 SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, p.pair_qty
 FROM lineitem l JOIN per_pair p
   ON l.l_orderkey = p.l_orderkey AND l.l_partkey = p.l_partkey
-WHERE p.pair_qty > 90
+WHERE p.pair_qty > 60
 ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber
 """
 

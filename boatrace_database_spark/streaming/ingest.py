@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from boatrace_database_spark.timeutil import normalize_ts
+
 
 def stream_events_rollup(
     spark: SparkSession,
@@ -37,9 +39,7 @@ def stream_events_rollup(
     finalize and late rows drop — the knob that keeps unbounded streams
     at bounded memory on a real cluster.
     """
-    events = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(events.dtypes).get("ts") == "bigint":  # nanos-as-long testdata
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -77,9 +77,7 @@ def stream_running_counters(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    events = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
@@ -121,9 +119,7 @@ def stream_asof_enrich(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    events = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
     relevant = events.where(F.col("event_type").isin("view", "purchase"))
 
     def enrich(key, pdfs, state: GroupState):

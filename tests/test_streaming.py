@@ -50,6 +50,64 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert len(got) >= len(batch) * 0.8
 
 
+@pytest.mark.parametrize("encoding", ["nanos_bigint", "timestamp_us"])
+def test_stream_rollup_survives_ts_encoding_drift(spark, tmp_path, encoding):
+    """The driver's testdata has shipped ts as TIMESTAMP(NANOS)-read-as-
+    bigint in one round and timestamp[us] (read as timestamp_ntz) in the
+    next; withWatermark rejects NTZ outright. normalize_ts must absorb
+    both encodings — this test materializes the same rows under each and
+    asserts the streaming rollup runs and matches the batch twin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = (
+        spark.read.parquet(SRC)
+        .limit(2000)
+        .select("event_id", "ts", "event_type", "value")
+        .toPandas()
+    )
+    ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # datetime64[ns] -> us
+    cols = {
+        "event_id": pa.array(pdf["event_id"].tolist(), pa.int64()),
+        "event_type": pa.array(pdf["event_type"].tolist(), pa.string()),
+        "value": pa.array(pdf["value"].tolist(), pa.float64()),
+    }
+    if encoding == "nanos_bigint":
+        cols["ts"] = pa.array([u * 1000 for u in ts_us], pa.int64())
+    else:
+        cols["ts"] = pa.array(ts_us, pa.timestamp("us"))
+    src = str(tmp_path / "enc_src")
+    os.makedirs(src)
+    pq.write_table(pa.table(cols), f"{src}/events.parquet")
+
+    schema = spark.read.parquet(src).schema
+    q = stream_events_rollup(spark, src, schema, query_name=f"enc_{encoding}")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.bucket, r.event_type): (r.n, r.total)
+            for r in spark.sql(f"SELECT * FROM enc_{encoding}").collect()
+        }
+    finally:
+        q.stop()
+    from boatrace_database_spark.timeutil import normalize_ts
+
+    batch = {
+        (r.bucket, r.event_type): (r.n, r.total)
+        for r in normalize_ts(spark.read.parquet(src))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type", "n", "total",
+        )
+        .collect()
+    }
+    assert got, f"{encoding}: stream emitted nothing"
+    assert set(got) <= set(batch)
+    assert all(batch[k] == v for k, v in got.items())
+
+
 def test_stream_ingest_appends_incrementally(spark, tmp_path):
     src = str(tmp_path / "in")
     tgt = str(tmp_path / "out")
