@@ -303,6 +303,7 @@ def cosine_pairs_lsh(
     rows_per_band: int = 2,
     dim: int = 64,
     seed: int = 0x5EED,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH blocking + exact cosine on
     candidates only (id_a < id_b, score >= threshold).
@@ -315,9 +316,26 @@ def cosine_pairs_lsh(
     mid-range thresholds like 0.45, deep bands (r=8) give the real
     100 TB pruning at near-dup thresholds (≥0.9) — see
     tests/test_llm_ops.py for both regimes.
+
+    Candidate SCORING picks one of two physical strategies (same
+    result, same rounding — the choice mirrors broadcast-vs-shuffle
+    join selection):
+
+    - corpus matrix ≤ ``broadcast_max_bytes``: ship the whole
+      (n × dim) float64 matrix to every python worker ONCE and score
+      candidate (id_a, id_b) pairs by numpy gather + batched einsum.
+      Only pair ids ride the shuffle. Shallow-band regimes like the
+      θ=0.45 catalog demo keep ~90% of all pairs as candidates, so
+      joining vectors onto both sides of every pair (the r3 plan)
+      shuffled ~1000× more bytes than the pair list itself — that join
+      was the round-3 bench's unexplained 6 s, not the signatures.
+    - larger corpora: two hash joins pull vectors onto the (far
+      sparser, deep-band) candidate list — the 100 TB path, where the
+      matrix cannot broadcast and candidates are rare by construction.
     """
     planes = rademacher_planes(bands * rows_per_band, dim, seed)
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    spark = corpus.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     base = corpus.repartition(parallelism).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -326,11 +344,9 @@ def cosine_pairs_lsh(
         l2_norm(F.col(vec_col)).alias("norm"),
     ).localCheckpoint(eager=False)
 
-    # candidate generation moves only (id, band, key) ints — vectors
-    # rejoin AFTER pair dedup via two broadcast/hash joins against the
-    # materialized base, so the wide arrays never ride the big shuffle.
-    # All bands·rows_per_band plane dots come from one Arrow-batched
-    # numpy matmul per batch (see _band_keys_udf).
+    # candidate generation moves only (id, band, key) ints. All
+    # bands·rows_per_band plane dots come from one Arrow-batched numpy
+    # matmul per batch (see _band_keys_udf).
     band_keys = _band_keys_udf(planes, bands, rows_per_band)
     sig = base.select(
         "id", F.posexplode(band_keys(F.col("vec"))).alias("band", "key")
@@ -350,6 +366,36 @@ def cosine_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    n_vectors = base.count()  # base is checkpointed: count is a cached scan
+    if n_vectors * dim * 8 <= broadcast_max_bytes:
+        # ---- broadcast-matrix scoring (small/medium corpus) ----------
+        pdf = base.select("id", "vec").toPandas()  # size-gated driver exit
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        row_of = {int(i): r for r, i in enumerate(ids)}
+        bc = spark.sparkContext.broadcast((row_of, mat, norms))
+
+        def score_pairs(batches):
+            row_idx, M, nrm = bc.value
+            for b_pdf in batches:
+                ia = b_pdf["id_a"].map(row_idx).to_numpy()
+                ib = b_pdf["id_b"].map(row_idx).to_numpy()
+                s = np.einsum("ij,ij->i", M[ia], M[ib]) / (nrm[ia] * nrm[ib])
+                yield pd.DataFrame(
+                    {"id_a": b_pdf["id_a"], "id_b": b_pdf["id_b"], "raw": s}
+                )
+
+        scored = cand.mapInPandas(
+            score_pairs, "id_a LONG, id_b LONG, raw DOUBLE"
+        )
+        # round JVM-side exactly like the join path (and the oracle)
+        return scored.select(
+            "id_a", "id_b", F.round(F.col("raw"), 4).alias("score")
+        ).where(F.col("score") >= threshold)
+
+    # ---- vector-join scoring (corpus too large to broadcast) ---------
     va = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"),
@@ -358,8 +404,8 @@ def cosine_pairs_lsh(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
-    # AQE picks broadcast when base fits (it does here) and a shuffled
-    # hash join at cluster scale — no hardcoded hint
+    # AQE picks broadcast when base fits and a shuffled hash join at
+    # cluster scale — no hardcoded hint
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
