@@ -195,7 +195,21 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # estimated jaccard = matching signature positions / num_hashes.
+    # Computed BEFORE the pair-dedup: it is a pure function of the pair,
+    # so filter-then-dedup is output-identical, the dedup shuffle moves
+    # only the (rare) passing pairs, and the wide 2×num_hashes signature
+    # arrays never ride a shuffle at all.
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e
+            )
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -208,21 +222,10 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
-    )
-    # estimated jaccard = matching signature positions / num_hashes
-    cand = cand.withColumn(
-        "est_jaccard",
-        F.round(
-            F.size(
-                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e)
-            )
-            / F.lit(float(num_hashes)),
-            6,
-        ),
-    )
-    return cand.where(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
     )
 
 
@@ -404,6 +407,9 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is a pure function of the pair, so filtering BEFORE the
+        # pair-dedup is output-identical and shrinks that shuffle to just
+        # the close pairs (sf0.1: 4.4k rows deduped instead of 235k)
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
