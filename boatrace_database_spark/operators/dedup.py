@@ -87,17 +87,37 @@ def ngram_jaccard_pairs(
     # branches; Spark re-evaluates common subplans, so materialize once
     sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # carry each id's set size on the index rows (AQE broadcasts the
+    # tiny sizes side here; at scale it's a co-partitioned hash join):
+    # enables the AllPairs length filter below and makes the final
+    # jaccard computable inside the groupBy — no join-back of sizes.
+    shs = sh.join(sizes, "id")
+    a = shs.alias("a")
+    b = shs.alias("b")
+    # length filter: jaccard >= t forces t·|B| <= |A| (for |A| <= |B|),
+    # so size-incompatible pairs are pruned BEFORE the co-occurrence
+    # aggregate ever counts them. Epsilon keeps borderline candidates —
+    # pruning is a pure optimization, the jaccard predicate below is
+    # still the only thing that decides membership.
+    eps = 1e-9
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.set_size") >= threshold * F.col("b.set_size") - eps)
+            & (F.col("b.set_size") >= threshold * F.col("a.set_size") - eps),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "set_size": "size_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "set_size": "size_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
