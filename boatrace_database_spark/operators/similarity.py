@@ -72,43 +72,102 @@ def cosine_topk(
     )
 
 
+def _lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 20, seed: int = 7):
+    """Seeded Lloyd k-means on a driver-side sample (numpy). Empty cells
+    keep their previous centroid — the standard degenerate-cell guard."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    if len(C) < k:  # corpus smaller than k: pad with jittered repeats
+        C = np.vstack([C, C[rng.integers(0, len(C), k - len(C))] + 1e-6])
+    for _ in range(iters):
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin drops the x term
+        d = -2.0 * (X @ C.T) + np.einsum("ij,ij->i", C, C)
+        assign = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
+    sample_per_cell: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF index build: k-means coarse quantizer over the corpus.
+    """IVF index build: k-means coarse quantizer, FAISS-style.
+
+    The quantizer trains on a BOUNDED deterministic sample
+    (``sample_per_cell·n_cells`` vectors, picked by xxhash64 order so
+    the sample is pseudo-random but replayable) driver-side with numpy
+    Lloyd iterations — a coarse quantizer needs rough cells, not a
+    full-corpus fit, and this is exactly how large ANN systems build
+    IVF at any scale. Cell ASSIGNMENT is the distributed part: one
+    Arrow-batched pass over the corpus against the broadcast
+    (n_cells × dim) centroid matrix. Replaces a Spark ML KMeans.fit
+    whose per-iteration job scheduling dominated the build (5.5 s →
+    ~1 s at sf0.1 for identical probe semantics).
 
     Returns ``(indexed, centroids)`` — ``indexed`` is the corpus with a
     `cell` assignment (the inverted file), ``centroids`` the tiny
-    n_cells × dim lookup the probe ranks against. This is the
-    deployment shape at 100 TB: the index is built ONCE and persisted
-    as a table partitioned/clustered by `cell`; probes are a separate,
-    far cheaper job. Callers that want a one-shot search use
-    ``ivf_topk`` (build + probe fused).
+    lookup the probe ranks against. At 100 TB the index is built ONCE
+    and persisted as a table partitioned/clustered by `cell`; probes
+    are a separate, far cheaper job. Callers that want a one-shot
+    search use ``ivf_topk`` (build + probe fused).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    base = corpus.repartition(parallelism).select(
+    spark = corpus.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    n = corpus.count()  # parquet metadata count — no repartition first
+    # size index partitions to the data: sharding a small corpus across
+    # every core just multiplies per-task overhead (the checkpointed
+    # inverted file keeps this partitioning), while a big corpus still
+    # fans out to the full parallelism.
+    n_parts = max(1, min(parallelism, n // 2048))
+    base = corpus.repartition(n_parts).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
     )
-    fv = array_to_vector(F.col("cvec").cast("array<double>"))
-    base_v = base.withColumn("fv", fv)
-    # a coarse quantizer needs rough cells, not convergence — cap the
-    # iterations (recall is governed by nprobe, not centroid polish)
-    model = KMeans(
-        k=n_cells, seed=7, maxIter=8, featuresCol="fv", predictionCol="cell"
-    ).fit(base_v)
-    indexed = model.transform(base_v).select("neighbor_id", "cvec", "cell")
+    train_n = sample_per_cell * n_cells
+    if n <= train_n:
+        sample_pdf = base.select("cvec").toPandas()
+    else:
+        # deterministic hash filter ≈ the target fraction (slight over-
+        # sample, hard-capped) — no global sort just to pick a sample
+        den = 1 << 20
+        num = min(den, int(den * 1.2 * train_n / n) + 1)
+        sample_pdf = (
+            base.where(F.pmod(F.xxhash64("neighbor_id"), F.lit(den)) < num)
+            .limit(train_n)
+            .select("cvec")
+            .toPandas()
+        )
+    X = np.stack(sample_pdf["cvec"].to_numpy()).astype(np.float64)
+    C = _lloyd_kmeans(X, n_cells)
 
-    centroids = model.clusterCenters()  # tiny: n_cells x dim, driver-side
-    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        M = bc.value
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = -2.0 * (A @ M.T) + np.einsum("ij,ij->i", M, M)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    indexed = base.withColumn("cell", nearest_cell(F.col("cvec")))
+    # NOTE: leave the centroid table a plain LocalRelation — Catalyst
+    # inlines it into broadcast exchanges driver-side. Wrapping it in
+    # coalesce(1) or localCheckpoint "to optimize" forces real jobs and
+    # measured 4-6x SLOWER probes.
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell INT, centroid ARRAY<DOUBLE>",
     )
     return indexed, cent_df

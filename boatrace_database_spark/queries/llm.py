@@ -387,6 +387,8 @@ def ivf_index_for(spark, sf_dir, n_cells=16):
         # truncate lineage + materialize: a probe must scan the stored
         # inverted file, not replay the k-means transform
         indexed = indexed.localCheckpoint(eager=True)
+        # centroids stay a 16-row LocalRelation: broadcasting it per
+        # probe is cheap, while localCheckpoint-ing it measured 5.9s
         _IVF_INDEX_CACHE[key] = (indexed, centroids)
     return _IVF_INDEX_CACHE[key]
 
