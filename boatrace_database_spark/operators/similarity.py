@@ -415,20 +415,21 @@ def cosine_pairs_lsh(
 
     a = sig.alias("a")
     b = sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand_raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
     n_vectors = base.count()  # base is checkpointed: count is a cached scan
     if n_vectors * dim * 8 <= broadcast_max_bytes:
         # ---- broadcast-matrix scoring (small/medium corpus) ----------
+        # Scoring is one gather+einsum per Arrow batch — cheaper than a
+        # pair-dedup shuffle of the raw collisions (shallow bands: 4M
+        # raw vs 1.8M deduped at sf0.1). So score EVERYTHING and dedup
+        # only the pairs that pass the threshold (score is a pure
+        # function of the pair: filter-then-dedup is output-identical).
         pdf = base.select("id", "vec").toPandas()  # size-gated driver exit
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
@@ -446,15 +447,22 @@ def cosine_pairs_lsh(
                     {"id_a": b_pdf["id_a"], "id_b": b_pdf["id_b"], "raw": s}
                 )
 
-        scored = cand.mapInPandas(
+        scored = cand_raw.mapInPandas(
             score_pairs, "id_a LONG, id_b LONG, raw DOUBLE"
         )
         # round JVM-side exactly like the join path (and the oracle)
-        return scored.select(
-            "id_a", "id_b", F.round(F.col("raw"), 4).alias("score")
-        ).where(F.col("score") >= threshold)
+        return (
+            scored.select(
+                "id_a", "id_b", F.round(F.col("raw"), 4).alias("score")
+            )
+            .where(F.col("score") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     # ---- vector-join scoring (corpus too large to broadcast) ---------
+    # here the dedup stays BEFORE the vector joins: at deep-band scale
+    # settings it shrinks the rows that must carry vectors
+    cand = cand_raw.dropDuplicates(["id_a", "id_b"])
     va = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"),
