@@ -112,6 +112,45 @@ def test_cosine_lsh_same_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cosine_lsh_scoring_strategy_gate(spark):
+    """The size gate picks the physical scoring strategy (round-4):
+    a broadcastable corpus scores candidate pairs via the broadcast
+    matrix (MapInPandas; vectors never join onto pairs), while forcing
+    the gate shut produces the vector-join plan. Both strategies must
+    return IDENTICAL rows — same bucketed semantics, same rounding."""
+    from boatrace_database_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    bc = cosine_pairs_lsh(emb)  # 500×64 floats ≪ 64 MB -> broadcast path
+    plan_bc = _plan(spark, bc)
+    assert "MapInPandas" in plan_bc, plan_bc
+    assert "vec_a" not in plan_bc, "vectors joined onto pairs in broadcast path"
+
+    vj = cosine_pairs_lsh(emb, broadcast_max_bytes=0)  # force join path
+    plan_vj = _plan(spark, vj)
+    assert "vec_a" in plan_vj, plan_vj
+    assert "MapInPandas" not in plan_vj
+
+    rows_bc = sorted(tuple(r) for r in bc.collect())
+    rows_vj = sorted(tuple(r) for r in vj.collect())
+    assert rows_bc == rows_vj and rows_bc, "strategies disagree"
+
+
+def test_ivf_probe_scans_cached_index_not_training(spark):
+    """ann_ivf_topk probes the session-cached, lineage-truncated index:
+    the probe plan must read the checkpointed inverted file (ExistingRDD)
+    and contain no trace of quantizer training or cell assignment."""
+    from boatrace_database_spark.queries.llm import ann_ivf_topk
+
+    df = ann_ivf_topk(spark, SF)  # first call builds + caches
+    plan = _plan(spark, ann_ivf_topk(spark, SF))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "nearest_cell" not in plan, "probe re-runs cell assignment"
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
+
+
 def test_bucket_cap_join_broadcasts(spark):
     """The degenerate-bucket cap joins the tiny (band,bucket,count)
     side by broadcast — no shuffle of the banded corpus."""
