@@ -230,6 +230,131 @@ def stream_dedup_exact(
     )
 
 
+def stream_dedup_minhash(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_members: int = 256,
+    query_name: str = "stream_minhash",
+) -> StreamingQuery:
+    """Incremental NEAR-dup detection over an unbounded document stream:
+    the streaming twin of operators/dedup.minhash_lsh_pairs (same
+    xxhash64 signatures, same banding, same estimated-Jaccard scoring),
+    with the same first-seen state contract as ``stream_dedup_exact``.
+
+    Per-row signatures: the batch operator computes min-hashes with a
+    groupBy over exploded shingles; a stream can't wait for a shuffle,
+    so the SAME k min-hashes come from array_min over the row's shingle
+    array — identical values (same xxhash64 seeds, same tokenizer), no
+    state, no shuffle. Docs with fewer than shingle_n tokens produce no
+    signature and are dropped, exactly like the batch groupBy.
+
+    State shards by (band, bucket) — the streaming analog of the batch
+    per-bucket join — holding up to ``max_members`` first-seen
+    (id, signature) members. Each arriving doc is scored against its
+    buckets' members; rows (id_a=member, id_b=doc, band, est_jaccard)
+    are emitted for every member with est >= threshold, so the
+    distinct (id_a, id_b) set over all bands equals the batch pair
+    list under id-ordered replay (asserted in tests). Bucket caps
+    bound state exactly like _cap_buckets bounds the batch join.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from boatrace_database_spark.operators.dedup import word_shingles
+
+    rows_per_band = num_hashes // bands
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).where(F.size("_sh") >= 1)
+    def _seeded_hash(seed: int):
+        # factory, NOT a default arg: a two-parameter lambda would be
+        # treated by F.transform as an (element, index) lambda and the
+        # index column would silently replace the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = shingled.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform("_sh", _seeded_hash(seed)))
+                for seed in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    def flag(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            members = [
+                np.asarray(flat[i * num_hashes : (i + 1) * num_hashes])
+                for i in range(len(ids))
+            ]
+        else:
+            ids, members = [], []
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values("id")
+        for row in batch.itertuples():
+            s = np.asarray(row.sig)
+            for mid, msig in zip(ids, members):
+                est = round(float((s == msig).mean()), 6)
+                if est >= threshold:
+                    out.append((int(mid), int(row.id), int(row.band), est))
+            if len(ids) < max_members:
+                ids.append(int(row.id))
+                members.append(s)
+        state.update(
+            (ids, [int(v) for m in members for v in m])
+        )
+        yield pd.DataFrame(
+            out, columns=["id_a", "id_b", "band", "est_jaccard"]
+        )
+
+    flagged = banded.groupBy("band", "bucket").applyInPandasWithState(
+        flag,
+        outputStructType=(
+            "id_a LONG, id_b LONG, band INT, est_jaccard DOUBLE"
+        ),
+        stateStructType="ids ARRAY<LONG>, flat ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_ingest_boatrace(
     spark: SparkSession,
     watch_dir: str,

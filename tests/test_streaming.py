@@ -392,6 +392,59 @@ def test_stream_dedup_shuffled_replay_invariants(spark, tmp_path):
     )
 
 
+def test_stream_minhash_matches_batch_pairs(spark, tmp_path):
+    """Streaming MinHash near-dup over an id-ordered two-chunk replay
+    yields exactly the batch minhash_lsh_pairs pair list: identical
+    xxhash64 signatures, banding, and estimated-Jaccard threshold —
+    the state machine only changes WHEN comparisons happen, not what
+    they compute. (Caps are lifted on both sides so neither the batch
+    degenerate-bucket drop nor the streaming member cap perturbs the
+    comparison.)"""
+    from boatrace_database_spark.operators.dedup import minhash_lsh_pairs
+    from boatrace_database_spark.streaming.ingest import stream_dedup_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "mh_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_minhash(
+        spark, src, docs.schema, max_members=10**6, query_name="smh_t"
+    )
+    try:
+        mid = 250
+        deliver(docs.where(F.col("doc_id") < mid), "m1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(docs.where(F.col("doc_id") >= mid), "m2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in spark.sql("SELECT * FROM smh_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, max_bucket=10**6
+        ).collect()
+    }
+    assert batch, "corpus must contain planted near-dup pairs"
+    assert set(got) == set(batch), (
+        f"missing={set(batch) - set(got)} extra={set(got) - set(batch)}"
+    )
+    for pair, est in batch.items():
+        assert abs(got[pair] - est) < 1e-9, (pair, got[pair], est)
+
+
 def test_stream_asof_matches_batch_operator(spark, tmp_path):
     """The streaming as-of enrichment must equal the batch asof_join
     (queries/llm.asof_join_events) when the whole input arrives."""
