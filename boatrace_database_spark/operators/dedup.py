@@ -173,6 +173,66 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFra
     ).drop("_bsz")
 
 
+def _minhash_banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a (id, sig) table to (id, sig, band, bucket) rows — one
+    row per band, bucket = hash of that band's signature slice."""
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-band bucket-size distribution — the banding tuning dial.
+
+    The candidate join's cost is Σ over buckets of b·(b-1)/2, so BEFORE
+    running a full near-dup pass at scale you look here: a fat
+    max/p99 bucket means degenerate buckets (cap them or deepen the
+    bands), est_candidate_pairs ≈ the join's row count. Two groupBy
+    cascades, no joins — cheap at any corpus size.
+
+    Columns per band: n_docs, n_buckets, max_bucket, p99_bucket,
+    avg_bucket, est_candidate_pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n)
+    sizes = _minhash_banded(sig, bands, rows_per_band).groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.sum("sz").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.percentile_approx("sz", 0.99).alias("p99_bucket"),
+            F.round(F.avg("sz"), 2).alias("avg_bucket"),
+            F.sum(F.expr("sz * (sz - 1) / 2")).cast("long").alias(
+                "est_candidate_pairs"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,21 +253,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n)
 
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias(
-                        "bucket"
-                    ),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = _minhash_banded(sig, bands, rows_per_band)
     # both self-join branches would recompute the signatures otherwise
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket).localCheckpoint(
         eager=False

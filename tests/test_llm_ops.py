@@ -52,6 +52,34 @@ def test_simhash_flags_exact_near_dups(docs, exact_pairs):
     )
 
 
+def test_lsh_bucket_stats_consistent(docs, spark):
+    """Bucket stats must agree with a Python recomputation over the
+    same banded rows, and est_candidate_pairs must equal the actual
+    per-band uncapped candidate-join row count."""
+    from collections import Counter
+
+    from boatrace_database_spark.operators.dedup import (
+        _minhash_banded,
+        lsh_bucket_stats,
+        minhash_table,
+    )
+
+    stats = {r.band: r for r in lsh_bucket_stats(docs, "doc_id", "text").collect()}
+    assert len(stats) == 16
+    sig = minhash_table(docs, "doc_id", "text", 32, 3)
+    banded = _minhash_banded(sig, 16, 2).select("band", "bucket").collect()
+    by_band: dict[int, Counter] = {}
+    for r in banded:
+        by_band.setdefault(r.band, Counter())[r.bucket] += 1
+    for band, counts in by_band.items():
+        s = stats[band]
+        sizes = list(counts.values())
+        assert s.n_docs == sum(sizes)
+        assert s.n_buckets == len(sizes)
+        assert s.max_bucket == max(sizes)
+        assert s.est_candidate_pairs == sum(b * (b - 1) // 2 for b in sizes)
+
+
 def test_exact_dedup_counts(docs, spark):
     out = D.exact_dedup(docs, ["text"], "doc_id")
     total = out.agg(F.sum("n_copies")).collect()[0][0]
