@@ -138,6 +138,7 @@ def minhash_table(
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    max_df: float | None = None,
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures.
 
@@ -146,8 +147,28 @@ def minhash_table(
     JVM-side hash functions, map-side partial mins, a single shuffle.
     (A nested higher-order-function formulation re-evaluates the
     shingle array per hash and serializes on one core — 64x slower.)
+
+    ``max_df`` (document-frequency weighting): drop shingles present in
+    more than that fraction of documents BEFORE hashing — the
+    shingle-space analog of stopword removal. Boilerplate shared by
+    most of a corpus (headers, licence blocks, templates) otherwise
+    dominates min-hashes and inflates estimated similarity between
+    unrelated documents; at web scale this is the difference between
+    banding that prunes and banding that doesn't. One extra groupBy on
+    the (already materialized) inverted index; the surviving-shingle
+    join is broadcast for small vocabularies and a hash join at scale.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        n_docs = df.select(id_col).distinct().count()
+        cap = int(max_df * n_docs)
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     mins = sh.groupBy("id").agg(
         *[
             F.min(F.xxhash64("shingle", F.lit(seed))).alias(f"m{seed}")
@@ -242,16 +263,19 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 256,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + signature-estimated Jaccard.
 
     rows/band = num_hashes/bands; a pair collides if any band's hash
     slice matches exactly. Estimated Jaccard = fraction of equal
     signature positions. The expensive all-pairs comparison never
-    happens — only per-bucket joins.
+    happens — only per-bucket joins. ``max_df`` forwards to
+    minhash_table: boilerplate-heavy corpora drop ubiquitous shingles
+    before hashing so similarity reflects distinguishing content.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n, max_df)
 
     banded = _minhash_banded(sig, bands, rows_per_band)
     # both self-join branches would recompute the signatures otherwise

@@ -52,6 +52,43 @@ def test_simhash_flags_exact_near_dups(docs, exact_pairs):
     )
 
 
+def test_minhash_max_df_drops_boilerplate(spark):
+    """Corpus-ubiquitous boilerplate inflates MinHash similarity between
+    unrelated documents; max_df must remove the false pair while a true
+    near-dup pair (sharing rare content) survives."""
+    import random
+
+    rng = random.Random(11)
+    boiler = " ".join(f"boiler{j}" for j in range(20))  # 20-word template
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{rng.randrange(10_000)}" for _ in range(4))
+        rows.append((i, f"{boiler} {body}"))
+    # a true near-dup pair sharing the same rare body
+    rows.append((100, f"{boiler} unique alpha beta gamma delta epsilon zeta"))
+    rows.append((101, f"{boiler} unique alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    naive = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    weighted = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5,
+            max_df=0.5,
+        ).collect()
+    }
+    false_pairs_naive = {p for p in naive if p != (100, 101)}
+    false_pairs_weighted = {p for p in weighted if p != (100, 101)}
+    assert false_pairs_naive, "boilerplate should fool the unweighted path"
+    assert not false_pairs_weighted, false_pairs_weighted
+    assert (100, 101) in weighted, "true near-dup lost by df weighting"
+
+
 def test_lsh_bucket_stats_consistent(docs, spark):
     """Bucket stats must agree with a Python recomputation over the
     same banded rows, and est_candidate_pairs must equal the actual
