@@ -6,11 +6,18 @@ same pipeline incremental:
 - `stream_events_rollup`: watermarked tumbling-window aggregate over an
   event stream (the streaming twin of queries/analytics.time_tumble —
   same window semantics, late data bounded by the watermark).
-- `stream_ingest_parquet`: file-source stream that appends newly
-  arriving parquet files into a warehouse table via foreachBatch
-  (exactly-once per epoch for an idempotent append-by-filename sink).
+- `stream_running_counters` / `stream_asof_enrich`: custom stateful
+  operators via applyInPandasWithState (running aggregates, as-of
+  enrichment) with batch-operator parity tests.
+- `stream_dedup_exact` / `stream_dedup_minhash`: incremental exact and
+  NEAR-dup detection with first-seen state contracts — the streaming
+  twins of operators/dedup's hash-groupBy and LSH-banded paths.
+- `stream_ingest_parquet` / `stream_ingest_boatrace`: file-source
+  streams appending (or partition-replacing) newly arriving files into
+  the warehouse via foreachBatch (exactly-once per epoch for an
+  idempotent sink).
 
-Both are file-source streams, so local tests drive them synchronously
+All are file-source streams, so local tests drive them synchronously
 with processAllAvailable(); on a cluster the same code tails a bucket
 or a Kafka topic by swapping readStream.format.
 """
