@@ -445,6 +445,69 @@ def test_stream_minhash_matches_batch_pairs(spark, tmp_path):
         assert abs(got[pair] - est) < 1e-9, (pair, got[pair], est)
 
 
+def test_stream_minhash_shuffled_replay_invariants(spark, tmp_path):
+    """FIRST-SEEN contract for streaming near-dup, mirroring the exact
+    dedup property test: under a deterministically shuffled, non-id-
+    ordered chunking the UNORDERED pair set and est values equal the
+    id-ordered batch pair list — which doc of a pair is id_a merely
+    flips to the first-seen member. The shuffle must actually produce
+    at least one flipped pair for the test to mean anything."""
+    from boatrace_database_spark.operators.dedup import minhash_lsh_pairs
+    from boatrace_database_spark.streaming.ingest import stream_dedup_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    chunked = docs.withColumn(
+        "chunk", F.pmod(F.xxhash64(F.col("doc_id"), F.lit(99)), F.lit(3))
+    ).localCheckpoint(eager=True)
+    src = str(tmp_path / "mhs_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_minhash(
+        spark, src, docs.schema, max_members=10**6, query_name="smh_shuf"
+    )
+    try:
+        for c in range(3):
+            deliver(
+                chunked.where(F.col("chunk") == c).drop("chunk"),
+                f"ms{c}",
+                f"{src}/chunk{c}.parquet",
+            )
+            q.processAllAvailable()
+        got = {
+            frozenset((r.id_a, r.id_b)): r.est_jaccard
+            for r in spark.sql("SELECT * FROM smh_shuf").collect()
+        }
+        oriented = {
+            (r.id_a, r.id_b)
+            for r in spark.sql("SELECT * FROM smh_shuf").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        frozenset((r.id_a, r.id_b)): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16, max_bucket=10**6
+        ).collect()
+    }
+    assert batch
+    assert set(got) == set(batch), (
+        f"missing={set(batch) - set(got)} extra={set(got) - set(batch)}"
+    )
+    for pair, est in batch.items():
+        assert abs(got[pair] - est) < 1e-9
+    flipped = [p for p in oriented if p[0] > p[1]]
+    assert flipped, "shuffle failed to exercise the first-seen orientation"
+
+
 def test_stream_asof_matches_batch_operator(spark, tmp_path):
     """The streaming as-of enrichment must equal the batch asof_join
     (queries/llm.asof_join_events) when the whole input arrives."""
