@@ -222,6 +222,35 @@ def ivf_probe(
     )
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> None:
+    """Persist an IVF index as tables: the inverted file partitioned by
+    `cell` plus the centroid lookup. THE deployment shape at 100 TB —
+    build once, probe many — and partitioning by cell means a probe
+    joining on `cell` triggers Spark's dynamic partition pruning: only
+    the nprobe probed cells' files are ever read (plan-asserted in
+    tests), the storage-level realization of 'a probe touches
+    nprobe/n_cells of the corpus'."""
+    indexed, centroids = ivf_build_index(corpus, id_col, vec_col, n_cells)
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/inverted"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index (see ivf_write_index) for probing."""
+    return (
+        spark.read.parquet(f"{path}/inverted"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

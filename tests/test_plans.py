@@ -151,6 +151,36 @@ def test_ivf_probe_scans_cached_index_not_training(spark):
     assert df.count() > 0
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index (parquet partitioned by cell) must give
+    probes dynamic partition pruning — only the nprobe probed cells'
+    files are read — and return exactly the in-memory index's results."""
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe,
+        ivf_read_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    ivf_write_index(emb, str(tmp_path / "ivf"))
+    indexed_disk, cents_disk = ivf_read_index(spark, str(tmp_path / "ivf"))
+    disk = ivf_probe(indexed_disk, cents_disk, queries, k=5, nprobe=4)
+
+    plan = _plan(spark, disk)
+    assert "dynamicpruning" in plan.lower(), plan
+
+    indexed_mem, cents_mem = ivf_build_index(emb)
+    mem = ivf_probe(indexed_mem, cents_mem, queries, k=5, nprobe=4)
+    rows_disk = sorted(tuple(r) for r in disk.collect())
+    rows_mem = sorted(tuple(r) for r in mem.collect())
+    assert rows_disk == rows_mem and rows_disk
+
+
 def test_bucket_cap_join_broadcasts(spark):
     """The degenerate-bucket cap joins the tiny (band,bucket,count)
     side by broadcast — no shuffle of the banded corpus."""
