@@ -84,8 +84,48 @@ def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
 
 
+def lsh_cosine_pairs_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    max_vectors: int = 20_000,
+) -> dict[str, float]:
+    """Recall of the banded `cosine_pairs_lsh` path against EXACT
+    all-pairs cosine ground truth, computed as one driver-side numpy
+    matmul (size-gated — n² scores of a broadcast-scale corpus are
+    trivial for the driver, which is exactly why the demo corpus can
+    have a ground truth at all)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    if n > max_vectors:
+        return {"lsh_cosine_pairs_recall": None}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 4)
+    iu = np.triu_indices(len(ids), k=1)
+    hits = S[iu] >= threshold
+    exact = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
+    }
+    if not exact:
+        return {"lsh_cosine_pairs_recall": None}
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs_lsh(emb, threshold=threshold).collect()
+    }
+    return {
+        "lsh_cosine_pairs_recall": round(len(exact & lsh) / len(exact), 4)
+    }
+
+
 def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     out.update(ann_recalls(spark, sf_dir))
     out.update(dedup_recalls(spark, sf_dir))
+    out.update(lsh_cosine_pairs_recall(spark, sf_dir))
     return out

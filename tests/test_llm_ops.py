@@ -52,6 +52,16 @@ def test_simhash_flags_exact_near_dups(docs, exact_pairs):
     )
 
 
+def test_quality_lsh_cosine_pairs_recall(spark):
+    """The driver-visible quality metric (numpy exact ground truth vs
+    the banded path) must clear the same bar the operator-level
+    agreement test asserts."""
+    from boatrace_database_spark.quality import lsh_cosine_pairs_recall
+
+    out = lsh_cosine_pairs_recall(spark, SF)
+    assert out["lsh_cosine_pairs_recall"] >= 0.85, out
+
+
 def test_minhash_max_df_drops_boilerplate(spark):
     """Corpus-ubiquitous boilerplate inflates MinHash similarity between
     unrelated documents; max_df must remove the false pair while a true
