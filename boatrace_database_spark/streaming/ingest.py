@@ -9,9 +9,10 @@ same pipeline incremental:
 - `stream_running_counters` / `stream_asof_enrich`: custom stateful
   operators via applyInPandasWithState (running aggregates, as-of
   enrichment) with batch-operator parity tests.
-- `stream_dedup_exact` / `stream_dedup_minhash`: incremental exact and
-  NEAR-dup detection with first-seen state contracts — the streaming
-  twins of operators/dedup's hash-groupBy and LSH-banded paths.
+- `stream_dedup_exact` / `stream_dedup_minhash` / `stream_dedup_simhash`:
+  incremental exact and NEAR-dup detection with first-seen state
+  contracts — the streaming twins of operators/dedup's hash-groupBy,
+  LSH-banded, and chunk-blocked paths.
 - `stream_ingest_parquet` / `stream_ingest_boatrace`: file-source
   streams appending (or partition-replacing) newly arriving files into
   the warehouse via foreachBatch (exactly-once per epoch for an
@@ -351,6 +352,115 @@ def stream_dedup_minhash(
             "id_a LONG, id_b LONG, band INT, est_jaccard DOUBLE"
         ),
         stateStructType="ids ARRAY<LONG>, flat ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_dedup_simhash(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    shingle_n: int = 2,
+    bits: int = 32,
+    max_members: int = 256,
+    query_name: str = "stream_simhash",
+) -> StreamingQuery:
+    """Streaming SimHash near-dup: the third member of the streaming
+    dedup family (exact → MinHash → SimHash), same first-seen state
+    contract as its siblings.
+
+    Per-row signatures: the batch operator bit-votes with a groupBy
+    over exploded shingles; here the SAME ``bits`` votes come from
+    aggregate folds over the row's distinct-shingle array — identical
+    values (same xxhash64, same >0 majority rule), no shuffle. State
+    shards by (chunk, key) over ``bits/8`` 8-bit signature chunks —
+    the streaming analog of the batch chunk-blocking join — holding
+    capped first-seen (id, sim) members. Emitted rows:
+    (id_a=member, id_b=doc, hamming) for every member within
+    ``max_hamming``; under id-ordered replay the distinct pair set
+    equals batch ``simhash_pairs`` (tested).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from boatrace_database_spark.operators.dedup import word_shingles
+
+    n_chunks = bits // 8
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).where(F.size("_sh") >= 1)
+
+    def _bit_vote(b: int):
+        # factory, not a default arg (two-param lambdas become
+        # (element, index) lambdas under F.aggregate's merge fn too)
+        return lambda acc, s: acc + (
+            F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    sig_bits = []
+    for b in range(bits):
+        vote = F.aggregate("_sh", F.lit(0).cast("long"), _bit_vote(b))
+        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        sig_bits.append(
+            F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    sim = sum(sig_bits[1:], start=sig_bits[0])
+    sig = shingled.select("id", sim.alias("sim"))
+
+    chunked = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", c * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.key")
+
+    def flag(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, sims = state.get
+            ids, sims = list(ids), list(sims)
+        else:
+            ids, sims = [], []
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values("id")
+        for row in batch.itertuples():
+            s = int(row.sim)
+            for mid, msim in zip(ids, sims):
+                h = bin((s ^ msim) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if h <= max_hamming:
+                    out.append((int(mid), int(row.id), h))
+            if len(ids) < max_members:
+                ids.append(int(row.id))
+                sims.append(s)
+        state.update((ids, sims))
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    flagged = chunked.groupBy("chunk", "key").applyInPandasWithState(
+        flag,
+        outputStructType="id_a LONG, id_b LONG, hamming INT",
+        stateStructType="ids ARRAY<LONG>, sims ARRAY<LONG>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

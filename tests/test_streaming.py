@@ -445,6 +445,55 @@ def test_stream_minhash_matches_batch_pairs(spark, tmp_path):
         assert abs(got[pair] - est) < 1e-9, (pair, got[pair], est)
 
 
+def test_stream_simhash_matches_batch_pairs(spark, tmp_path):
+    """Streaming SimHash over an id-ordered two-chunk replay equals the
+    batch simhash_pairs pair list — identical bit votes, chunk
+    blocking, and Hamming threshold (caps lifted on both sides)."""
+    from boatrace_database_spark.operators.dedup import simhash_pairs
+    from boatrace_database_spark.streaming.ingest import stream_dedup_simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "sh_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_simhash(
+        spark, src, docs.schema, max_members=10**6, query_name="ssh_t"
+    )
+    try:
+        mid = 250
+        deliver(docs.where(F.col("doc_id") < mid), "s1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(docs.where(F.col("doc_id") >= mid), "s2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in spark.sql("SELECT * FROM ssh_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            docs, "doc_id", "text", max_hamming=6, max_bucket=10**6
+        ).collect()
+    }
+    assert batch, "corpus must contain near-dup pairs"
+    assert set(got) == set(batch), (
+        f"missing={set(batch) - set(got)} extra={set(got) - set(batch)}"
+    )
+    for pair, h in batch.items():
+        assert got[pair] == h, (pair, got[pair], h)
+
+
 def test_stream_minhash_shuffled_replay_invariants(spark, tmp_path):
     """FIRST-SEEN contract for streaming near-dup, mirroring the exact
     dedup property test: under a deterministically shuffled, non-id-
