@@ -162,9 +162,22 @@ def minhash_table(
     if max_df is not None:
         n_docs = df.select(id_col).distinct().count()
         cap = int(max_df * n_docs)
+        if cap < 1:
+            # a cap of 0 would drop EVERY shingle (df >= 1 always) and
+            # silently return zero signatures — make the degenerate
+            # configuration an explicit decision
+            raise ValueError(
+                f"max_df={max_df} with {n_docs} documents caps document "
+                "frequency below 1 — every shingle would be dropped; "
+                "raise max_df or grow the corpus"
+            )
+        # countDistinct, not count: shingle_table rows are distinct per
+        # (id, shingle) today (word_shingles applies array_distinct),
+        # but document frequency must not silently become occurrence
+        # count if that upstream ever changes
         rare = (
             sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+            .agg(F.countDistinct("id").alias("_df"))
             .where(F.col("_df") <= cap)
             .select("shingle")
         )

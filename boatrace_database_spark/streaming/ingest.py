@@ -172,6 +172,7 @@ def stream_dedup_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_name: str = "stream_dedup",
+    state_ttl_ms: int | None = None,
 ) -> StreamingQuery:
     """Incremental exact dedup over an unbounded document stream: each
     arriving document is flagged against every document seen so far.
@@ -201,6 +202,24 @@ def stream_dedup_exact(
     by fingerprint. Output: (id, keeper_id, is_duplicate). At 100 TB
     the state shards by fingerprint hash across executors — the
     streaming twin of the hash-groupBy shuffle.
+
+    **State lifecycle** (``state_ttl_ms``): with the default ``None``
+    the state is held for the life of the query — bounded per
+    fingerprint, unbounded in fingerprints on a truly endless stream.
+    Setting a TTL turns on ``ProcessingTimeTimeout`` eviction: a
+    fingerprint whose state goes ``state_ttl_ms`` of processing time
+    without a new arrival is dropped at the next micro-batch.
+    **Re-admission contract**: eviction FORGETS the keeper — the
+    evicted fingerprint's next arrival is treated as first-seen and
+    becomes a NEW keeper (``is_duplicate=false``). Dedup becomes
+    windowed-exact: exact within any TTL-long window, and a duplicate
+    arriving later than the TTL after its group's last sighting is a
+    keeper again (asserted in tests/test_streaming.py). That trade —
+    bounded state for bounded lookback — is the standard unbounded-
+    stream posture; pick the TTL from the duplicate-arrival-lag
+    distribution. (The richer per-element TTL of
+    ``transformWithStateInPandas`` needs protobuf, unavailable here —
+    see r4 commits 45d9d59/7b5dd6e.)
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -213,6 +232,11 @@ def stream_dedup_exact(
     )
 
     def flag(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expired with no new arrivals: forget the keeper; the
+            # fingerprint's next arrival re-admits as a fresh first-seen
+            state.remove()
+            return
         keeper = state.get[0] if state.exists else None
         batch = pd.concat(list(pdfs)).sort_values("id")
         out = []
@@ -221,6 +245,8 @@ def stream_dedup_exact(
                 keeper = int(doc_id)
             out.append((int(doc_id), keeper, int(doc_id) != keeper))
         state.update((keeper,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out, columns=["id", "keeper_id", "is_duplicate"])
 
     flagged = keyed.groupBy("fp").applyInPandasWithState(
@@ -228,7 +254,11 @@ def stream_dedup_exact(
         outputStructType="id LONG, keeper_id LONG, is_duplicate BOOLEAN",
         stateStructType="keeper LONG",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         flagged.writeStream.outputMode("append")
@@ -250,6 +280,7 @@ def stream_dedup_minhash(
     threshold: float = 0.5,
     max_members: int = 256,
     query_name: str = "stream_minhash",
+    state_ttl_ms: int | None = None,
 ) -> StreamingQuery:
     """Incremental NEAR-dup detection over an unbounded document stream:
     the streaming twin of operators/dedup.minhash_lsh_pairs (same
@@ -269,8 +300,21 @@ def stream_dedup_minhash(
     buckets' members; rows (id_a=member, id_b=doc, band, est_jaccard)
     are emitted for every member with est >= threshold, so the
     distinct (id_a, id_b) set over all bands equals the batch pair
-    list under id-ordered replay (asserted in tests). Bucket caps
-    bound state exactly like _cap_buckets bounds the batch join.
+    list under id-ordered replay (asserted in tests).
+
+    ``max_members`` bounds state SIZE per bucket, but its semantics in
+    the capped regime differ from the batch ``_cap_buckets``: batch
+    drops every row of an over-cap bucket (no pairs at all), whereas
+    the stream stops ADMITTING new members yet still scores capped-out
+    arrivals against the stored members — a capped streaming bucket
+    over-emits relative to batch. Parity holds whenever no bucket
+    exceeds the cap (the regime the parity tests run in).
+
+    ``state_ttl_ms``: optional ProcessingTimeTimeout eviction of idle
+    buckets — same re-admission contract as ``stream_dedup_exact``
+    (an evicted bucket restarts empty; near-dup detection becomes
+    TTL-windowed), trading bounded lookback for state bounded in the
+    number of RECENTLY-ACTIVE buckets instead of all buckets ever.
     """
     import numpy as np
     import pandas as pd
@@ -319,6 +363,9 @@ def stream_dedup_minhash(
     ).select("id", "sig", "bb.band", "bb.bucket")
 
     def flag(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ids, flat = state.get
             ids = list(ids)
@@ -342,6 +389,8 @@ def stream_dedup_minhash(
         state.update(
             (ids, [int(v) for m in members for v in m])
         )
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             out, columns=["id_a", "id_b", "band", "est_jaccard"]
         )
@@ -353,7 +402,11 @@ def stream_dedup_minhash(
         ),
         stateStructType="ids ARRAY<LONG>, flat ARRAY<LONG>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         flagged.writeStream.outputMode("append")
@@ -369,15 +422,19 @@ def stream_dedup_simhash(
     schema: StructType,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 6,
+    max_hamming: int = 4,
     shingle_n: int = 2,
     bits: int = 32,
     max_members: int = 256,
     query_name: str = "stream_simhash",
+    state_ttl_ms: int | None = None,
 ) -> StreamingQuery:
     """Streaming SimHash near-dup: the third member of the streaming
     dedup family (exact → MinHash → SimHash), same first-seen state
-    contract as its siblings.
+    contract as its siblings. Defaults (max_hamming=4, shingle_n=2,
+    bits=32) match batch ``simhash_pairs`` exactly, so the twins agree
+    out of the box; ``state_ttl_ms`` and the ``max_members`` capped-
+    regime caveat behave as documented on ``stream_dedup_minhash``.
 
     Per-row signatures: the batch operator bit-votes with a groupBy
     over exploded shingles; here the SAME ``bits`` votes come from
@@ -438,6 +495,9 @@ def stream_dedup_simhash(
     ).select("id", "sim", "cc.chunk", "cc.key")
 
     def flag(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ids, sims = state.get
             ids, sims = list(ids), list(sims)
@@ -455,6 +515,8 @@ def stream_dedup_simhash(
                 ids.append(int(row.id))
                 sims.append(s)
         state.update((ids, sims))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
     flagged = chunked.groupBy("chunk", "key").applyInPandasWithState(
@@ -462,7 +524,11 @@ def stream_dedup_simhash(
         outputStructType="id_a LONG, id_b LONG, hamming INT",
         stateStructType="ids ARRAY<LONG>, sims ARRAY<LONG>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         flagged.writeStream.outputMode("append")

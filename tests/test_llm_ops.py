@@ -507,3 +507,14 @@ def test_cosine_pairs_lsh_string_ids_both_strategies(spark):
     bc = {(r.id_a, r.id_b, r.score) for r in broadcast.collect()}
     jn = {(r.id_a, r.id_b, r.score) for r in joined.collect()}
     assert bc == jn
+
+
+def test_minhash_max_df_degenerate_cap_raises(spark):
+    """ADVICE r4: max_df small enough to floor the DF cap to 0 would
+    silently drop every shingle; it must raise instead."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id LONG, text STRING",
+    )
+    with pytest.raises(ValueError, match="max_df"):
+        D.minhash_table(docs, "doc_id", "text", max_df=0.1)
