@@ -1,0 +1,185 @@
+"""100x scale-up evidence for the parse path (r4 verdict item 4).
+
+Synthesizes an N-fold corpus by replicating the 62 committed Aug 2020
+TXT files (9.6 MB) across synthetic years: `file_meta` derives
+race_date from the KYYMMDD.TXT name, so rewriting the YY digits turns
+each replica into a distinct synthetic month (yy=00..99 -> years
+2000-2099) — distinct dates, distinct race ids, zero synthetic-content
+bias. Hardlinks where possible, so the corpus costs ~no disk.
+
+Measures, for 1x and Nx at local[$SPARK_GRAFT_CPUS]:
+  - fused parse -> silver -> gold race join -> count (the
+    boatrace_month_e2e shape from bench.py),
+  - throughput (race rows/s and input MB/s),
+  - task balance of the heaviest stage via the Spark REST API
+    (max/median executorRunTime over its tasks) — the r4 verdict asks
+    max/median < 3x.
+
+Usage: SPARK_GRAFT_UI=true python scripts/scale_parse_bench.py
+(prints one JSON line; human detail on stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("SPARK_GRAFT_UI", "true")  # REST API for task metrics
+
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "100"))
+SRC = "/root/reference/txt"
+DST = f"/tmp/scale_corpus_{REPLICAS}x"
+
+
+def build_corpus() -> int:
+    files = sorted(f for f in os.listdir(SRC) if f.upper().endswith(".TXT"))
+    want = len(files) * REPLICAS
+    if os.path.isdir(DST) and len(os.listdir(DST)) == want:
+        return want
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST)
+    for f in files:
+        src = os.path.join(SRC, f)
+        for y in range(REPLICAS):
+            dst = os.path.join(DST, f"{f[0]}{y:02d}{f[3:]}")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy(src, dst)
+    return want
+
+
+def run_e2e(spark, glob: str) -> tuple[float, int]:
+    from boatrace_database_spark.gold import race_table
+    from boatrace_database_spark.parse.kernel import parse_txt_files
+    from boatrace_database_spark.silver import silver_tables
+
+    t0 = time.perf_counter()
+    parsed = parse_txt_files(spark, glob).persist()
+    t = silver_tables(parsed)
+    n = race_table(t["result"], t["env"], t["schedule"]).count()
+    dt = time.perf_counter() - t0
+    parsed.unpersist()
+    return dt, n
+
+
+def _api(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def _app_id(spark) -> str:
+    return _api(spark, "/applications")[0]["id"]
+
+
+def stage_ids(spark) -> set[int]:
+    app = _app_id(spark)
+    return {s["stageId"] for s in _api(spark, f"/applications/{app}/stages")}
+
+
+def task_balance(spark, new_ids: set[int]) -> dict:
+    """Task executorRunTime balance for the stages a phase just ran:
+    reports BOTH the widest stage (max numTasks — the per-file parse
+    scan) and the heaviest (max total executorRunTime — usually a
+    join/aggregate shuffle), via the Spark REST API."""
+    app = _app_id(spark)
+    stages = [
+        s
+        for s in _api(spark, f"/applications/{app}/stages?status=COMPLETE")
+        if s["stageId"] in new_ids
+    ]
+
+    def summarize(stage) -> dict:
+        q = _api(
+            spark,
+            f"/applications/{app}/stages/{stage['stageId']}/"
+            f"{stage['attemptId']}/taskSummary?quantiles=0.0,0.5,0.95,1.0",
+        )
+        run = q["executorRunTime"]  # ms at the requested quantiles
+        return {
+            "stage_id": stage["stageId"],
+            "num_tasks": stage["numTasks"],
+            "task_ms_median": run[1],
+            "task_ms_p95": run[2],
+            "task_ms_max": run[3],
+            "max_over_median": round(run[3] / max(run[1], 1e-9), 2),
+        }
+
+    # drop trivial stages (e.g. InMemoryFileIndex's parallel file
+    # listing: thousands of ~0 ms tasks) — balance there is meaningless
+    real = [
+        s
+        for s in stages
+        if s.get("executorRunTime", 0) >= 1000 * max(1, s["numTasks"] // 100)
+    ]
+    widest = max(real, key=lambda s: s["numTasks"])
+    heaviest = max(real, key=lambda s: s.get("executorRunTime", 0))
+    out = {"widest_stage": summarize(widest)}
+    if heaviest["stageId"] != widest["stageId"]:
+        out["heaviest_stage"] = summarize(heaviest)
+    return out
+
+
+def main() -> None:
+    from boatrace_database_spark.session import get_spark
+
+    n_files = build_corpus()
+    corpus_mb = sum(
+        os.path.getsize(os.path.join(SRC, f)) for f in os.listdir(SRC)
+    ) / 1e6
+    spark = get_spark("scale-parse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM codegen + python worker pool
+    run_e2e(spark, f"{SRC}/K200801.TXT")
+
+    dt1, n1 = run_e2e(spark, f"{SRC}/*2008*.TXT")
+    print(f"1x:  {n1} race rows in {dt1:.2f}s", file=sys.stderr)
+
+    before = stage_ids(spark)
+    dtN, nN = run_e2e(spark, f"{DST}/*.TXT")
+    bal = task_balance(spark, stage_ids(spark) - before)
+    print(f"{REPLICAS}x: {nN} race rows in {dtN:.2f}s  balance={bal}",
+          file=sys.stderr)
+
+    # the large-file scale path: section split + redistribute + parse
+    from boatrace_database_spark.parse.kernel import parse_txt_files_sectioned
+
+    before = stage_ids(spark)
+    t0 = time.perf_counter()
+    n_sec = parse_txt_files_sectioned(spark, f"{DST}/*.TXT").count()
+    dt_sec = time.perf_counter() - t0
+    bal_sec = task_balance(spark, stage_ids(spark) - before)
+    print(
+        f"{REPLICAS}x sectioned: {n_sec} parsed rows in {dt_sec:.2f}s  "
+        f"balance={bal_sec}",
+        file=sys.stderr,
+    )
+
+    out = {
+        "metric": "scale_parse_e2e",
+        "replicas": REPLICAS,
+        "n_files": n_files,
+        "input_mb_1x": round(corpus_mb, 1),
+        "sec_1x": round(dt1, 2),
+        "race_rows_1x": n1,
+        "rows_per_sec_1x": round(n1 / dt1),
+        "sec_Nx": round(dtN, 2),
+        "race_rows_Nx": nN,
+        "rows_per_sec_Nx": round(nN / dtN),
+        "mb_per_sec_Nx": round(corpus_mb * REPLICAS / dtN, 1),
+        "scale_efficiency": round((nN / dtN) / (n1 / dt1), 2),
+        "task_balance": bal,
+        "sectioned_sec_Nx": round(dt_sec, 2),
+        "sectioned_rows_Nx": n_sec,
+        "sectioned_task_balance": bal_sec,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
