@@ -677,6 +677,62 @@ def _table_buckets(vec: Column, n_planes: int, dim: int, n_tables: int) -> Colum
     return _band_keys_udf(planes, n_tables, n_planes)(vec)
 
 
+def lsh_ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    n_tables: int = 4,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """The candidate set `lsh_ann_topk` scores: one row per distinct
+    (query_id, neighbor_id) bucket collision across all tables/probes,
+    carrying both vectors. Exposed so the candidate COUNT — the thing
+    the recall levers trade against — is directly measurable
+    (quality.py reports candidates-per-query next to recall)."""
+    if not multiprobe:
+        probe_hamming = 0
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parallelism).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.posexplode(
+            _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
+        ).alias("tbl", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(
+            _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
+        ).alias("tbl", "bucket"),
+    )
+    if probe_hamming >= 1:
+        probes = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        if probe_hamming >= 2:
+            probes += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        q = q.select(
+            "query_id", "qvec", "tbl", F.explode(F.array(*probes)).alias("bucket")
+        )
+    return (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        # dedup BEFORE scoring: with L tables × (1+probes) keys the same
+        # (query, neighbor) pair collides many times; qvec/cvec are
+        # functionally dependent on the ids so keeping the first is exact
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -717,48 +773,14 @@ def lsh_ann_topk(
     pre-flight dial for sizing n_planes against corpus density.
     Recall < 1 by design; tests + quality.py measure it vs cosine_topk.
     """
-    if not multiprobe:
-        probe_hamming = 0
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(parallelism).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.posexplode(
-            _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
-        ).alias("tbl", "bucket"),
+    cand = lsh_ann_candidates(
+        corpus, queries, id_col, vec_col, n_planes, dim,
+        multiprobe, n_tables, probe_hamming,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.posexplode(
-            _table_buckets(F.col(vec_col), n_planes, dim, n_tables)
-        ).alias("tbl", "bucket"),
-    )
-    if probe_hamming >= 1:
-        probes = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
-        ]
-        if probe_hamming >= 2:
-            probes += [
-                F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                for i in range(n_planes)
-                for j in range(i + 1, n_planes)
-            ]
-        q = q.select(
-            "query_id", "qvec", "tbl", F.explode(F.array(*probes)).alias("bucket")
-        )
-    scored = (
-        c.join(F.broadcast(q), on=["tbl", "bucket"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        # dedup BEFORE scoring: with L tables × (1+probes) keys the same
-        # (query, neighbor) pair collides many times; qvec/cvec are
-        # functionally dependent on the ids so keeping the first is exact
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
-        )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (

@@ -45,12 +45,17 @@ def ann_recalls(
     lsh = _topk_sets(
         SIM.lsh_ann_topk(emb, queries, k=k, n_planes=6).collect()
     )
+    # the cost side of the recall levers: distinct candidates actually
+    # scored per query at the same defaults (bounded by
+    # n_tables·(1+probes)·bucket size; full corpus = n-1 per query)
+    n_cand = SIM.lsh_ann_candidates(emb, queries, n_planes=6).count()
     indexed, centroids = SIM.ivf_build_index(emb, n_cells=16)
     ivf = _topk_sets(
         SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=4).collect()
     )
     return {
         "ann_lsh_recall": round(_mean_recall(exact, lsh), 4),
+        "ann_lsh_candidates_per_query": round(n_cand / max(len(exact), 1), 1),
         "ann_ivf_recall": round(_mean_recall(exact, ivf), 4),
     }
 

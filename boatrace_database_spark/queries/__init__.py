@@ -23,40 +23,24 @@ for mod in (relational, analytics, advanced, llm):
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
 
 # Evaluation order. The driver walks queries() in dict order under a
-# bounded budget (each round records rows for the first ~50 of 74), so
-# ordering is the coverage lever. Round-4 rotation (r3 spent its budget
-# on the 43 never-twice-verified queries — all green):
-# tier 1 = the 24 queries whose r3 run fell outside the budget (their
-# only green rows are r1+r2), tier 2 = queries whose CODE CHANGED this
-# round (join_composite_key threshold, ann_ivf_topk build/probe split)
-# plus the r3 perf-weak dedup_embedding_cosine — changed code must
-# re-verify, tier 3 = the remaining no-oracle hash operators (cheap
-# rows-only records), tier 4 = queries green in r1+r3 (their non-r3 row
-# is the oldest), tier 5 = green in r2+r3 and the r3-verified head of
-# the old tier-4 — the most recently double-verified set costs least if
-# the budget truncates. Tiers 1-4 total exactly 50.
+# bounded budget (each round records rows for the first ~50 of the
+# catalog — 76 after round 5 added the two ANN tuning dials), so
+# ordering is the coverage lever. Round-5 rotation (r4 verified the
+# then-tiers 1-4 — 44 green + 6 rows-only, zero failures; union r3∪r4
+# covered all 74 pre-existing):
+# tier 1 = the 24 queries whose NEWEST driver row is r3 (they sat in
+# r4's tier 5) — the staleness frontier the r4 verdict told r5 to
+# clear, tier 2 = queries whose CODE CHANGED in round 5 (multi-table
+# LSH ANN rework, deterministic IVF build, cosine_pairs_lsh id-type
+# fix, minhash max_df guards) — changed code must re-verify, tier 3 =
+# the remaining no-oracle operators (cheap rows-only records), tier 4
+# = 19 of the queries green r1+r2+r4 (second-newest row r2 — the
+# oldest double-verification), tier 5 = the rest of that group plus
+# everything green r3+r4 — the most recently double-verified set costs
+# least if the budget truncates. Tiers 1-4 total exactly 50; every
+# catalog query stays green within r4∪r5.
 _ORDER = [
-    # tier 1 — no r3 row (green r1+r2 only)
-    "append_union", "sentinel_fill",
-    "regex_gate", "regex_extract", "concat_key", "running_counter",
-    "last_value_propagation", "stanza_lookahead", "date_range_explode",
-    "full_select", "agg_features", "feature_assembly", "roi_simulation",
-    "accuracy_metrics", "topk_orders", "window_rank_per_group",
-    "window_lag_lead", "rollup_agg", "cube_agg", "grouping_sets",
-    "distinct_pairs", "count_distinct_agg", "semi_join", "anti_join",
-    # tier 2 — changed in round 4 / r3 perf-weak: must re-verify
-    "join_composite_key", "ann_ivf_topk", "dedup_embedding_cosine",
-    # tier 3 — no-oracle (rows-only) hash-based operators
-    "approx_distinct_quantile", "text_rolling_hash", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_lsh_topk",
-    # tier 4 — green r1+r3; the non-r3 row is the staleness frontier
-    "outer_join", "range_join", "intersect_setop", "except_setop",
-    "scalar_battery", "json_extract", "pivot_wide", "unpivot_stack",
-    "sample_systematic", "percentile_quantile", "time_tumble",
-    "correlated_scalar_subquery", "having_filter", "min_max_by",
-    "string_agg_sorted", "window_range_frame", "moving_avg_rows",
-    "ntile_cume",
-    # tier 5 — green r2+r3 / r1+r2+r3
+    # tier 1 — newest driver row is r3 (r4's tier 5)
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",
     "embedding_cosine_topk",
     "embedding_norm_stats", "multimodal_features", "asof_join_events",
@@ -66,6 +50,29 @@ _ORDER = [
     "token_count_battery", "dedup_cluster_assign",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "join_single_key", "prefix_filter", "prefix_filter_disjunction",
+    # tier 2 — code changed/added in round 5: must (re-)verify
+    "ann_lsh_topk", "ann_ivf_topk", "ann_bucket_stats", "ivf_cell_stats",
+    "dedup_embedding_cosine", "dedup_minhash_lsh",
+    # tier 3 — remaining no-oracle (rows-only) operators
+    "dedup_simhash", "text_rolling_hash", "approx_distinct_quantile",
+    # tier 4 — green r1+r2+r4: second-newest row is r2, the oldest
+    # double-verification among the r4-green set
+    "append_union", "sentinel_fill",
+    "regex_gate", "regex_extract", "concat_key", "running_counter",
+    "last_value_propagation", "stanza_lookahead", "date_range_explode",
+    "full_select", "agg_features", "feature_assembly", "roi_simulation",
+    "accuracy_metrics", "topk_orders", "window_rank_per_group",
+    "window_lag_lead",
+    # tier 5 — most recently double-verified (r3+r4 or r2+r4)
+    "rollup_agg", "cube_agg",
+    "grouping_sets", "distinct_pairs", "count_distinct_agg",
+    "semi_join", "anti_join", "join_composite_key",
+    "outer_join", "range_join", "intersect_setop", "except_setop",
+    "scalar_battery", "json_extract", "pivot_wide", "unpivot_stack",
+    "sample_systematic", "percentile_quantile", "time_tumble",
+    "correlated_scalar_subquery", "having_filter", "min_max_by",
+    "string_agg_sorted", "window_range_frame", "moving_avg_rows",
+    "ntile_cume",
 ]
 
 if set(_ORDER) != set(_ALL_QUERIES):

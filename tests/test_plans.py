@@ -211,3 +211,22 @@ def test_race_join_is_shuffle_free(spark):
     assert "BroadcastHashJoin" in final
     assert "ShuffleExchange" not in final
     parsed.unpersist()
+
+
+def test_lsh_ann_multitable_plan_shape(spark):
+    """r5 multi-table ANN: the probe join must be a broadcast HASH join
+    on (tbl, bucket) — never a cartesian/nested-loop — with the corpus
+    side exploded map-side (one generate, no shuffle before the join)
+    and bucket keys from the Arrow kernel, not per-plane JVM folds."""
+    from boatrace_database_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    plan = _plan(spark, lsh_ann_topk(emb, queries, k=5, n_planes=6))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket keys come from one Arrow eval (ArrowEvalPython) per side —
+    # candidate scoring still uses the exact JVM aggregate fold, so the
+    # assertion is on the Arrow kernel's presence, not aggregate absence
+    assert "ArrowEvalPython" in plan, plan
