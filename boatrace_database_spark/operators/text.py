@@ -113,3 +113,36 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency (ties broken on the
+    n-gram string) — the corpus-vocabulary dial.
+
+    The companion to ``minhash_table(..., max_df=)``: before choosing a
+    boilerplate cutoff you LOOK at what the most document-frequent
+    shingles are (license headers, templates, navigation chrome all
+    surface here first). Document frequency, not occurrence count, so
+    a single spammy document cannot promote its pet phrase.
+
+    Scale shape: reuses the dedup inverted index (explode distinct
+    shingles per doc), one count-distinct aggregate with map-side
+    partials, then a k-row TakeOrdered on the (vocabulary-sized, far
+    smaller than the corpus) aggregate — the same two-exchange plan at
+    any corpus size.
+    """
+    from boatrace_database_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(df, id_col, text_col, n)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("id").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(k)
+    )

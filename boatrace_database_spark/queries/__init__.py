@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 76 after round 5 added the two ANN tuning dials), so
+# catalog — 77 after round 5 added the ANN tuning dials + ngram_topk), so
 # ordering is the coverage lever. Round-5 rotation (r4 verified the
 # then-tiers 1-4 — 44 green + 6 rows-only, zero failures; union r3∪r4
 # covered all 74 pre-existing):
@@ -52,7 +52,7 @@ _ORDER = [
     "join_single_key", "prefix_filter", "prefix_filter_disjunction",
     # tier 2 — code changed/added in round 5: must (re-)verify
     "ann_lsh_topk", "ann_ivf_topk", "ann_bucket_stats", "ivf_cell_stats",
-    "dedup_embedding_cosine", "dedup_minhash_lsh",
+    "ngram_topk", "dedup_embedding_cosine", "dedup_minhash_lsh",
     # tier 3 — remaining no-oracle (rows-only) operators
     "dedup_simhash", "text_rolling_hash", "approx_distinct_quantile",
     # tier 4 — green r1+r2+r4: second-newest row is r2, the oldest
@@ -62,9 +62,8 @@ _ORDER = [
     "last_value_propagation", "stanza_lookahead", "date_range_explode",
     "full_select", "agg_features", "feature_assembly", "roi_simulation",
     "accuracy_metrics", "topk_orders", "window_rank_per_group",
-    "window_lag_lead",
     # tier 5 — most recently double-verified (r3+r4 or r2+r4)
-    "rollup_agg", "cube_agg",
+    "window_lag_lead", "rollup_agg", "cube_agg",
     "grouping_sets", "distinct_pairs", "count_distinct_agg",
     "semi_join", "anti_join", "join_composite_key",
     "outer_join", "range_join", "intersect_setop", "except_setop",

@@ -303,6 +303,30 @@ GROUP BY f.source ORDER BY f.source
 """
 
 
+def ngram_topk(spark, sf_dir):
+    """Corpus-wide top-k n-grams by document frequency — the vocabulary
+    dial a pipeline consults before setting max_df (boilerplate
+    discovery). Oracle: the same shingle construction as the Jaccard
+    oracle, grouped by shingle instead of joined."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.top_ngrams(d, "doc_id", "text", n=3, k=25)
+
+
+NGRAM_TOPK_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM docs, unnest(generate_series(1, greatest(len(words) - 2, 0))) AS t(i)
+)
+SELECT shingle, count(DISTINCT doc_id) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle
+LIMIT 25
+"""
+
+
 def text_rolling_hash(spark, sf_dir):
     """Character-level polynomial rolling hash (document fingerprinting
     via higher-order fold — no oracle; validated in unit tests against
@@ -562,6 +586,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "token_count_battery": token_count_battery,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -584,6 +609,7 @@ ORACLES = {
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "token_count_battery": TOKEN_COUNT_SQL,
     "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
+    "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,

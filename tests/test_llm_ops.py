@@ -518,3 +518,20 @@ def test_minhash_max_df_degenerate_cap_raises(spark):
     )
     with pytest.raises(ValueError, match="max_df"):
         D.minhash_table(docs, "doc_id", "text", max_df=0.1)
+
+
+def test_top_ngrams_matches_python(spark, docs):
+    """top_ngrams = document frequency of distinct per-doc 3-gram
+    shingles, verified against a direct Python recount."""
+    from collections import Counter
+
+    got = TX.top_ngrams(docs, "doc_id", "text", n=3, k=10).collect()
+    df_count: Counter = Counter()
+    for r in docs.select("doc_id", "text").collect():
+        words = r.text.split()
+        sh = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        df_count.update(sh)
+    expected = sorted(
+        df_count.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert [(r.shingle, r.doc_freq) for r in got] == expected
