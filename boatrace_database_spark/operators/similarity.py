@@ -280,6 +280,49 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def ivf_add_to_index(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally extend a built IVF index: assign NEW vectors to
+    the EXISTING cells (no retrain) and append them to the inverted
+    file — the standard maintenance path for a growing corpus, since
+    the coarse quantizer only needs to reflect the broad distribution.
+
+    Returns the extended inverted file (same schema as
+    ``ivf_build_index``'s); with a persisted index the equivalent is
+    appending the assigned rows to the cell-partitioned table. Watch
+    ``ivf_cell_stats`` as data accumulates: when new data drifts from
+    the trained distribution, max_cell balloons relative to avg_cell —
+    the signal to retrain rather than keep appending.
+    """
+    import numpy as np
+
+    spark = indexed.sparkSession
+    C = np.array(
+        [r.centroid for r in centroids.orderBy("cell").collect()],
+        dtype=np.float64,
+    )
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        M = bc.value
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = -2.0 * (A @ M.T) + np.einsum("ij,ij->i", M, M)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    addition = new_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", nearest_cell(F.col("cvec")))
+    return indexed.unionByName(addition)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

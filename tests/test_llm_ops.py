@@ -535,3 +535,33 @@ def test_top_ngrams_matches_python(spark, docs):
         df_count.items(), key=lambda kv: (-kv[1], kv[0])
     )[:10]
     assert [(r.shingle, r.doc_freq) for r in got] == expected
+
+
+def test_ivf_add_to_index_incremental(spark):
+    """Incremental maintenance: vectors added via ivf_add_to_index get
+    the same cell assignment the full build gives them (same
+    centroids), and a probe finds the newly-added vectors."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    indexed_old, cents = SIM.ivf_build_index(old, n_cells=8)
+    extended = SIM.ivf_add_to_index(indexed_old, cents, new)
+    # assignment parity: assigning the FULL corpus against the same
+    # centroids must agree with incremental on the added rows
+    full_assign = SIM.ivf_add_to_index(
+        indexed_old.limit(0), cents, emb
+    )
+    want = {
+        r.neighbor_id: r.cell
+        for r in full_assign.where(F.col("neighbor_id") % 5 == 0).collect()
+    }
+    got = {
+        r.neighbor_id: r.cell
+        for r in extended.where(F.col("neighbor_id") % 5 == 0).collect()
+    }
+    assert got == want and got
+    assert extended.count() == emb.count()
+    # a probe over the extended index can return added vectors
+    queries = new.where(F.col("vec_id") < 50)
+    hits = SIM.ivf_probe(extended, cents, queries, k=5, nprobe=8).collect()
+    assert hits, "probe over extended index returned nothing"
