@@ -814,6 +814,12 @@ def lsh_ann_topk(
     collided in. Candidate count is bounded by
     n_tables·(1+probes)·bucket_size — `ann_bucket_stats` is the
     pre-flight dial for sizing n_planes against corpus density.
+    This assumes the usual ANN regime: a query batch small enough to
+    broadcast (×(1+probes) probe keys). For query sets too large even
+    for that, AQE falls back to a shuffled hash join on (tbl, bucket)
+    in which corpus vectors ride the shuffle ×n_tables — at that point
+    restructure as `cosine_pairs_lsh` (symmetric near-dup banding)
+    instead of many-query top-k.
     Recall < 1 by design; tests + quality.py measure it vs cosine_topk.
     """
     cand = lsh_ann_candidates(
