@@ -94,6 +94,24 @@ def _lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 20, seed: int = 7):
     return C
 
 
+def _nearest_cell_udf(spark, C: "np.ndarray"):
+    """Arrow-batched argmin-L2 cell assignment against a broadcast
+    (n_cells × dim) centroid matrix — shared by the full build and
+    incremental add so both assign identically."""
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        M = bc.value
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = -2.0 * (A @ M.T) + np.einsum("ij,ij->i", M, M)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return nearest_cell
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -179,18 +197,7 @@ def ivf_build_index(
     X = np.stack(sample_pdf["cvec"].to_numpy()).astype(np.float64)
     C = _lloyd_kmeans(X, n_cells)
 
-    bc = spark.sparkContext.broadcast(C)
-
-    @F.pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):
-            return pd.Series(np.zeros(0, dtype=np.int32))
-        M = bc.value
-        A = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = -2.0 * (A @ M.T) + np.einsum("ij,ij->i", M, M)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-    indexed = base.withColumn("cell", nearest_cell(F.col("cvec")))
+    indexed = base.withColumn("cell", _nearest_cell_udf(spark, C)(F.col("cvec")))
     # NOTE: leave the centroid table a plain LocalRelation — Catalyst
     # inlines it into broadcast exchanges driver-side. Wrapping it in
     # coalesce(1) or localCheckpoint "to optimize" forces real jobs and
@@ -299,27 +306,14 @@ def ivf_add_to_index(
     the trained distribution, max_cell balloons relative to avg_cell —
     the signal to retrain rather than keep appending.
     """
-    import numpy as np
-
     spark = indexed.sparkSession
     C = np.array(
         [r.centroid for r in centroids.orderBy("cell").collect()],
         dtype=np.float64,
     )
-    bc = spark.sparkContext.broadcast(C)
-
-    @F.pandas_udf("int")
-    def nearest_cell(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):
-            return pd.Series(np.zeros(0, dtype=np.int32))
-        M = bc.value
-        A = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = -2.0 * (A @ M.T) + np.einsum("ij,ij->i", M, M)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
     addition = new_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("cell", nearest_cell(F.col("cvec")))
+    ).withColumn("cell", _nearest_cell_udf(spark, C)(F.col("cvec")))
     return indexed.unionByName(addition)
 
 
@@ -841,7 +835,6 @@ def lsh_ann_topk(
 
 def ann_bucket_stats(
     corpus: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
