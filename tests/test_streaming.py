@@ -676,3 +676,83 @@ def test_stream_dedup_ttl_eviction_and_readmission(spark, tmp_path):
     # the documented re-admission contract: after eviction the SAME
     # text is a fresh first-seen keeper, not a duplicate of id 1
     assert got[3] == (3, False), f"expected re-admission, got {got[3]}"
+
+
+def test_stream_minhash_ttl_eviction_and_readmission(spark, tmp_path):
+    """TTL contract on the NEAR-dup streaming op (same state machinery
+    as stream_dedup_exact, different observable): within the TTL an
+    arriving near-dup pairs with the stored bucket member; after the
+    bucket idles past the TTL it is evicted, so the text's next arrival
+    pairs with NOTHING (no cross-eviction pair) and becomes the bucket
+    member that subsequent arrivals pair against."""
+    import time
+
+    from boatrace_database_spark.streaming.ingest import stream_dedup_minhash
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    schema = base.schema
+    T = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    V = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen")
+    template = base.limit(1).collect()[0].asDict()
+
+    def row(doc_id: int, text: str):
+        d = dict(template)
+        d["doc_id"] = doc_id
+        d["text"] = text
+        return tuple(d[f.name] for f in schema.fields)
+
+    def deliver(rows, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    def pairs() -> set[tuple[int, int]]:
+        return {
+            (r.id_a, r.id_b)
+            for r in spark.sql("SELECT id_a, id_b FROM smh_ttl").collect()
+        }
+
+    def wait_for_pair(p: tuple[int, int], timeout: float = 90.0) -> None:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if p in pairs():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"pair {p} never emitted; got {pairs()}")
+
+    src = str(tmp_path / "mh_ttl_src")
+    os.makedirs(src)
+    ttl_ms = 20_000
+    q = stream_dedup_minhash(
+        spark, src, schema, query_name="smh_ttl", state_ttl_ms=ttl_ms
+    )
+    try:
+        deliver([row(1, T)], "m1", f"{src}/m1.parquet")
+        # within TTL: identical text -> est_jaccard 1.0 -> pair with
+        # the stored member
+        deliver([row(2, T)], "m2", f"{src}/m2.parquet")
+        wait_for_pair((1, 2))
+        # idle ALL buckets past the TTL, keep the stream alive with an
+        # unrelated doc, then re-deliver T twice
+        time.sleep(ttl_ms / 1000 + 3.0)
+        deliver([row(99, V)], "m3", f"{src}/m3.parquet")
+        deliver([row(3, T)], "m4", f"{src}/m4.parquet")
+        deliver([row(4, T)], "m5", f"{src}/m5.parquet")
+        wait_for_pair((3, 4))
+        got = pairs()
+    finally:
+        q.stop()
+
+    assert (1, 2) in got
+    assert (3, 4) in got, "re-admitted member must pair with later dups"
+    # eviction must be real: the re-delivered text pairs with NOTHING
+    # from before the TTL window
+    cross = {p for p in got if p[0] in (1, 2) and p[1] in (3, 4)}
+    assert not cross, f"pairs across the eviction boundary: {cross}"
