@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from boatrace_database_spark.operators.dedup import word_shingles as _word_shingles
+
 # Small English stopword core — enough for ratio features / lang-ID.
 EN_STOPWORDS = (
     "the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with",
@@ -113,6 +115,168 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def ngram_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Train/eval overlap check (decontamination): for every eval
+    document, the fraction of its distinct word n-grams that also occur
+    anywhere in the training corpus — the GPT-3-style 13-gram collision
+    test run as a relational plan.
+
+    Returns one row per eval document:
+      ``eval_id, n_ngrams, n_contaminated, contamination_rate``
+    (rate rounded to 6 dp; documents shorter than n tokens report 0/0/0).
+
+    Scale shape (100 TB train corpus):
+    - train side reduces to its DISTINCT n-gram set BEFORE the join —
+      a map-side-partial aggregate, so duplicate boilerplate n-grams
+      collapse per partition and never ride the shuffle;
+    - with ``hash_keys=True`` (default) both sides join on
+      ``xxhash64(ngram)`` so the shuffle moves 8-byte longs instead of
+      ~13-word strings (~100 bytes) — a ~10x shuffle-volume cut; a
+      collision would need ~2^32 distinct n-grams per join key space
+      (birthday bound) to matter, and only ever inflates
+      ``n_contaminated`` by the colliding gram;
+    - the join is a plain equi-join: eval is usually tiny next to train,
+      so at scale broadcast the EVAL n-gram set instead and stream the
+      train corpus past it once (flip the build side; AQE does this
+      automatically when eval fits the broadcast threshold);
+    - the final per-eval-doc rollup shuffles only (eval_id, hit) pairs.
+    """
+    def gram_table(df: DataFrame) -> DataFrame:
+        t = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                # distinct per-doc n-grams (word_shingles dedups)
+                _word_shingles(F.col(text_col), n)
+            ).alias("gram"),
+        )
+        if hash_keys:
+            t = t.select("id", F.xxhash64("gram").alias("gram"))
+        return t
+
+    parallelism = train_df.sparkSession.sparkContext.defaultParallelism
+    train_grams = (
+        gram_table(train_df.repartition(parallelism, F.col(id_col)))
+        .select("gram")
+        .distinct()
+    )
+    eval_grams = gram_table(eval_df.repartition(parallelism, F.col(id_col)))
+
+    hits = (
+        eval_grams.join(train_grams.withColumn("hit", F.lit(1)), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            # count(hit) not sum(hit): counts the non-null joins and keeps
+            # BIGINT on both engines (DuckDB sum() widens to HUGEINT).
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    # left join back to the eval ids so too-short documents (no n-grams)
+    # still report a 0/0/0 row instead of vanishing.
+    return (
+        eval_df.select(F.col(id_col).alias("eval_id"))
+        .join(hits, F.col("eval_id") == F.col("id"), "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated") / F.col("n_ngrams"), F.lit(0.0)), 6
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_n: int = 3,
+) -> DataFrame:
+    """Within-document repetition features (Gopher-style quality rules):
+    for each document and each n in 1..max_n, the duplicate-n-gram
+    fraction (1 - distinct/total, counting repeats) and the
+    top-n-gram fraction (occurrences of the most frequent n-gram /
+    total n-grams). High values flag boilerplate, keyword stuffing, and
+    degenerate generations — the Rae et al. (Gopher) repetition filters.
+
+    Output: ``id, dup_frac_1..max_n, top_frac_1..max_n`` (6 dp).
+
+    Scale shape: ONE explode over all n sizes at once (each gram tagged
+    with its n), then two aggregates — (id, n, gram) with map-side
+    partials, then (id, n) — pivoted to columns. Both shuffles are keyed
+    by document id, so a corpus-sized input moves each gram row at most
+    twice and the final table is one row per document. No Python in the
+    row path.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+
+    def grams_tagged(n: int):
+        if n == 1:
+            arr = words
+        else:
+            k = F.size(words) - (n - 1)
+            arr = F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    exploded = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.flatten(F.array(*[grams_tagged(n) for n in range(1, max_n + 1)]))
+            ).alias("gram"),
+        )
+        .select("id", F.col("gram.n").alias("n"), F.col("gram.g").alias("g"))
+    )
+    per_gram = exploded.groupBy("id", "n", "g").agg(F.count("*").alias("cnt"))
+    per_doc_n = per_gram.groupBy("id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    prof = per_doc_n.select(
+        "id",
+        "n",
+        F.round(1 - F.col("n_distinct") / F.col("total"), 6).alias("dup_frac"),
+        F.round(F.col("top_cnt") / F.col("total"), 6).alias("top_frac"),
+    )
+    wide = (
+        prof.groupBy("id")
+        .pivot("n", list(range(1, max_n + 1)))
+        .agg(
+            F.first("dup_frac").alias("dup_frac"),
+            F.first("top_frac").alias("top_frac"),
+        )
+    )
+    # pivot names columns "<n>_dup_frac"; rename to dup_frac_<n> and
+    # zero-fill docs too short for the larger n (no n-grams at that n).
+    cols = [F.col("id")]
+    for n in range(1, max_n + 1):
+        cols.append(
+            F.coalesce(F.col(f"{n}_dup_frac"), F.lit(0.0)).alias(f"dup_frac_{n}")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{n}_top_frac"), F.lit(0.0)).alias(f"top_frac_{n}")
+        )
+    return wide.select(*cols)
 
 
 def top_ngrams(

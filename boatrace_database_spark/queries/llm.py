@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from boatrace_database_spark.operators import dedup as D
 from boatrace_database_spark.operators import multimodal as M
+from boatrace_database_spark.operators import privacy as P
 from boatrace_database_spark.operators import similarity as SIM
 from boatrace_database_spark.operators import text as TX
 from boatrace_database_spark.operators.joins import asof_join
@@ -557,6 +558,154 @@ ORDER BY p.event_id
 """
 
 
+def decontaminate_eval(spark, sf_dir):
+    """Train/eval decontamination: even doc_ids act as the training
+    corpus, odd doc_ids as the eval set; report each eval document's
+    13-gram collision rate against the training side (GPT-3-style
+    decontamination, run as a relational plan). hash_keys=True exercises
+    the scale path (xxhash64 grams ride the shuffle, not strings); the
+    oracle joins the raw strings — identical counts absent a 64-bit
+    collision."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 2 == 0)
+    ev = d.where(F.col("doc_id") % 2 == 1)
+    return TX.ngram_contamination(
+        train, ev, "doc_id", "text", n=13, hash_keys=True
+    ).orderBy("eval_id")
+
+
+DECONTAMINATE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS t(i)
+),
+train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+ev AS (SELECT * FROM grams WHERE doc_id % 2 = 1),
+hits AS (
+  SELECT ev.doc_id AS id, count(*) AS n_ngrams, count(train.g) AS n_contaminated
+  FROM ev LEFT JOIN train ON ev.g = train.g
+  GROUP BY 1
+)
+SELECT d.doc_id AS eval_id,
+       coalesce(n_ngrams, 0) AS n_ngrams,
+       coalesce(n_contaminated, 0) AS n_contaminated,
+       round(coalesce(n_contaminated / n_ngrams, 0), 6) AS contamination_rate
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
+WHERE d.doc_id % 2 = 1
+ORDER BY eval_id
+"""
+
+
+def repetition_profile(spark, sf_dir):
+    """Gopher-style within-document repetition features: duplicate and
+    top n-gram fractions for n=1..3 — the boilerplate / keyword-stuffing
+    / degenerate-generation filter of a training-data pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.repetition_profile(d, "doc_id", "text", max_n=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, nn.n, array_to_string(w[i:i+nn.n-1], ' ') AS g
+  FROM docs, (VALUES (1),(2),(3)) AS nn(n),
+       unnest(generate_series(1, greatest(len(w) - nn.n + 1, 0))) AS t(i)
+),
+per_gram AS (
+  SELECT doc_id, n, g, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, n, sum(cnt) AS total, count(*) AS nd, max(cnt) AS topc
+  FROM per_gram GROUP BY 1, 2
+)
+SELECT doc_id,
+  round(coalesce(max(CASE WHEN n = 1 THEN 1 - nd / total END), 0), 6) AS dup_frac_1,
+  round(coalesce(max(CASE WHEN n = 1 THEN topc / total END), 0), 6) AS top_frac_1,
+  round(coalesce(max(CASE WHEN n = 2 THEN 1 - nd / total END), 0), 6) AS dup_frac_2,
+  round(coalesce(max(CASE WHEN n = 2 THEN topc / total END), 0), 6) AS top_frac_2,
+  round(coalesce(max(CASE WHEN n = 3 THEN 1 - nd / total END), 0), 6) AS dup_frac_3,
+  round(coalesce(max(CASE WHEN n = 3 THEN topc / total END), 0), 6) AS top_frac_3
+FROM per_doc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def pii_redact_scrub(spark, sf_dir):
+    """PII scrub demo: compose a contact-note column from customer
+    fields (name ID run, synthetic email / phone / IP derived from
+    c_custkey), then redact it and audit per-pattern hit counts. The
+    note column is DERIVED from the driver's own customer table (like
+    concat_key) so the oracle reproduces it exactly; the operator is the
+    general `privacy.pii_redact` regex chain."""
+    c = _t(spark, sf_dir, "customer")
+    note = F.concat(
+        F.lit("segment "), F.col("c_mktsegment"),
+        F.lit(": reach "), F.col("c_name"),
+        F.lit(" at user"), F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com or +1 555 "),
+        F.lpad(F.col("c_custkey").cast("string"), 7, "0"),
+        F.lit(" ip 10.0."), (F.col("c_custkey") % 256).cast("string"), F.lit(".1"),
+    )
+    df = c.select(F.col("c_custkey").alias("id"), note.alias("note"))
+    return (
+        P.pii_redact(df, ["note"])
+        .select("id", "note", "n_email", "n_url", "n_ipv4", "n_phone", "n_id_run")
+        .orderBy("id")
+    )
+
+
+PII_REDACT_SQL = r"""
+WITH noted AS (
+  SELECT c_custkey AS id,
+         'segment ' || c_mktsegment || ': reach ' || c_name
+         || ' at user' || c_custkey || '@mail.example.com or +1 555 '
+         || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+         || ' ip 10.0.' || (c_custkey % 256) || '.1' AS note
+  FROM customer
+),
+s0 AS (
+  SELECT id, note,
+    CAST(len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+    regexp_replace(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM noted
+),
+s1 AS (
+  SELECT id, n_email,
+    CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_url,
+    regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g') AS t
+  FROM s0
+),
+s2 AS (
+  SELECT id, n_email, n_url,
+    CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+    regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT id, n_email, n_url, n_ipv4,
+    CAST(len(regexp_extract_all(t, '\+\d[\d\s().-]{7,}\d|\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}')) AS INT) AS n_phone,
+    regexp_replace(t, '\+\d[\d\s().-]{7,}\d|\(?\d{3}\)?[\s.-]\d{3}[\s.-]\d{4}', '<PHONE>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT id, n_email, n_url, n_ipv4, n_phone,
+    CAST(len(regexp_extract_all(t, '\d{6,}')) AS INT) AS n_id_run,
+    regexp_replace(t, '\d{6,}', '<ID>', 'g') AS note
+  FROM s3
+)
+SELECT id, note, n_email, n_url, n_ipv4, n_phone, n_id_run
+FROM s4 ORDER BY id
+"""
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fourth dedup modality):
     hyperplane-LSH blocking + exact cosine on bucket collisions only —
@@ -597,6 +746,9 @@ QUERIES = {
     "ivf_cell_stats": ivf_cell_stats,
     "multimodal_features": multimodal_features,
     "asof_join_events": asof_join_events,
+    "decontaminate_eval": decontaminate_eval,
+    "repetition_profile": repetition_profile,
+    "pii_redact_scrub": pii_redact_scrub,
 }
 
 ORACLES = {
@@ -620,4 +772,7 @@ ORACLES = {
     "ivf_cell_stats": None,
     "multimodal_features": MULTIMODAL_SQL,
     "asof_join_events": ASOF_SQL,
+    "decontaminate_eval": DECONTAMINATE_SQL,
+    "repetition_profile": REPETITION_SQL,
+    "pii_redact_scrub": PII_REDACT_SQL,
 }

@@ -1,0 +1,150 @@
+"""Unit tests for the round-5 training-data-pipeline operators:
+train/eval n-gram decontamination, Gopher-style repetition profiling,
+and PII redaction. Oracle parity at sf0.01 lives in test_oracle_parity;
+these cover edge semantics (short docs, hash_keys equivalence, pattern
+ordering, count/redaction agreement) on small constructed frames.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from boatrace_database_spark.operators import privacy as P
+from boatrace_database_spark.operators import text as TX
+
+
+# ---------------------------------------------------------------- contamination
+@pytest.fixture(scope="module")
+def contam_frames(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        ["id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the fence"),  # shares 3-grams
+            (11, "completely novel sentence with no overlap at all"),
+            (12, "too short"),  # < n tokens -> 0/0/0
+        ],
+        ["id", "text"],
+    )
+    return train, ev
+
+
+def _contam_map(train, ev, **kw):
+    rows = TX.ngram_contamination(train, ev, "id", "text", **kw).collect()
+    return {r.eval_id: r for r in rows}
+
+
+def test_contamination_counts_hand_checked(spark, contam_frames):
+    train, ev = contam_frames
+    got = _contam_map(train, ev, n=3, hash_keys=False)
+    # doc 10: 6 distinct 3-grams; "the quick brown", "quick brown fox",
+    # "brown fox jumps", "fox jumps over" and "jumps over the" occur in
+    # train doc 1; "over the fence" does not.
+    assert got[10].n_ngrams == 6
+    assert got[10].n_contaminated == 5
+    assert got[10].contamination_rate == pytest.approx(5 / 6, abs=1e-6)
+    assert got[11].n_contaminated == 0
+    assert got[11].contamination_rate == 0.0
+    # shorter than n: reports a 0/0/0 row rather than vanishing
+    assert got[12].n_ngrams == 0
+    assert got[12].n_contaminated == 0
+    assert got[12].contamination_rate == 0.0
+
+
+def test_contamination_hash_keys_equivalent(spark, contam_frames):
+    train, ev = contam_frames
+    plain = _contam_map(train, ev, n=3, hash_keys=False)
+    hashed = _contam_map(train, ev, n=3, hash_keys=True)
+    assert set(plain) == set(hashed)
+    for k in plain:
+        assert (plain[k].n_ngrams, plain[k].n_contaminated) == (
+            hashed[k].n_ngrams,
+            hashed[k].n_contaminated,
+        )
+
+
+def test_contamination_self_overlap_is_total(spark, contam_frames):
+    train, _ = contam_frames
+    got = _contam_map(train, train, n=3, hash_keys=True)
+    for r in got.values():
+        assert r.contamination_rate == 1.0
+
+
+# ---------------------------------------------------------------- repetition
+def test_repetition_profile_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 words, 1 distinct
+            (2, "a b c d"),          # all distinct
+            (3, "ab"),               # 1 word: no 2/3-grams
+        ],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in TX.repetition_profile(df, "id", "text", max_n=3).collect()}
+    r1 = rows[1]
+    assert r1.dup_frac_1 == pytest.approx(0.75)   # 1 - 1/4
+    assert r1.top_frac_1 == 1.0
+    assert r1.dup_frac_2 == pytest.approx(1 - 1 / 3)  # "a a" x3
+    assert r1.top_frac_2 == 1.0
+    assert r1.dup_frac_3 == pytest.approx(0.5)    # "a a a" x2
+    r2 = rows[2]
+    for c in ("dup_frac_1", "dup_frac_2", "dup_frac_3"):
+        assert getattr(r2, c) == 0.0
+    assert r2.top_frac_1 == pytest.approx(0.25)
+    # doc 3 too short for n>=2: zero-filled, not missing
+    r3 = rows[3]
+    assert r3.dup_frac_2 == 0.0 and r3.top_frac_3 == 0.0
+    assert r3.top_frac_1 == 1.0
+
+
+# ---------------------------------------------------------------- PII redaction
+def test_redact_patterns_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail a.user+tag@example.co.uk, site https://x.io/p?q=1, "
+                "host 192.168.0.1, call +1 (555) 123-4567, acct 1234567890",
+            ),
+            (2, "nothing sensitive here"),
+        ],
+        ["id", "t"],
+    )
+    out = {r.id: r for r in P.pii_redact(df, ["t"]).collect()}
+    r1 = out[1]
+    assert "<EMAIL>" in r1.t and "<URL>" in r1.t and "<IP>" in r1.t
+    assert "<PHONE>" in r1.t and "<ID>" in r1.t
+    # the email's local-part digits were consumed by the email pattern,
+    # not double-counted as an id_run; each pattern hit exactly once
+    assert (r1.n_email, r1.n_url, r1.n_ipv4, r1.n_phone, r1.n_id_run) == (
+        1, 1, 1, 1, 1,
+    )
+    r2 = out[2]
+    assert r2.t == "nothing sensitive here"
+    assert (r2.n_email, r2.n_url, r2.n_ipv4, r2.n_phone, r2.n_id_run) == (
+        0, 0, 0, 0, 0,
+    )
+
+
+def test_redact_multi_column_counts_sum(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com writes", "see https://a.io and c@d.org")],
+        ["id", "x", "y"],
+    )
+    r = P.pii_redact(df, ["x", "y"]).collect()[0]
+    assert r.n_email == 2 and r.n_url == 1
+    assert r.x == "<EMAIL> writes"
+    assert r.y == "see <URL> and <EMAIL>"
+
+
+def test_redact_no_counts_mode(spark):
+    df = spark.createDataFrame([(1, "a@b.com")], ["id", "t"])
+    out = P.pii_redact(df, ["t"], with_counts=False)
+    assert out.columns == ["id", "t"]
+    assert out.collect()[0].t == "<EMAIL>"
