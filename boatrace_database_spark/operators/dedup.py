@@ -421,7 +421,7 @@ def dedup_clusters(
 # --------------------------------------------------------------------------
 # SimHash
 def simhash_table(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2, bits: int = 64
 ) -> DataFrame:
     """(id, sim) SimHash per row: per-shingle xxhash64, weighted majority
     per bit.
@@ -429,11 +429,13 @@ def simhash_table(
     Scalable form: explode shingles -> one groupBy with `bits` static
     bit-vote aggregates (shift amounts must be Python ints — Spark's
     shiftright takes no column offset). One shuffle on id, map-side
-    partial sums. Default 32 bits: the generated aggregate method is
-    half the size of 64 (whole-stage codegen compiles quickly instead
-    of falling back) at Hamming resolution still ample for near-dup
-    thresholds — pass bits=64 when finer granularity is worth the
-    compile cost.
+    partial sums. Default 64 bits (the Manku et al. fingerprint width):
+    a 10x replicated-corpus probe (scripts/scale_dedup_bench.py)
+    measured 32-bit saturating at 50k docs — random Hamming-<=4
+    collisions (~1e-5 of all pairs in a 32-bit space) tripled the pair
+    count over linear, while 64-bit held linearity 0.99 for +40% CPU
+    (the wider codegen'd aggregate). Pass bits=32 only for small
+    corpora where compile time dominates.
     """
     sh = shingle_table(df, id_col, text_col, shingle_n).withColumn(
         "h", F.xxhash64("shingle")
@@ -461,20 +463,33 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 4,
+    max_hamming: int = 8,
     shingle_n: int = 2,
     max_bucket: int = 256,
-    bits: int = 32,
+    bits: int = 64,
+    chunk_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded on 8-bit chunks.
+    """Near-dup pairs by SimHash Hamming distance, banded on signature
+    chunks.
 
-    Blocking: bits/8 8-bit chunks — a pair within Hamming distance <
-    bits/8 must share at least one chunk exactly (pigeonhole), and
-    wider distances still collide with high probability. Random
-    non-dup pairs share a given chunk w.p. 1/256, so candidate noise
-    stays small; degenerate buckets are capped (_cap_buckets).
+    Blocking: bits/chunk_bits chunks — a pair within Hamming distance <
+    n_chunks must share at least one chunk exactly (pigeonhole; the
+    64/8 default guarantees distance <= 7 and covers max_hamming=8 with
+    high probability), and wider distances still collide often. Random
+    non-dup pairs share a given chunk w.p. 2^-chunk_bits, so candidate
+    noise stays small; degenerate buckets are capped (_cap_buckets).
+
+    Defaults are the 64-bit operating point (max_hamming 8/64 ~= the
+    old 4/32 similarity cutoff): the 10x scale probe
+    (scripts/scale_dedup_bench.py) showed 32-bit random collisions
+    tripling the pair count at 50k docs; 64-bit restores linearity.
+    At much larger corpora raise ``chunk_bits`` to 16 (4 chunks,
+    2^-16 chunk-collision noise) to keep candidate volume — which
+    grows with per-bucket occupancy squared — in check, trading away
+    the pigeonhole guarantee for distances >= 4.
     """
-    n_chunks = bits // 8
+    n_chunks = bits // chunk_bits
+    chunk_mask = (1 << chunk_bits) - 1
     sig = simhash_table(df, id_col, text_col, shingle_n, bits)
     chunked = sig.select(
         "id",
@@ -484,8 +499,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("sim", c * 8)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.shiftright("sim", c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("key"),
                     )
                     for c in range(n_chunks)

@@ -81,7 +81,7 @@ def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
     sh = {
         (r.id_a, r.id_b)
-        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()
     }
     return {
         "minhash_lsh_recall": round(len(exact & mh) / len(exact), 4),

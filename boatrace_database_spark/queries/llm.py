@@ -84,7 +84,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, "doc_id", "text", max_hamming=4).orderBy("id_a", "id_b")
+    return D.simhash_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------

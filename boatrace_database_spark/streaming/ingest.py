@@ -422,19 +422,22 @@ def stream_dedup_simhash(
     schema: StructType,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 4,
+    max_hamming: int = 8,
     shingle_n: int = 2,
-    bits: int = 32,
+    bits: int = 64,
+    chunk_bits: int = 8,
     max_members: int = 256,
     query_name: str = "stream_simhash",
     state_ttl_ms: int | None = None,
 ) -> StreamingQuery:
     """Streaming SimHash near-dup: the third member of the streaming
     dedup family (exact → MinHash → SimHash), same first-seen state
-    contract as its siblings. Defaults (max_hamming=4, shingle_n=2,
-    bits=32) match batch ``simhash_pairs`` exactly, so the twins agree
-    out of the box; ``state_ttl_ms`` and the ``max_members`` capped-
-    regime caveat behave as documented on ``stream_dedup_minhash``.
+    contract as its siblings. Defaults (max_hamming=8, shingle_n=2,
+    bits=64, chunk_bits=8) match batch ``simhash_pairs`` exactly, so
+    the twins agree out of the box (64-bit is the scale-safe width —
+    see the batch docstring's saturation measurement); ``state_ttl_ms``
+    and the ``max_members`` capped-regime caveat behave as documented
+    on ``stream_dedup_minhash``.
 
     Per-row signatures: the batch operator bit-votes with a groupBy
     over exploded shingles; here the SAME ``bits`` votes come from
@@ -452,7 +455,8 @@ def stream_dedup_simhash(
 
     from boatrace_database_spark.operators.dedup import word_shingles
 
-    n_chunks = bits // 8
+    n_chunks = bits // chunk_bits
+    chunk_mask = (1 << chunk_bits) - 1
     docs = spark.readStream.schema(schema).parquet(source_dir)
     shingled = docs.select(
         F.col(id_col).alias("id"),
@@ -484,8 +488,8 @@ def stream_dedup_simhash(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("sim", c * 8)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.shiftright("sim", c * chunk_bits)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("key"),
                     )
                     for c in range(n_chunks)

@@ -1,0 +1,246 @@
+"""10x scale-up evidence for the dedup family (r5: the parse path got
+its 100x treatment in scale_parse_bench.py; this is the same contract
+for the LLM-pipeline operators).
+
+Corpus construction — replicas must NOT collide across copies, or the
+pair structure changes character (every doc would gain R-1 exact
+twins and the run measures duplicate blowup, not throughput):
+  - documents: replica k rewrites every word w -> w || "r<k>"
+    (JVM transform, no Python). A per-replica bijection on the
+    vocabulary: within-replica shingle sets and Jaccard relations are
+    IDENTICAL to the original corpus, across-replica shingle sets are
+    fully disjoint. So for the EXACT operators the output must scale
+    exactly linearly (pairs_Rx == R * pairs_1x — asserted); for the
+    hash-based ones approximately (signature hash values differ per
+    replica, so borderline pairs near the threshold may flip — the
+    drift is reported, not asserted).
+  - embeddings: replica k flips each dimension's sign by a
+    deterministic per-(replica, dim) xxhash64 bit. Sign flips preserve
+    norms and within-replica cosines exactly; cross-replica cosines
+    are re-randomized (near-isotropic corpus -> almost never above the
+    0.45 pair threshold), so LSH-cosine pairs scale ~linearly too.
+
+Both scaled corpora are WRITTEN to /tmp parquet (multiple files) so
+the measured runs scan from disk with real input splits, like the
+bench.py queries they mirror.
+
+Measures at 1x and Rx on local[$SPARK_GRAFT_CPUS]:
+  time, pairs, linearity (pairs_Rx / (R * pairs_1x)), time ratio
+  (ideal = R at fixed cores since work is R-fold), and max/median task
+  balance of the heaviest stage via the Spark REST API (<3x bar, same
+  as the parse bench).
+
+Usage: SPARK_GRAFT_UI=true python scripts/scale_dedup_bench.py
+(prints one JSON line on stdout; human detail on stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DOCS_DST = f"/tmp/scale_docs_{REPLICAS}x.parquet"
+EMB_DST = f"/tmp/scale_emb_{REPLICAS}x.parquet"
+EMB_1X_DST = "/tmp/scale_emb_1x.parquet"
+
+
+def build_docs(spark, replicas: int, dst: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dst):
+        return
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = []
+    for k in range(replicas):
+        suffix = F.lit(f"r{k}")
+        remapped = F.array_join(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: F.concat(w, suffix),
+            ),
+            " ",
+        )
+        parts.append(
+            base.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                (F.col("text") if k == 0 else remapped).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    n_parts = spark.sparkContext.defaultParallelism
+    out.repartition(n_parts, "doc_id").write.mode("overwrite").parquet(dst)
+
+
+def build_embeddings(spark, replicas: int, dst: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dst):
+        return
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # the raw corpus has no >=0.9 pairs, so the deep-band near-dup
+    # regime needs PLANTED near-dups: every 50th vector gets a copy
+    # with its first component zeroed (cos ~ 0.99), same recipe as
+    # tests/test_llm_ops.test_cosine_pairs_lsh_deep_bands_planted.
+    planted = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"),
+        F.concat(F.array(F.lit(0.0)), F.slice("embedding", 2, 63)).alias(
+            "embedding"
+        ),
+    )
+    seeded = base.select("vec_id", "embedding").unionByName(planted)
+    parts = []
+    for k in range(replicas):
+        # deterministic ±1 per (replica, dim): sign = parity bit of
+        # xxhash64(k, dim). Sign flips preserve norms and ALL
+        # within-replica cosines (including vector<->planted-copy).
+        flipped = F.transform(
+            F.col("embedding"),
+            lambda v, i: F.when(
+                F.xxhash64(F.lit(k), i) % 2 == 0, v
+            ).otherwise(-v),
+        )
+        parts.append(
+            seeded.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                (F.col("embedding") if k == 0 else flipped).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    n_parts = spark.sparkContext.defaultParallelism
+    out.repartition(n_parts, "vec_id").write.mode("overwrite").parquet(dst)
+
+
+# ---- task-balance probing via the Spark REST API (same as parse bench)
+import urllib.request
+
+
+def _api(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def _app_id(spark) -> str:
+    return _api(spark, "/applications")[0]["id"]
+
+
+def stage_ids(spark) -> set[int]:
+    app = _app_id(spark)
+    return {s["stageId"] for s in _api(spark, f"/applications/{app}/stages")}
+
+
+def heaviest_stage_balance(spark, new_ids: set[int]) -> dict:
+    app = _app_id(spark)
+    stages = [
+        s
+        for s in _api(spark, f"/applications/{app}/stages?status=COMPLETE")
+        if s["stageId"] in new_ids and s.get("executorRunTime", 0) >= 500
+    ]
+    if not stages:
+        return {}
+    stage = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    q = _api(
+        spark,
+        f"/applications/{app}/stages/{stage['stageId']}/"
+        f"{stage['attemptId']}/taskSummary?quantiles=0.0,0.5,0.95,1.0",
+    )
+    run = q["executorRunTime"]
+    return {
+        "stage_id": stage["stageId"],
+        "num_tasks": stage["numTasks"],
+        "task_ms_median": run[1],
+        "task_ms_max": run[3],
+        "max_over_median": round(run[3] / max(run[1], 1e-9), 2),
+    }
+
+
+def timed_pairs(spark, fn) -> tuple[float, int, dict]:
+    before = stage_ids(spark)
+    t0 = time.perf_counter()
+    n = fn().count()
+    dt = time.perf_counter() - t0
+    bal = heaviest_stage_balance(spark, stage_ids(spark) - before)
+    return dt, n, bal
+
+
+def main() -> None:
+    from boatrace_database_spark.operators import dedup as D
+    from boatrace_database_spark.operators import similarity as SIM
+    from boatrace_database_spark.session import get_spark
+
+    spark = get_spark("scale-dedup-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_docs(spark, REPLICAS, DOCS_DST)
+    build_embeddings(spark, REPLICAS, EMB_DST)
+    build_embeddings(spark, 1, EMB_1X_DST)  # planted 1x baseline
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docsN = spark.read.parquet(DOCS_DST)
+    emb1 = spark.read.parquet(EMB_1X_DST)
+    embN = spark.read.parquet(EMB_DST)
+
+    ops = {
+        "dedup_exact": lambda d: D.exact_dedup(d, ["text"], "doc_id"),
+        "ngram_jaccard": lambda d: D.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.5
+        ),
+        "minhash_lsh": lambda d: D.minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
+        ),
+        "simhash": lambda d: D.simhash_pairs(d, "doc_id", "text"),
+        # deep-band near-dup regime (threshold 0.9, r=8): the documented
+        # scale configuration. The shallow catalog-demo config (0.45,
+        # r=2) keeps ~90% of all pairs as candidates BY DESIGN and was
+        # measured once at 10x: 439 s vs 1.7 s at 1x — the quadratic
+        # candidate blowup the docstring warns about. Do not re-run it
+        # at scale; that finding lives in BENCHNOTES.
+        "cosine_lsh_deep": lambda d: SIM.cosine_pairs_lsh(
+            d, threshold=0.9, bands=4, rows_per_band=8, dim=64
+        ),
+    }
+    exact_ops = {"dedup_exact", "ngram_jaccard"}
+
+    # warmup (codegen + python worker pool)
+    ops["minhash_lsh"](docs1).count()
+    ops["cosine_lsh_deep"](emb1).count()
+
+    results = {}
+    for name, fn in ops.items():
+        small, big = (emb1, embN) if name == "cosine_lsh_deep" else (docs1, docsN)
+        dt1, n1, _ = timed_pairs(spark, lambda: fn(small))
+        dtN, nN, bal = timed_pairs(spark, lambda: fn(big))
+        linearity = round(nN / max(REPLICAS * n1, 1), 4)
+        results[name] = {
+            "t_1x": round(dt1, 2),
+            "t_Rx": round(dtN, 2),
+            "time_ratio": round(dtN / max(dt1, 1e-9), 2),
+            "rows_1x": n1,
+            "rows_Rx": nN,
+            "linearity": linearity,
+            "balance_Rx": bal,
+        }
+        print(f"{name}: {results[name]}", file=sys.stderr)
+        if name in exact_ops and name == "ngram_jaccard":
+            assert nN == REPLICAS * n1, (name, n1, nN)
+        if name == "dedup_exact":
+            # groups (one per distinct text) scale exactly linearly
+            assert nN == REPLICAS * n1, (name, n1, nN)
+
+    print(json.dumps({"replicas": REPLICAS, "sf_dir": SF_DIR, "ops": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ def test_minhash_lsh_finds_exact_near_dups(docs, exact_pairs):
 
 
 def test_simhash_flags_exact_near_dups(docs, exact_pairs):
-    sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    sim = D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()
     found = {(r.id_a, r.id_b) for r in sim}
     missed = set(exact_pairs) - found
     assert len(missed) <= max(1, len(exact_pairs) // 5), (

@@ -464,10 +464,10 @@ def test_stream_simhash_matches_batch_pairs(spark, tmp_path):
         )
         shutil.copy(part, dst)
 
-    # max_hamming explicit on BOTH sides (streaming default now matches
-    # batch's 4; this parity fixture wants the richer 6-distance pair set)
+    # max_hamming explicit on BOTH sides (defaults are 8/64-bit; this
+    # parity fixture wants the richer 12-distance pair set)
     q = stream_dedup_simhash(
-        spark, src, docs.schema, max_hamming=6, max_members=10**6,
+        spark, src, docs.schema, max_hamming=12, max_members=10**6,
         query_name="ssh_t",
     )
     try:
@@ -486,7 +486,7 @@ def test_stream_simhash_matches_batch_pairs(spark, tmp_path):
     batch = {
         (r.id_a, r.id_b): r.hamming
         for r in simhash_pairs(
-            docs, "doc_id", "text", max_hamming=6, max_bucket=10**6
+            docs, "doc_id", "text", max_hamming=12, max_bucket=10**6
         ).collect()
     }
     assert batch, "corpus must contain near-dup pairs"
