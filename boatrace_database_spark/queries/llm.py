@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from boatrace_database_spark.operators import corpus as C
 from boatrace_database_spark.operators import dedup as D
 from boatrace_database_spark.operators import multimodal as M
 from boatrace_database_spark.operators import privacy as P
@@ -706,6 +707,81 @@ FROM s4 ORDER BY id
 """
 
 
+def mixture_resample_recipe(spark, sf_dir):
+    """Mixture weighting (epochs-per-source): upweight src0 to 2.5
+    copies, halve src1, drop src2, keep the rest at 1.0 — the data
+    recipe of a pretraining run, deterministic via the Knuth
+    multiplicative hash (plain integer arithmetic, so the oracle
+    reproduces the EXACT row set, not just the expectation)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.mixture_resample(
+            d,
+            "doc_id",
+            "source",
+            {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+            default_weight=1.0,
+        )
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+MIXTURE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS INT)
+         + CASE WHEN ((doc_id + 0) * 2654435761 % 4294967296)
+                     / 4294967296.0 < wt - floor(wt)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source, CAST(i - 1 AS INT) AS copy
+FROM c, unnest(generate_series(1, n_copies)) AS t(i)
+WHERE n_copies > 0
+ORDER BY doc_id, copy
+"""
+
+
+def pack_sequences_windows(spark, sf_dir):
+    """Concat-and-chunk context-window packing: documents laid
+    end-to-end per source in doc_id order; each doc assigned the
+    512-token window its first token lands in (one window cumsum —
+    no Python, no extra shuffle beyond the per-source sort)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.pack_sequences(d, "doc_id", "text", budget=512, group_col="source")
+        .select("doc_id", "source", "n_tokens", "start_offset", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS start_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
+FROM o ORDER BY doc_id
+"""
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fourth dedup modality):
     hyperplane-LSH blocking + exact cosine on bucket collisions only —
@@ -749,6 +825,8 @@ QUERIES = {
     "decontaminate_eval": decontaminate_eval,
     "repetition_profile": repetition_profile,
     "pii_redact_scrub": pii_redact_scrub,
+    "mixture_resample_recipe": mixture_resample_recipe,
+    "pack_sequences_windows": pack_sequences_windows,
 }
 
 ORACLES = {
@@ -775,4 +853,6 @@ ORACLES = {
     "decontaminate_eval": DECONTAMINATE_SQL,
     "repetition_profile": REPETITION_SQL,
     "pii_redact_scrub": PII_REDACT_SQL,
+    "mixture_resample_recipe": MIXTURE_SQL,
+    "pack_sequences_windows": PACK_SQL,
 }

@@ -143,6 +143,67 @@ def test_redact_multi_column_counts_sum(spark):
     assert r.y == "see <URL> and <EMAIL>"
 
 
+# ---------------------------------------------------------------- corpus assembly
+def test_mixture_resample_weights(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, "up" if i < 100 else ("drop" if i < 150 else "keep"))
+         for i in range(200)],
+        ["id", "src"],
+    )
+    out = C.mixture_resample(df, "id", "src", {"up": 2.5, "drop": 0.0}).collect()
+    per_id: dict[int, int] = {}
+    for r in out:
+        per_id[r.id] = per_id.get(r.id, 0) + 1
+        assert r.src != "drop"
+    # integer part guaranteed: every 'up' row has 2 or 3 copies
+    ups = [per_id[i] for i in range(100)]
+    assert set(ups) <= {2, 3}
+    # fractional part: mean approaches 2.5 (deterministic hash, fixed set)
+    assert 2.2 <= sum(ups) / len(ups) <= 2.8
+    # default weight 1.0: 'keep' rows appear exactly once, copy index 0
+    assert all(per_id[i] == 1 for i in range(150, 200))
+    # copy indices are 0..n-1 per id
+    copies = sorted(r.copy for r in out if r.id == ups.index(3))
+    assert copies == list(range(per_id[ups.index(3)]))
+
+
+def test_mixture_resample_deterministic_across_partitionings(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(i, "s") for i in range(500)], ["id", "src"])
+    a = C.mixture_resample(df, "id", "src", {"s": 1.3}).collect()
+    b = C.mixture_resample(df.repartition(13), "id", "src", {"s": 1.3}).collect()
+    assert sorted((r.id, r.copy) for r in a) == sorted((r.id, r.copy) for r in b)
+
+
+def test_pack_sequences_hand_checked(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    # group g: token counts 3, 4, 5 -> offsets 0, 3, 7; budget 5 ->
+    # packs 0, 0, 1 (doc 2 starts at 3, INSIDE window 0, even though it
+    # spills over the boundary — concat-and-chunk semantics)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "g"),
+            (2, "a b c d", "g"),
+            (3, "a b c d e", "g"),
+            (10, "x y z w v u", "h"),  # other group: independent stream
+        ],
+        ["id", "text", "src"],
+    )
+    rows = {
+        r.id: r
+        for r in C.pack_sequences(df, "id", "text", budget=5, group_col="src").collect()
+    }
+    assert (rows[1].start_offset, rows[1].pack_id) == (0, 0)
+    assert (rows[2].start_offset, rows[2].pack_id) == (3, 0)
+    assert (rows[3].start_offset, rows[3].pack_id) == (7, 1)
+    assert (rows[10].start_offset, rows[10].pack_id) == (0, 0)
+    assert rows[10].n_tokens == 6
+
+
 def test_redact_no_counts_mode(spark):
     df = spark.createDataFrame([(1, "a@b.com")], ["id", "t"])
     out = P.pii_redact(df, ["t"], with_counts=False)
