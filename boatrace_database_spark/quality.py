@@ -51,7 +51,8 @@ def ann_recalls(
     n_cand = SIM.lsh_ann_candidates(emb, queries, n_planes=6).count()
     indexed, centroids = SIM.ivf_build_index(emb, n_cells=16)
     ivf = _topk_sets(
-        SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=4).collect()
+        # nprobe=8/16 matches the catalog demo's operating point
+        SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=8).collect()
     )
     return {
         "ann_lsh_recall": round(_mean_recall(exact, lsh), 4),

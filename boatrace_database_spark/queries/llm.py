@@ -492,11 +492,17 @@ def ivf_index_for(spark, sf_dir, n_cells=16):
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate NN: cell probing against the prebuilt k-means
     index (no oracle — k-means training; recall vs brute force asserted
-    in tests). First call per session builds + caches the index."""
+    in tests). First call per session builds + caches the index.
+
+    nprobe=8 of 16 cells: recall 0.77 on this near-isotropic corpus
+    (the hardest regime — no cluster structure to exploit) while the
+    probe still prunes half the cell files (partition pruning is
+    plan-asserted either way). The full recall-vs-nprobe curve is in
+    BENCHNOTES §7; a clustered real corpus sits far above this line."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
     indexed, centroids = ivf_index_for(spark, sf_dir)
-    return SIM.ivf_probe(indexed, centroids, queries, k=5, nprobe=4).orderBy(
+    return SIM.ivf_probe(indexed, centroids, queries, k=5, nprobe=8).orderBy(
         "query_id", "rk"
     )
 
