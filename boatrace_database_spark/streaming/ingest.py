@@ -13,6 +13,9 @@ same pipeline incremental:
   incremental exact and NEAR-dup detection with first-seen state
   contracts — the streaming twins of operators/dedup's hash-groupBy,
   LSH-banded, and chunk-blocked paths.
+- `stream_decontaminate`: per-arriving-doc n-gram contamination rate
+  against a STATIC benchmark gram set (broadcast membership — the
+  stream-static pattern; no state, no shuffle).
 - `stream_ingest_parquet` / `stream_ingest_boatrace`: file-source
   streams appending (or partition-replacing) newly arriving files into
   the warehouse via foreachBatch (exactly-once per epoch for an
@@ -536,6 +539,90 @@ def stream_dedup_simhash(
     )
     return (
         flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    query_name: str = "decontaminated",
+) -> StreamingQuery:
+    """Online decontamination gate: every arriving candidate training
+    document is scored against a STATIC benchmark/eval corpus — the
+    crawl-ingest twin of operators/text.ngram_contamination (same
+    distinct-per-doc word n-grams, same xxhash64 gram keys, value-
+    identical rates; parity tested).
+
+    Emits (doc_id, n_ngrams, n_contaminated, contamination_rate) per
+    document; filtering on a rate threshold is the caller's policy.
+
+    This is the stream-STATIC pattern, deliberately stateless: the
+    benchmark gram set is computed ONCE with the same JVM xxhash64 as
+    the batch operator, collected, and broadcast to every worker —
+    membership is then a per-row set lookup (Arrow-batched pandas UDF;
+    gram hashing itself stays JVM-side in the stream's projection). No
+    state store, no shuffle, no watermark: throughput is scan-bound.
+
+    Direction matters at scale: eval/benchmark suites are small (1e5-1e6
+    grams = a few MB broadcast — this op's regime). To report overlap
+    against the 100 TB TRAIN side instead, use the batch operator,
+    whose distinct-gram reduce + equi-join does not need either side to
+    fit in memory.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from boatrace_database_spark.operators.dedup import word_shingles
+
+    bench_hashes = set(
+        r.g
+        for r in benchmark_df.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("g"))
+        .distinct()
+        .collect()
+    )
+    bset = spark.sparkContext.broadcast(bench_hashes)
+
+    @pandas_udf("int")
+    def n_hits(grams):  # pd.Series[array<long>] -> pd.Series[int]
+        s = bset.value
+        return grams.apply(lambda a: int(sum(1 for g in a if g in s)))
+
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    grams = F.transform(
+        word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
+    )
+    scored = (
+        docs.select(F.col(id_col).alias("doc_id"), grams.alias("_grams"))
+        .select(
+            "doc_id",
+            # cast to long so the schema matches the batch twin's counts
+            F.size("_grams").cast("long").alias("n_ngrams"),
+            n_hits("_grams").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(
+                F.when(F.col("n_ngrams") > 0,
+                       F.col("n_contaminated") / F.col("n_ngrams"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+    return (
+        scored.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

@@ -756,3 +756,54 @@ def test_stream_minhash_ttl_eviction_and_readmission(spark, tmp_path):
     # from before the TTL window
     cross = {p for p in got if p[0] in (1, 2) and p[1] in (3, 4)}
     assert not cross, f"pairs across the eviction boundary: {cross}"
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: arriving docs scored against a
+    static benchmark gram set equals the batch ngram_contamination
+    report (same xxhash64 gram keys), including 0/0/0 rows for docs
+    shorter than n, across a two-chunk replay."""
+    from boatrace_database_spark.operators.text import ngram_contamination
+    from boatrace_database_spark.streaming.ingest import stream_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "decon_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_decontaminate(
+        spark, src, docs.schema, bench, n=5, query_name="decon_t"
+    )
+    try:
+        mid = 250
+        deliver(arriving.where(F.col("doc_id") < mid), "d1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(arriving.where(F.col("doc_id") >= mid), "d2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.n_ngrams, r.n_contaminated, r.contamination_rate)
+            for r in spark.sql("SELECT * FROM decon_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.eval_id: (r.n_ngrams, r.n_contaminated, r.contamination_rate)
+        for r in ngram_contamination(
+            bench, arriving, "doc_id", "text", n=5, hash_keys=True
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    assert any(v[1] > 0 for v in batch.values()), "fixture must overlap"
+    for doc_id, vals in batch.items():
+        assert got[doc_id] == vals, (doc_id, got[doc_id], vals)
