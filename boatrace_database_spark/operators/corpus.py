@@ -22,10 +22,24 @@ _KNUTH = 2654435761
 
 def _unit_hash(col, salt: int):
     """Deterministic uniform-ish [0,1) from an integer id column —
-    identical arithmetic on any SQL engine: ((id+salt)*K mod 2^32)/2^32."""
-    return (
-        ((col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(2**32)
-    ).cast("double") / F.lit(float(2**32))
+    identical arithmetic on any SQL engine: (x*K mod 2^32)/2^32 with
+    x = (id mod 2^32 + salt) mod 2^32.
+
+    The multiply is split into 16-bit halves (K*lo + (K*hi mod 2^32)
+    << 16, all mod 2^32) so every intermediate stays below 2^49: a
+    naive (id+salt)*K overflows int64 for ids >= ~3.5e9 — which ANSI
+    Spark turns into a query-killing ARITHMETIC_OVERFLOW, and which
+    matters precisely at the multi-billion-row scale this module is
+    for. For ids < 2^32 the value is identical to the naive formula.
+    """
+    m32 = F.lit(2**32)
+    x = ((col % m32) + F.lit(salt)) % m32
+    lo = x % F.lit(65536)
+    hi = F.floor(x / F.lit(65536))
+    h = (
+        lo * F.lit(_KNUTH) + ((hi * F.lit(_KNUTH)) % m32) * F.lit(65536)
+    ) % m32
+    return h.cast("double") / F.lit(float(2**32))
 
 
 def mixture_resample(

@@ -44,7 +44,7 @@ def redact(text: Column, patterns: list[tuple[str, str, str]] | None = None) -> 
 def pii_counts(
     text: Column, patterns: list[tuple[str, str, str]] | None = None
 ) -> dict[str, Column]:
-    """Per-pattern match counts on the ORIGINAL text (audit trail).
+    """Per-pattern match counts for the audit trail.
 
     Counts are taken pattern-by-pattern on progressively redacted text,
     mirroring `redact`'s order, so a substring claimed by an earlier
@@ -79,9 +79,12 @@ def pii_redact(
     for c in text_cols:
         out_cols[c] = redact(F.col(c), pats)
     if with_counts:
+        # one progressive-redaction count chain per column, reused for
+        # every pattern (not rebuilt per pattern — P*C trees, not P^2*C)
+        per_col = {c: pii_counts(F.col(c), pats) for c in text_cols}
         for name, _pat, _tok in pats:
             out_cols[f"n_{name}"] = sum(
-                (pii_counts(F.col(c), pats)[f"n_{name}"] for c in text_cols),
+                (per_col[c][f"n_{name}"] for c in text_cols),
                 start=F.lit(0),
             )
     return df.withColumns(out_cols)

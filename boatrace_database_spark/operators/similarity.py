@@ -4,11 +4,13 @@
   aggregate (JVM higher-order functions, no Python). The query side is
   tiny -> broadcast; the corpus scan is one pass, no shuffle until the
   per-query top-k (window over k·|queries| rows).
-- LSH-bucketed ANN: random-hyperplane signs as the bucket key. Planes
-  are derived deterministically from xxhash64(dim, plane) so the
-  operator needs no stored model. At 100 TB: bucket key is computed in
-  the scan, candidates co-shuffle by bucket, each bucket's top-k is
-  local; recall tunes with n_planes/probes.
+- LSH-bucketed ANN: random-hyperplane signs as the bucket key, L
+  independent plane tables OR'd (multi-table LSH) with Hamming-<=2
+  multiprobe. Planes are seeded Rademacher draws computed in a
+  vectorized Arrow kernel (_table_buckets) — no stored model. At
+  100 TB: bucket keys are computed in the scan, candidates co-shuffle
+  by (table, bucket), each bucket's top-k is local; recall tunes with
+  n_planes / n_tables / probe depth.
 """
 
 from __future__ import annotations
@@ -307,10 +309,19 @@ def ivf_add_to_index(
     the signal to retrain rather than keep appending.
     """
     spark = indexed.sparkSession
-    C = np.array(
-        [r.centroid for r in centroids.orderBy("cell").collect()],
-        dtype=np.float64,
-    )
+    rows = centroids.orderBy("cell").collect()
+    # the shared assignment UDF returns POSITIONAL argmin indices into
+    # C, so row position must equal cell id: a centroid table with
+    # gaps (e.g. a caller dropped a drained cell) would silently
+    # mis-assign every vector after the gap — refuse instead.
+    cells = [r.cell for r in rows]
+    if cells != list(range(len(rows))):
+        raise ValueError(
+            f"centroid cells must be the gapless sequence 0..{len(rows) - 1} "
+            f"(got {cells}); rebuild the index rather than appending to a "
+            "filtered centroid table"
+        )
+    C = np.array([r.centroid for r in rows], dtype=np.float64)
     addition = new_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     ).withColumn("cell", _nearest_cell_udf(spark, C)(F.col("cvec")))
@@ -656,41 +667,6 @@ ORDER BY id_a, id_b
 """
 
 
-def hyperplane_signs(
-    vec: Column, n_planes: int, dim: int, plane_offset: int = 0
-) -> Column:
-    """Deterministic random-hyperplane sign bits -> bucket key (long).
-
-    Plane p's component for dimension d is a pseudo-random value in
-    [-0.5, 0.5) derived from xxhash64(d, p) — no stored model, identical
-    on every executor, no broadcast needed. ``plane_offset`` shifts the
-    plane index space so independent hash TABLES (multi-table LSH) draw
-    disjoint plane sets: table t passes ``plane_offset=t*n_planes``.
-    """
-    def plane_dot(p_local: int) -> Column:
-        p = p_local + plane_offset
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d: (
-                F.pmod(F.xxhash64(d, F.lit(p)), F.lit(1000)).cast("double") / 1000.0
-                - 0.5
-            ),
-        )
-        return F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # plane index must be a Python int (shift amounts are static in Spark)
-    total = F.lit(0).cast("long")
-    for p in range(n_planes):
-        total = total + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return total
-
-
 #: plane-stream seed for the ANN tables — distinct from
 #: cosine_pairs_lsh's banding seed so ANN buckets and near-dup bands
 #: are independent draws even on the same corpus
@@ -781,8 +757,14 @@ def lsh_ann_topk(
     multiprobe: bool = True,
     n_tables: int = 4,
     probe_hamming: int = 2,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH.
+
+    ``candidates``: a precomputed (persisted) ``lsh_ann_candidates``
+    result for the SAME corpus/queries/params — pass it when the
+    candidate set is also needed elsewhere (quality.ann_recalls counts
+    it) so the expensive generation plan runs once, not per consumer.
 
     Recall levers (both standard, composable):
 
@@ -816,9 +798,13 @@ def lsh_ann_topk(
     instead of many-query top-k.
     Recall < 1 by design; tests + quality.py measure it vs cosine_topk.
     """
-    cand = lsh_ann_candidates(
-        corpus, queries, id_col, vec_col, n_planes, dim,
-        multiprobe, n_tables, probe_hamming,
+    cand = (
+        candidates
+        if candidates is not None
+        else lsh_ann_candidates(
+            corpus, queries, id_col, vec_col, n_planes, dim,
+            multiprobe, n_tables, probe_hamming,
+        )
     )
     scored = cand.select(
         "query_id",

@@ -42,13 +42,17 @@ def ann_recalls(
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < n_queries)
     exact = _topk_sets(SIM.cosine_topk(emb, queries, k=k).collect())
-    lsh = _topk_sets(
-        SIM.lsh_ann_topk(emb, queries, k=k, n_planes=6).collect()
-    )
+    # the candidate set feeds BOTH numbers (recall's scoring input and
+    # the cost-side count), so generate it once and persist
+    cand = SIM.lsh_ann_candidates(emb, queries, n_planes=6).persist()
     # the cost side of the recall levers: distinct candidates actually
     # scored per query at the same defaults (bounded by
     # n_tables·(1+probes)·bucket size; full corpus = n-1 per query)
-    n_cand = SIM.lsh_ann_candidates(emb, queries, n_planes=6).count()
+    n_cand = cand.count()
+    lsh = _topk_sets(
+        SIM.lsh_ann_topk(emb, queries, k=k, n_planes=6, candidates=cand).collect()
+    )
+    cand.unpersist()
     indexed, centroids = SIM.ivf_build_index(emb, n_cells=16)
     ivf = _topk_sets(
         # nprobe=8/16 matches the catalog demo's operating point

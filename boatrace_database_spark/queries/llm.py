@@ -740,13 +740,21 @@ WITH w AS (
                      WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
   FROM documents
 ),
+h AS (
+  -- the overflow-safe split Knuth multiply, mirroring _unit_hash:
+  -- x = id mod 2^32; (K*lo + (K*hi mod 2^32)*2^16) mod 2^32
+  SELECT doc_id, source, wt,
+         ((doc_id % 4294967296) % 65536) * 2654435761 AS klo,
+         (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 AS khi
+  FROM w
+),
 c AS (
   SELECT doc_id, source,
          CAST(floor(wt) AS INT)
-         + CASE WHEN ((doc_id + 0) * 2654435761 % 4294967296)
+         + CASE WHEN ((klo + khi * 65536) % 4294967296)
                      / 4294967296.0 < wt - floor(wt)
                 THEN 1 ELSE 0 END AS n_copies
-  FROM w
+  FROM h
 )
 SELECT doc_id, source, CAST(i - 1 AS INT) AS copy
 FROM c, unnest(generate_series(1, n_copies)) AS t(i)

@@ -122,48 +122,9 @@ def build_embeddings(spark, replicas: int, dst: str) -> None:
     out.repartition(n_parts, "vec_id").write.mode("overwrite").parquet(dst)
 
 
-# ---- task-balance probing via the Spark REST API (same as parse bench)
-import urllib.request
-
-
-def _api(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
-        return json.load(r)
-
-
-def _app_id(spark) -> str:
-    return _api(spark, "/applications")[0]["id"]
-
-
-def stage_ids(spark) -> set[int]:
-    app = _app_id(spark)
-    return {s["stageId"] for s in _api(spark, f"/applications/{app}/stages")}
-
-
-def heaviest_stage_balance(spark, new_ids: set[int]) -> dict:
-    app = _app_id(spark)
-    stages = [
-        s
-        for s in _api(spark, f"/applications/{app}/stages?status=COMPLETE")
-        if s["stageId"] in new_ids and s.get("executorRunTime", 0) >= 500
-    ]
-    if not stages:
-        return {}
-    stage = max(stages, key=lambda s: s.get("executorRunTime", 0))
-    q = _api(
-        spark,
-        f"/applications/{app}/stages/{stage['stageId']}/"
-        f"{stage['attemptId']}/taskSummary?quantiles=0.0,0.5,0.95,1.0",
-    )
-    run = q["executorRunTime"]
-    return {
-        "stage_id": stage["stageId"],
-        "num_tasks": stage["numTasks"],
-        "task_ms_median": run[1],
-        "task_ms_max": run[3],
-        "max_over_median": round(run[3] / max(run[1], 1e-9), 2),
-    }
+# task-balance probing via the Spark REST API — shared with the parse
+# bench (scripts/spark_rest.py) so the guards cannot drift
+from spark_rest import heaviest_stage_balance, stage_ids  # noqa: E402
 
 
 def timed_pairs(spark, fn) -> tuple[float, int, dict]:
@@ -233,10 +194,9 @@ def main() -> None:
             "balance_Rx": bal,
         }
         print(f"{name}: {results[name]}", file=sys.stderr)
-        if name in exact_ops and name == "ngram_jaccard":
-            assert nN == REPLICAS * n1, (name, n1, nN)
-        if name == "dedup_exact":
-            # groups (one per distinct text) scale exactly linearly
+        # exact operators (dedup groups / Jaccard pairs) must scale
+        # EXACTLY linearly under the disjoint-replica construction
+        if name in exact_ops:
             assert nN == REPLICAS * n1, (name, n1, nN)
 
     print(json.dumps({"replicas": REPLICAS, "sf_dir": SF_DIR, "ops": results}))

@@ -26,7 +26,6 @@ import os
 import shutil
 import sys
 import time
-import urllib.request
 
 os.environ.setdefault("SPARK_GRAFT_UI", "true")  # REST API for task metrics
 
@@ -67,62 +66,12 @@ def run_e2e(spark, glob: str) -> tuple[float, int]:
     return dt, n
 
 
-def _api(spark, path: str):
-    base = spark.sparkContext.uiWebUrl
-    with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
-        return json.load(r)
-
-
-def _app_id(spark) -> str:
-    return _api(spark, "/applications")[0]["id"]
-
-
-def stage_ids(spark) -> set[int]:
-    app = _app_id(spark)
-    return {s["stageId"] for s in _api(spark, f"/applications/{app}/stages")}
-
-
-def task_balance(spark, new_ids: set[int]) -> dict:
-    """Task executorRunTime balance for the stages a phase just ran:
-    reports BOTH the widest stage (max numTasks — the per-file parse
-    scan) and the heaviest (max total executorRunTime — usually a
-    join/aggregate shuffle), via the Spark REST API."""
-    app = _app_id(spark)
-    stages = [
-        s
-        for s in _api(spark, f"/applications/{app}/stages?status=COMPLETE")
-        if s["stageId"] in new_ids
-    ]
-
-    def summarize(stage) -> dict:
-        q = _api(
-            spark,
-            f"/applications/{app}/stages/{stage['stageId']}/"
-            f"{stage['attemptId']}/taskSummary?quantiles=0.0,0.5,0.95,1.0",
-        )
-        run = q["executorRunTime"]  # ms at the requested quantiles
-        return {
-            "stage_id": stage["stageId"],
-            "num_tasks": stage["numTasks"],
-            "task_ms_median": run[1],
-            "task_ms_p95": run[2],
-            "task_ms_max": run[3],
-            "max_over_median": round(run[3] / max(run[1], 1e-9), 2),
-        }
-
-    # drop trivial stages (e.g. InMemoryFileIndex's parallel file
-    # listing: thousands of ~0 ms tasks) — balance there is meaningless
-    real = [
-        s
-        for s in stages
-        if s.get("executorRunTime", 0) >= 1000 * max(1, s["numTasks"] // 100)
-    ]
-    widest = max(real, key=lambda s: s["numTasks"])
-    heaviest = max(real, key=lambda s: s.get("executorRunTime", 0))
-    out = {"widest_stage": summarize(widest)}
-    if heaviest["stageId"] != widest["stageId"]:
-        out["heaviest_stage"] = summarize(heaviest)
-    return out
+# task-balance probing via the Spark REST API — shared with the dedup
+# bench (scripts/spark_rest.py) so the guards cannot drift
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_here))  # repo root (package import)
+sys.path.insert(0, _here)  # scripts/ (spark_rest import)
+from spark_rest import stage_ids, task_balance  # noqa: E402
 
 
 def main() -> None:

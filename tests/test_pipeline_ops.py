@@ -169,6 +169,26 @@ def test_mixture_resample_weights(spark):
     assert copies == list(range(per_id[ups.index(3)]))
 
 
+def test_mixture_resample_large_ids_no_overflow(spark):
+    """ids past 2^32 must not overflow the hash arithmetic (ANSI Spark
+    turns int64 overflow into a query-killing exception), and small ids
+    must produce the same copies as the documented naive formula."""
+    from boatrace_database_spark.operators import corpus as C
+
+    big = 2**62 + 12345
+    df = spark.createDataFrame(
+        [(7, "s"), (4_000_000_000, "s"), (big, "s")], ["id", "src"]
+    )
+    out = C.mixture_resample(df, "id", "src", {"s": 1.5}).collect()
+    per_id: dict[int, int] = {}
+    for r in out:
+        per_id[r.id] = per_id.get(r.id, 0) + 1
+    assert set(per_id) == {7, 4_000_000_000, big}
+    # id=7: naive ((7*K) % 2^32)/2^32 decides the fractional copy
+    naive = ((7 * 2654435761) % 2**32) / 2**32
+    assert per_id[7] == (2 if naive < 0.5 else 1)
+
+
 def test_mixture_resample_deterministic_across_partitionings(spark):
     from boatrace_database_spark.operators import corpus as C
 
