@@ -113,3 +113,80 @@ def test_jaccard_pairs_invariants(spark, docs):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert got[k] == pytest.approx(v, abs=1e-5), (k, got[k], v)
+
+
+@st.composite
+def mixture_case(draw):
+    n = draw(st.integers(1, 40))
+    srcs = ["a", "b", "c"]
+    rows = [(i, draw(st.sampled_from(srcs))) for i in range(n)]
+    weights = {
+        s: draw(
+            st.floats(0, 4, allow_nan=False).map(lambda x: round(x, 2))
+        )
+        for s in draw(st.lists(st.sampled_from(srcs), unique=True, max_size=3))
+    }
+    return rows, weights
+
+
+@given(mixture_case())
+@settings(**_SETTINGS)
+def test_mixture_resample_invariants(spark, case):
+    """For every row: copies in {floor(w), ceil(w)}, copy ids are
+    0..n-1, zero-weight strata vanish, and the hash decision matches
+    the documented formula recomputed in Python."""
+    from boatrace_database_spark.operators.corpus import _KNUTH, mixture_resample
+
+    rows, weights = case
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = mixture_resample(df, "id", "src", weights).collect()
+    per_id: dict[int, list[int]] = {}
+    for r in out:
+        per_id.setdefault(r.id, []).append(r.copy)
+    import math
+
+    for i, src in rows:
+        w = weights.get(src, 1.0)
+        frac = w - math.floor(w)
+        u = ((i % 2**32) * _KNUTH % 2**32) / 2**32
+        expected = math.floor(w) + (1 if u < frac else 0)
+        got = sorted(per_id.get(i, []))
+        assert len(got) == expected, (i, src, w, got)
+        assert got == list(range(expected))
+
+
+@st.composite
+def pack_case(draw):
+    n = draw(st.integers(1, 25))
+    texts = st.text(alphabet="ab ", min_size=0, max_size=30)
+    return [
+        (i, draw(texts), draw(st.sampled_from(["g", "h"])))
+        for i in range(n)
+    ], draw(st.integers(1, 20))
+
+
+@given(pack_case())
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants(spark, case):
+    """Offsets are the running token prefix-sum per group in id order;
+    pack_id = offset // budget; groups are independent streams."""
+    from boatrace_database_spark.operators.corpus import pack_sequences
+
+    rows, budget = case
+    df = spark.createDataFrame(rows, ["id", "text", "src"])
+    got = {
+        r.id: r
+        for r in pack_sequences(df, "id", "text", budget, group_col="src").collect()
+    }
+    import re
+
+    offset = {"g": 0, "h": 0}
+    for i, text, src in sorted(rows):
+        # Spark's split(trim(t), '\s+'): "" -> [""] (size 1), runs of
+        # whitespace collapse — mirror exactly
+        n_tok = len(re.split(r"\s+", text.strip()))
+        r = got[i]
+        assert r.n_tokens == n_tok, (i, text, r.n_tokens, n_tok)
+        assert r.start_offset == offset[src], (i, r.start_offset, offset[src])
+        assert r.pack_id == offset[src] // budget
+        offset[src] += n_tok
