@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 82 after round 5 added the ANN tuning dials, ngram_topk,
+# catalog — 83 after round 5 added the ANN tuning dials, ngram_topk,
 # and the decontamination / repetition / PII-redaction / mixture /
 # packing pipeline ops), so
 # ordering is the coverage lever. Round-5 rotation (r4 verified the
@@ -39,9 +39,9 @@ for mod in (relational, analytics, advanced, llm):
 # = 19 of the queries green r1+r2+r4 (second-newest row r2 — the
 # oldest double-verification), tier 5 = the rest of that group plus
 # everything green r3+r4 — the most recently double-verified set costs
-# least if the budget truncates. Tiers 1-4 total 55 (the five new
+# least if the budget truncates. Tiers 1-4 total 56 (the six new
 # pipeline ops joined tier 2), so a 50-row budget truncates tier 4's
-# last ~5 — all green in r4, keeping every catalog query green within
+# last ~6 — all green in r4, keeping every catalog query green within
 # r4∪r5.
 _ORDER = [
     # tier 1 — newest driver row is r3 (r4's tier 5)
@@ -57,6 +57,7 @@ _ORDER = [
     # tier 2 — code changed/added in round 5: must (re-)verify
     "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
     "mixture_resample_recipe", "pack_sequences_windows",
+    "training_data_pipeline",
     "ann_lsh_topk", "ann_ivf_topk", "ann_bucket_stats", "ivf_cell_stats",
     "ngram_topk", "dedup_embedding_cosine", "dedup_minhash_lsh",
     # tier 3 — remaining no-oracle (rows-only) operators

@@ -796,6 +796,150 @@ FROM o ORDER BY doc_id
 """
 
 
+def training_data_pipeline(spark, sf_dir):
+    """The full Dolma/C4-style assembly line as ONE lazy plan — proves
+    the pipeline operators COMPOSE (each stage is the real operator,
+    not a reimplementation): src0 acts as the held-out benchmark;
+    candidates flow through quality gate (text.quality_score >= 0.5)
+    -> exact dedup on the normalized fingerprint (min-id keeper)
+    -> 5-gram decontamination vs the benchmark (rate <= 0.5)
+    -> mixture weighting (src1 x2.0, src2 x0.5, rest x1.0)
+    -> 512-token context-window packing per source
+    -> per-pack stats (docs, tokens).
+
+    Packing note: after mixture the stream contains duplicate doc_ids,
+    and a running sum ordered by a non-unique key is nondeterministic —
+    so the pack order key is the unique (doc_id*4 + copy). Scale shape:
+    every stage is the operator's own plan; nothing collects, the only
+    shuffles are the stages' documented ones.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("source") == "src0")
+    cand = d.where(F.col("source") != "src0")
+
+    gated = cand.withColumn(
+        "quality", F.round(TX.quality_score(F.col("text")), 6)
+    ).where(F.col("quality") >= 0.5)
+
+    with_fp = gated.withColumn("fp", TX.fingerprint(F.col("text")))
+    keepers = with_fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = with_fp.join(keepers, on=["fp", "doc_id"])
+
+    contam = TX.ngram_contamination(
+        bench, deduped, "doc_id", "text", n=5, hash_keys=True
+    )
+    clean_ids = contam.where(F.col("contamination_rate") <= 0.5).select(
+        F.col("eval_id").alias("doc_id")
+    )
+    clean = deduped.join(clean_ids, "doc_id")
+
+    mixed = C.mixture_resample(
+        clean, "doc_id", "source", {"src1": 2.0, "src2": 0.5}, default_weight=1.0
+    )
+    packed = C.pack_sequences(
+        mixed.withColumn("pk", F.col("doc_id") * 4 + F.col("copy")),
+        "pk",
+        "text",
+        budget=512,
+        group_col="source",
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+TRAINING_PIPELINE_SQL = r"""
+WITH cand AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(lower(text)), '\s+') AS lw
+  FROM documents WHERE source != 'src0'
+),
+gated AS (
+  SELECT doc_id, source, text FROM cand
+  WHERE round((least(length(text) / 500.0, 1.0)
+         + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                / greatest(length(text), 1))
+         + least(len(list_filter(lw, x -> x IN ('the','a','an','of','to',
+                 'and','in','is','it','for','on','with')))
+                 / greatest(len(lw), 1) * 4, 1.0)) / 3, 6) >= 0.5
+),
+fp AS (
+  SELECT doc_id, source, text,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+  FROM gated
+),
+keepers AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+deduped AS (
+  SELECT fp.doc_id, fp.source, fp.text
+  FROM fp JOIN keepers k ON fp.f = k.f AND fp.doc_id = k.doc_id
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+        FROM documents WHERE source = 'src0') b,
+       unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM deduped) dd,
+       unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+),
+rates AS (
+  SELECT dg.doc_id, round(count(bgrams.g) * 1.0 / count(*), 6) AS rate
+  FROM dgrams dg LEFT JOIN bgrams ON dg.g = bgrams.g
+  GROUP BY dg.doc_id
+),
+clean AS (
+  SELECT d.* FROM deduped d LEFT JOIN rates r ON d.doc_id = r.doc_id
+  WHERE coalesce(r.rate, 0) <= 0.5
+),
+weighted AS (
+  SELECT doc_id, source, text,
+         CASE source WHEN 'src1' THEN 2.0 WHEN 'src2' THEN 0.5
+                     ELSE 1.0 END AS wt,
+         ((doc_id % 4294967296) % 65536) * 2654435761 AS klo,
+         (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 AS khi
+  FROM clean
+),
+copies AS (
+  SELECT doc_id, source, text,
+         CAST(floor(wt) AS INT)
+         + CASE WHEN ((klo + khi * 65536) % 4294967296)
+                     / 4294967296.0 < wt - floor(wt)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM weighted
+),
+mixed AS (
+  SELECT doc_id, source, text, CAST(i - 1 AS INT) AS copy,
+         doc_id * 4 + (i - 1) AS pk
+  FROM copies, unnest(generate_series(1, n_copies)) AS t(i)
+  WHERE n_copies > 0
+),
+toks AS (
+  SELECT pk, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM mixed
+),
+packed AS (
+  SELECT source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY pk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS start_offset
+  FROM toks
+)
+SELECT source, CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fourth dedup modality):
     hyperplane-LSH blocking + exact cosine on bucket collisions only —
@@ -841,6 +985,7 @@ QUERIES = {
     "pii_redact_scrub": pii_redact_scrub,
     "mixture_resample_recipe": mixture_resample_recipe,
     "pack_sequences_windows": pack_sequences_windows,
+    "training_data_pipeline": training_data_pipeline,
 }
 
 ORACLES = {
@@ -869,4 +1014,5 @@ ORACLES = {
     "pii_redact_scrub": PII_REDACT_SQL,
     "mixture_resample_recipe": MIXTURE_SQL,
     "pack_sequences_windows": PACK_SQL,
+    "training_data_pipeline": TRAINING_PIPELINE_SQL,
 }
