@@ -1,10 +1,14 @@
 """Corpus-assembly operators: the last mile of a training-data pipeline
 after scrubbing (privacy.py) and filtering (text.py) — deciding HOW MUCH
-of each source to train on (mixture_resample) and how documents map into
-fixed-size context windows (pack_sequences).
+of each source to train on (mixture_resample), WHICH rows are held out
+(split_assign), the training ORDER (global_shuffle), and how documents
+map into fixed-size context windows (pack_sequences).
 
-Both are pure DataFrame plans (window cumsum / arithmetic-hash explode):
-JVM-side, oracle-expressible, no Python in the row path.
+All are pure DataFrame plans (window cumsum / arithmetic-hash
+projection): JVM-side, oracle-expressible, no Python in the row path.
+The shared randomness primitive is the split Knuth multiplicative hash
+(`_hash32`) — reproducible by ANY engine auditing the pipeline, which
+is why it is plain integer arithmetic and not an engine builtin.
 """
 
 from __future__ import annotations
@@ -20,9 +24,9 @@ from pyspark.sql import functions as F
 _KNUTH = 2654435761
 
 
-def _unit_hash(col, salt: int):
-    """Deterministic uniform-ish [0,1) from an integer id column —
-    identical arithmetic on any SQL engine: (x*K mod 2^32)/2^32 with
+def _hash32(col, salt: int):
+    """Deterministic 32-bit integer hash of an integer id column —
+    identical arithmetic on any SQL engine: x*K mod 2^32 with
     x = (id mod 2^32 + salt) mod 2^32.
 
     The multiply is split into 16-bit halves (K*lo + (K*hi mod 2^32)
@@ -36,10 +40,17 @@ def _unit_hash(col, salt: int):
     x = ((col % m32) + F.lit(salt)) % m32
     lo = x % F.lit(65536)
     hi = F.floor(x / F.lit(65536))
-    h = (
+    return (
         lo * F.lit(_KNUTH) + ((hi * F.lit(_KNUTH)) % m32) * F.lit(65536)
     ) % m32
-    return h.cast("double") / F.lit(float(2**32))
+
+
+def _unit_hash(col, salt: int):
+    """`_hash32` scaled to [0,1): the integer is < 2^32 (exact in a
+    double) and the divisor a power of two, so the quotient is exact
+    and order-preserving — comparisons against fraction thresholds are
+    engine-portable bit-for-bit."""
+    return _hash32(col, salt).cast("double") / F.lit(float(2**32))
 
 
 def mixture_resample(
@@ -129,4 +140,114 @@ def pack_sequences(
         .withColumn(
             "pack_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
         )
+    )
+
+
+#: default salts for the id-hash ops. DISTINCT per operator on purpose:
+#: hashing the same ids with the same salt makes decisions correlated
+#: (e.g. a mixture's "extra copy" rows would all land in the same split),
+#: which silently biases the held-out set. Callers layering several
+#: hash-driven ops must keep salts distinct — these defaults already are.
+SPLIT_SALT = 0x5917
+SHUFFLE_SALT = 0x60BA
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: int = SPLIT_SALT,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative-fraction interval contains unit_hash(id, salt) —
+    the standard hash-split of a training-data pipeline, reproducible
+    by any engine (plain integer arithmetic, no engine RNG).
+
+    Properties a sampled split does NOT give you: membership is a pure
+    function of (id, salt) — a re-run, a backfill, or an incremental
+    batch assigns every old row identically (no eval example ever
+    migrates into train); and any auditor can recompute membership
+    from the id alone. Expected sizes are |df|·fraction (binomial, not
+    exact-count — exact-count splits need a global sort; see
+    ``global_shuffle`` if rank-based slicing is required).
+
+    ``fractions`` must sum to 1 (±1e-9): an implicit remainder bucket
+    would silently mislabel rows, so an incomplete recipe raises. The
+    LAST entry absorbs the interval's open end (h < 1 always).
+
+    Scale shape: one narrow projection — no shuffle, no Python; the
+    CASE chain is O(|fractions|) comparisons per row in codegen.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}): an implicit "
+            "remainder bucket would silently mislabel rows"
+        )
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
+    h = _unit_hash(F.col(id_col), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    boundaries = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        boundaries.append((name, cum))
+    for name, bound in reversed(boundaries):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: int = SHUFFLE_SALT,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global shuffle order for training: adds
+    ``shuffle_pos`` (0-based, a permutation of row ranks) ordering rows
+    by (unit_hash(id, salt), id) — the "shuffle the corpus before
+    epoch 0" step, reproducible across engines and re-runs, with the
+    salt as the epoch's shuffle seed.
+
+    A naive global ``row_number() OVER (ORDER BY h)`` funnels every row
+    through ONE task (Spark computes an unpartitioned window on a
+    single partition) — the classic accidental serialization. Instead:
+    rows hash into ``n_buckets`` contiguous hash ranges
+    (bucket = floor(h·B), monotone in h, so bucket boundaries are
+    prefixes of the global order); each bucket ranks locally (a
+    partitioned window — parallel), and bucket offsets come from one
+    tiny B-row prefix sum broadcast back. shuffle_pos = offset +
+    local_rank − 1 equals the global rank exactly.
+
+    Scale shape: one shuffle keyed by bucket (the partitioned window),
+    one O(n_buckets)-row aggregate + broadcast join. Size n_buckets so
+    |df|/n_buckets rows fit one task (2^20 buckets at 10^12 rows);
+    hash keys make bucket sizes near-uniform regardless of id skew.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    # h < 1 strictly (integer hash < 2^32 over 2^32), so floor(h·B) is
+    # always <= B-1; with B a power of two both products are exact in
+    # double, making bucket assignment portable arithmetic too.
+    hashed = df.withColumn("_h", _unit_hash(F.col(id_col), salt)).withColumn(
+        "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
+    )
+    local = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    counts = hashed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    # B rows total: the unpartitioned running sum is deliberate and tiny
+    prefix = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(prefix), F.lit(0)).alias("_off")
+    )
+    return (
+        hashed.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("_off") + F.row_number().over(local) - 1).cast("long"),
+        )
+        .drop("_h", "_bkt", "_off")
     )

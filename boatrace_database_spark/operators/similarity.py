@@ -11,6 +11,10 @@
   100 TB: bucket keys are computed in the scan, candidates co-shuffle
   by (table, bucket), each bucket's top-k is local; recall tunes with
   n_planes / n_tables / probe depth.
+- IVF (build/probe/persist/extend) and, reusing its quantizer,
+  SemDeDup-style cluster-scoped semantic dedup (semantic_pairs /
+  semantic_dedup) — the moderate-threshold regime where hyperplane
+  banding stops pruning.
 """
 
 from __future__ import annotations
@@ -863,6 +867,203 @@ def ann_bucket_stats(
             ),
         )
         .orderBy("tbl")
+    )
+
+
+def _topn_cells_udf(spark, C: "np.ndarray", n: int):
+    """Arrow-batched top-n nearest cells (ascending L2) against the
+    broadcast centroid matrix — multi-assignment's analog of
+    `_nearest_cell_udf` (n=1 reproduces it exactly: same distance
+    arithmetic, same argmin tie behavior via stable argsort)."""
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("array<int>")
+    def topn_cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series(np.zeros(0, dtype=object))
+        M = bc.value
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = -2.0 * (A @ M.T) + np.einsum("ij,ij->i", M, M)
+        idx = np.argsort(d, kind="stable", axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return topn_cells
+
+
+def semantic_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    sample_per_cell: int = 256,
+    n_assign: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Cluster-scoped semantic near-dup pairs, the SemDeDup shape
+    (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings (the IVF coarse quantizer — ``ivf_build_index`` reused
+    verbatim), then exact-cosine pairs WITHIN each cluster only.
+    Returns (id_a < id_b, cell, score >= threshold); ``cell`` is the
+    smallest cell id the pair collided in.
+
+    Why cluster-scoped instead of LSH-banded (`cosine_pairs_lsh`):
+    semantic dedup targets MODERATE similarity (0.9-0.96 in the paper),
+    where hyperplane banding needs shallow bands that stop pruning
+    (BENCHNOTES §12b measured that regime quadratic); clustering keeps
+    the candidate count Σ cell_size² regardless of threshold.
+    The price is recall: a pair split across every shared cell is never
+    compared. Within-cell scoring is exact, so precision is 1.0 by
+    construction; the recall dial is ``n_assign`` — assign each vector
+    to its n nearest cells (multi-assignment, the cluster-side analog
+    of IVF's nprobe): a pair is compared iff the cell sets intersect.
+    n_assign=1 is the paper-faithful single-cluster scope; candidate
+    work grows ~n_assign² in the worst case, bounded as ever by
+    Σ sz² over the (now overlapping) cells. quality.py measures recall
+    vs exact all-pairs ground truth at both settings.
+
+    Scale shape: one distributed Arrow pass assigns cells, the
+    self-join is a hash equi-join on `cell` (vectors shuffle once,
+    co-partitioned by cell — with a persisted `ivf_write_index` table
+    and n_assign=1 both sides are already cell-partitioned and the
+    join is shuffle-free), multi-collision pairs collapse BEFORE
+    scoring, `dot_batch` scores candidates Arrow-batched.
+    `ivf_cell_stats` is the pre-flight dial: size n_cells ≈
+    n/target_cell before committing to a 100 TB pass.
+
+    ``index``: a prebuilt ``ivf_build_index`` / ``ivf_read_index``
+    (inverted file, centroids) pair for the same corpus — pass it to
+    skip the in-call build (the build-once deployment).
+    """
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
+    if index is None:
+        index = ivf_build_index(corpus, id_col, vec_col, n_cells, sample_per_cell)
+    indexed, centroids = index
+    if n_assign == 1:
+        # vectors co-shuffle once keyed by cell; every collision is a
+        # distinct pair (one cell per vector), so score directly —
+        # no pair-collapse shuffle at all
+        withn = indexed.withColumn("norm", l2_norm(F.col("cvec"))).localCheckpoint(
+            eager=False
+        )
+        a = withn.select(
+            F.col("cell"),
+            F.col("neighbor_id").alias("id_a"),
+            F.col("cvec").alias("vec_a"),
+            F.col("norm").alias("norm_a"),
+        )
+        b = withn.select(
+            F.col("cell").alias("cell_b"),
+            F.col("neighbor_id").alias("id_b"),
+            F.col("cvec").alias("vec_b"),
+            F.col("norm").alias("norm_b"),
+        )
+        cand = a.join(
+            b,
+            (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        return cand.select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(
+                dot_batch(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                4,
+            ).alias("score"),
+        ).where(F.col("score") >= threshold)
+
+    # multi-assignment: a pair sharing several cells collides once per
+    # shared cell, so candidate generation moves ONLY (id, cell) ints,
+    # the collapse groups on bare id pairs, and vectors join onto the
+    # already-distinct pair list (the cosine_pairs_lsh join shape —
+    # measured 4-5x faster than letting both vectors ride the collapse
+    # shuffle). min(cell) keeps the reported cell a pure function of
+    # the pair, unlike a dropDuplicates keeping an arbitrary collision.
+    rows = centroids.orderBy("cell").collect()
+    C = np.array([r.centroid for r in rows], dtype=np.float64)
+    spark = indexed.sparkSession
+    ids_cells = indexed.select(
+        "neighbor_id",
+        F.explode(
+            _topn_cells_udf(spark, C, min(n_assign, len(rows)))(F.col("cvec"))
+        ).alias("cell"),
+    ).localCheckpoint(eager=False)
+    a = ids_cells.alias("a")
+    b = ids_cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.neighbor_id").alias("id_a"),
+            F.col("b.neighbor_id").alias("id_b"),
+            F.col("a.cell").alias("cell"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cell").alias("cell"))
+    )
+    withn = indexed.withColumn("norm", l2_norm(F.col("cvec"))).localCheckpoint(
+        eager=False
+    )
+    va = withn.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("cvec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    vb = withn.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cvec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(
+                dot_batch(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                4,
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    sample_per_cell: int = 256,
+    n_assign: int = 1,
+) -> DataFrame:
+    """SemDeDup end state: every vector with its duplicate-group keeper.
+    Pairs from ``semantic_pairs`` collapse to their connected
+    component's minimum id (with n_assign=1 components never span
+    cells — pairs are within-cell by construction — so the label
+    propagation converges in few rounds over shallow, cell-local
+    clusters); untouched vectors keep themselves. Output:
+    (id, keeper_id, is_duplicate) — filter ``NOT is_duplicate`` for
+    the deduplicated corpus.
+    """
+    from boatrace_database_spark.operators.dedup import dedup_clusters
+
+    pairs = semantic_pairs(
+        corpus, id_col, vec_col, n_cells, threshold, sample_per_cell, n_assign
+    )
+    assigned = dedup_clusters(corpus, pairs, id_col)
+    return assigned.select(
+        F.col(id_col).alias("id"),
+        "keeper_id",
+        (F.col("keeper_id") != F.col(id_col)).alias("is_duplicate"),
     )
 
 

@@ -133,9 +133,51 @@ def lsh_cosine_pairs_recall(
     }
 
 
+def semantic_dedup_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    n_assign: int = 3,
+    max_vectors: int = 20_000,
+) -> dict[str, float]:
+    """Pair recall of cluster-scoped `semantic_pairs` (the catalog's
+    semantic_dedup_assign operating point) vs exact all-pairs cosine
+    ground truth — same driver-side numpy matmul as
+    `lsh_cosine_pairs_recall`. Precision is 1.0 by construction
+    (within-cell scoring is exact), so recall is the one number that
+    moves with n_assign/n_cells."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if emb.count() > max_vectors:
+        return {"semantic_dedup_recall": None}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 4)
+    iu = np.triu_indices(len(ids), k=1)
+    hits = S[iu] >= threshold
+    exact = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
+    }
+    if not exact:
+        return {"semantic_dedup_recall": None}
+    sem = {
+        (r.id_a, r.id_b)
+        for r in SIM.semantic_pairs(
+            emb, threshold=threshold, n_cells=n_cells, n_assign=n_assign
+        ).collect()
+    }
+    return {"semantic_dedup_recall": round(len(exact & sem) / len(exact), 4)}
+
+
 def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     out.update(ann_recalls(spark, sf_dir))
     out.update(dedup_recalls(spark, sf_dir))
     out.update(lsh_cosine_pairs_recall(spark, sf_dir))
+    out.update(semantic_dedup_recall(spark, sf_dir))
     return out

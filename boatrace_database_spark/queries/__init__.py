@@ -24,9 +24,10 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 83 after round 5 added the ANN tuning dials, ngram_topk,
-# and the decontamination / repetition / PII-redaction / mixture /
-# packing pipeline ops), so
+# catalog — 86 after round 5 added the ANN tuning dials, ngram_topk,
+# the decontamination / repetition / PII-redaction / mixture /
+# packing pipeline ops, and the split / global-shuffle / semantic-dedup
+# trio), so
 # ordering is the coverage lever. Round-5 rotation (r4 verified the
 # then-tiers 1-4 — 44 green + 6 rows-only, zero failures; union r3∪r4
 # covered all 74 pre-existing):
@@ -39,9 +40,9 @@ for mod in (relational, analytics, advanced, llm):
 # = 19 of the queries green r1+r2+r4 (second-newest row r2 — the
 # oldest double-verification), tier 5 = the rest of that group plus
 # everything green r3+r4 — the most recently double-verified set costs
-# least if the budget truncates. Tiers 1-4 total 56 (the six new
+# least if the budget truncates. Tiers 1-4 total 59 (the nine new
 # pipeline ops joined tier 2), so a 50-row budget truncates tier 4's
-# last ~6 — all green in r4, keeping every catalog query green within
+# last ~9 — all green in r4, keeping every catalog query green within
 # r4∪r5.
 _ORDER = [
     # tier 1 — newest driver row is r3 (r4's tier 5)
@@ -58,6 +59,7 @@ _ORDER = [
     "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
     "mixture_resample_recipe", "pack_sequences_windows",
     "training_data_pipeline",
+    "split_train_eval", "global_shuffle_order", "semantic_dedup_assign",
     "ann_lsh_topk", "ann_ivf_topk", "ann_bucket_stats", "ivf_cell_stats",
     "ngram_topk", "dedup_embedding_cosine", "dedup_minhash_lsh",
     # tier 3 — remaining no-oracle (rows-only) operators

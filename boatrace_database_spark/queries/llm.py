@@ -940,6 +940,91 @@ FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
 """
 
 
+def _knuth_sql(id_expr: str, salt: int) -> str:
+    """The overflow-safe split Knuth multiply (operators/corpus._hash32)
+    as a DuckDB expression — one generator so every oracle that audits
+    a hash-driven decision inlines the IDENTICAL arithmetic."""
+    x = f"((({id_expr} % 4294967296) + {salt}) % 4294967296)"
+    return (
+        f"((({x} % 65536) * 2654435761"
+        f" + ((({x} // 65536) * 2654435761) % 4294967296) * 65536)"
+        f" % 4294967296)"
+    )
+
+
+def split_train_eval(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test hash-split: membership is a
+    pure function of (doc_id, salt) — re-runs and incremental batches
+    assign every old row identically, and the oracle recomputes the
+    exact member set (plain integer arithmetic, no engine RNG)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.split_assign(
+            d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_knuth_sql("doc_id", 0x5917)} / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
+def global_shuffle_order(spark, sf_dir):
+    """Deterministic global shuffle position (epoch-0 training order):
+    rank by (unit_hash(id), id) WITHOUT the single-task global window —
+    bucketed local ranks + a broadcast prefix-sum of bucket counts
+    reproduce the exact global rank in parallel. The oracle computes
+    the same permutation with a plain row_number."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.global_shuffle(d, "doc_id", n_buckets=64)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )
+
+
+SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_knuth_sql("doc_id", 0x60BA)} AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM h ORDER BY shuffle_pos
+"""
+
+
+def semantic_dedup_assign(spark, sf_dir):
+    """SemDeDup-style semantic dedup (cluster-scoped cosine): k-means
+    cells from the IVF quantizer, exact cosine within cells only,
+    connected-component keepers. θ=0.4 is this synthetic corpus's
+    'moderate similarity' regime (its cosine mass tops out ~0.6 — same
+    reason dedup_embedding_cosine demos at 0.45); n_assign=3
+    multi-assignment buys recall ~0.9 vs exact ground truth on a
+    corpus with no real cluster structure (the hard case). No oracle —
+    the quantizer is a numpy Lloyd fit (rows-only driver check);
+    pytest measures pair recall, precision-1.0, and determinism
+    (tests/test_llm_ops.py), quality.py surfaces the recall in
+    BENCH."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        e, n_cells=16, threshold=0.4, n_assign=3
+    ).orderBy("id")
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fourth dedup modality):
     hyperplane-LSH blocking + exact cosine on bucket collisions only —
@@ -986,6 +1071,9 @@ QUERIES = {
     "mixture_resample_recipe": mixture_resample_recipe,
     "pack_sequences_windows": pack_sequences_windows,
     "training_data_pipeline": training_data_pipeline,
+    "split_train_eval": split_train_eval,
+    "global_shuffle_order": global_shuffle_order,
+    "semantic_dedup_assign": semantic_dedup_assign,
 }
 
 ORACLES = {
@@ -1015,4 +1103,7 @@ ORACLES = {
     "mixture_resample_recipe": MIXTURE_SQL,
     "pack_sequences_windows": PACK_SQL,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
+    "split_train_eval": SPLIT_SQL,
+    "global_shuffle_order": SHUFFLE_SQL,
+    "semantic_dedup_assign": None,
 }

@@ -565,3 +565,102 @@ def test_ivf_add_to_index_incremental(spark):
     queries = new.where(F.col("vec_id") < 50)
     hits = SIM.ivf_probe(extended, cents, queries, k=5, nprobe=8).collect()
     assert hits, "probe over extended index returned nothing"
+
+
+# --------------------------------------------------------------- semantic dedup
+def test_semantic_pairs_precision_and_planted_copies(spark):
+    """Within-cell scoring is exact, so sem ⊆ exact all-pairs always;
+    EXACT copies (cos = 1.0) hash to the same nearest cell by identical
+    arithmetic, so planted-copy recall is 1.0 at any n_assign."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    ).where(F.col("vec_id") % 10 == 0)
+    corpus = emb.unionByName(planted)
+    sem = {
+        (r.id_a, r.id_b)
+        for r in SIM.semantic_pairs(
+            corpus, threshold=0.4, n_cells=8, n_assign=1
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs(corpus, threshold=0.4).collect()
+    }
+    assert sem <= exact
+    expected = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb.collect()
+        if r.vec_id % 10 == 0
+    }
+    assert expected <= sem, f"missed exact copies: {expected - sem}"
+
+
+def test_semantic_pairs_multi_assign_monotone_recall(spark):
+    """top-1 cells ⊆ top-n cells per vector, so the pair set can only
+    grow with n_assign — and on this clusterless corpus it measurably
+    does (the recall dial moves)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in SIM.semantic_pairs(
+            emb, threshold=0.4, n_cells=16, n_assign=1
+        ).collect()
+    }
+    p3 = {
+        (r.id_a, r.id_b)
+        for r in SIM.semantic_pairs(
+            emb, threshold=0.4, n_cells=16, n_assign=3
+        ).collect()
+    }
+    assert p1 <= p3
+    assert len(p3) > len(p1)
+
+
+def test_semantic_dedup_keeper_contract(spark):
+    """Every vector appears exactly once; keepers are the component
+    minimum (keeper_id <= id), keepers keep themselves, and every
+    keeper_id is a non-duplicate row's id (no dangling keepers)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = SIM.semantic_dedup(
+        emb, threshold=0.4, n_cells=16, n_assign=2
+    ).collect()
+    assert len(rows) == emb.count()
+    by_id = {r.id: r for r in rows}
+    assert len(by_id) == len(rows)
+    keepers = {r.id for r in rows if not r.is_duplicate}
+    for r in rows:
+        assert r.keeper_id <= r.id
+        assert r.is_duplicate == (r.keeper_id != r.id)
+        assert r.keeper_id in keepers, f"dangling keeper {r.keeper_id}"
+
+
+def test_semantic_pairs_n_assign_validation(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="n_assign"):
+        SIM.semantic_pairs(emb, n_assign=0)
+
+
+def test_semantic_pairs_prebuilt_index_matches_in_call_build(spark):
+    """The build-once deployment: passing ivf_build_index's output must
+    reproduce the in-call-build result exactly (same deterministic
+    quantizer, same pairs)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    idx = SIM.ivf_build_index(emb, n_cells=8)
+    a = sorted(
+        (r.id_a, r.id_b, r.cell, r.score)
+        for r in SIM.semantic_pairs(
+            emb, threshold=0.4, n_cells=8, n_assign=2, index=idx
+        ).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cell, r.score)
+        for r in SIM.semantic_pairs(
+            emb, threshold=0.4, n_cells=8, n_assign=2
+        ).collect()
+    )
+    assert a == b

@@ -229,3 +229,113 @@ def test_redact_no_counts_mode(spark):
     out = P.pii_redact(df, ["t"], with_counts=False)
     assert out.columns == ["id", "t"]
     assert out.collect()[0].t == "<EMAIL>"
+
+
+# ---------------------------------------------------------------- split/shuffle
+def test_split_assign_partitions_and_sizes(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    rows = C.split_assign(
+        df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    assert len(rows) == 2000  # every row labeled, none dropped
+    sizes = {}
+    for r in rows:
+        sizes[r.split] = sizes.get(r.split, 0) + 1
+    assert set(sizes) == {"train", "val", "test"}
+    # binomial sizes: loose 5-sigma-ish bounds on a fixed deterministic set
+    assert 1500 <= sizes["train"] <= 1700
+    assert 140 <= sizes["val"] <= 260
+    assert 140 <= sizes["test"] <= 260
+
+
+def test_split_assign_membership_is_pure_function_of_id(spark):
+    """Incremental batches / re-runs must agree: a subset frame (and a
+    differently-partitioned frame) assigns every id identically."""
+    from boatrace_database_spark.operators import corpus as C
+
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    df = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    full = {r.id: r.split for r in C.split_assign(df, "id", fr).collect()}
+    sub = {
+        r.id: r.split
+        for r in C.split_assign(
+            df.where(F.col("id") % 3 == 0).repartition(7), "id", fr
+        ).collect()
+    }
+    assert all(full[i] == s for i, s in sub.items())
+
+
+def test_split_assign_incomplete_fractions_raise(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        C.split_assign(df, "id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match=">= 0"):
+        C.split_assign(df, "id", {"train": 1.5, "val": -0.5})
+
+
+def test_global_shuffle_exact_permutation_and_naive_parity(spark):
+    """shuffle_pos must be exactly 0..n-1, equal to the naive global
+    row_number rank, and invariant to n_buckets and input partitioning
+    (the bucketed prefix-sum is an implementation detail, not a
+    semantics knob)."""
+    from pyspark.sql import Window as W
+
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators.corpus import (
+        SHUFFLE_SALT,
+        _unit_hash,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(777)], ["id"])
+    out = {r.id: r.shuffle_pos for r in C.global_shuffle(df, "id").collect()}
+    assert sorted(out.values()) == list(range(777))
+    naive = {
+        r.id: r.pos
+        for r in df.withColumn("_h", _unit_hash(F.col("id"), SHUFFLE_SALT))
+        .withColumn(
+            "pos", F.row_number().over(W.orderBy("_h", "id")) - 1
+        )
+        .collect()
+    }
+    assert out == naive
+    for variant in (
+        C.global_shuffle(df.repartition(11), "id"),
+        C.global_shuffle(df, "id", n_buckets=1),
+        C.global_shuffle(df, "id", n_buckets=4096),
+    ):
+        assert {r.id: r.shuffle_pos for r in variant.collect()} == naive
+
+
+def test_global_shuffle_salt_is_the_seed(spark):
+    """Different salts = different epochs: orders differ, both are
+    permutations."""
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(i,) for i in range(300)], ["id"])
+    a = {r.id: r.shuffle_pos for r in C.global_shuffle(df, "id", salt=1).collect()}
+    b = {r.id: r.shuffle_pos for r in C.global_shuffle(df, "id", salt=2).collect()}
+    assert sorted(a.values()) == list(range(300))
+    assert sorted(b.values()) == list(range(300))
+    assert a != b
+
+
+def test_split_and_shuffle_decorrelated_defaults(spark):
+    """The documented salt contract: layering split_assign and
+    global_shuffle with their DEFAULT salts must not correlate — val
+    members should be spread across the shuffle order, not clumped."""
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    labeled = C.global_shuffle(
+        C.split_assign(df, "id", {"train": 0.5, "val": 0.5}), "id"
+    ).collect()
+    first_half_val = sum(
+        1 for r in labeled if r.shuffle_pos < 1000 and r.split == "val"
+    )
+    total_val = sum(1 for r in labeled if r.split == "val")
+    # perfectly correlated hashes would put ~all val in one half
+    assert 0.35 <= first_half_val / total_val <= 0.65
