@@ -41,6 +41,7 @@ HEADLINE = [
     "text_profile",
     "asof_join_events",
     "flag_timing_features",
+    "semantic_dedup_assign",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

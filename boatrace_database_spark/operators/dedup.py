@@ -339,18 +339,27 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    collect_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Transitive closure over near-dup pairs -> (id, component) with
     component = the smallest id reachable from `id`.
 
-    Iterative min-label propagation (the scalable alternating
-    small-star/large-star family in its simplest form): each round
-    every node adopts the minimum label among itself and its
-    neighbors; rounds needed ~= graph diameter (near-dup clusters are
-    shallow). Each round is one join + one aggregate; lineage is cut
-    per round (localCheckpoint) so plans stay flat. Convergence is
-    detected by counting label changes — the loop is driver-side but
-    touches only a scalar per round.
+    Strategy is size-gated like the scoring paths in similarity.py:
+
+    - edge list <= ``collect_max_edges``: collect it and union-find on
+      the driver (a 2M-edge list is ~30 MB — trivially driver-scale,
+      and the iterative path's fixed per-round job overhead dominates
+      small graphs by 10-100x). Output is identical: each node labeled
+      with its component's minimum id.
+    - larger: iterative min-label propagation (the scalable
+      alternating small-star/large-star family in its simplest form):
+      each round every node adopts the minimum label among itself and
+      its neighbors; rounds needed ~= graph diameter (near-dup
+      clusters are shallow). Each round is one join + one aggregate;
+      lineage is cut per round (localCheckpoint) so plans stay flat.
+      Convergence is detected by counting label changes — the loop is
+      driver-side but touches only a scalar per round. Set
+      ``collect_max_edges=0`` to force this path (tests do).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -360,6 +369,36 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()  # cached scan of the checkpoint
+    if n_edges <= collect_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            prev = comp_min.get(root)
+            comp_min[root] = node if prev is None or node < prev else prev
+        id_type = edges.schema["src"].dataType.simpleString()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in parent],
+            f"id {id_type}, comp {id_type}",
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -463,6 +463,62 @@ def _band_keys_udf(
     return band_keys
 
 
+def _broadcast_pair_scores(
+    base: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Broadcast-matrix cosine scoring of candidate pairs: ship the
+    whole (n × dim) float64 matrix to every python worker ONCE and
+    score (id_a, id_b) pairs by numpy gather + batched einsum — only
+    pair ids (plus ``extra_cols``, passed through untouched) ride the
+    shuffle. The small-corpus strategy shared by `cosine_pairs_lsh`
+    and `semantic_pairs`; CALLERS gate on corpus size (the memory math
+    lives in cosine_pairs_lsh's docstring).
+
+    ``base``: (id, vec) — one row per corpus vector, ids matching the
+    pair ids. Rounding (4 dp, JVM-side) and the >= threshold filter
+    are identical to the vector-join strategy, so both produce the
+    same rows.
+    """
+    spark = base.sparkSession
+    pdf = base.select("id", "vec").toPandas()  # size-gated driver exit
+    ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    # key the row map by the RAW id values (no int() coercion) and
+    # derive the output schema from the corpus id type — so string /
+    # non-integral ids behave identically on both sides of a caller's
+    # size gate instead of crashing only on one
+    row_of = {i: r for r, i in enumerate(ids)}
+    bc = spark.sparkContext.broadcast((row_of, mat, norms))
+    id_type = base.schema["id"].dataType.simpleString()
+    extra_schema = "".join(
+        f", {c} {cand.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
+
+    def score_pairs(batches):
+        row_idx, M, nrm = bc.value
+        for b_pdf in batches:
+            ia = b_pdf["id_a"].map(row_idx).to_numpy()
+            ib = b_pdf["id_b"].map(row_idx).to_numpy()
+            s = np.einsum("ij,ij->i", M[ia], M[ib]) / (nrm[ia] * nrm[ib])
+            out = {"id_a": b_pdf["id_a"], "id_b": b_pdf["id_b"]}
+            for c in extra_cols:
+                out[c] = b_pdf[c]
+            out["raw"] = s
+            yield pd.DataFrame(out)
+
+    scored = cand.mapInPandas(
+        score_pairs, f"id_a {id_type}, id_b {id_type}{extra_schema}, raw DOUBLE"
+    )
+    # round JVM-side exactly like the join path (and the oracles)
+    return scored.select(
+        "id_a", "id_b", *extra_cols, F.round(F.col("raw"), 4).alias("score")
+    ).where(F.col("score") >= threshold)
+
+
 def cosine_pairs_lsh(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -552,38 +608,8 @@ def cosine_pairs_lsh(
         # raw vs 1.8M deduped at sf0.1). So score EVERYTHING and dedup
         # only the pairs that pass the threshold (score is a pure
         # function of the pair: filter-then-dedup is output-identical).
-        pdf = base.select("id", "vec").toPandas()  # size-gated driver exit
-        ids = pdf["id"].to_numpy()
-        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        # key the row map by the RAW id values (no int() coercion) and
-        # derive the output schema from the corpus id type — so string /
-        # non-integral ids behave identically on both sides of the
-        # size gate instead of crashing only on this one
-        row_of = {i: r for r, i in enumerate(ids)}
-        bc = spark.sparkContext.broadcast((row_of, mat, norms))
-        id_type = base.schema["id"].dataType.simpleString()
-
-        def score_pairs(batches):
-            row_idx, M, nrm = bc.value
-            for b_pdf in batches:
-                ia = b_pdf["id_a"].map(row_idx).to_numpy()
-                ib = b_pdf["id_b"].map(row_idx).to_numpy()
-                s = np.einsum("ij,ij->i", M[ia], M[ib]) / (nrm[ia] * nrm[ib])
-                yield pd.DataFrame(
-                    {"id_a": b_pdf["id_a"], "id_b": b_pdf["id_b"], "raw": s}
-                )
-
-        scored = cand_raw.mapInPandas(
-            score_pairs, f"id_a {id_type}, id_b {id_type}, raw DOUBLE"
-        )
-        # round JVM-side exactly like the join path (and the oracle)
-        return (
-            scored.select(
-                "id_a", "id_b", F.round(F.col("raw"), 4).alias("score")
-            )
-            .where(F.col("score") >= threshold)
-            .dropDuplicates(["id_a", "id_b"])
+        return _broadcast_pair_scores(base, cand_raw, threshold).dropDuplicates(
+            ["id_a", "id_b"]
         )
 
     # ---- vector-join scoring (corpus too large to broadcast) ---------
@@ -899,6 +925,7 @@ def semantic_pairs(
     sample_per_cell: int = 256,
     n_assign: int = 1,
     index: tuple[DataFrame, DataFrame] | None = None,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Cluster-scoped semantic near-dup pairs, the SemDeDup shape
     (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
@@ -922,12 +949,15 @@ def semantic_pairs(
     Σ sz² over the (now overlapping) cells. quality.py measures recall
     vs exact all-pairs ground truth at both settings.
 
-    Scale shape: one distributed Arrow pass assigns cells, the
-    self-join is a hash equi-join on `cell` (vectors shuffle once,
-    co-partitioned by cell — with a persisted `ivf_write_index` table
-    and n_assign=1 both sides are already cell-partitioned and the
-    join is shuffle-free), multi-collision pairs collapse BEFORE
-    scoring, `dot_batch` scores candidates Arrow-batched.
+    Scale shape: one distributed Arrow pass assigns cells; candidate
+    generation is a hash equi-join on `cell` moving ONLY (id, cell)
+    ints (with a persisted `ivf_write_index` table and n_assign=1 both
+    sides are already cell-partitioned and the join is shuffle-free);
+    multi-collision pairs collapse BEFORE any vector moves; scoring is
+    size-gated exactly like `cosine_pairs_lsh` (whose docstring holds
+    the ``broadcast_max_bytes`` memory math): corpora under the gate
+    score by broadcast matrix + einsum with only pair ids shuffling,
+    larger corpora hash-join vectors onto the distinct pair list.
     `ivf_cell_stats` is the pre-flight dial: size n_cells ≈
     n/target_cell before committing to a 100 TB pass.
 
@@ -940,83 +970,67 @@ def semantic_pairs(
     if index is None:
         index = ivf_build_index(corpus, id_col, vec_col, n_cells, sample_per_cell)
     indexed, centroids = index
+    spark = indexed.sparkSession
+
+    # ---- candidate generation: ONLY (id, cell) ints move ------------
+    # (letting vectors ride the collision join/collapse was measured
+    # 4-6x slower at sf0.1 — the same mistake the r3
+    # dedup_embedding_cosine plan made). The checkpoint stops the
+    # assignment UDF re-running for both self-join branches.
     if n_assign == 1:
-        # vectors co-shuffle once keyed by cell; every collision is a
-        # distinct pair (one cell per vector), so score directly —
-        # no pair-collapse shuffle at all
-        withn = indexed.withColumn("norm", l2_norm(F.col("cvec"))).localCheckpoint(
+        ids_cells = indexed.select("neighbor_id", "cell").localCheckpoint(
             eager=False
         )
-        a = withn.select(
-            F.col("cell"),
-            F.col("neighbor_id").alias("id_a"),
-            F.col("cvec").alias("vec_a"),
-            F.col("norm").alias("norm_a"),
-        )
-        b = withn.select(
-            F.col("cell").alias("cell_b"),
-            F.col("neighbor_id").alias("id_b"),
-            F.col("cvec").alias("vec_b"),
-            F.col("norm").alias("norm_b"),
-        )
-        cand = a.join(
-            b,
-            (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")),
-        )
-        return cand.select(
-            "id_a",
-            "id_b",
-            "cell",
-            F.round(
-                dot_batch(F.col("vec_a"), F.col("vec_b"))
-                / (F.col("norm_a") * F.col("norm_b")),
-                4,
-            ).alias("score"),
-        ).where(F.col("score") >= threshold)
-
-    # multi-assignment: a pair sharing several cells collides once per
-    # shared cell, so candidate generation moves ONLY (id, cell) ints,
-    # the collapse groups on bare id pairs, and vectors join onto the
-    # already-distinct pair list (the cosine_pairs_lsh join shape —
-    # measured 4-5x faster than letting both vectors ride the collapse
-    # shuffle). min(cell) keeps the reported cell a pure function of
-    # the pair, unlike a dropDuplicates keeping an arbitrary collision.
-    rows = centroids.orderBy("cell").collect()
-    C = np.array([r.centroid for r in rows], dtype=np.float64)
-    spark = indexed.sparkSession
-    ids_cells = indexed.select(
-        "neighbor_id",
-        F.explode(
-            _topn_cells_udf(spark, C, min(n_assign, len(rows)))(F.col("cvec"))
-        ).alias("cell"),
-    ).localCheckpoint(eager=False)
+    else:
+        rows = centroids.orderBy("cell").collect()
+        C = np.array([r.centroid for r in rows], dtype=np.float64)
+        ids_cells = indexed.select(
+            "neighbor_id",
+            F.explode(
+                _topn_cells_udf(spark, C, min(n_assign, len(rows)))(F.col("cvec"))
+            ).alias("cell"),
+        ).localCheckpoint(eager=False)
     a = ids_cells.alias("a")
     b = ids_cells.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
-        )
-        .select(
-            F.col("a.neighbor_id").alias("id_a"),
-            F.col("b.neighbor_id").alias("id_b"),
-            F.col("a.cell").alias("cell"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.min("cell").alias("cell"))
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+    ).select(
+        F.col("a.neighbor_id").alias("id_a"),
+        F.col("b.neighbor_id").alias("id_b"),
+        F.col("a.cell").alias("cell"),
     )
-    withn = indexed.withColumn("norm", l2_norm(F.col("cvec"))).localCheckpoint(
+    if n_assign > 1:
+        # a pair sharing several cells collides once per shared cell;
+        # collapse on bare id pairs. min(cell) keeps the reported cell
+        # a pure function of the pair, unlike a dropDuplicates keeping
+        # an arbitrary collision's row. (n_assign=1 pairs are distinct
+        # by construction — no collapse shuffle at all.)
+        cand = cand.groupBy("id_a", "id_b").agg(F.min("cell").alias("cell"))
+
+    # ---- scoring: same size-gated strategy pair as cosine_pairs_lsh -
+    base = indexed.select(
+        F.col("neighbor_id").alias("id"), F.col("cvec").alias("vec")
+    )
+    n_vectors = corpus.count()  # parquet metadata count — cheap
+    dim = len(base.select("vec").first()[0])
+    if n_vectors * dim * 8 <= broadcast_max_bytes:
+        return _broadcast_pair_scores(base, cand, threshold, extra_cols=("cell",))
+
+    # corpus too large to broadcast: vectors hash-join onto the
+    # already-distinct pair list (AQE picks broadcast vs shuffle)
+    withn = base.withColumn("norm", l2_norm(F.col("vec"))).localCheckpoint(
         eager=False
     )
     va = withn.select(
-        F.col("neighbor_id").alias("id_a"),
-        F.col("cvec").alias("vec_a"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"),
     )
     vb = withn.select(
-        F.col("neighbor_id").alias("id_b"),
-        F.col("cvec").alias("vec_b"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
     return (
@@ -1044,6 +1058,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     sample_per_cell: int = 256,
     n_assign: int = 1,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """SemDeDup end state: every vector with its duplicate-group keeper.
     Pairs from ``semantic_pairs`` collapse to their connected
@@ -1057,7 +1072,8 @@ def semantic_dedup(
     from boatrace_database_spark.operators.dedup import dedup_clusters
 
     pairs = semantic_pairs(
-        corpus, id_col, vec_col, n_cells, threshold, sample_per_cell, n_assign
+        corpus, id_col, vec_col, n_cells, threshold, sample_per_cell,
+        n_assign, broadcast_max_bytes=broadcast_max_bytes,
     )
     assigned = dedup_clusters(corpus, pairs, id_col)
     return assigned.select(

@@ -171,6 +171,15 @@ def main() -> None:
         "cosine_lsh_deep": lambda d: SIM.cosine_pairs_lsh(
             d, threshold=0.9, bands=4, rows_per_band=8, dim=64
         ),
+        # semantic dedup scales by growing n_cells WITH the corpus
+        # (target cell size constant — the documented dial): fixed
+        # cells at Rx data would make per-cell pair work R²-fold.
+        # n_assign=1: the scale posture; planted copies (cos ~0.99)
+        # nearly always share a nearest cell, so linearity ~1 is
+        # expected but reported, not asserted (hash-class op).
+        "semantic_dedup": lambda d, nc=16: SIM.semantic_pairs(
+            d, threshold=0.9, n_cells=nc, n_assign=1
+        ),
     }
     exact_ops = {"dedup_exact", "ngram_jaccard"}
 
@@ -180,9 +189,16 @@ def main() -> None:
 
     results = {}
     for name, fn in ops.items():
-        small, big = (emb1, embN) if name == "cosine_lsh_deep" else (docs1, docsN)
-        dt1, n1, _ = timed_pairs(spark, lambda: fn(small))
-        dtN, nN, bal = timed_pairs(spark, lambda: fn(big))
+        emb_based = name in ("cosine_lsh_deep", "semantic_dedup")
+        small, big = (emb1, embN) if emb_based else (docs1, docsN)
+        if name == "semantic_dedup":
+            dt1, n1, _ = timed_pairs(spark, lambda: fn(small, 16))
+            dtN, nN, bal = timed_pairs(
+                spark, lambda: fn(big, 16 * REPLICAS)
+            )
+        else:
+            dt1, n1, _ = timed_pairs(spark, lambda: fn(small))
+            dtN, nN, bal = timed_pairs(spark, lambda: fn(big))
         linearity = round(nN / max(REPLICAS * n1, 1), 4)
         results[name] = {
             "t_1x": round(dt1, 2),

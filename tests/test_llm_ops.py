@@ -220,9 +220,12 @@ def test_multimodal_real_decode_gate(spark, docs):
         assert (w, h) == (5, 4)
 
 
-def test_connected_components_vs_union_find(spark):
-    """Min-label propagation equals a reference union-find on a graph
-    with chains (diameter > 1), a cycle, and singleton-free nodes."""
+@pytest.mark.parametrize("collect_max_edges", [2_000_000, 0])
+def test_connected_components_vs_union_find(spark, collect_max_edges):
+    """BOTH strategies (driver union-find under the size gate, forced
+    iterative min-label propagation with gate=0) must equal a reference
+    union-find on a graph with chains (diameter > 1), a cycle, and
+    singleton-free nodes."""
     edges = [
         (1, 2), (2, 3), (3, 4), (4, 5),       # chain, comp 1
         (10, 11), (11, 12), (12, 10),          # cycle, comp 10
@@ -231,7 +234,10 @@ def test_connected_components_vs_union_find(spark):
     ]
     pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
     got = {
-        r.id: r.comp for r in D.connected_components(pairs).collect()
+        r.id: r.comp
+        for r in D.connected_components(
+            pairs, collect_max_edges=collect_max_edges
+        ).collect()
     }
 
     parent: dict[int, int] = {}

@@ -230,3 +230,37 @@ def test_lsh_ann_multitable_plan_shape(spark):
     # candidate scoring still uses the exact JVM aggregate fold, so the
     # assertion is on the Arrow kernel's presence, not aggregate absence
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_global_shuffle_no_single_task_data_window(spark):
+    """The whole point of the bucketed rank: the DATA path's window must
+    be partitioned by bucket (parallel), with the only unpartitioned
+    window the O(n_buckets)-row offset prefix-sum, and offsets joining
+    back via broadcast."""
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(spark, C.global_shuffle(df, "doc_id", n_buckets=64))
+    # the per-row rank's windowspec partitions by bucket (parallel),
+    # fed by a hash exchange on the bucket key
+    ranked = [
+        l for l in plan.splitlines()
+        if "row_number() windowspecdefinition" in l
+    ]
+    assert ranked and all("_bkt" in l for l in ranked), ranked
+    assert "hashpartitioning(_bkt" in plan
+    # the offsets side enters the row-rank join as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_pairs_join_is_cell_equi_join(spark):
+    """Cluster scoping must compile to a hash equi-join on cell — no
+    cartesian product at any n_assign — and the multi-assign path's
+    pair collapse must group before the vector joins."""
+    from boatrace_database_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for na in (1, 2):
+        plan = _plan(spark, SIM.semantic_pairs(emb, n_assign=na, n_cells=8))
+        assert "CartesianProduct" not in plan
+        assert "cell" in plan
