@@ -9,10 +9,11 @@ same pipeline incremental:
 - `stream_running_counters` / `stream_asof_enrich`: custom stateful
   operators via applyInPandasWithState (running aggregates, as-of
   enrichment) with batch-operator parity tests.
-- `stream_dedup_exact` / `stream_dedup_minhash` / `stream_dedup_simhash`:
-  incremental exact and NEAR-dup detection with first-seen state
-  contracts — the streaming twins of operators/dedup's hash-groupBy,
-  LSH-banded, and chunk-blocked paths.
+- `stream_dedup_exact` / `stream_dedup_minhash` / `stream_dedup_simhash`
+  / `stream_dedup_semantic`: incremental exact and NEAR-dup detection
+  with first-seen state contracts — the streaming twins of ALL FOUR
+  batch dedup modalities (hash-groupBy, LSH-banded, chunk-blocked,
+  and IVF-cell-scoped semantic with a static prebuilt quantizer).
 - `stream_decontaminate`: per-arriving-doc n-gram contamination rate
   against a STATIC benchmark gram set (broadcast membership — the
   stream-static pattern; no state, no shuffle).
@@ -738,5 +739,139 @@ def stream_ingest_parquet(
     return (
         stream.writeStream.foreachBatch(_append)
         .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_dedup_semantic(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_assign: int = 1,
+    max_members: int = 256,
+    query_name: str = "stream_semantic",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming SemDeDup: the fourth member of the streaming dedup
+    family (exact → MinHash → SimHash → semantic), same first-seen
+    state contract as its siblings; ``state_ttl_ms`` and the
+    ``max_members`` capped-regime caveat behave as documented on
+    ``stream_dedup_minhash``.
+
+    The coarse quantizer is STATIC by necessity — a stream cannot
+    retrain k-means — so ``centroids`` is the table from a prebuilt
+    ``ivf_build_index`` / ``ivf_read_index``: exactly the build-once
+    deployment the batch operator documents, and the stream-static
+    shape of ``stream_decontaminate``. Pass the SAME centroids to the
+    batch ``semantic_pairs(..., index=...)`` and the twins agree:
+    cell assignment reuses the batch Arrow kernels verbatim
+    (`_nearest_cell_udf` / `_topn_cells_udf` run fine pre-state on a
+    streaming frame), and scoring is the same float64 dot/norm
+    arithmetic. Watch ``ivf_cell_stats`` on the accumulating corpus:
+    centroid drift showing up as ballooning cells is the signal to
+    rebuild the index and restart the query, exactly like
+    ``ivf_add_to_index``'s retrain note.
+
+    State shards by cell (``n_assign`` > 1 multi-assigns arrivals to
+    their n nearest cells — each cell's state is independent, so a
+    pair sharing several cells emits once per shared cell; the
+    DISTINCT (id_a, id_b) set equals the batch pair set under
+    id-ordered replay, tested). Emitted rows:
+    (id_a=member, id_b=arrival, cell, score) for every stored member
+    with cosine >= threshold.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from boatrace_database_spark.operators.similarity import (
+        _nearest_cell_udf,
+        _topn_cells_udf,
+    )
+
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
+    rows = centroids.orderBy("cell").collect()
+    cells = [r.cell for r in rows]
+    if cells != list(range(len(rows))):
+        # same gapless contract as ivf_add_to_index: positional argmin
+        # indices must BE cell ids
+        raise ValueError(
+            f"centroid cells must be the gapless sequence 0..{len(rows) - 1} "
+            f"(got {cells})"
+        )
+    C = np.array([r.centroid for r in rows], dtype=np.float64)
+
+    vecs = spark.readStream.schema(schema).parquet(source_dir)
+    if n_assign == 1:
+        assigned = vecs.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            _nearest_cell_udf(spark, C)(F.col(vec_col)).alias("cell"),
+        )
+    else:
+        assigned = vecs.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(
+                _topn_cells_udf(spark, C, min(n_assign, len(rows)))(
+                    F.col(vec_col)
+                )
+            ).alias("cell"),
+        )
+
+    def flag(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            dim = len(flat) // max(len(ids), 1)
+            members = [
+                np.asarray(flat[i * dim : (i + 1) * dim], dtype=np.float64)
+                for i in range(len(ids))
+            ]
+            norms = [float(np.sqrt(v @ v)) for v in members]
+        else:
+            ids, members, norms = [], [], []
+        out = []
+        cell = int(key[0])
+        batch = pd.concat(list(pdfs)).sort_values("id")
+        for row in batch.itertuples():
+            v = np.asarray(row.vec, dtype=np.float64)
+            nv = float(np.sqrt(v @ v))
+            for mid, mv, mn in zip(ids, members, norms):
+                score = round(float(v @ mv) / (mn * nv), 4)
+                if score >= threshold:
+                    out.append((int(mid), int(row.id), cell, score))
+            if len(ids) < max_members:
+                ids.append(int(row.id))
+                members.append(v)
+                norms.append(nv)
+        state.update((ids, [float(x) for m in members for x in m]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "cell", "score"])
+
+    flagged = assigned.groupBy("cell").applyInPandasWithState(
+        flag,
+        outputStructType="id_a LONG, id_b LONG, cell INT, score DOUBLE",
+        stateStructType="ids ARRAY<LONG>, flat ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
         .start()
     )

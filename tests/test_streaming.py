@@ -807,3 +807,73 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert any(v[1] > 0 for v in batch.values()), "fixture must overlap"
     for doc_id, vals in batch.items():
         assert got[doc_id] == vals, (doc_id, got[doc_id], vals)
+
+
+def test_stream_semantic_matches_batch_pairs(spark, tmp_path):
+    """Streaming SemDeDup over an id-ordered two-chunk replay equals
+    batch semantic_pairs given the SAME prebuilt quantizer (the
+    stream-static contract): identical cell assignment (shared Arrow
+    kernels), identical float64 cosine arithmetic (caps lifted on both
+    sides; n_assign=2 exercises the multi-assign state sharding, where
+    the stream emits once per shared cell and parity is on the
+    DISTINCT pair set)."""
+    from boatrace_database_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_pairs,
+    )
+    from boatrace_database_spark.streaming.ingest import stream_dedup_semantic
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    indexed, centroids = ivf_build_index(emb, n_cells=8)
+    src = str(tmp_path / "sem_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_semantic(
+        spark, src, emb.schema, centroids,
+        threshold=0.4, n_assign=2, max_members=10**6, query_name="ssem_t",
+    )
+    try:
+        mid = 250
+        deliver(emb.where(F.col("vec_id") < mid), "s1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(emb.where(F.col("vec_id") >= mid), "s2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {}
+        for r in spark.sql("SELECT * FROM ssem_t").collect():
+            got[(r.id_a, r.id_b)] = r.score
+    finally:
+        q.stop()
+
+    batch = {
+        (r.id_a, r.id_b): r.score
+        for r in semantic_pairs(
+            emb, threshold=0.4, n_assign=2, index=(indexed, centroids)
+        ).collect()
+    }
+    assert batch, "corpus must contain pairs at this threshold"
+    assert set(got) == set(batch), (
+        f"missing={set(batch) - set(got)} extra={set(got) - set(batch)}"
+    )
+    for pair, score in batch.items():
+        assert abs(got[pair] - score) < 5e-5, (pair, got[pair], score)
+
+
+def test_stream_semantic_rejects_gappy_centroids(spark, tmp_path):
+    from boatrace_database_spark.operators.similarity import ivf_build_index
+    from boatrace_database_spark.streaming.ingest import stream_dedup_semantic
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, centroids = ivf_build_index(emb, n_cells=4)
+    gappy = centroids.where(F.col("cell") != 1)
+    with pytest.raises(ValueError, match="gapless"):
+        stream_dedup_semantic(
+            spark, str(tmp_path / "x"), emb.schema, gappy
+        )
