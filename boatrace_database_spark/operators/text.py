@@ -310,3 +310,76 @@ def top_ngrams(
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    WITHIN-document complement to corpus.pack_sequences (which concats
+    ACROSS documents): retrieval-chunking / sliding-window-attention
+    prep. Stride = chunk_tokens − overlap; chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens). Every document emits at least
+    one chunk (this module's whitespace tokenizer counts an empty doc
+    as one empty token — `token_count` semantics — so it yields one
+    1-token chunk), and the last chunk is the first one whose window
+    reaches the document's end — no trailing fragment shorter than
+    ``overlap``.
+
+    Output: input id + ``chunk_id`` (0-based), ``chunk_text``,
+    ``chunk_n_tokens``. Deterministic, oracle-expressible.
+
+    Scale shape: one narrow projection + explode — no shuffle, no
+    Python; tokens are split once per document and sliced per chunk
+    inside codegen. Chunk count per doc is ceil((n − overlap)/stride),
+    so output rows ≈ input tokens / stride — linear in corpus size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens}); "
+            "equal-or-larger overlap never advances the window"
+        )
+    if overlap < 0:
+        raise ValueError(f"overlap must be >= 0 (got {overlap})")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # first chunk always exists; further chunks while the previous
+    # window did not reach the end: n_chunks = 1 + max(0, ceil((n -
+    # chunk_tokens)/stride)) — integer ceil via (x + stride - 1) div
+    extra = F.greatest(
+        F.lit(0),
+        F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int"),
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), extra)),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.array_join(
+                F.slice(
+                    "_toks",
+                    F.col("chunk_id") * F.lit(stride) + F.lit(1),
+                    F.lit(chunk_tokens),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.greatest(
+                    F.size("_toks") - F.col("chunk_id") * F.lit(stride),
+                    F.lit(0),
+                ),
+                F.lit(chunk_tokens),
+            ).alias("chunk_n_tokens"),
+        )
+    )

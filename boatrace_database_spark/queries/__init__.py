@@ -24,10 +24,10 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 86 after round 5 added the ANN tuning dials, ngram_topk,
+# catalog — 87 after round 5 added the ANN tuning dials, ngram_topk,
 # the decontamination / repetition / PII-redaction / mixture /
 # packing pipeline ops, and the split / global-shuffle / semantic-dedup
-# trio), so
+# / chunking ops), so
 # ordering is the coverage lever. Round-5 rotation (r4 verified the
 # then-tiers 1-4 — 44 green + 6 rows-only, zero failures; union r3∪r4
 # covered all 74 pre-existing):
@@ -60,6 +60,7 @@ _ORDER = [
     "mixture_resample_recipe", "pack_sequences_windows",
     "training_data_pipeline",
     "split_train_eval", "global_shuffle_order", "semantic_dedup_assign",
+    "chunk_documents_windows",
     "ann_lsh_topk", "ann_ivf_topk", "ann_bucket_stats", "ivf_cell_stats",
     "ngram_topk", "dedup_embedding_cosine", "dedup_minhash_lsh",
     # tier 3 — remaining no-oracle (rows-only) operators

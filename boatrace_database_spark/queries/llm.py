@@ -1007,6 +1007,43 @@ FROM h ORDER BY shuffle_pos
 """
 
 
+def chunk_documents_windows(spark, sf_dir):
+    """Overlapping token-window chunking (retrieval / sliding-window
+    prep): 32-token chunks, 8-token overlap — the within-document
+    complement to pack_sequences_windows' cross-document concat. One
+    narrow projection + explode; chunk boundaries and counts are a
+    pure function of the token stream."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_n_tokens")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         1 + greatest(
+           0,
+           CAST(floor((len(w) - 32 + 23) / 24.0) AS INT)
+         ) AS n_chunks
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+       CAST(least(greatest(len(w) - i * 24, 0), 32) AS INT)
+         AS chunk_n_tokens
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def semantic_dedup_assign(spark, sf_dir):
     """SemDeDup-style semantic dedup (cluster-scoped cosine): k-means
     cells from the IVF quantizer, exact cosine within cells only,
@@ -1073,6 +1110,7 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
     "global_shuffle_order": global_shuffle_order,
+    "chunk_documents_windows": chunk_documents_windows,
     "semantic_dedup_assign": semantic_dedup_assign,
 }
 
@@ -1105,5 +1143,6 @@ ORACLES = {
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
     "global_shuffle_order": SHUFFLE_SQL,
+    "chunk_documents_windows": CHUNK_SQL,
     "semantic_dedup_assign": None,
 }

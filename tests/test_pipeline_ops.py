@@ -339,3 +339,59 @@ def test_split_and_shuffle_decorrelated_defaults(spark):
     total_val = sum(1 for r in labeled if r.split == "val")
     # perfectly correlated hashes would put ~all val in one half
     assert 0.35 <= first_half_val / total_val <= 0.65
+
+
+# ---------------------------------------------------------------- chunking
+def test_chunk_documents_hand_checked(spark):
+    """Boundaries: 7 tokens, chunk 5, overlap 2 (stride 3) -> chunks at
+    offsets 0 and 3; the second window [3,8) reaches the end, so no
+    third chunk. A short doc yields exactly one chunk."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y")], ["id", "text"]
+    )
+    rows = sorted(
+        (
+            (r.id, r.chunk_id, r.chunk_text, r.chunk_n_tokens)
+            for r in TX.chunk_documents(
+                df, "id", "text", chunk_tokens=5, overlap=2
+            ).collect()
+        )
+    )
+    assert rows == [
+        (1, 0, "a b c d e", 5),
+        (1, 1, "d e f g", 4),
+        (2, 0, "x y", 2),
+    ]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Reassembling chunk 0 + each later chunk's non-overlapping tail
+    must reproduce the document exactly — no token lost or duplicated."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+         for i, n in [(0, 1), (1, 8), (2, 9), (3, 25), (4, 40)]],
+        ["id", "text"],
+    )
+    out = TX.chunk_documents(df, "id", "text", chunk_tokens=8, overlap=3)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, []).append(r)
+    originals = {r.id: r.text for r in df.collect()}
+    stride = 8 - 3
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = chunks[0].chunk_text.split()
+        for c in chunks[1:]:
+            toks.extend(c.chunk_text.split()[3:])  # drop the overlap
+        assert " ".join(toks) == originals[doc], doc
+        # consecutive chunks actually overlap by `overlap` tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_text.split()[stride:] == b.chunk_text.split()[: 8 - stride]
+
+
+def test_chunk_documents_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match=">= 0"):
+        TX.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=-1)
