@@ -190,3 +190,112 @@ def test_pack_sequences_invariants(spark, case):
         assert r.start_offset == offset[src], (i, r.start_offset, offset[src])
         assert r.pack_id == offset[src] // budget
         offset[src] += n_tok
+
+
+@st.composite
+def split_shuffle_case(draw):
+    ids = draw(
+        st.lists(st.integers(0, 2**40), min_size=1, max_size=40, unique=True)
+    )
+    fa = draw(st.floats(0.05, 0.9, allow_nan=False).map(lambda x: round(x, 2)))
+    fb = round((1.0 - fa) / 2, 10)
+    return ids, {"train": fa, "val": fb, "test": round(1.0 - fa - fb, 10)}
+
+
+@given(split_shuffle_case())
+@settings(**_SETTINGS)
+def test_split_assign_matches_python_formula(spark, case):
+    """Every row's split equals the documented hash formula recomputed
+    in Python (cumulative-fraction intervals over the salted Knuth
+    hash), and the output partitions the input."""
+    from boatrace_database_spark.operators.corpus import (
+        _KNUTH,
+        SPLIT_SALT,
+        split_assign,
+    )
+
+    ids, fractions = case
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {r.id: r.split for r in split_assign(df, "id", fractions).collect()}
+    assert set(got) == set(ids)
+    names = list(fractions)
+    for i in ids:
+        u = (((i % 2**32) + SPLIT_SALT) % 2**32 * _KNUTH % 2**32) / 2**32
+        cum, expected = 0.0, names[-1]
+        for name in names[:-1]:
+            cum += fractions[name]
+            if u < cum:
+                expected = name
+                break
+        assert got[i] == expected, (i, u, got[i], expected)
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=40, unique=True),
+       st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_global_shuffle_matches_python_rank(spark, ids, n_buckets):
+    """shuffle_pos equals the Python-computed rank by (hash, id) for
+    ANY bucket count — the bucketed prefix-sum is invisible."""
+    from boatrace_database_spark.operators.corpus import (
+        _KNUTH,
+        SHUFFLE_SALT,
+        global_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        r.id: r.shuffle_pos
+        for r in global_shuffle(df, "id", n_buckets=n_buckets).collect()
+    }
+
+    def h(i):
+        return ((i % 2**32) + SHUFFLE_SALT) % 2**32 * _KNUTH % 2**32
+
+    expected = {
+        i: pos for pos, i in enumerate(sorted(ids, key=lambda i: (h(i), i)))
+    }
+    assert got == expected
+
+
+@st.composite
+def chunk_case(draw):
+    n = draw(st.integers(1, 15))
+    texts = st.text(alphabet="xy ", min_size=0, max_size=40)
+    chunk_tokens = draw(st.integers(1, 12))
+    overlap = draw(st.integers(0, max(chunk_tokens - 1, 0)))
+    return [(i, draw(texts)) for i in range(n)], chunk_tokens, overlap
+
+
+@given(chunk_case())
+@settings(**_SETTINGS)
+def test_chunk_documents_invariants(spark, case):
+    """Chunks tile the token stream at the documented stride: chunk i
+    holds tokens [i*stride, i*stride+chunk_tokens); the chunk count is
+    minimal (last window reaches the end); reassembly via
+    non-overlapping tails reproduces the document."""
+    import re
+
+    from boatrace_database_spark.operators.text import chunk_documents
+
+    rows, chunk_tokens, overlap = case
+    stride = chunk_tokens - overlap
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = chunk_documents(df, "id", "text", chunk_tokens, overlap)
+    by_doc: dict[int, dict[int, object]] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, {})[r.chunk_id] = r
+    for i, text in rows:
+        toks = re.split(r"\s+", text.strip())  # Spark split: "" -> [""]
+        chunks = by_doc[i]
+        n_chunks = len(chunks)
+        assert sorted(chunks) == list(range(n_chunks))
+        # minimal count: previous window (if any) missed the end
+        if n_chunks > 1:
+            assert (n_chunks - 2) * stride + chunk_tokens < len(toks)
+        assert (n_chunks - 1) * stride + chunk_tokens >= len(toks)
+        for cid, r in chunks.items():
+            want = toks[cid * stride : cid * stride + chunk_tokens]
+            assert r.chunk_text.split(" ") == want or (
+                r.chunk_text == "" and want in ([""], [])
+            ), (i, cid, r.chunk_text, want)
+            assert r.chunk_n_tokens == len(want)
