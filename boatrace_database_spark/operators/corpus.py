@@ -27,17 +27,24 @@ _KNUTH = 2654435761
 def _hash32(col, salt: int):
     """Deterministic 32-bit integer hash of an integer id column —
     identical arithmetic on any SQL engine: x*K mod 2^32 with
-    x = (id mod 2^32 + salt) mod 2^32.
+    x = (id mod 2^32 + salt) mod 2^32, all mods MATHEMATICAL
+    (non-negative): Spark's ``%`` is sign-preserving, so a bare
+    ``id % 2^32`` on a negative id (xxhash64-derived surrogate keys
+    are negative half the time) would make the whole hash negative —
+    every negative-id row would then compare below every fraction
+    threshold and silently land in the first split/always win the
+    fractional mixture copy. ``pmod`` keeps the documented formula.
 
     The multiply is split into 16-bit halves (K*lo + (K*hi mod 2^32)
     << 16, all mod 2^32) so every intermediate stays below 2^49: a
     naive (id+salt)*K overflows int64 for ids >= ~3.5e9 — which ANSI
     Spark turns into a query-killing ARITHMETIC_OVERFLOW, and which
     matters precisely at the multi-billion-row scale this module is
-    for. For ids < 2^32 the value is identical to the naive formula.
+    for. For 0 <= id < 2^32 the value is identical to the naive
+    formula.
     """
     m32 = F.lit(2**32)
-    x = ((col % m32) + F.lit(salt)) % m32
+    x = F.pmod(F.pmod(col, m32) + F.lit(salt), m32)
     lo = x % F.lit(65536)
     hi = F.floor(x / F.lit(65536))
     return (

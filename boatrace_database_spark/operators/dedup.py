@@ -346,11 +346,16 @@ def connected_components(
 
     Strategy is size-gated like the scoring paths in similarity.py:
 
-    - edge list <= ``collect_max_edges``: collect it and union-find on
-      the driver (a 2M-edge list is ~30 MB — trivially driver-scale,
-      and the iterative path's fixed per-round job overhead dominates
-      small graphs by 10-100x). Output is identical: each node labeled
-      with its component's minimum id.
+    - symmetrized edge list <= ``collect_max_edges``: pull it to the
+      driver over Arrow and union-find there (the iterative path's
+      fixed per-round job overhead dominates small graphs by 10-100x).
+      Output is identical: each node labeled with its component's
+      minimum id. Memory math for the gate: the count is of
+      SYMMETRIZED edges (2x the input pair count); the Arrow pull is
+      two int64 columns (~32 MB at the 2M default) and the union-find
+      dicts hold up to 2·edges Python ints — plan for roughly
+      100-150 bytes per edge of peak driver heap (~300 MB at the
+      default gate) before raising it.
     - larger: iterative min-label propagation (the scalable
       alternating small-star/large-star family in its simplest form):
       each round every node adopts the minimum label among itself and
@@ -381,8 +386,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
-            a, b = r.src, r.dst
+        # toPandas, not collect: Arrow moves two flat int64 columns
+        # instead of materializing a Row object per edge (~5x less
+        # driver heap at the gate boundary)
+        pdf = edges.toPandas()
+        for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

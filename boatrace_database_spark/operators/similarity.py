@@ -926,6 +926,7 @@ def semantic_pairs(
     n_assign: int = 1,
     index: tuple[DataFrame, DataFrame] | None = None,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
+    dim: int = 64,
 ) -> DataFrame:
     """Cluster-scoped semantic near-dup pairs, the SemDeDup shape
     (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
@@ -978,16 +979,18 @@ def semantic_pairs(
     # dedup_embedding_cosine plan made). The checkpoint stops the
     # assignment UDF re-running for both self-join branches.
     if n_assign == 1:
+        na_eff = 1
         ids_cells = indexed.select("neighbor_id", "cell").localCheckpoint(
             eager=False
         )
     else:
         rows = centroids.orderBy("cell").collect()
         C = np.array([r.centroid for r in rows], dtype=np.float64)
+        na_eff = min(n_assign, len(rows))
         ids_cells = indexed.select(
             "neighbor_id",
             F.explode(
-                _topn_cells_udf(spark, C, min(n_assign, len(rows)))(F.col("cvec"))
+                _topn_cells_udf(spark, C, na_eff)(F.col("cvec"))
             ).alias("cell"),
         ).localCheckpoint(eager=False)
     a = ids_cells.alias("a")
@@ -1013,8 +1016,11 @@ def semantic_pairs(
     base = indexed.select(
         F.col("neighbor_id").alias("id"), F.col("cvec").alias("vec")
     )
-    n_vectors = corpus.count()  # parquet metadata count — cheap
-    dim = len(base.select("vec").first()[0])
+    # gate input from the checkpointed assignment (its materialization
+    # is needed by both self-join branches anyway) — NOT corpus.count(),
+    # which re-scans an arbitrary upstream plan the build already
+    # counted once
+    n_vectors = ids_cells.count() // na_eff
     if n_vectors * dim * 8 <= broadcast_max_bytes:
         return _broadcast_pair_scores(base, cand, threshold, extra_cols=("cell",))
 
@@ -1059,6 +1065,7 @@ def semantic_dedup(
     sample_per_cell: int = 256,
     n_assign: int = 1,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup end state: every vector with its duplicate-group keeper.
     Pairs from ``semantic_pairs`` collapse to their connected
@@ -1073,7 +1080,7 @@ def semantic_dedup(
 
     pairs = semantic_pairs(
         corpus, id_col, vec_col, n_cells, threshold, sample_per_cell,
-        n_assign, broadcast_max_bytes=broadcast_max_bytes,
+        n_assign, broadcast_max_bytes=broadcast_max_bytes, dim=dim,
     )
     assigned = dedup_clusters(corpus, pairs, id_col)
     return assigned.select(

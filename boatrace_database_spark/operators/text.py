@@ -346,8 +346,10 @@ def chunk_documents(
     if overlap < 0:
         raise ValueError(f"overlap must be >= 0 (got {overlap})")
     stride = chunk_tokens - overlap
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
+    # reference the materialized _toks column everywhere so the regex
+    # split runs ONCE per document (a fresh tokens(text) expression in
+    # the chunk-count bound would re-split every row a second time)
+    n = F.size(F.col("_toks"))
     # first chunk always exists; further chunks while the previous
     # window did not reach the end: n_chunks = 1 + max(0, ceil((n -
     # chunk_tokens)/stride)) — integer ceil via (x + stride - 1) div
@@ -358,7 +360,7 @@ def chunk_documents(
         ).cast("int"),
     )
     return (
-        df.withColumn("_toks", toks)
+        df.withColumn("_toks", tokens(F.col(text_col)))
         .withColumn(
             "chunk_id",
             F.explode(F.sequence(F.lit(0), extra)),

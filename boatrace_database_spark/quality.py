@@ -94,23 +94,21 @@ def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
 
 
-def lsh_cosine_pairs_recall(
-    spark: SparkSession,
-    sf_dir: str,
-    threshold: float = 0.45,
-    max_vectors: int = 20_000,
-) -> dict[str, float]:
-    """Recall of the banded `cosine_pairs_lsh` path against EXACT
-    all-pairs cosine ground truth, computed as one driver-side numpy
-    matmul (size-gated — n² scores of a broadcast-scale corpus are
-    trivial for the driver, which is exactly why the demo corpus can
-    have a ground truth at all)."""
+def _exact_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, max_vectors: int
+) -> set[tuple[int, int]] | None:
+    """EXACT all-pairs cosine ground truth as a pair set, computed as
+    one driver-side numpy matmul (size-gated — n² scores of a
+    broadcast-scale corpus are trivial for the driver, which is
+    exactly why the demo corpus can have a ground truth at all).
+    Returns None when the corpus exceeds the gate; the ONE definition
+    every pair-recall metric below measures against (same rounding,
+    same id canonicalization)."""
     import numpy as np
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
-    if n > max_vectors:
-        return {"lsh_cosine_pairs_recall": None}
+    if emb.count() > max_vectors:
+        return None
     pdf = emb.select("vec_id", "embedding").toPandas()
     ids = pdf["vec_id"].to_numpy()
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -118,12 +116,24 @@ def lsh_cosine_pairs_recall(
     S = np.round(Mn @ Mn.T, 4)
     iu = np.triu_indices(len(ids), k=1)
     hits = S[iu] >= threshold
-    exact = {
+    return {
         (int(min(a, b)), int(max(a, b)))
         for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
     }
+
+
+def lsh_cosine_pairs_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    max_vectors: int = 20_000,
+) -> dict[str, float]:
+    """Recall of the banded `cosine_pairs_lsh` path against the shared
+    `_exact_cosine_pairs` ground truth."""
+    exact = _exact_cosine_pairs(spark, sf_dir, threshold, max_vectors)
     if not exact:
         return {"lsh_cosine_pairs_recall": None}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     lsh = {
         (r.id_a, r.id_b)
         for r in SIM.cosine_pairs_lsh(emb, threshold=threshold).collect()
@@ -142,29 +152,14 @@ def semantic_dedup_recall(
     max_vectors: int = 20_000,
 ) -> dict[str, float]:
     """Pair recall of cluster-scoped `semantic_pairs` (the catalog's
-    semantic_dedup_assign operating point) vs exact all-pairs cosine
-    ground truth — same driver-side numpy matmul as
-    `lsh_cosine_pairs_recall`. Precision is 1.0 by construction
-    (within-cell scoring is exact), so recall is the one number that
-    moves with n_assign/n_cells."""
-    import numpy as np
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if emb.count() > max_vectors:
-        return {"semantic_dedup_recall": None}
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    S = np.round(Mn @ Mn.T, 4)
-    iu = np.triu_indices(len(ids), k=1)
-    hits = S[iu] >= threshold
-    exact = {
-        (int(min(a, b)), int(max(a, b)))
-        for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
-    }
+    semantic_dedup_assign operating point) vs the shared
+    `_exact_cosine_pairs` ground truth. Precision is 1.0 by
+    construction (within-cell scoring is exact), so recall is the one
+    number that moves with n_assign/n_cells."""
+    exact = _exact_cosine_pairs(spark, sf_dir, threshold, max_vectors)
     if not exact:
         return {"semantic_dedup_recall": None}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sem = {
         (r.id_a, r.id_b)
         for r in SIM.semantic_pairs(

@@ -943,8 +943,14 @@ FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
 def _knuth_sql(id_expr: str, salt: int) -> str:
     """The overflow-safe split Knuth multiply (operators/corpus._hash32)
     as a DuckDB expression — one generator so every oracle that audits
-    a hash-driven decision inlines the IDENTICAL arithmetic."""
-    x = f"((({id_expr} % 4294967296) + {salt}) % 4294967296)"
+    a hash-driven decision inlines the IDENTICAL arithmetic. DuckDB's
+    ``%`` is sign-preserving like Spark's, so the inner mod is made
+    mathematical the same way _hash32's pmod is (catalog doc_ids are
+    non-negative; this keeps the generator honest for any caller)."""
+    x = (
+        f"((((({id_expr} % 4294967296) + 4294967296) % 4294967296)"
+        f" + {salt}) % 4294967296)"
+    )
     return (
         f"((({x} % 65536) * 2654435761"
         f" + ((({x} // 65536) * 2654435761) % 4294967296) * 65536)"

@@ -846,7 +846,14 @@ def stream_dedup_semantic(
             v = np.asarray(row.vec, dtype=np.float64)
             nv = float(np.sqrt(v @ v))
             for mid, mv, mn in zip(ids, members, norms):
-                score = round(float(v @ mv) / (mn * nv), 4)
+                den = mn * nv
+                if den == 0.0:
+                    # zero-norm vector (padding / failed-encode
+                    # sentinel): batch scoring yields nan (0/0) and the
+                    # >= filter drops it — skip instead of raising
+                    # ZeroDivisionError and killing the query
+                    continue
+                score = round(float(v @ mv) / den, 4)
                 if score >= threshold:
                     out.append((int(mid), int(row.id), cell, score))
             if len(ids) < max_members:

@@ -395,3 +395,28 @@ def test_chunk_documents_validation(spark):
         TX.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=4)
     with pytest.raises(ValueError, match=">= 0"):
         TX.chunk_documents(df, "id", "text", chunk_tokens=4, overlap=-1)
+
+
+def test_hash_ops_negative_ids_use_mathematical_mod(spark):
+    """xxhash64-derived surrogate ids are negative half the time; the
+    hash primitive must use mathematical mod (Spark's % is
+    sign-preserving) or every negative-id row lands in the first split
+    and always wins the fractional mixture copy."""
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators.corpus import _KNUTH, SPLIT_SALT
+
+    ids = [-1, -5, -(2**33) - 7, 3, 2**33 + 11]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    fr = {"train": 0.5, "val": 0.5}
+    got = {r.id: r.split for r in C.split_assign(df, "id", fr).collect()}
+    for i in ids:
+        u = (((i % 2**32) + SPLIT_SALT) % 2**32 * _KNUTH % 2**32) / 2**32
+        # python % IS mathematical mod — the documented formula
+        assert got[i] == ("train" if u < 0.5 else "val"), (i, u, got[i])
+    # both splits actually occur across the negative ids (the bug made
+    # them all 'train')
+    neg = {got[i] for i in ids if i < 0}
+    assert neg == {"train", "val"}
+    # shuffle positions remain an exact permutation with negatives
+    pos = [r.shuffle_pos for r in C.global_shuffle(df, "id").collect()]
+    assert sorted(pos) == list(range(len(ids)))
