@@ -965,6 +965,12 @@ def semantic_pairs(
     ``index``: a prebuilt ``ivf_build_index`` / ``ivf_read_index``
     (inverted file, centroids) pair for the same corpus — pass it to
     skip the in-call build (the build-once deployment).
+
+    ``dim`` feeds ONLY the broadcast-gate memory math (n·dim·8 bytes
+    vs ``broadcast_max_bytes``) — set it to the corpus's real vector
+    width or the gate will mis-price the driver/worker matrix copy
+    (same convention as cosine_pairs_lsh, where a wrong dim breaks
+    visibly via the plane matrix).
     """
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
