@@ -670,3 +670,32 @@ def test_semantic_pairs_prebuilt_index_matches_in_call_build(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_semantic_pairs_string_ids_both_strategies(spark):
+    """semantic_pairs is the second caller of _broadcast_pair_scores:
+    string ids must survive the whole chain (IVF build's orderBy +
+    hash sample, cell assignment, pair collapse, both scoring
+    strategies) with identical schema and pairs on both sides of the
+    gate — and semantic_dedup's lexicographic min keeper must hold."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    sdf = emb.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 8, "0")
+        ).alias("vec_id"),
+        "embedding",
+    )
+    broadcast = SIM.semantic_pairs(sdf, threshold=0.4, n_cells=8, n_assign=2)
+    joined = SIM.semantic_pairs(
+        sdf, threshold=0.4, n_cells=8, n_assign=2, broadcast_max_bytes=0
+    )
+    assert broadcast.schema == joined.schema
+    assert broadcast.schema["id_a"].dataType.simpleString() == "string"
+    bc = {(r.id_a, r.id_b, r.cell, r.score) for r in broadcast.collect()}
+    jn = {(r.id_a, r.id_b, r.cell, r.score) for r in joined.collect()}
+    assert bc == jn
+    dedup = SIM.semantic_dedup(sdf, threshold=0.4, n_cells=8, n_assign=2)
+    rows = dedup.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r.keeper_id <= r.id  # lexicographic min keeper
