@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 87 after round 5 added the ANN tuning dials, ngram_topk,
+# catalog — 88 after round 5 added the ANN tuning dials, ngram_topk,
 # the decontamination / repetition / PII-redaction / mixture /
 # packing pipeline ops, and the split / global-shuffle / semantic-dedup
 # / chunking ops), so
@@ -65,6 +65,7 @@ _ORDER = [
     "ngram_topk", "dedup_embedding_cosine", "dedup_minhash_lsh",
     # tier 3 — remaining no-oracle (rows-only) operators
     "dedup_simhash", "text_rolling_hash", "approx_distinct_quantile",
+    "freq_items_heavy_hitters",
     # tier 4 — green r1+r2+r4: second-newest row is r2, the oldest
     # double-verification among the r4-green set
     "append_union", "sentinel_fill",

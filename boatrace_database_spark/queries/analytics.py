@@ -621,6 +621,27 @@ FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 # sampling / approx (§2.5): approximate distinct + quantile sketches.
 # No SQL oracle (sketch results are engine-specific); pytest bounds the
 # error against exact counts instead.
+def freq_items_heavy_hitters(spark, sf_dir):
+    """Approximate heavy hitters via `df.stat.freqItems` (the
+    Karp/Shenker/Papadimitriou one-pass counter, distributed by Spark):
+    all items with frequency above the support threshold are guaranteed
+    present (possible false positives, no false negatives — the pytest
+    bound). The sketch answers 'which sources/langs dominate the
+    corpus' in ONE narrow pass with a constant-size merge state —
+    at 100 TB this replaces a full groupBy/sort when only the
+    heavy-hitter SET is needed. No oracle (result is
+    algorithm-dependent beyond the guarantee): rows-only driver check;
+    the containment guarantee is asserted in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    row = d.stat.freqItems(["source", "lang"], support=0.1).first()
+    # normalize the single array-row into sorted rows so the output is
+    # deterministic and diffable
+    items = sorted(
+        [("source", v) for v in row[0]] + [("lang", v) for v in row[1]]
+    )
+    return spark.createDataFrame(items, "column STRING, heavy_hitter STRING")
+
+
 def approx_distinct_quantile(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return (
@@ -660,6 +681,7 @@ QUERIES = {
     "pivot_wide": pivot_wide,
     "unpivot_stack": unpivot_stack,
     "sample_systematic": sample_systematic,
+    "freq_items_heavy_hitters": freq_items_heavy_hitters,
     "percentile_quantile": percentile_quantile,
     "time_tumble": time_tumble,
     "approx_distinct_quantile": approx_distinct_quantile,
@@ -693,4 +715,5 @@ ORACLES = {
     "percentile_quantile": PERCENTILE_SQL,
     "time_tumble": TIME_TUMBLE_SQL,
     "approx_distinct_quantile": None,
+    "freq_items_heavy_hitters": None,
 }

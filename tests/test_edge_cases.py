@@ -156,3 +156,31 @@ def test_empty_file_and_headerless_records():
         "K", "2020-08-01",
     )
     assert len(_rows(out2, "result")) == 0
+
+
+def test_freq_items_containment_guarantee(spark):
+    """freqItems' contract: every item whose TRUE frequency exceeds the
+    support threshold appears in the result (false positives allowed,
+    false negatives never)."""
+    import collections
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    out = set(df.stat.freqItems(["v"], support=0.2).first()[0])
+    true_freq = collections.Counter(r[0] for r in rows)
+    n = len(rows)
+    for item, cnt in true_freq.items():
+        if cnt / n > 0.2:
+            assert item in out, (item, cnt / n, out)
+
+
+def test_freq_items_query_shape(spark):
+    from boatrace_database_spark.queries import QUERIES
+
+    rows = QUERIES["freq_items_heavy_hitters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "documents has few sources/langs: heavy hitters must exist"
+    assert {r.column for r in rows} <= {"source", "lang"}

@@ -877,3 +877,45 @@ def test_stream_semantic_rejects_gappy_centroids(spark, tmp_path):
         stream_dedup_semantic(
             spark, str(tmp_path / "x"), emb.schema, gappy
         )
+
+
+def test_stateless_ops_compose_with_streams(spark, tmp_path):
+    """Pure-projection operators (chunk_documents here) run UNCHANGED on
+    a streaming frame — no stateful wrapper needed; the same plan that
+    batch-chunks a corpus chunk-processes arriving files. Replay equals
+    the batch result exactly."""
+    from boatrace_database_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "chunk_src")
+    os.makedirs(src)
+    stage = tmp_path / "chunk_stage"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    part = next(
+        str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    shutil.copy(part, f"{src}/c1.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        chunk_documents(stream, "doc_id", "text", chunk_tokens=32, overlap=8)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunk_stream_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.chunk_id, r.chunk_text, r.chunk_n_tokens)
+            for r in spark.sql("SELECT * FROM chunk_stream_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.chunk_n_tokens)
+        for r in chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=32, overlap=8
+        ).collect()
+    }
+    assert got == batch
