@@ -39,7 +39,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL-safe cosine: a zero-norm vector (padding / failed-encode
+    sentinel) has no defined direction, so its similarity is NULL —
+    which fails every `>= threshold` filter and sorts last under
+    `desc` ranking. Without the guard this division is a
+    query-killing DIVIDE_BY_ZERO under the session's ANSI mode; the
+    engine-wide policy (all batch strategies + the streaming twin) is
+    that zero-norm vectors simply produce no pairs/rankings."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def cosine_topk(
@@ -293,6 +301,25 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def centroid_matrix(centroids: DataFrame) -> "np.ndarray":
+    """Collect a centroid table to the (n_cells × dim) matrix the
+    Arrow assignment kernels index POSITIONALLY — so row position must
+    equal cell id. A centroid table with gaps (e.g. a caller dropped a
+    drained cell) would silently mis-assign every vector after the
+    gap; every consumer of the matrix (incremental add, multi-assign
+    semantic pairs, the streaming twin) validates through this ONE
+    helper and refuses instead."""
+    rows = centroids.orderBy("cell").collect()
+    cells = [r.cell for r in rows]
+    if cells != list(range(len(rows))):
+        raise ValueError(
+            f"centroid cells must be the gapless sequence 0..{len(rows) - 1} "
+            f"(got {cells}); rebuild the index rather than filtering the "
+            "centroid table"
+        )
+    return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
 def ivf_add_to_index(
     indexed: DataFrame,
     centroids: DataFrame,
@@ -313,19 +340,7 @@ def ivf_add_to_index(
     the signal to retrain rather than keep appending.
     """
     spark = indexed.sparkSession
-    rows = centroids.orderBy("cell").collect()
-    # the shared assignment UDF returns POSITIONAL argmin indices into
-    # C, so row position must equal cell id: a centroid table with
-    # gaps (e.g. a caller dropped a drained cell) would silently
-    # mis-assign every vector after the gap — refuse instead.
-    cells = [r.cell for r in rows]
-    if cells != list(range(len(rows))):
-        raise ValueError(
-            f"centroid cells must be the gapless sequence 0..{len(rows) - 1} "
-            f"(got {cells}); rebuild the index rather than appending to a "
-            "filtered centroid table"
-        )
-    C = np.array([r.centroid for r in rows], dtype=np.float64)
+    C = centroid_matrix(centroids)
     addition = new_corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     ).withColumn("cell", _nearest_cell_udf(spark, C)(F.col("cvec")))
@@ -503,7 +518,17 @@ def _broadcast_pair_scores(
         for b_pdf in batches:
             ia = b_pdf["id_a"].map(row_idx).to_numpy()
             ib = b_pdf["id_b"].map(row_idx).to_numpy()
-            s = np.einsum("ij,ij->i", M[ia], M[ib]) / (nrm[ia] * nrm[ib])
+            den = nrm[ia] * nrm[ib]
+            # zero-norm policy: numpy's 0/0 would yield NaN, which
+            # Spark's `>= threshold` treats as TRUE (NaN sorts greatest)
+            # — -inf instead, so such pairs always fail the filter,
+            # matching the NULL-safe JVM `cosine` and the streaming skip
+            s = np.divide(
+                np.einsum("ij,ij->i", M[ia], M[ib]),
+                den,
+                out=np.full(len(den), -np.inf),
+                where=den != 0,
+            )
             out = {"id_a": b_pdf["id_a"], "id_b": b_pdf["id_b"]}
             for c in extra_cols:
                 out[c] = b_pdf[c]
@@ -614,13 +639,15 @@ def cosine_pairs_lsh(
 
     # ---- vector-join scoring (corpus too large to broadcast) ---------
     # here the dedup stays BEFORE the vector joins: at deep-band scale
-    # settings it shrinks the rows that must carry vectors
+    # settings it shrinks the rows that must carry vectors.
+    # norm != 0: zero-norm vectors produce no pairs (the engine-wide
+    # policy) — and under ANSI mode an unguarded /0 would kill the job
     cand = cand_raw.dropDuplicates(["id_a", "id_b"])
-    va = base.select(
+    va = base.where(F.col("norm") != 0).select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"),
     )
-    vb = base.select(
+    vb = base.where(F.col("norm") != 0).select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
@@ -990,9 +1017,8 @@ def semantic_pairs(
             eager=False
         )
     else:
-        rows = centroids.orderBy("cell").collect()
-        C = np.array([r.centroid for r in rows], dtype=np.float64)
-        na_eff = min(n_assign, len(rows))
+        C = centroid_matrix(centroids)
+        na_eff = min(n_assign, len(C))
         ids_cells = indexed.select(
             "neighbor_id",
             F.explode(
@@ -1031,10 +1057,12 @@ def semantic_pairs(
         return _broadcast_pair_scores(base, cand, threshold, extra_cols=("cell",))
 
     # corpus too large to broadcast: vectors hash-join onto the
-    # already-distinct pair list (AQE picks broadcast vs shuffle)
-    withn = base.withColumn("norm", l2_norm(F.col("vec"))).localCheckpoint(
-        eager=False
-    )
+    # already-distinct pair list (AQE picks broadcast vs shuffle).
+    # norm != 0: zero-norm vectors produce no pairs (engine-wide
+    # policy; unguarded /0 is fatal under ANSI mode)
+    withn = base.withColumn("norm", l2_norm(F.col("vec"))).where(
+        F.col("norm") != 0
+    ).localCheckpoint(eager=False)
     va = withn.select(
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),

@@ -94,6 +94,13 @@ def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
 
 
+#: one score matrix per (sf_dir, max_vectors) per process — both
+#: recall metrics threshold the SAME n² matmul instead of each
+#: re-reading, re-collecting, and re-multiplying the corpus (the most
+#: expensive driver-side step of quality_metrics, done once not twice)
+_GT_CACHE: dict = {}
+
+
 def _exact_cosine_pairs(
     spark: SparkSession, sf_dir: str, threshold: float, max_vectors: int
 ) -> set[tuple[int, int]] | None:
@@ -103,17 +110,25 @@ def _exact_cosine_pairs(
     exactly why the demo corpus can have a ground truth at all).
     Returns None when the corpus exceeds the gate; the ONE definition
     every pair-recall metric below measures against (same rounding,
-    same id canonicalization)."""
+    same id canonicalization), cached so different thresholds share
+    the matmul."""
     import numpy as np
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    if emb.count() > max_vectors:
+    key = (sf_dir, max_vectors)
+    if key not in _GT_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if emb.count() > max_vectors:
+            _GT_CACHE[key] = None
+        else:
+            pdf = emb.select("vec_id", "embedding").toPandas()
+            ids = pdf["vec_id"].to_numpy()
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            _GT_CACHE[key] = (ids, np.round(Mn @ Mn.T, 4))
+    cached = _GT_CACHE[key]
+    if cached is None:
         return None
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    S = np.round(Mn @ Mn.T, 4)
+    ids, S = cached
     iu = np.triu_indices(len(ids), k=1)
     hits = S[iu] >= threshold
     return {

@@ -40,10 +40,10 @@ for mod in (relational, analytics, advanced, llm):
 # = 19 of the queries green r1+r2+r4 (second-newest row r2 — the
 # oldest double-verification), tier 5 = the rest of that group plus
 # everything green r3+r4 — the most recently double-verified set costs
-# least if the budget truncates. Tiers 1-4 total 59 (the nine new
-# pipeline ops joined tier 2), so a 50-row budget truncates tier 4's
-# last ~9 — all green in r4, keeping every catalog query green within
-# r4∪r5.
+# least if the budget truncates. Tiers 1-4 total 61 (24+17+4+16: the
+# ten new pipeline ops joined tier 2, freq_items joined tier 3), so a
+# 50-row budget truncates tier 4's last ~11 — all green in r4, keeping
+# every catalog query green within r4∪r5.
 _ORDER = [
     # tier 1 — newest driver row is r3 (r4's tier 5)
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",

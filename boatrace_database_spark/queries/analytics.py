@@ -635,9 +635,12 @@ def freq_items_heavy_hitters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     row = d.stat.freqItems(["source", "lang"], support=0.1).first()
     # normalize the single array-row into sorted rows so the output is
-    # deterministic and diffable
+    # deterministic and diffable. NULL is a legitimate heavy hitter on
+    # a sparse column — sort it first rather than letting a None<str
+    # comparison crash the query.
     items = sorted(
-        [("source", v) for v in row[0]] + [("lang", v) for v in row[1]]
+        [("source", v) for v in row[0]] + [("lang", v) for v in row[1]],
+        key=lambda t: (t[0], t[1] is not None, t[1] or ""),
     )
     return spark.createDataFrame(items, "column STRING, heavy_hitter STRING")
 

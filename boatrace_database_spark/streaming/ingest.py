@@ -791,20 +791,14 @@ def stream_dedup_semantic(
     from boatrace_database_spark.operators.similarity import (
         _nearest_cell_udf,
         _topn_cells_udf,
+        centroid_matrix,
     )
 
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
-    rows = centroids.orderBy("cell").collect()
-    cells = [r.cell for r in rows]
-    if cells != list(range(len(rows))):
-        # same gapless contract as ivf_add_to_index: positional argmin
-        # indices must BE cell ids
-        raise ValueError(
-            f"centroid cells must be the gapless sequence 0..{len(rows) - 1} "
-            f"(got {cells})"
-        )
-    C = np.array([r.centroid for r in rows], dtype=np.float64)
+    # shared gapless validation: positional argmin indices must BE
+    # cell ids (see centroid_matrix)
+    C = centroid_matrix(centroids)
 
     vecs = spark.readStream.schema(schema).parquet(source_dir)
     if n_assign == 1:
@@ -818,7 +812,7 @@ def stream_dedup_semantic(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             F.explode(
-                _topn_cells_udf(spark, C, min(n_assign, len(rows)))(
+                _topn_cells_udf(spark, C, min(n_assign, len(C)))(
                     F.col(vec_col)
                 )
             ).alias("cell"),
@@ -849,9 +843,11 @@ def stream_dedup_semantic(
                 den = mn * nv
                 if den == 0.0:
                     # zero-norm vector (padding / failed-encode
-                    # sentinel): batch scoring yields nan (0/0) and the
-                    # >= filter drops it — skip instead of raising
-                    # ZeroDivisionError and killing the query
+                    # sentinel): the engine-wide policy is that such
+                    # vectors produce no pairs (batch emits -inf /
+                    # NULL scores that fail the threshold) — skip
+                    # instead of raising ZeroDivisionError and
+                    # killing the query
                     continue
                 score = round(float(v @ mv) / den, 4)
                 if score >= threshold:

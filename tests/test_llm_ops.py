@@ -699,3 +699,38 @@ def test_semantic_pairs_string_ids_both_strategies(spark):
     assert len(rows) == 200
     for r in rows:
         assert r.keeper_id <= r.id  # lexicographic min keeper
+
+
+def test_zero_norm_vectors_produce_no_pairs_any_strategy(spark):
+    """Engine-wide zero-norm policy: a padding / failed-encode vector
+    (all zeros) yields NO pairs and NO crash on every scoring path —
+    broadcast matrix, vector join, cluster-scoped semantic — and NULL
+    (never NaN, which Spark sorts greatest) in exact top-k scores."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64, 0)], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    corpus = emb.unionByName(zero)
+    for kw in ({}, {"broadcast_max_bytes": 0}):
+        lsh = SIM.cosine_pairs_lsh(corpus, threshold=0.0, **kw).collect()
+        assert all(r.id_a != 999_999 and r.id_b != 999_999 for r in lsh), kw
+        sem = SIM.semantic_pairs(
+            corpus, threshold=0.0, n_cells=4, n_assign=2, **kw
+        ).collect()
+        assert all(r.id_a != 999_999 and r.id_b != 999_999 for r in sem), kw
+    topk = SIM.cosine_topk(corpus, zero, k=3).collect()
+    assert all(r.score is None for r in topk)
+
+
+def test_semantic_pairs_rejects_gappy_centroids(spark):
+    """Multi-assign semantic_pairs indexes the centroid matrix
+    positionally — a filtered (gappy) centroid table must raise like
+    ivf_add_to_index and the streaming twin, not silently shift every
+    cell id after the gap."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    indexed, centroids = SIM.ivf_build_index(emb, n_cells=4)
+    gappy = centroids.where(F.col("cell") != 1)
+    with pytest.raises(ValueError, match="gapless"):
+        SIM.semantic_pairs(
+            emb, threshold=0.4, n_assign=2, index=(indexed, gappy)
+        ).collect()
