@@ -467,22 +467,30 @@ def stream_dedup_simhash(
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).where(F.size("_sh") >= 1)
 
+    # hash each shingle ONCE (the batch twin's shape: its exploded
+    # table carries one xxhash64 per shingle row); folding the raw
+    # shingles per bit would re-evaluate xxhash64 bits× per shingle —
+    # the votes then fold over cheap shifts of the precomputed longs
+    hashed = shingled.withColumn(
+        "_hs", F.transform("_sh", lambda s: F.xxhash64(s))
+    )
+
     def _bit_vote(b: int):
         # factory, not a default arg (two-param lambdas become
         # (element, index) lambdas under F.aggregate's merge fn too)
-        return lambda acc, s: acc + (
-            F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) * 2 - 1
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
         )
 
     sig_bits = []
     for b in range(bits):
-        vote = F.aggregate("_sh", F.lit(0).cast("long"), _bit_vote(b))
+        vote = F.aggregate("_hs", F.lit(0).cast("long"), _bit_vote(b))
         bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
         sig_bits.append(
             F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long"))
         )
     sim = sum(sig_bits[1:], start=sig_bits[0])
-    sig = shingled.select("id", sim.alias("sim"))
+    sig = hashed.select("id", sim.alias("sim"))
 
     chunked = sig.select(
         "id",
