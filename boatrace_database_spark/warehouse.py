@@ -332,3 +332,75 @@ def export_reference_csvs(
             written.append(path)
         shutil.rmtree(tmp)
     return written
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str = "race_date",
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet table — the
+    maintenance twin of the streaming ingest: every foreachBatch epoch
+    appends at least one file per touched partition, so a long-running
+    `stream_ingest_boatrace` steadily fragments the warehouse and scan
+    cost drifts from data-bound to file-open-bound. This rewrites each
+    over-fragmented partition into ceil(bytes/target_bytes) files.
+
+    A partition is over-fragmented when its file count exceeds what
+    its byte size needs at ``target_bytes`` per file; right-sized
+    partitions are left byte-for-byte untouched (their files are not
+    rewritten — compaction must be re-runnable without churning the
+    stable majority). ``sort_cols`` additionally clusters rows within
+    the rewritten files (sortWithinPartitions — no extra shuffle), so
+    parquet row-group min/max stats prune point lookups on those
+    columns after compaction.
+
+    Scale shape: each partition rewrite is an independent
+    read-filter-repartition-overwrite cycle under dynamic partition
+    overwrite (only that partition's directory is replaced; the
+    staged rows are localCheckpoint'ed BEFORE the overwrite deletes
+    the files they came from — the merge_upsert pattern). At 100 TB
+    this runs as a background job over the partitions the ingest
+    recently touched, not the whole table.
+
+    Returns {partition_value: files_after} for rewritten partitions.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = jpath.getFileSystem(hconf)
+    prefix = f"{partition_col}="
+    rewritten: dict[str, int] = {}
+    for st in fs.listStatus(jpath):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        files = [
+            f for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        part_bytes = sum(f.getLen() for f in files)
+        needed = max(1, -(-part_bytes // target_bytes))  # ceil
+        if len(files) <= needed:
+            continue  # right-sized: leave untouched
+        part = (
+            spark.read.parquet(table_dir)
+            .withColumn(partition_col, F.col(partition_col).cast("string"))
+            .where(F.col(partition_col) == value)  # partition-pruned scan
+            .repartition(int(needed))
+        )
+        if sort_cols:
+            part = part.sortWithinPartitions(*sort_cols)
+        staged = part.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            table_dir
+        )
+        rewritten[value] = int(needed)
+    if rewritten:
+        spark.catalog.refreshByPath(table_dir)
+    return rewritten

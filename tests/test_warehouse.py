@@ -411,3 +411,50 @@ def test_merge_upsert_emptied_partition(spark, tmp_path):
     assert merged.where(F.col("race_date") == victim).count() == 0
     assert merged.where(F.col("race_date") == "2020-08-09").count() == n_moved
     assert not os.path.exists(f"{env_dir}/race_date={victim}")
+
+
+def test_compact_partitions_merges_small_files_only(spark, tmp_path):
+    """Fragmented partitions collapse to the byte-sized file count with
+    identical data; right-sized partitions are left byte-for-byte
+    untouched (same file names — re-runnable without churn); sort_cols
+    clusters rows inside the rewritten files."""
+    import os
+
+    from boatrace_database_spark.warehouse import compact_partitions
+
+    table = str(tmp_path / "tbl")
+    rows = [(i, f"2020-08-{1 + i % 2:02d}", i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id LONG, race_date STRING, k INT")
+    # day 01 fragmented into 16 files, day 02 written as one file
+    df.where("race_date = '2020-08-01'").repartition(16).write.partitionBy(
+        "race_date"
+    ).mode("overwrite").parquet(table)
+    df.where("race_date = '2020-08-02'").coalesce(1).write.partitionBy(
+        "race_date"
+    ).mode("append").parquet(table)
+
+    def files(day):
+        d = f"{table}/race_date={day}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert len(files("2020-08-01")) == 16
+    untouched_before = files("2020-08-02")
+    before = {(r.id, r.race_date, r.k) for r in spark.read.parquet(table).collect()}
+
+    out = compact_partitions(
+        spark, table, target_bytes=64 * 1024 * 1024, sort_cols=["k", "id"]
+    )
+    assert out == {"2020-08-01": 1}
+    assert len(files("2020-08-01")) == 1
+    assert files("2020-08-02") == untouched_before
+    after_df = spark.read.parquet(table)
+    after = {(r.id, r.race_date, r.k) for r in after_df.collect()}
+    assert after == before
+    # rows inside the compacted file are clustered by sort_cols
+    day1 = [
+        (r.k, r.id)
+        for r in spark.read.parquet(f"{table}/race_date=2020-08-01").collect()
+    ]
+    assert day1 == sorted(day1)
+    # idempotent: a second pass finds nothing to do
+    assert compact_partitions(spark, table, target_bytes=64 * 1024 * 1024) == {}
