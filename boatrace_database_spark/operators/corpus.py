@@ -206,6 +206,65 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def split_exact(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: int = SPLIT_SALT,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact-count train/val/test split: rank rows by the deterministic
+    shuffle order (``global_shuffle``'s shuffle_pos) and cut at the
+    cumulative-fraction boundaries floor(cum_k · n). Split k's size is
+    floor(cum_k·n) − floor(cum_{k−1}·n) ∈ {⌊f_k·n⌋, ⌈f_k·n⌉} — exactly
+    the requested proportions, unlike ``split_assign``'s binomial
+    hash-split (whose docstring points here).
+
+    The trade the caller makes: membership is a function of the WHOLE
+    corpus (a row's rank moves when other rows are added/removed), so
+    incremental batches can migrate rows across splits — use
+    ``split_assign`` when stability under growth matters more than
+    exact counts. Deterministic for a fixed corpus: same rows + same
+    salt → identical assignment on any engine.
+
+    Output: input columns + ``shuffle_pos`` + ``split``.
+
+    Scale shape: global_shuffle's one bucket-keyed shuffle + B-row
+    broadcast prefix sum (no single-task global window), plus ONE
+    1-row count aggregate broadcast back for the boundaries. The CASE
+    chain is O(|fractions|) codegen comparisons per row.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}): an implicit "
+            "remainder bucket would silently mislabel rows"
+        )
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
+    shuffled = global_shuffle(df, id_col, salt=salt, n_buckets=n_buckets)
+    n_rows = shuffled.agg(F.count(F.lit(1)).alias("_n_total"))
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    boundaries = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        boundaries.append((name, cum))
+    for name, bound in reversed(boundaries):
+        # floor(cum·n) in double: n < 2^53 and IEEE arithmetic, so the
+        # boundary is the same on any engine (the oracle repeats it)
+        expr = F.when(
+            F.col("shuffle_pos") < F.floor(F.lit(bound) * F.col("_n_total")),
+            F.lit(name),
+        ).otherwise(expr)
+    return (
+        shuffled.join(F.broadcast(n_rows))
+        .withColumn("split", expr)
+        .drop("_n_total")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str,

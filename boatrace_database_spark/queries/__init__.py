@@ -24,65 +24,61 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 88 after round 5 added the ANN tuning dials, ngram_topk,
-# the decontamination / repetition / PII-redaction / mixture /
-# packing pipeline ops, and the split / global-shuffle / semantic-dedup
-# / chunking ops), so
-# ordering is the coverage lever. Round-5 rotation (r4 verified the
-# then-tiers 1-4 — 44 green + 6 rows-only, zero failures; union r3∪r4
-# covered all 74 pre-existing):
-# tier 1 = the 24 queries whose NEWEST driver row is r3 (they sat in
-# r4's tier 5) — the staleness frontier the r4 verdict told r5 to
-# clear, tier 2 = queries whose CODE CHANGED in round 5 (multi-table
-# LSH ANN rework, deterministic IVF build, cosine_pairs_lsh id-type
-# fix, minhash max_df guards) — changed code must re-verify, tier 3 =
-# the remaining no-oracle operators (cheap rows-only records), tier 4
-# = 19 of the queries green r1+r2+r4 (second-newest row r2 — the
-# oldest double-verification), tier 5 = the rest of that group plus
-# everything green r3+r4 — the most recently double-verified set costs
-# least if the budget truncates. Tiers 1-4 total 61 (24+17+4+16: the
-# ten new pipeline ops joined tier 2, freq_items joined tier 3), so a
-# 50-row budget truncates tier 4's last ~11 — all green in r4, keeping
-# every catalog query green within r4∪r5.
+# catalog — 90 after round 6 added split_exact_assign and
+# chunk_dedup_pipeline), so ordering is the coverage lever.
+# Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
+# — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
+# tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
+# tail + tier 5) — the staleness frontier the r5 verdict told r6 to
+# clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
+# oracle CAST fix must re-verify green; split_exact and the
+# chunk-then-dedup composition are new); tier 3 = the queries whose
+# second-newest row is r3 (checked r5 — the oldest double-
+# verification): tiers 1-3 total exactly 50, so the budget covers
+# them; tier 4 = the rest of the r5-green set (newest row r5);
+# tier 5 = the no-oracle rows-only ops checked r5 — cheapest to defer
+# since their driver record is weaker anyway. Every catalog query
+# stays green within r5∪r6.
 _ORDER = [
-    # tier 1 — newest driver row is r3 (r4's tier 5)
-    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
-    "embedding_cosine_topk",
-    "embedding_norm_stats", "multimodal_features", "asof_join_events",
-    "flag_timing_features", "sessionize_gaps", "salted_skew_agg",
-    "date_battery", "null_battery", "union_distinct",
-    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
-    "token_count_battery", "dedup_cluster_assign",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
-    # tier 2 — code changed/added in round 5: must (re-)verify
-    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
-    "mixture_resample_recipe", "pack_sequences_windows",
-    "training_data_pipeline",
-    "split_train_eval", "global_shuffle_order", "semantic_dedup_assign",
-    "chunk_documents_windows",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_bucket_stats", "ivf_cell_stats",
-    "ngram_topk", "dedup_embedding_cosine", "dedup_minhash_lsh",
-    # tier 3 — remaining no-oracle (rows-only) operators
-    "dedup_simhash", "text_rolling_hash", "approx_distinct_quantile",
-    "freq_items_heavy_hitters",
-    # tier 4 — green r1+r2+r4: second-newest row is r2, the oldest
-    # double-verification among the r4-green set
-    "append_union", "sentinel_fill",
-    "regex_gate", "regex_extract", "concat_key", "running_counter",
-    "last_value_propagation", "stanza_lookahead", "date_range_explode",
-    "full_select", "agg_features", "feature_assembly", "roi_simulation",
-    "accuracy_metrics", "topk_orders", "window_rank_per_group",
-    # tier 5 — most recently double-verified (r3+r4 or r2+r4)
-    "window_lag_lead", "rollup_agg", "cube_agg",
-    "grouping_sets", "distinct_pairs", "count_distinct_agg",
-    "semi_join", "anti_join", "join_composite_key",
-    "outer_join", "range_join", "intersect_setop", "except_setop",
-    "scalar_battery", "json_extract", "pivot_wide", "unpivot_stack",
+    # tier 1 — newest driver row is r4: the freshness frontier
+    "running_counter", "last_value_propagation", "stanza_lookahead",
+    "date_range_explode", "full_select", "agg_features",
+    "feature_assembly", "roi_simulation", "accuracy_metrics",
+    "topk_orders", "window_rank_per_group", "window_lag_lead",
+    "rollup_agg", "cube_agg", "grouping_sets", "distinct_pairs",
+    "count_distinct_agg", "semi_join", "anti_join",
+    "join_composite_key", "outer_join", "range_join",
+    "intersect_setop", "except_setop", "scalar_battery",
+    "json_extract", "pivot_wide", "unpivot_stack",
     "sample_systematic", "percentile_quantile", "time_tumble",
     "correlated_scalar_subquery", "having_filter", "min_max_by",
     "string_agg_sorted", "window_range_frame", "moving_avg_rows",
     "ntile_cume",
+    # tier 2 — code changed/added in round 6: must (re-)verify
+    "ann_bucket_stats", "split_exact_assign", "chunk_dedup_pipeline",
+    # tier 3 — second-newest row is r3 (checked r5): oldest
+    # double-verification; tiers 1-3 fill the 50-row budget exactly
+    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
+    "embedding_cosine_topk", "embedding_norm_stats",
+    "multimodal_features", "asof_join_events", "flag_timing_features",
+    "sessionize_gaps",
+    # tier 4 — newest row r5 (green): the most recently verified
+    "salted_skew_agg", "date_battery", "null_battery", "union_distinct",
+    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
+    "token_count_battery", "dedup_cluster_assign",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
+    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
+    "mixture_resample_recipe", "pack_sequences_windows",
+    "training_data_pipeline", "split_train_eval",
+    "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
+    "dedup_embedding_cosine", "append_union", "sentinel_fill",
+    "regex_gate", "regex_extract", "concat_key",
+    # tier 5 — no-oracle rows-only ops, all recorded r5
+    "semantic_dedup_assign", "ann_lsh_topk", "ann_ivf_topk",
+    "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
+    "text_rolling_hash", "approx_distinct_quantile",
+    "freq_items_heavy_hitters",
 ]
 
 if set(_ORDER) != set(_ALL_QUERIES):

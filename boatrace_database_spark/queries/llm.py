@@ -443,7 +443,7 @@ sig AS (
 ),
 sizes AS (SELECT tbl, bucket, count(*) AS sz FROM sig GROUP BY 1, 2)
 SELECT tbl,
-       sum(sz) AS n_vectors,
+       CAST(sum(sz) AS BIGINT) AS n_vectors,
        count(*) AS n_buckets,
        max(sz) AS max_bucket,
        round(sum(sz * sz) / sum(sz), 2) AS est_candidates_per_probe
@@ -1013,6 +1013,136 @@ FROM h ORDER BY shuffle_pos
 """
 
 
+def split_exact_assign(spark, sf_dir):
+    """Exact-count 80/10/10 split (corpus.split_exact): rank by the
+    deterministic shuffle permutation, cut at floor(cum·n) — split
+    sizes are exactly ⌊f·n⌋/⌈f·n⌉, unlike split_train_eval's binomial
+    hash-split. The oracle recomputes the same permutation + boundary
+    arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.split_exact(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            n_buckets=64,
+        )
+        .select("doc_id", "shuffle_pos", "split")
+        .orderBy("doc_id")
+    )
+
+
+# cumulative boundaries computed in PYTHON float arithmetic and inlined
+# via repr so the oracle multiplies the bit-identical double Spark does
+# (0.8 + 0.1 is 0.9000000000000001 in IEEE — writing '0.9' here could
+# flip floor(cum·n) by one row when cum·n lands on an integer)
+_SPLIT_EXACT_B1 = 0.8
+_SPLIT_EXACT_B2 = 0.8 + 0.1
+SPLIT_EXACT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_knuth_sql("doc_id", 0x5917)} AS hv FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT)
+           AS shuffle_pos,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM h
+)
+SELECT doc_id, shuffle_pos,
+       CASE WHEN shuffle_pos < floor({_SPLIT_EXACT_B1!r} * n) THEN 'train'
+            WHEN shuffle_pos < floor({_SPLIT_EXACT_B2!r} * n) THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
+def chunk_dedup_pipeline(spark, sf_dir):
+    """Chunk-then-dedup composition — the retrieval-prep shape: split
+    documents into 32-token/8-overlap windows (text.chunk_documents),
+    then find cross-document near-duplicate CHUNKS via exact n-gram
+    Jaccard (dedup.ngram_jaccard_pairs over the chunk table, string
+    chunk keys exercising id-type genericity), and roll the chunk
+    pairs up to the document pairs that share them. Output: one row
+    per document pair with >= 1 near-dup chunk (n_chunk_pairs,
+    max_jaccard).
+
+    Scale shape: chunking is a narrow explode (no shuffle); the pair
+    search inherits ngram_jaccard_pairs' inverted-index + AllPairs
+    length-filter plan, now over ~tokens/stride more rows — the
+    MinHash/LSH twin (minhash_lsh_pairs on the same chunk table) is
+    the 100 TB path, recall-tested in test_llm_ops."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+    keyed = chunks.select(
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+        ).alias("chunk_key"),
+        "chunk_text",
+    )
+    pairs = D.ngram_jaccard_pairs(
+        keyed, "chunk_key", "chunk_text", n=3, threshold=0.8
+    )
+    da = F.split(F.col("id_a"), "#").getItem(0).cast("long")
+    db = F.split(F.col("id_b"), "#").getItem(0).cast("long")
+    return (
+        pairs.select(da.alias("da"), db.alias("db"), "jaccard")
+        .where(F.col("da") != F.col("db"))
+        .groupBy(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunk_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CHUNK_DEDUP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         1 + greatest(0, CAST(floor((len(w) - 32 + 23) / 24.0) AS INT))
+           AS n_chunks
+  FROM t
+),
+chunks AS (
+  SELECT doc_id || '#' || i AS chunk_key, doc_id,
+         w[i * 24 + 1 : i * 24 + 32] AS cw
+  FROM c, unnest(generate_series(0, n_chunks - 1)) AS s(i)
+),
+sh AS (
+  SELECT DISTINCT chunk_key, doc_id, array_to_string(cw[j:j+2], ' ') AS shingle
+  FROM chunks, unnest(generate_series(1, greatest(len(cw) - 2, 0))) AS t(j)
+),
+sizes AS (
+  SELECT chunk_key, any_value(doc_id) AS doc_id, count(*) AS set_size
+  FROM sh GROUP BY chunk_key
+),
+inter AS (
+  SELECT a.chunk_key AS id_a, b.chunk_key AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.chunk_key < b.chunk_key
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT sa.doc_id AS da, sb.doc_id AS db,
+         round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.chunk_key
+  JOIN sizes sb ON id_b = sb.chunk_key
+  WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.8
+    AND sa.doc_id <> sb.doc_id
+)
+SELECT CAST(least(da, db) AS BIGINT) AS doc_a,
+       CAST(greatest(da, db) AS BIGINT) AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_chunk_pairs,
+       round(max(jaccard), 6) AS max_jaccard
+FROM pairs GROUP BY 1, 2 ORDER BY doc_a, doc_b
+"""
+
+
 def chunk_documents_windows(spark, sf_dir):
     """Overlapping token-window chunking (retrieval / sliding-window
     prep): 32-token chunks, 8-token overlap — the within-document
@@ -1115,8 +1245,10 @@ QUERIES = {
     "pack_sequences_windows": pack_sequences_windows,
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
+    "split_exact_assign": split_exact_assign,
     "global_shuffle_order": global_shuffle_order,
     "chunk_documents_windows": chunk_documents_windows,
+    "chunk_dedup_pipeline": chunk_dedup_pipeline,
     "semantic_dedup_assign": semantic_dedup_assign,
 }
 
@@ -1148,7 +1280,9 @@ ORACLES = {
     "pack_sequences_windows": PACK_SQL,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
+    "split_exact_assign": SPLIT_EXACT_SQL,
     "global_shuffle_order": SHUFFLE_SQL,
     "chunk_documents_windows": CHUNK_SQL,
+    "chunk_dedup_pipeline": CHUNK_DEDUP_SQL,
     "semantic_dedup_assign": None,
 }

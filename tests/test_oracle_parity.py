@@ -9,9 +9,11 @@ hash, so failures print the first differing rows.
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -33,21 +35,75 @@ def ddb():
 
 
 def _canon(v):
+    """Canonicalize to a (type-class, value) pair.
+
+    The type class is part of the comparison on purpose: the driver's
+    value hash is typed, so an oracle emitting DOUBLE/HUGEINT where
+    Spark emits BIGINT hash-mismatches even when the numbers are equal
+    (the exact bug that slipped through in round 5 — ann_bucket_stats'
+    uncast DuckDB sum()). Python's `1 == 1.0` must NOT pass here.
+    """
     if isinstance(v, bool):
-        return int(v)
+        return ("i", int(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", (1, 0.0))  # sortable NaN marker
         # collapse -0.0/0.0 and float noise at the 9th decimal
-        return round(v, 9) + 0.0
+        return ("f", (0, round(v, 9) + 0.0))
     if isinstance(v, int):
-        return v
-    return v
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        # DECIMAL is its own class: a query whose oracle yields DECIMAL
+        # while Spark yields double/long must be fixed with an explicit
+        # CAST on one side, not silently coerced here.
+        return ("d", v.normalize())
+    return (type(v).__name__, v)
 
 
 def _rows_to_set(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def _spark_type_class(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if s in ("float", "double"):
+        return "f"
+    if s.startswith("decimal"):
+        return "d"
+    if s == "boolean":
+        return "b"
+    if s == "string":
+        return "s"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith("array"):
+        return "list"
+    return s
+
+
+def _arrow_type_class(t) -> str:
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_decimal(t):
+        return "d"
+    if pa.types.is_boolean(t):
+        return "b"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "s"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return str(t)
 
 
 ALL_QUERIES = sorted(entry_mod.queries().keys())
@@ -66,12 +122,32 @@ def test_query_matches_oracle(name, spark, ddb):
         assert len(spark_rows) >= 0
         return
 
-    res = ddb.execute(oracle)
-    ddb_cols = [d[0] for d in res.description]
-    ddb_rows = res.fetchall()
+    # Fetch through Arrow, not fetchall: DuckDB's Python client coerces
+    # HUGEINT (e.g. an uncast sum() of integers) to plain int in
+    # fetchall, hiding exactly the type drift that flips the driver's
+    # typed value hash. Arrow surfaces it as decimal128 → Decimal.
+    atable = ddb.execute(oracle).fetch_arrow_table()
+    ddb_cols = atable.column_names
+    ddb_rows = [tuple(r.values()) for r in atable.to_pylist()]
 
     assert sorted(spark_cols) == sorted(ddb_cols), (
         f"{name}: column mismatch {spark_cols} vs {ddb_cols}"
+    )
+    spark_classes = {
+        f.name: _spark_type_class(f.dataType) for f in sdf.schema.fields
+    }
+    ddb_classes = {
+        fld.name: _arrow_type_class(fld.type) for fld in atable.schema
+    }
+    type_drift = {
+        c: (spark_classes[c], ddb_classes[c])
+        for c in spark_classes
+        if spark_classes[c] != ddb_classes[c]
+    }
+    assert not type_drift, (
+        f"{name}: column type-class drift (spark, oracle): {type_drift} — "
+        "the driver's value hash is typed, so this fails its gate even "
+        "when values are numerically equal (add an explicit CAST)"
     )
     assert len(spark_rows) == len(ddb_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(ddb_rows)}"

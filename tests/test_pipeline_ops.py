@@ -277,6 +277,62 @@ def test_split_assign_incomplete_fractions_raise(spark):
         C.split_assign(df, "id", {"train": 1.5, "val": -0.5})
 
 
+def test_split_exact_sizes_are_exact(spark):
+    """split_exact's whole point: every split's size is exactly
+    ⌊f·n⌋ or ⌈f·n⌉ (cumulative-floor boundaries), for awkward n that
+    a binomial split would miss by many rows."""
+    import math
+
+    from boatrace_database_spark.operators import corpus as C
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    for n in (10, 97, 500, 1001):
+        df = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        rows = C.split_exact(df, "id", fr, n_buckets=16).collect()
+        assert len(rows) == n
+        sizes = {}
+        for r in rows:
+            sizes[r.split] = sizes.get(r.split, 0) + 1
+        for name, f in fr.items():
+            got = sizes.get(name, 0)
+            assert got in (math.floor(f * n), math.ceil(f * n)), (
+                f"n={n} split={name}: {got} not in "
+                f"{{⌊{f}·{n}⌋, ⌈{f}·{n}⌉}}"
+            )
+        assert sum(sizes.values()) == n
+
+
+def test_split_exact_deterministic_and_rank_consistent(spark):
+    """Same corpus → identical assignment regardless of partitioning
+    or bucket count; the cut respects shuffle_pos order (every train
+    rank < every val rank < every test rank)."""
+    from boatrace_database_spark.operators import corpus as C
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in range(303)], ["id"])
+    base = {r.id: (r.shuffle_pos, r.split) for r in
+            C.split_exact(df, "id", fr).collect()}
+    again = {r.id: (r.shuffle_pos, r.split) for r in
+             C.split_exact(df.repartition(13), "id", fr,
+                           n_buckets=7).collect()}
+    assert base == again
+    by_split = {}
+    for pos, split in base.values():
+        by_split.setdefault(split, []).append(pos)
+    assert max(by_split["train"]) < min(by_split["val"])
+    assert max(by_split["val"]) < min(by_split["test"])
+
+
+def test_split_exact_validation(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        C.split_exact(df, "id", {"train": 0.8, "val": 0.1})
+    with pytest.raises(ValueError, match=">= 0"):
+        C.split_exact(df, "id", {"train": 1.5, "val": -0.5})
+
+
 def test_global_shuffle_exact_permutation_and_naive_parity(spark):
     """shuffle_pos must be exactly 0..n-1, equal to the naive global
     row_number rank, and invariant to n_buckets and input partitioning
