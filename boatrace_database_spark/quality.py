@@ -94,11 +94,26 @@ def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     }
 
 
-#: one score matrix per (sf_dir, max_vectors) per process — both
-#: recall metrics threshold the SAME n² matmul instead of each
-#: re-reading, re-collecting, and re-multiplying the corpus (the most
-#: expensive driver-side step of quality_metrics, done once not twice)
+#: ONE score matrix per process — both recall metrics threshold the
+#: SAME n² matmul instead of each re-reading, re-collecting, and
+#: re-multiplying the corpus (the most expensive driver-side step of
+#: quality_metrics, done once not twice). Single-entry by design: the
+#: matrix can reach ~3.2 GB at the 20k gate, so a per-key dict would
+#: pin one per (sf_dir, max_vectors) forever. The key includes the
+#: parquet's (mtime, size) fingerprint so a regenerated
+#: embeddings.parquet in the same process can never serve a stale
+#: ground truth.
 _GT_CACHE: dict = {}
+
+
+def _corpus_fingerprint(path: str):
+    import os
+
+    try:
+        stt = os.stat(path)
+        return (stt.st_mtime_ns, stt.st_size)
+    except OSError:
+        return None
 
 
 def _exact_cosine_pairs(
@@ -114,9 +129,11 @@ def _exact_cosine_pairs(
     the matmul."""
     import numpy as np
 
-    key = (sf_dir, max_vectors)
+    path = f"{sf_dir}/embeddings.parquet"
+    key = (sf_dir, max_vectors, _corpus_fingerprint(path))
     if key not in _GT_CACHE:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _GT_CACHE.clear()  # single entry: bound memory, drop stale
+        emb = spark.read.parquet(path)
         if emb.count() > max_vectors:
             _GT_CACHE[key] = None
         else:

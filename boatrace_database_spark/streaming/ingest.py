@@ -76,6 +76,7 @@ def stream_running_counters(
     source_dir: str,
     schema: StructType,
     query_name: str = "running_counters",
+    state_ttl_ms: int | None = None,
 ) -> StreamingQuery:
     """Custom stateful streaming operator: per-user running event count
     and value sum via applyInPandasWithState (SURVEY §7 M7 'custom
@@ -85,6 +86,13 @@ def stream_running_counters(
     arbitrary state survives across batches through the GroupState
     handle — the building block any reference-style running counter
     (P4) needs when the input is unbounded.
+
+    ``state_ttl_ms`` bounds state exactly like the stream-dedup
+    family: a user idle longer than the TTL (processing time) is
+    EVICTED, and their next event restarts the counters from zero —
+    the deliberate trade for bounded state on an unbounded key space
+    (a session-scoped counter, not a lifetime one). None keeps the
+    lifetime-counter semantics with unbounded state.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -92,11 +100,16 @@ def stream_running_counters(
     events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
         )
@@ -106,7 +119,11 @@ def stream_running_counters(
         outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
         stateStructType="n LONG, total DOUBLE",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("update")
@@ -121,12 +138,21 @@ def stream_asof_enrich(
     source_dir: str,
     schema: StructType,
     query_name: str = "asof_enriched",
+    state_ttl_ms: int | None = None,
 ) -> StreamingQuery:
     """Streaming as-of join twin (operators/joins.asof_join, unbounded):
     purchases are enriched with the user's most recent prior-or-equal
     view value. State per user = (last_view_ts_us, last_view_value);
     rows are replayed in timestamp order inside each micro-batch, so
     within-batch ordering matches the batch operator.
+
+    ``state_ttl_ms`` bounds state exactly like the stream-dedup
+    family: a user idle longer than the TTL (processing time) loses
+    their last-view state, and a purchase arriving after eviction gets
+    the no-prior-view sentinel (-1.0) until a fresh view re-admits
+    them — an as-of join with a recency horizon, the bounded-state
+    semantics an unbounded user space needs. None keeps lookback
+    unbounded.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -135,6 +161,9 @@ def stream_asof_enrich(
     relevant = events.where(F.col("event_type").isin("view", "purchase"))
 
     def enrich(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         last_ts, last_val = state.get if state.exists else (None, None)
         out_rows = []
         batch = pd.concat(list(pdfs))
@@ -150,6 +179,8 @@ def stream_asof_enrich(
                 )
         state.update((last_ts if last_ts is not None else -1,
                       last_val if last_val is not None else -1.0))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             out_rows, columns=["event_id", "user_id", "last_view_value"]
         )
@@ -159,7 +190,11 @@ def stream_asof_enrich(
         outputStructType="event_id LONG, user_id LONG, last_view_value DOUBLE",
         stateStructType="last_ts LONG, last_val DOUBLE",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     return (
         out.writeStream.outputMode("append")
@@ -804,6 +839,23 @@ def stream_dedup_semantic(
 
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
+    # id type is DERIVED from the caller's schema (like the batch
+    # twin's _broadcast_pair_scores): long and string corpora both
+    # stream through the same state function — the parity claim with
+    # semantic_pairs holds for either, tested both ways
+    from pyspark.sql.types import IntegralType, StringType
+
+    id_dt = schema[id_col].dataType
+    if isinstance(id_dt, IntegralType):
+        _cid = int
+    elif isinstance(id_dt, StringType):
+        _cid = str
+    else:
+        raise ValueError(
+            f"unsupported id column type {id_dt.simpleString()} for "
+            f"{id_col!r}: integral or string required"
+        )
+    id_ddl = id_dt.simpleString()
     # shared gapless validation: positional argmin indices must BE
     # cell ids (see centroid_matrix)
     C = centroid_matrix(centroids)
@@ -859,9 +911,9 @@ def stream_dedup_semantic(
                     continue
                 score = round(float(v @ mv) / den, 4)
                 if score >= threshold:
-                    out.append((int(mid), int(row.id), cell, score))
+                    out.append((_cid(mid), _cid(row.id), cell, score))
             if len(ids) < max_members:
-                ids.append(int(row.id))
+                ids.append(_cid(row.id))
                 members.append(v)
                 norms.append(nv)
         state.update((ids, [float(x) for m in members for x in m]))
@@ -871,8 +923,8 @@ def stream_dedup_semantic(
 
     flagged = assigned.groupBy("cell").applyInPandasWithState(
         flag,
-        outputStructType="id_a LONG, id_b LONG, cell INT, score DOUBLE",
-        stateStructType="ids ARRAY<LONG>, flat ARRAY<DOUBLE>",
+        outputStructType=f"id_a {id_ddl}, id_b {id_ddl}, cell INT, score DOUBLE",
+        stateStructType=f"ids ARRAY<{id_ddl}>, flat ARRAY<DOUBLE>",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout

@@ -107,7 +107,6 @@ def merge_upsert(
     updates are sliced per partition value and each partition
     overwrites independently (dynamic partition overwrite semantics).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     target = spark.read.parquet(table_dir).withColumn(
         "race_date", F.col("race_date").cast("string")
     )
@@ -135,7 +134,14 @@ def merge_upsert(
     staged = (
         merged.where(F.col("race_date").isin(touched)).localCheckpoint(eager=True)
     )
-    staged.write.mode("overwrite").partitionBy("race_date").parquet(table_dir)
+    # partitionOverwriteMode as a WRITER option, not session conf: it
+    # scopes dynamic overwrite to this single write — a session-level
+    # conf.set would silently leak, turning a later caller's
+    # mode("overwrite").partitionBy(...) full-table truncate into a
+    # partial one.
+    staged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("race_date").parquet(table_dir)
     # Dynamic mode only rewrites partitions PRESENT in the written data.
     # If an update moved every row out of a touched partition, staged has
     # zero rows for it and the stale directory survives — delete those
@@ -340,6 +346,7 @@ def compact_partitions(
     partition_col: str = "race_date",
     target_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    _post_stage_hook=None,
 ) -> dict[str, int]:
     """Small-file compaction for a partitioned parquet table — the
     maintenance twin of the streaming ingest: every foreachBatch epoch
@@ -365,13 +372,38 @@ def compact_partitions(
     this runs as a background job over the partitions the ingest
     recently touched, not the whole table.
 
-    Returns {partition_value: files_after} for rewritten partitions.
+    Concurrency contract: a partition being ACTIVELY appended to must
+    not be compacted — rows landing between the staged read and the
+    overwrite would be deleted with the old files. Run compaction only
+    on partitions the ingest has moved past (e.g. older than its
+    watermark), or quiesce the ingest. As a belt-and-braces guard this
+    re-lists the partition's files immediately before each overwrite
+    and SKIPS the partition if the listing changed since staging (the
+    next run picks it up); the window between re-list and overwrite is
+    still the caller's contract, not this function's.
+
+    Returns {partition_value: files_after} for rewritten partitions;
+    raced/skipped partitions are absent.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    from urllib.parse import unquote
+
     hconf = spark._jsc.hadoopConfiguration()
     jpath = spark._jvm.org.apache.hadoop.fs.Path(table_dir)
     fs = jpath.getFileSystem(hconf)
     prefix = f"{partition_col}="
+
+    def _parquet_files(dir_status):
+        return [
+            f for f in fs.listStatus(dir_status.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+
+    def _snapshot(files):
+        return sorted(
+            (f.getPath().getName(), f.getLen(), f.getModificationTime())
+            for f in files
+        )
+
     rewritten: dict[str, int] = {}
     for st in fs.listStatus(jpath):
         if not st.isDirectory():
@@ -379,27 +411,46 @@ def compact_partitions(
         name = st.getPath().getName()
         if not name.startswith(prefix):
             continue
-        value = name[len(prefix):]
-        files = [
-            f for f in fs.listStatus(st.getPath())
-            if f.getPath().getName().endswith(".parquet")
-        ]
+        # directory names are Hive/URI-escaped (e.g. ':' -> '%3A');
+        # unescape so the filter compares the actual partition VALUE
+        value = unquote(name[len(prefix):])
+        files = _parquet_files(st)
         part_bytes = sum(f.getLen() for f in files)
         needed = max(1, -(-part_bytes // target_bytes))  # ceil
         if len(files) <= needed:
             continue  # right-sized: leave untouched
+        # filter on the NATIVE partition column (the string literal is
+        # coerced to the column's inferred type) — casting the column
+        # to string instead would both defeat partition pruning and
+        # rewrite the table with a retyped partition column
         part = (
             spark.read.parquet(table_dir)
-            .withColumn(partition_col, F.col(partition_col).cast("string"))
-            .where(F.col(partition_col) == value)  # partition-pruned scan
+            .where(F.col(partition_col) == F.lit(value))
             .repartition(int(needed))
         )
         if sort_cols:
             part = part.sortWithinPartitions(*sort_cols)
         staged = part.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            table_dir
-        )
+        if staged.isEmpty():
+            # the directory exists but the pruned read matched nothing:
+            # value/type mismatch — overwriting would report a rewrite
+            # that never replaced any files
+            raise RuntimeError(
+                f"compact_partitions: partition {name!r} of {table_dir} "
+                f"matched no rows for {partition_col} == {value!r}; "
+                "refusing to overwrite"
+            )
+        if _post_stage_hook is not None:
+            # test seam: lets the race-guard contract be exercised by
+            # injecting a concurrent append between staging and re-list
+            _post_stage_hook(value)
+        if _snapshot(_parquet_files(st)) != _snapshot(files):
+            continue  # concurrent append landed since staging: skip
+        # writer-scoped dynamic overwrite (a session conf.set would
+        # leak and weaken later full-table overwrites)
+        staged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(partition_col).parquet(table_dir)
         rewritten[value] = int(needed)
     if rewritten:
         spark.catalog.refreshByPath(table_dir)

@@ -588,6 +588,111 @@ def test_stream_asof_matches_batch_operator(spark, tmp_path):
     assert not diffs, list(diffs.items())[:5]
 
 
+def test_stream_counters_and_asof_ttl_eviction(spark, tmp_path):
+    """state_ttl_ms contract for the two remaining stateful ops (r5
+    verdict item 5), one shared TTL clock:
+
+    - stream_running_counters: an idle user's counters are EVICTED;
+      their next event restarts from zero (session-scoped counter).
+    - stream_asof_enrich: an idle user's last-view state is evicted;
+      a purchase after eviction gets the -1.0 no-prior-view sentinel,
+      and a fresh view re-admits them.
+    """
+    import datetime
+    import time
+
+    from boatrace_database_spark.streaming.ingest import (
+        stream_asof_enrich,
+        stream_running_counters,
+    )
+
+    schema = _events_schema(spark)
+    ttl_ms = 20_000
+
+    def ev(event_id, user_id, event_type, value, minute):
+        ts = datetime.datetime(2024, 1, 1, 12, minute, 0)
+        return (event_id, ts, user_id, event_type, value, "{}")
+
+    stage_n = [0]
+
+    def deliver(rows, dst_dir):
+        stage_n[0] += 1
+        stage = tmp_path / f"stage{stage_n[0]}"
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, f"{dst_dir}/b{stage_n[0]}.parquet")
+
+    def wait_until(predicate, what, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if predicate():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    src_c = str(tmp_path / "cnt_src")
+    src_a = str(tmp_path / "asof_src")
+    os.makedirs(src_c)
+    os.makedirs(src_a)
+    qc = stream_running_counters(
+        spark, src_c, schema, query_name="cnt_ttl", state_ttl_ms=ttl_ms
+    )
+    qa = stream_asof_enrich(
+        spark, src_a, schema, query_name="asof_ttl", state_ttl_ms=ttl_ms
+    )
+
+    def counter_rows():
+        return {
+            (r.user_id, r.n_events)
+            for r in spark.sql("SELECT * FROM cnt_ttl").collect()
+        }
+
+    def asof_vals():
+        return {
+            r.event_id: r.last_view_value
+            for r in spark.sql("SELECT * FROM asof_ttl").collect()
+        }
+
+    try:
+        # chunk 1: user 7 active on both streams
+        deliver([ev(1, 7, "click", 1.0, 0), ev(2, 7, "click", 1.0, 1)], src_c)
+        deliver([ev(1, 7, "view", 10.0, 0), ev(2, 7, "purchase", 5.0, 1)], src_a)
+        wait_until(lambda: (7, 2) in counter_rows(), "counter n=2")
+        wait_until(lambda: 2 in asof_vals(), "purchase 2 enriched")
+        assert asof_vals()[2] == 10.0
+        # chunk 2, within TTL: state persists (counter keeps counting)
+        deliver([ev(3, 7, "click", 1.0, 2)], src_c)
+        wait_until(lambda: (7, 3) in counter_rows(), "counter n=3")
+        # idle past the TTL — cleanup batches evict user 7 on both
+        time.sleep(ttl_ms / 1000 + 3.0)
+        # prove liveness with an unrelated user, then re-deliver user 7
+        deliver([ev(50, 8, "click", 1.0, 30)], src_c)
+        wait_until(lambda: (8, 1) in counter_rows(), "user 8 live")
+        deliver([ev(4, 7, "click", 1.0, 31)], src_c)
+        wait_until(
+            lambda: (7, 1) in counter_rows(), "counter restarted at 1"
+        )
+        assert (7, 4) not in counter_rows(), (
+            "counter state survived the TTL: eviction contract broken"
+        )
+        # purchase after eviction: no prior view -> sentinel; a fresh
+        # view re-admits the user
+        deliver([ev(5, 7, "purchase", 5.0, 31)], src_a)
+        wait_until(lambda: 5 in asof_vals(), "post-TTL purchase")
+        assert asof_vals()[5] == -1.0, (
+            f"last-view state survived the TTL: {asof_vals()[5]}"
+        )
+        deliver([ev(6, 7, "view", 20.0, 32), ev(7, 7, "purchase", 5.0, 33)], src_a)
+        wait_until(lambda: 7 in asof_vals(), "re-admitted purchase")
+        assert asof_vals()[7] == 20.0
+    finally:
+        qc.stop()
+        qa.stop()
+
+
 def test_stream_dedup_ttl_eviction_and_readmission(spark, tmp_path):
     """State-lifecycle contract for ``state_ttl_ms`` (r4 verdict item 3):
 
@@ -856,6 +961,67 @@ def test_stream_semantic_matches_batch_pairs(spark, tmp_path):
         (r.id_a, r.id_b): r.score
         for r in semantic_pairs(
             emb, threshold=0.4, n_assign=2, index=(indexed, centroids)
+        ).collect()
+    }
+    assert batch, "corpus must contain pairs at this threshold"
+    assert set(got) == set(batch), (
+        f"missing={set(batch) - set(got)} extra={set(got) - set(batch)}"
+    )
+    for pair, score in batch.items():
+        assert abs(got[pair] - score) < 5e-5, (pair, got[pair], score)
+
+
+def test_stream_semantic_string_ids_match_batch(spark, tmp_path):
+    """The id type is derived from the caller's schema (r5 advice): a
+    STRING-id corpus must stream through the same state function and
+    match the batch twin — previously the hardcoded LONG state schema
+    crashed the query. Zero-padded ids keep lexicographic order equal
+    to numeric order so the first-seen orientation matches the
+    id-ordered batch replay."""
+    from boatrace_database_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_pairs,
+    )
+    from boatrace_database_spark.streaming.ingest import stream_dedup_semantic
+
+    emb_long = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb_long.withColumn(
+        "vec_id", F.format_string("doc-%05d", F.col("vec_id"))
+    )
+    indexed, centroids = ivf_build_index(emb, n_cells=4)
+    src = str(tmp_path / "sems_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_dedup_semantic(
+        spark, src, emb.schema, centroids,
+        threshold=0.4, max_members=10**6, query_name="ssem_str",
+    )
+    try:
+        deliver(emb.where(F.col("vec_id") < "doc-00025"), "ss1",
+                f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(emb.where(F.col("vec_id") >= "doc-00025"), "ss2",
+                f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.id_a, r.id_b): r.score
+            for r in spark.sql("SELECT * FROM ssem_str").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r.id_a, r.id_b): r.score
+        for r in semantic_pairs(
+            emb, threshold=0.4, index=(indexed, centroids)
         ).collect()
     }
     assert batch, "corpus must contain pairs at this threshold"

@@ -458,3 +458,83 @@ def test_compact_partitions_merges_small_files_only(spark, tmp_path):
     assert day1 == sorted(day1)
     # idempotent: a second pass finds nothing to do
     assert compact_partitions(spark, table, target_bytes=64 * 1024 * 1024) == {}
+
+
+def test_compact_partitions_skips_on_concurrent_append(spark, tmp_path):
+    """The race guard: a file appended between staging and the
+    overwrite must make compaction SKIP that partition — the appended
+    rows survive and the fragmented files are left for the next run."""
+    from boatrace_database_spark.warehouse import compact_partitions
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "2020-08-01") for i in range(200)], "id LONG, race_date STRING"
+    )
+    df.repartition(8).write.partitionBy("race_date").mode(
+        "overwrite"
+    ).parquet(table)
+
+    def appender(value):
+        spark.createDataFrame(
+            [(10_000, "2020-08-01")], "id LONG, race_date STRING"
+        ).coalesce(1).write.partitionBy("race_date").mode("append").parquet(
+            table
+        )
+
+    out = compact_partitions(
+        spark,
+        table,
+        target_bytes=64 * 1024 * 1024,
+        _post_stage_hook=appender,
+    )
+    assert out == {}, "raced partition must not be reported as rewritten"
+    spark.catalog.refreshByPath(table)
+    got = {r.id for r in spark.read.parquet(table).collect()}
+    assert got == set(range(200)) | {10_000}, "concurrent append lost"
+    # with no concurrent append the next run compacts normally
+    out2 = compact_partitions(spark, table, target_bytes=64 * 1024 * 1024)
+    assert out2 == {"2020-08-01": 1}
+    assert {r.id for r in spark.read.parquet(table).collect()} == got
+
+
+def test_compact_partitions_native_date_partition_and_no_conf_leak(
+    spark, tmp_path
+):
+    """A DATE-typed partition column must compact via the native-typed
+    pruning filter; and neither compact_partitions nor merge_upsert may
+    leave partitionOverwriteMode=dynamic on the session — a later
+    caller's plain overwrite must still truncate the whole table."""
+    import datetime
+
+    from boatrace_database_spark.warehouse import compact_partitions
+
+    table = str(tmp_path / "tbl")
+    rows = [(i, datetime.date(2020, 8, 1 + i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id LONG, race_date DATE")
+    df.where("race_date = DATE'2020-08-01'").repartition(8).write.partitionBy(
+        "race_date"
+    ).mode("overwrite").parquet(table)
+    df.where("race_date = DATE'2020-08-02'").coalesce(1).write.partitionBy(
+        "race_date"
+    ).mode("append").parquet(table)
+
+    before = {(r.id, r.race_date) for r in spark.read.parquet(table).collect()}
+    out = compact_partitions(spark, table, target_bytes=64 * 1024 * 1024)
+    assert out == {"2020-08-01": 1}
+    assert {
+        (r.id, r.race_date) for r in spark.read.parquet(table).collect()
+    } == before
+
+    # conf hygiene: a full overwrite after compaction still truncates
+    # BOTH partitions (dynamic mode would leave 08-02 in place)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
+    only_day1 = df.where("race_date = DATE'2020-08-01'")
+    only_day1.write.partitionBy("race_date").mode("overwrite").parquet(table)
+    spark.catalog.refreshByPath(table)
+    left = spark.read.parquet(table)
+    assert left.where("race_date = DATE'2020-08-02'").count() == 0, (
+        "partitionOverwriteMode leaked: full overwrite no longer truncates"
+    )
