@@ -265,6 +265,87 @@ def split_exact(
     )
 
 
+def split_exact_stratified(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    salt: int = SPLIT_SALT,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``split_exact`` within each stratum: every stratum (source,
+    language, domain …) contributes exactly ⌊f·n_s⌋/⌈f·n_s⌉ rows to
+    each split — the held-out set preserves the corpus mixture by
+    construction, where the global ``split_exact`` only preserves it
+    in expectation (a small stratum can easily land entirely in
+    train). The standard eval-set recipe when per-source metrics must
+    be reportable on exact counts.
+
+    Rank-within-stratum uses the same bucketed prefix-sum as
+    ``global_shuffle`` — the window partitions by (stratum, bucket) so
+    no stratum serializes into one task; offsets and per-stratum
+    totals are two tiny broadcast aggregates (strata·B and strata
+    rows). Output adds ``stratum_pos`` (0-based rank within the
+    stratum's deterministic shuffle order) and ``split``.
+
+    Same corpus-dependence trade as ``split_exact``: adding rows to a
+    stratum re-ranks it, so membership is stable only for a fixed
+    corpus; use ``split_assign`` for growth-stable membership.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}): an implicit "
+            "remainder bucket would silently mislabel rows"
+        )
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    hashed = df.withColumn("_h", _unit_hash(F.col(id_col), salt)).withColumn(
+        "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
+    )
+    local = Window.partitionBy(strata_col, "_bkt").orderBy("_h", id_col)
+    counts = hashed.groupBy(strata_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    prefix = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        strata_col,
+        "_bkt",
+        F.coalesce(F.sum("_n").over(prefix), F.lit(0)).alias("_off"),
+    )
+    totals = counts.groupBy(strata_col).agg(
+        F.sum("_n").alias("_n_total")
+    )
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    boundaries = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        boundaries.append((name, cum))
+    for name, bound in reversed(boundaries):
+        expr = F.when(
+            F.col("stratum_pos") < F.floor(F.lit(bound) * F.col("_n_total")),
+            F.lit(name),
+        ).otherwise(expr)
+    return (
+        hashed.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        .join(F.broadcast(totals), strata_col)
+        .withColumn(
+            "stratum_pos",
+            (F.col("_off") + F.row_number().over(local) - 1).cast("long"),
+        )
+        .withColumn("split", expr)
+        .drop("_h", "_bkt", "_off", "_n_total")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str,

@@ -1055,6 +1055,43 @@ FROM r ORDER BY doc_id
 """
 
 
+def split_stratified_assign(spark, sf_dir):
+    """Per-stratum exact-count 80/10/10 split
+    (corpus.split_exact_stratified): every source contributes exactly
+    floor/ceil(f·n_source) rows to each split, so the held-out set
+    preserves the corpus mixture by construction. The oracle repeats
+    the rank-within-stratum + boundary arithmetic with a partitioned
+    row_number."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.split_exact_stratified(
+            d, "doc_id", "source", {"train": 0.8, "val": 0.1, "test": 0.1},
+            n_buckets=64,
+        )
+        .select("doc_id", "source", "stratum_pos", "split")
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_STRATIFIED_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source, {_knuth_sql("doc_id", 0x5917)} AS hv FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+              - 1 AS BIGINT) AS stratum_pos,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM h
+)
+SELECT doc_id, source, stratum_pos,
+       CASE WHEN stratum_pos < floor({_SPLIT_EXACT_B1!r} * n) THEN 'train'
+            WHEN stratum_pos < floor({_SPLIT_EXACT_B2!r} * n) THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
 def chunk_dedup_pipeline(spark, sf_dir):
     """Chunk-then-dedup composition — the retrieval-prep shape: split
     documents into 32-token/8-overlap windows (text.chunk_documents),
@@ -1246,6 +1283,7 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
     "split_exact_assign": split_exact_assign,
+    "split_stratified_assign": split_stratified_assign,
     "global_shuffle_order": global_shuffle_order,
     "chunk_documents_windows": chunk_documents_windows,
     "chunk_dedup_pipeline": chunk_dedup_pipeline,
@@ -1281,6 +1319,7 @@ ORACLES = {
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,
+    "split_stratified_assign": SPLIT_STRATIFIED_SQL,
     "global_shuffle_order": SHUFFLE_SQL,
     "chunk_documents_windows": CHUNK_SQL,
     "chunk_dedup_pipeline": CHUNK_DEDUP_SQL,

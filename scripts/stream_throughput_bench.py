@@ -1,0 +1,125 @@
+"""Throughput of the streaming dedup family at sf0.1 (r5 verdict
+item 8): the family has batch-parity, shuffled-replay, and TTL
+contract tests, but no rows/s number — this measures one.
+
+Method: the sf0.1 documents table (5,000 docs) is split into
+``N_CHUNKS`` parquet files up front; each op starts a fresh query on
+an empty source dir, the chunks are copied in one at a time with a
+``processAllAvailable()`` barrier after each (so every chunk is one
+micro-batch — the steady-state shape of a file-source stream, not one
+giant cold batch), and rows/s = 5,000 / wall time from first delivery
+to last barrier. State at end = 5,000 keys for exact (one fingerprint
+per distinct text), one (band, bucket) shard per minhash band
+(bounded by bands·distinct buckets), one 8-bit chunk shard per
+simhash chunk. Startup (query + state store init) is inside the
+measurement — it is amortized over 10 batches, as deployed.
+
+Numbers land in BENCHNOTES; re-run with a quiet host, min-of-2.
+
+Usage: python scripts/stream_throughput_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from boatrace_database_spark.streaming import ingest as I  # noqa: E402
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+N_CHUNKS = int(os.environ.get("STREAM_TP_CHUNKS", "10"))
+
+
+def stage_chunks(spark, workdir: str) -> list[str]:
+    """Pre-split the corpus into N single-file chunks (staged OUTSIDE
+    the measured window)."""
+    docs = spark.read.parquet(SRC)
+    n = docs.count()
+    per = -(-n // N_CHUNKS)
+    chunks = []
+    for i in range(N_CHUNKS):
+        stage = f"{workdir}/stage{i}"
+        (
+            docs.where(
+                (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        chunks.append(part)
+    return chunks
+
+
+def drive(name: str, start_query, spark, chunks, workdir: str) -> dict:
+    src = f"{workdir}/src_{name}"
+    os.makedirs(src)
+    q = start_query(src)
+    t0 = time.monotonic()
+    try:
+        for i, part in enumerate(chunks):
+            shutil.copy(part, f"{src}/c{i}.parquet")
+            q.processAllAvailable()
+        dt = time.monotonic() - t0
+        n_out = spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0]
+    finally:
+        q.stop()
+    return {"sec": round(dt, 2), "rows_per_sec": round(5000 / dt, 0),
+            "sink_rows": n_out}
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "300s")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="stream_tp_")
+    schema = spark.read.parquet(SRC).schema
+    chunks = stage_chunks(spark, workdir)
+
+    results = {}
+    results["sd_exact"] = drive(
+        "sd_exact",
+        lambda src: I.stream_dedup_exact(
+            spark, src, schema, query_name="sd_exact"
+        ),
+        spark, chunks, workdir,
+    )
+    results["sd_minhash"] = drive(
+        "sd_minhash",
+        lambda src: I.stream_dedup_minhash(
+            spark, src, schema, query_name="sd_minhash"
+        ),
+        spark, chunks, workdir,
+    )
+    results["sd_simhash"] = drive(
+        "sd_simhash",
+        lambda src: I.stream_dedup_simhash(
+            spark, src, schema, query_name="sd_simhash"
+        ),
+        spark, chunks, workdir,
+    )
+    import json
+
+    print(json.dumps({
+        "corpus_rows": 5000, "n_chunks": N_CHUNKS, "sf": 0.1,
+        "loadavg": os.getloadavg(), "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

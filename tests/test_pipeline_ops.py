@@ -323,6 +323,45 @@ def test_split_exact_deterministic_and_rank_consistent(spark):
     assert max(by_split["val"]) < min(by_split["test"])
 
 
+def test_split_exact_stratified_per_stratum_sizes(spark):
+    """Every stratum contributes exactly ⌊f·n_s⌋/⌈f·n_s⌉ rows per
+    split — including a stratum far smaller than the others (which a
+    global split would happily put entirely in train)."""
+    import math
+
+    from boatrace_database_spark.operators import corpus as C
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(83)]
+        + [(2000 + i, "tiny") for i in range(11)]
+    )
+    df = spark.createDataFrame(rows, "id LONG, src STRING")
+    out = C.split_exact_stratified(df, "id", "src", fr, n_buckets=16)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.src, {}).setdefault(r.split, 0)
+        got[r.src][r.split] += 1
+    n_by_src = {"big": 900, "mid": 83, "tiny": 11}
+    for src, n in n_by_src.items():
+        assert sum(got[src].values()) == n
+        for name, f in fr.items():
+            c = got[src].get(name, 0)
+            assert c in (math.floor(f * n), math.ceil(f * n)), (
+                f"{src}/{name}: {c} for n={n}"
+            )
+    # rank-consistency within each stratum: train ranks < val < test
+    pos = {}
+    for r in out.collect():
+        pos.setdefault((r.src, r.split), []).append(r.stratum_pos)
+    for src, n in n_by_src.items():
+        ordered = []
+        for name in ("train", "val", "test"):
+            ordered.extend(sorted(pos.get((src, name), [])))
+        assert ordered == list(range(n)), f"{src}: ranks not contiguous"
+
+
 def test_split_exact_validation(spark):
     from boatrace_database_spark.operators import corpus as C
 

@@ -253,6 +253,33 @@ def test_global_shuffle_no_single_task_data_window(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_split_exact_keeps_bucketed_window_and_broadcast_count(spark):
+    """split_exact inherits global_shuffle's scale shape: the per-row
+    rank window stays partitioned by bucket (no single-task data
+    window), and BOTH tiny sides — the B-row offsets and the 1-row
+    total count — enter as broadcasts."""
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        spark,
+        C.split_exact(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            n_buckets=64,
+        ),
+    )
+    ranked = [
+        l for l in plan.splitlines()
+        if "row_number() windowspecdefinition" in l
+    ]
+    assert ranked and all("_bkt" in l for l in ranked), ranked
+    assert "hashpartitioning(_bkt" in plan
+    assert "BroadcastHashJoin" in plan  # bucket offsets
+    # the count side joins with no key: broadcast nested loop, 1 row
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_semantic_pairs_join_is_cell_equi_join(spark):
     """Cluster scoping must compile to a hash equi-join on cell — no
     cartesian product at any n_assign — and the multi-assign path's
