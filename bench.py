@@ -42,6 +42,7 @@ HEADLINE = [
     "asof_join_events",
     "flag_timing_features",
     "semantic_dedup_assign",
+    "chunk_dedup_pipeline",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

@@ -113,6 +113,51 @@ def main():
         ),
         spark, chunks, workdir,
     )
+
+    # the semantic twin streams VECTORS (sf0.1 embeddings, 2,000 rows)
+    # against a prebuilt static quantizer — smaller corpus, so rows/s
+    # is reported against its own row count
+    from boatrace_database_spark.operators.similarity import ivf_build_index
+
+    emb_src = "/root/testdata/sf0.1/embeddings.parquet"
+    emb = spark.read.parquet(emb_src)
+    n_emb = emb.count()
+    _, centroids = ivf_build_index(emb, n_cells=16)
+    eschema = emb.schema
+    per = -(-n_emb // N_CHUNKS)
+    echunks = []
+    for i in range(N_CHUNKS):
+        stage = f"{workdir}/estage{i}"
+        (
+            emb.where(
+                (F.col("vec_id") >= i * per) & (F.col("vec_id") < (i + 1) * per)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        echunks.append(next(
+            f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
+        ))
+    src = f"{workdir}/src_sd_semantic"
+    os.makedirs(src)
+    q = I.stream_dedup_semantic(
+        spark, src, eschema, centroids, threshold=0.4,
+        max_members=10**6, query_name="sd_semantic",
+    )
+    t0 = time.monotonic()
+    try:
+        for i, part in enumerate(echunks):
+            shutil.copy(part, f"{src}/c{i}.parquet")
+            q.processAllAvailable()
+        dt = time.monotonic() - t0
+        n_out = spark.sql("SELECT count(*) FROM sd_semantic").collect()[0][0]
+    finally:
+        q.stop()
+    results["sd_semantic"] = {
+        "sec": round(dt, 2), "rows_per_sec": round(n_emb / dt, 0),
+        "sink_rows": n_out, "corpus_rows": n_emb,
+    }
     import json
 
     print(json.dumps({
