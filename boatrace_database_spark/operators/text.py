@@ -196,6 +196,42 @@ def ngram_contamination(
     )
 
 
+def decontaminate_corpus(
+    train_df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    max_rate: float = 0.0,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """The REMOVAL direction of decontamination: keep only training
+    documents whose n-gram collision rate against the benchmark corpus
+    is <= ``max_rate`` (default 0: any shared n-gram drops the doc —
+    the conservative pretraining recipe). ``ngram_contamination``
+    REPORTS eval-side rates; this guards the train side, which is what
+    a pipeline actually ships.
+
+    Returns the surviving train rows with their original columns plus
+    ``n_ngrams`` / ``n_contaminated`` / ``contamination_rate`` audit
+    columns (how close each survivor came to the bar).
+
+    Scale shape: the scoring pass is ``ngram_contamination`` with the
+    roles flipped — the BENCHMARK gram set is the distinct-reduced
+    side (tiny: eval suites are MBs against a 100 TB corpus, so AQE
+    broadcasts it and the train corpus streams past once); the
+    filter-back join is a same-key equi-join of train against its own
+    one-row-per-doc rate table.
+    """
+    rates = ngram_contamination(
+        benchmark_df, train_df, id_col, text_col, n=n, hash_keys=hash_keys
+    ).withColumnRenamed("eval_id", id_col)
+    return (
+        train_df.join(rates, id_col)
+        .where(F.col("contamination_rate") <= max_rate)
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     id_col: str,

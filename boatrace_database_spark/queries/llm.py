@@ -606,6 +606,57 @@ ORDER BY eval_id
 """
 
 
+def decontaminate_drop_train(spark, sf_dir):
+    """The removal direction of decontamination
+    (text.decontaminate_corpus): odd doc_ids act as the benchmark
+    suite, even doc_ids as the training corpus; train docs whose
+    13-gram collision rate against the benchmark exceeds 5% are
+    DROPPED, survivors carry their audit counts — the step a pipeline
+    actually ships, where decontaminate_eval only reports."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 2 == 1)
+    train = d.where(F.col("doc_id") % 2 == 0)
+    return (
+        TX.decontaminate_corpus(
+            train, bench, "doc_id", "text", n=13, max_rate=0.05
+        )
+        .select(
+            "doc_id", "source", "n_ngrams", "n_contaminated",
+            "contamination_rate",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_DROP_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 12, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 1),
+tr AS (SELECT * FROM grams WHERE doc_id % 2 = 0),
+hits AS (
+  SELECT tr.doc_id AS id, count(*) AS n_ngrams, count(bench.g) AS n_contaminated
+  FROM tr LEFT JOIN bench ON tr.g = bench.g
+  GROUP BY 1
+),
+rates AS (
+  SELECT d.doc_id, d.source,
+         coalesce(n_ngrams, 0) AS n_ngrams,
+         coalesce(n_contaminated, 0) AS n_contaminated,
+         round(coalesce(n_contaminated / n_ngrams, 0), 6)
+           AS contamination_rate
+  FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
+  WHERE d.doc_id % 2 = 0
+)
+SELECT doc_id, source, n_ngrams, n_contaminated, contamination_rate
+FROM rates WHERE contamination_rate <= 0.05 ORDER BY doc_id
+"""
+
+
 def repetition_profile(spark, sf_dir):
     """Gopher-style within-document repetition features: duplicate and
     top n-gram fractions for n=1..3 — the boilerplate / keyword-stuffing
@@ -1276,6 +1327,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "asof_join_events": asof_join_events,
     "decontaminate_eval": decontaminate_eval,
+    "decontaminate_drop_train": decontaminate_drop_train,
     "repetition_profile": repetition_profile,
     "pii_redact_scrub": pii_redact_scrub,
     "mixture_resample_recipe": mixture_resample_recipe,
@@ -1312,6 +1364,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "asof_join_events": ASOF_SQL,
     "decontaminate_eval": DECONTAMINATE_SQL,
+    "decontaminate_drop_train": DECONTAMINATE_DROP_SQL,
     "repetition_profile": REPETITION_SQL,
     "pii_redact_scrub": PII_REDACT_SQL,
     "mixture_resample_recipe": MIXTURE_SQL,
