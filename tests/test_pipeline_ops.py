@@ -76,6 +76,36 @@ def test_contamination_self_overlap_is_total(spark, contam_frames):
         assert r.contamination_rate == 1.0
 
 
+def test_decontaminate_corpus_drops_and_audits(spark, contam_frames):
+    """Removal direction: with the roles flipped (corpus scored against
+    a benchmark), docs over the rate bar are dropped, survivors keep
+    original columns + audit counts; max_rate=0 is the any-overlap
+    drop; an empty benchmark keeps everything."""
+    bench, corpus = contam_frames  # score the 3-doc frame as the corpus
+
+    out = TX.decontaminate_corpus(
+        corpus, bench, "id", "text", n=3, max_rate=0.5
+    )
+    got = {r.id: r for r in out.collect()}
+    # doc 10 overlaps 5/6 = 0.83 > 0.5 -> dropped; 11 (0.0) and the
+    # too-short 12 (0/0 -> rate 0) survive with audit columns
+    assert set(got) == {11, 12}
+    assert got[11].text.startswith("completely novel")
+    assert got[11].n_contaminated == 0
+    assert got[12].n_ngrams == 0 and got[12].contamination_rate == 0.0
+
+    strict = TX.decontaminate_corpus(
+        corpus, bench, "id", "text", n=3, max_rate=0.0
+    )
+    assert {r.id for r in strict.collect()} == {11, 12}
+
+    empty_bench = bench.where("id < 0")
+    kept = TX.decontaminate_corpus(
+        corpus, empty_bench, "id", "text", n=3, max_rate=0.0
+    )
+    assert {r.id for r in kept.collect()} == {10, 11, 12}
+
+
 # ---------------------------------------------------------------- repetition
 def test_repetition_profile_hand_checked(spark):
     df = spark.createDataFrame(
