@@ -265,6 +265,70 @@ def split_exact(
     )
 
 
+def take_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    salt: int = SHUFFLE_SALT,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic token-budget prefix: keep the documents whose
+    START offset in the deterministic shuffle order falls inside
+    ``budget_tokens`` — the "assemble a 10B-token mix from this
+    source" step of a pretraining recipe, as a pure DataFrame plan.
+    A document is kept iff the total tokens BEFORE it < budget (the
+    ``pack_sequences`` start-offset convention), so the kept set
+    covers the budget with at most one document of overshoot and is
+    a pure function of (corpus, salt) — rerunnable and
+    engine-auditable, unlike a rate-based sample that only hits the
+    budget in expectation.
+
+    Output: input columns + ``n_tokens`` (whitespace tokens) +
+    ``cum_tokens`` (inclusive running total in shuffle order).
+
+    Scale shape: the global running total uses the same two-level
+    trick as ``global_shuffle`` — per-bucket window cumsum (parallel)
+    plus a broadcast B-row prefix sum of bucket token totals; no
+    single-task global window, one shuffle keyed by bucket.
+    """
+    from boatrace_database_spark.operators.text import token_count
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1 (got {budget_tokens})")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    hashed = (
+        df.withColumn("_h", _unit_hash(F.col(id_col), salt))
+        .withColumn(
+            "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    )
+    local = (
+        Window.partitionBy("_bkt")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = hashed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_btok"))
+    prefix = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_btok").over(prefix), F.lit(0)).alias("_toff"),
+    )
+    return (
+        hashed.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_toff") + F.sum("n_tokens").over(local)).cast("long"),
+        )
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens))
+        .drop("_h", "_bkt", "_toff")
+    )
+
+
 def split_exact_stratified(
     df: DataFrame,
     id_col: str,

@@ -1143,6 +1143,41 @@ FROM r ORDER BY doc_id
 """
 
 
+def token_budget_head(spark, sf_dir):
+    """Deterministic token-budget sampling (corpus.take_token_budget):
+    the documents whose start offset in the deterministic shuffle
+    order falls inside a 10k-token budget — 'assemble an N-token mix'
+    as a pure plan, covering the budget with at most one document of
+    overshoot. The oracle repeats the running total with a plain
+    window sum over the same hash order."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.take_token_budget(d, "doc_id", "text", 10_000, n_buckets=64)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         {_knuth_sql("doc_id", 0x60BA)} AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY hv, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM h
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id
+"""
+
+
 def chunk_dedup_pipeline(spark, sf_dir):
     """Chunk-then-dedup composition — the retrieval-prep shape: split
     documents into 32-token/8-overlap windows (text.chunk_documents),
@@ -1336,6 +1371,7 @@ QUERIES = {
     "split_train_eval": split_train_eval,
     "split_exact_assign": split_exact_assign,
     "split_stratified_assign": split_stratified_assign,
+    "token_budget_head": token_budget_head,
     "global_shuffle_order": global_shuffle_order,
     "chunk_documents_windows": chunk_documents_windows,
     "chunk_dedup_pipeline": chunk_dedup_pipeline,
@@ -1373,6 +1409,7 @@ ORACLES = {
     "split_train_eval": SPLIT_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,
     "split_stratified_assign": SPLIT_STRATIFIED_SQL,
+    "token_budget_head": TOKEN_BUDGET_SQL,
     "global_shuffle_order": SHUFFLE_SQL,
     "chunk_documents_windows": CHUNK_SQL,
     "chunk_dedup_pipeline": CHUNK_DEDUP_SQL,

@@ -402,6 +402,60 @@ def test_split_exact_validation(spark):
         C.split_exact(df, "id", {"train": 1.5, "val": -0.5})
 
 
+def test_take_token_budget_coverage_and_naive_parity(spark):
+    """The kept set covers the budget with at most one doc of
+    overshoot (total-before-last < budget <= total unless the corpus
+    is smaller than the budget), equals the naive single-window
+    computation, and is invariant to partitioning and n_buckets."""
+    from pyspark.sql import Window as W
+
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators.corpus import (
+        SHUFFLE_SALT,
+        _unit_hash,
+    )
+    from boatrace_database_spark.operators.text import token_count
+
+    rows = [(i, "tok " * (1 + i % 17)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    budget = 1000
+    out = C.take_token_budget(df, "id", "text", budget, n_buckets=8)
+    got = {r.id: (r.n_tokens, r.cum_tokens) for r in out.collect()}
+    assert got, "budget must keep at least one doc"
+    total = max(c for _, c in got.values())
+    last_n = next(n for n, c in got.values() if c == total)
+    assert total - last_n < budget <= total
+
+    # naive single-window parity
+    naive = (
+        df.withColumn("_h", _unit_hash(F.col("id"), SHUFFLE_SALT))
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                W.orderBy("_h", "id").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+    )
+    expect = {r.id: (r.n_tokens, r.cum_tokens) for r in naive.collect()}
+    assert got == expect
+    for variant in (
+        C.take_token_budget(df.repartition(13), "id", "text", budget),
+        C.take_token_budget(df, "id", "text", budget, n_buckets=1),
+    ):
+        assert {
+            r.id: (r.n_tokens, r.cum_tokens) for r in variant.collect()
+        } == expect
+
+    # budget >= corpus keeps everything
+    assert C.take_token_budget(df, "id", "text", 10**9).count() == 400
+    with pytest.raises(ValueError, match=">= 1"):
+        C.take_token_budget(df, "id", "text", 0)
+
+
 def test_global_shuffle_exact_permutation_and_naive_parity(spark):
     """shuffle_pos must be exactly 0..n-1, equal to the naive global
     row_number rank, and invariant to n_buckets and input partitioning
