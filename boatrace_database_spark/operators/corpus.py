@@ -329,6 +329,85 @@ def take_token_budget(
     )
 
 
+def take_token_budget_stratified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: int = SHUFFLE_SALT,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-stratum token budgets — the token-unit mixture recipe
+    ("2B tokens of wiki, 500M of code"): within each stratum, keep the
+    documents whose start offset in that stratum's deterministic
+    shuffle order falls inside the stratum's budget. Strata absent
+    from ``budgets`` get ``default_budget`` (0 drops them — an
+    explicit recipe, not a silent pass-through).
+
+    Where ``mixture_resample`` weights sources in EPOCHS (documents),
+    this cuts them in TOKENS — what a context-window-budgeted
+    pretraining run actually provisions. Composition: resample the
+    upweighted sources first, then budget-cut the total.
+
+    Output: input columns + ``n_tokens`` + ``stratum_cum_tokens``
+    (inclusive running total within the stratum's shuffle order).
+
+    Scale shape: identical to ``split_exact_stratified`` — the window
+    partitions by (stratum, bucket) so no stratum serializes; offsets
+    are a broadcast strata·B-row prefix sum; the budget CASE is
+    O(|budgets|) codegen comparisons.
+    """
+    if any(b < 0 for b in budgets.values()) or default_budget < 0:
+        raise ValueError(f"budgets must be >= 0 (got {budgets})")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    from boatrace_database_spark.operators.text import token_count
+
+    budget = F.lit(int(default_budget))
+    for name, b in budgets.items():
+        budget = F.when(
+            F.col(strata_col) == name, F.lit(int(b))
+        ).otherwise(budget)
+    hashed = (
+        df.withColumn("_h", _unit_hash(F.col(id_col), salt))
+        .withColumn(
+            "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
+        )
+        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    )
+    local = (
+        Window.partitionBy(strata_col, "_bkt")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = hashed.groupBy(strata_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_btok")
+    )
+    prefix = (
+        Window.partitionBy(strata_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        strata_col,
+        "_bkt",
+        F.coalesce(F.sum("_btok").over(prefix), F.lit(0)).alias("_toff"),
+    )
+    return (
+        hashed.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        .withColumn(
+            "stratum_cum_tokens",
+            (F.col("_toff") + F.sum("n_tokens").over(local)).cast("long"),
+        )
+        .where(
+            F.col("stratum_cum_tokens") - F.col("n_tokens") < budget
+        )
+        .drop("_h", "_bkt", "_toff")
+    )
+
+
 def split_exact_stratified(
     df: DataFrame,
     id_col: str,

@@ -1178,6 +1178,48 @@ FROM c WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id
 """
 
 
+def token_budget_mixture(spark, sf_dir):
+    """Per-source token budgets (corpus.take_token_budget_stratified):
+    the token-unit mixture recipe — src0 provisioned 800 tokens, src1
+    400, every other source the 200-token default; each source's kept
+    set is its own shuffle-order token prefix. The oracle repeats the
+    partitioned running total + budget CASE."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.take_token_budget_stratified(
+            d, "doc_id", "text", "source",
+            {"src0": 800, "src1": 400}, default_budget=200, n_buckets=64,
+        )
+        .select("doc_id", "source", "n_tokens", "stratum_cum_tokens")
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         {_knuth_sql("doc_id", 0x60BA)} AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS stratum_cum_tokens
+  FROM h
+)
+SELECT doc_id, source, n_tokens, stratum_cum_tokens
+FROM c
+WHERE stratum_cum_tokens - n_tokens <
+      CASE WHEN source = 'src0' THEN 800
+           WHEN source = 'src1' THEN 400
+           ELSE 200 END
+ORDER BY doc_id
+"""
+
+
 def chunk_dedup_pipeline(spark, sf_dir):
     """Chunk-then-dedup composition — the retrieval-prep shape: split
     documents into 32-token/8-overlap windows (text.chunk_documents),
@@ -1372,6 +1414,7 @@ QUERIES = {
     "split_exact_assign": split_exact_assign,
     "split_stratified_assign": split_stratified_assign,
     "token_budget_head": token_budget_head,
+    "token_budget_mixture": token_budget_mixture,
     "global_shuffle_order": global_shuffle_order,
     "chunk_documents_windows": chunk_documents_windows,
     "chunk_dedup_pipeline": chunk_dedup_pipeline,
@@ -1410,6 +1453,7 @@ ORACLES = {
     "split_exact_assign": SPLIT_EXACT_SQL,
     "split_stratified_assign": SPLIT_STRATIFIED_SQL,
     "token_budget_head": TOKEN_BUDGET_SQL,
+    "token_budget_mixture": TOKEN_BUDGET_MIX_SQL,
     "global_shuffle_order": SHUFFLE_SQL,
     "chunk_documents_windows": CHUNK_SQL,
     "chunk_dedup_pipeline": CHUNK_DEDUP_SQL,

@@ -1,0 +1,185 @@
+"""10x scale-up evidence for the corpus-assembly family (the same
+contract scale_dedup_bench.py gives the dedup family): split_assign /
+split_exact / split_exact_stratified / global_shuffle /
+take_token_budget / mixture_resample / pack_sequences at 1x and Rx of
+the sf0.1 documents corpus.
+
+Reuses scale_dedup_bench.build_docs (per-replica vocabulary bijection,
+disjoint doc_id ranges, written to /tmp parquet so runs scan real
+input splits). These operators are all projection + one bucket/group
+keyed shuffle, so the contract is:
+
+  - time ratio ~ R at fixed cores (work is R-fold, no superlinear
+    blowup: no op materializes cross-row pairs);
+  - semantics hold at Rx: split_exact sizes still exactly
+    floor/ceil(f*n) at n=50,000, global_shuffle is still the exact
+    permutation 0..n-1, take_token_budget still stops at the same
+    token budget (its kept prefix is budget-bound, corpus-size-free);
+  - task balance of the heaviest stage <3x max/median (REST API,
+    same guard as the parse and dedup benches).
+
+Aggregations deliberately TOUCH the computed columns (max rank, split
+histogram) so Catalyst cannot prune the windows the bench exists to
+measure.
+
+Usage: SPARK_GRAFT_UI=true python scripts/scale_corpus_bench.py
+(one JSON line on stdout; human detail on stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DOCS_DST = f"/tmp/scale_docs_{REPLICAS}x.parquet"
+
+from scale_dedup_bench import build_docs  # noqa: E402
+from spark_rest import heaviest_stage_balance, stage_ids  # noqa: E402
+
+
+def timed(spark, fn):
+    before = stage_ids(spark)
+    t0 = time.perf_counter()
+    n = fn()
+    dt = time.perf_counter() - t0
+    bal = heaviest_stage_balance(spark, stage_ids(spark) - before)
+    return round(dt, 2), n, bal
+
+
+def run_ops(spark, docs, n_rows):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.operators import corpus as C
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {}
+
+    def rec(name, fn, check=None):
+        dt, n, bal = timed(spark, fn)
+        out[name] = {"sec": dt, "n": n, "task_balance": bal}
+        if check is not None:
+            check(n)
+        print(f"  {name}: {dt}s n={n} bal={bal}", file=sys.stderr)
+
+    def split_histogram(frame):
+        return {
+            r.split: r.c
+            for r in frame.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    def check_total(n):
+        assert n == n_rows, f"rows dropped: {n} != {n_rows}"
+
+    rec(
+        "split_assign",
+        lambda: sum(
+            split_histogram(C.split_assign(docs, "doc_id", fr)).values()
+        ),
+        check=check_total,
+    )
+
+    def split_exact_counts():
+        sizes = split_histogram(C.split_exact(docs, "doc_id", fr))
+        for name, f in fr.items():
+            got = sizes.get(name, 0)
+            assert got in (math.floor(f * n_rows), math.ceil(f * n_rows)), (
+                f"{name}: {got} not exact for n={n_rows}"
+            )
+        return sum(sizes.values())
+
+    rec("split_exact", split_exact_counts, check=check_total)
+    rec(
+        "split_exact_stratified",
+        lambda: sum(
+            split_histogram(
+                C.split_exact_stratified(
+                    docs.withColumn("src", (F.col("doc_id") % 7).cast("int")),
+                    "doc_id", "src", fr,
+                )
+            ).values()
+        ),
+        check=check_total,
+    )
+
+    def check_max_rank(mx):
+        assert mx == n_rows - 1, f"not a permutation: max {mx}"
+
+    rec(
+        "global_shuffle",
+        lambda: C.global_shuffle(docs, "doc_id")
+        .agg(F.max("shuffle_pos")).collect()[0][0],
+        check=check_max_rank,
+    )
+    rec(
+        "take_token_budget",
+        lambda: C.take_token_budget(docs, "doc_id", "text", 100_000)
+        .agg(
+            F.count(F.lit(1)).alias("kept"), F.max("cum_tokens").alias("mx")
+        ).collect()[0].kept,
+    )
+    rec(
+        "mixture_resample",
+        lambda: C.mixture_resample(
+            docs.withColumn("src", (F.col("doc_id") % 7).cast("int"))
+            .withColumn("src", F.col("src").cast("string")),
+            "doc_id", "src",
+            {"0": 2.5, "1": 0.3}, default_weight=1.0,
+        ).count(),
+    )
+    rec(
+        "pack_sequences",
+        lambda: C.pack_sequences(
+            docs.withColumn("grp", (F.col("doc_id") % 64).cast("int")),
+            "doc_id", "text", budget=2048, group_col="grp",
+        ).agg(F.max("pack_id")).collect()[0][0],
+    )
+    return out
+
+
+def main() -> None:
+    from boatrace_database_spark.session import get_spark
+
+    spark = get_spark("scale_corpus")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_docs(spark, REPLICAS, DOCS_DST)
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n1 = base.count()
+    scaled = spark.read.parquet(DOCS_DST)
+    nR = scaled.count()
+    print(f"1x corpus: {n1} rows", file=sys.stderr)
+    one = run_ops(spark, base, n1)
+    print(f"{REPLICAS}x corpus: {nR} rows", file=sys.stderr)
+    big = run_ops(spark, scaled, nR)
+    report = {
+        "replicas": REPLICAS,
+        "rows_1x": n1,
+        "rows_Rx": nR,
+        "loadavg": os.getloadavg(),
+        "ops": {
+            k: {
+                "sec_1x": one[k]["sec"],
+                "sec_Rx": big[k]["sec"],
+                "time_ratio": round(big[k]["sec"] / max(one[k]["sec"], 1e-9), 2),
+                "balance_Rx": big[k]["task_balance"],
+            }
+            for k in one
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -456,6 +456,36 @@ def test_take_token_budget_coverage_and_naive_parity(spark):
         C.take_token_budget(df, "id", "text", 0)
 
 
+def test_take_token_budget_stratified_per_source_coverage(spark):
+    """Each stratum's kept set is its own budget-bound token prefix
+    (per-stratum coverage with <=1 doc overshoot); a zero/default-0
+    stratum is dropped entirely; disjoint strata don't interact."""
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = (
+        [(i, "a", "tok " * 10) for i in range(50)]
+        + [(100 + i, "b", "tok " * 5) for i in range(50)]
+        + [(200 + i, "c", "tok " * 3) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "id LONG, src STRING, text STRING")
+    out = C.take_token_budget_stratified(
+        df, "id", "text", "src", {"a": 100, "b": 60}, default_budget=0,
+        n_buckets=8,
+    )
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.src, []).append((r.n_tokens, r.stratum_cum_tokens))
+    assert set(by_src) == {"a", "b"}, "default_budget=0 must drop src c"
+    for src, budget in (("a", 100), ("b", 60)):
+        total = max(c for _, c in by_src[src])
+        last_n = next(n for n, c in by_src[src] if c == total)
+        assert total - last_n < budget <= total, (src, total, last_n)
+    with pytest.raises(ValueError, match=">= 0"):
+        C.take_token_budget_stratified(
+            df, "id", "text", "src", {"a": -1}
+        )
+
+
 def test_global_shuffle_exact_permutation_and_naive_parity(spark):
     """shuffle_pos must be exactly 0..n-1, equal to the naive global
     row_number rank, and invariant to n_buckets and input partitioning
