@@ -62,6 +62,41 @@ def test_quality_lsh_cosine_pairs_recall(spark):
     assert out["lsh_cosine_pairs_recall"] >= 0.85, out
 
 
+def test_minhash_on_chunk_table_recall(spark):
+    """The chunk_dedup_pipeline docstring's scale-path claim, made
+    true: minhash_lsh_pairs over the SAME chunk table (string chunk
+    keys) must recall the exact chunk-level n-gram Jaccard pairs at
+    the pipeline's θ=0.8 operating point — chunks are short (<=32
+    tokens), the regime where banding recall is most at risk."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    chunks = TX.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).select(
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")
+        ).alias("chunk_key"),
+        "chunk_text",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(
+            chunks, "chunk_key", "chunk_text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert len(exact) > 30, "corpus must plant chunk-level near-dups"
+    mh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            chunks, "chunk_key", "chunk_text",
+            num_hashes=32, bands=16, threshold=0.5,
+        ).collect()
+    }
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.95, f"chunk-level MinHash recall {recall:.3f}"
+
+
 def test_minhash_max_df_drops_boilerplate(spark):
     """Corpus-ubiquitous boilerplate inflates MinHash similarity between
     unrelated documents; max_df must remove the false pair while a true
