@@ -150,6 +150,59 @@ def pack_sequences(
     )
 
 
+def materialize_packs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int,
+    group_col: str | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """Emit the training sequences ``pack_sequences`` assigns: one row
+    per (group, pack_id) with the member documents concatenated in id
+    order — the step that actually writes model inputs, downstream of
+    the window assignment. Output: group key (if any), ``pack_id``,
+    ``doc_ids`` (id-ordered array), ``n_docs``, ``pack_tokens``
+    (may exceed ``budget`` by the tail document — a document belongs
+    to the window its FIRST token lands in, pack_sequences'
+    convention), ``pack_text`` (sep-joined).
+
+    Scale shape: pack_sequences' one window cumsum, then ONE groupBy
+    keyed by (group, pack_id). The collect_list per pack is bounded:
+    a pack holds at most ~budget tokens of documents (+1 tail doc),
+    so state per group is budget-bound regardless of corpus size —
+    this is the safe kind of collect_list.
+    """
+    packed = pack_sequences(df, id_col, text_col, budget, group_col)
+    keys = ([group_col] if group_col else []) + ["pack_id"]
+    docs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("_id"),
+                F.col("n_tokens").alias("_nt"),
+                F.col(text_col).alias("_txt"),
+            )
+        )
+    )
+    return (
+        packed.groupBy(*keys)
+        .agg(docs.alias("_docs"))
+        .select(
+            *keys,
+            F.transform("_docs", lambda d: d["_id"]).alias("doc_ids"),
+            F.size("_docs").cast("long").alias("n_docs"),
+            F.aggregate(
+                "_docs",
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d["_nt"],
+            ).alias("pack_tokens"),
+            F.array_join(
+                F.transform("_docs", lambda d: d["_txt"]), sep
+            ).alias("pack_text"),
+        )
+    )
+
+
 #: default salts for the id-hash ops. DISTINCT per operator on purpose:
 #: hashing the same ids with the same salt makes decisions correlated
 #: (e.g. a mixture's "extra copy" rows would all land in the same split),

@@ -57,10 +57,10 @@ _ORDER = [
     # tier 2 — code changed/added in round 6: must (re-)verify
     "ann_bucket_stats", "split_exact_assign", "split_stratified_assign",
     "chunk_dedup_pipeline", "decontaminate_drop_train",
-    "token_budget_head", "token_budget_mixture",
+    "token_budget_head", "token_budget_mixture", "pack_materialize",
     # tier 3 — second-newest row is r3 (checked r5): oldest
-    # double-verification; tiers 1-3 run 54 deep, so a 50-row budget
-    # truncates tier 3's last four — green r5, still within r5∪r6
+    # double-verification; tiers 1-3 run 55 deep, so a 50-row budget
+    # truncates tier 3's last five — green r5, still within r5∪r6
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",
     "embedding_cosine_topk", "embedding_norm_stats",
     "multimodal_features", "asof_join_events", "flag_timing_features",

@@ -847,6 +847,49 @@ FROM o ORDER BY doc_id
 """
 
 
+def pack_materialize(spark, sf_dir):
+    """The packed sequences themselves (corpus.materialize_packs):
+    one row per (source, pack_id) with the member docs concatenated
+    in id order — the step that writes model inputs, downstream of
+    pack_sequences_windows' assignment. The oracle re-derives the
+    assignment and rebuilds each pack with ordered aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.materialize_packs(d, "doc_id", "text", 512, group_col="source")
+        .select(
+            "source", "pack_id", "doc_ids", "n_docs", "pack_tokens",
+            "pack_text",
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+PACK_MATERIALIZE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, text, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS start_offset
+  FROM t
+),
+q AS (
+  SELECT *, CAST(floor(start_offset / 512) AS BIGINT) AS pack_id FROM o
+)
+SELECT source, pack_id,
+       list(doc_id ORDER BY doc_id) AS doc_ids,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(text, ' ' ORDER BY doc_id) AS pack_text
+FROM q GROUP BY 1, 2 ORDER BY source, pack_id
+"""
+
+
 def training_data_pipeline(spark, sf_dir):
     """The full Dolma/C4-style assembly line as ONE lazy plan — proves
     the pipeline operators COMPOSE (each stage is the real operator,
@@ -1409,6 +1452,7 @@ QUERIES = {
     "pii_redact_scrub": pii_redact_scrub,
     "mixture_resample_recipe": mixture_resample_recipe,
     "pack_sequences_windows": pack_sequences_windows,
+    "pack_materialize": pack_materialize,
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
     "split_exact_assign": split_exact_assign,
@@ -1448,6 +1492,7 @@ ORACLES = {
     "pii_redact_scrub": PII_REDACT_SQL,
     "mixture_resample_recipe": MIXTURE_SQL,
     "pack_sequences_windows": PACK_SQL,
+    "pack_materialize": PACK_MATERIALIZE_SQL,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,

@@ -402,6 +402,42 @@ def test_split_exact_validation(spark):
         C.split_exact(df, "id", {"train": 1.5, "val": -0.5})
 
 
+def test_materialize_packs_partition_and_token_closure(spark):
+    """Materialized packs are a PARTITION of the corpus (every doc in
+    exactly one pack, id-ordered within it), and re-tokenizing
+    pack_text recovers pack_tokens exactly (the sep-join loses no
+    tokens — closure under the module's own tokenizer)."""
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators.text import token_count
+
+    rows = [
+        (i, "g%d" % (i % 3), "tok " * (1 + i % 11)) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, text STRING")
+    packs = C.materialize_packs(df, "id", "text", 40, group_col="grp")
+    got = packs.collect()
+    seen = [i for r in got for i in r.doc_ids]
+    assert sorted(seen) == list(range(120)), "not a partition"
+    for r in got:
+        assert list(r.doc_ids) == sorted(r.doc_ids), "not id-ordered"
+        assert r.n_docs == len(r.doc_ids)
+    # token closure via the engine's own tokenizer
+    recounted = packs.withColumn(
+        "_rt", token_count(F.col("pack_text")).cast("long")
+    ).where(F.col("_rt") != F.col("pack_tokens"))
+    assert recounted.count() == 0
+    # window consistency with pack_sequences: each doc's assigned pack
+    assigned = {
+        r.id: r.pack_id
+        for r in C.pack_sequences(
+            df, "id", "text", 40, group_col="grp"
+        ).collect()
+    }
+    for r in got:
+        for i in r.doc_ids:
+            assert assigned[i] == r.pack_id, (i, assigned[i], r.pack_id)
+
+
 def test_take_token_budget_coverage_and_naive_parity(spark):
     """The kept set covers the budget with at most one doc of
     overshoot (total-before-last < budget <= total unless the corpus
