@@ -847,6 +847,60 @@ FROM o ORDER BY doc_id
 """
 
 
+def quality_topk_per_source(spark, sf_dir):
+    """Quality-based per-source selection: the top-5 documents per
+    source by the composite quality heuristic (text.quality_score,
+    rounded to 6 dp on BOTH engines so tie-breaks agree) — the 'keep
+    the best of each source' curation step, composing the scoring
+    battery with a per-group rank. One window over (source), all
+    codegen."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id", "source",
+            F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        )
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .where(F.col("rank_in_source") <= 5)
+        .orderBy("source", "rank_in_source")
+    )
+
+
+QUALITY_TOPK_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(lower(text)), '\s+') AS lw
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         round((least(length(text) / 500.0, 1.0)
+                + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1))
+                + least(len(list_filter(lw, x -> x IN
+                        ('the','a','an','of','to','and','in','is','it',
+                         'for','on','with')))
+                        / greatest(len(lw), 1) * 4, 1.0)) / 3, 6)
+           AS quality
+  FROM t
+),
+r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id)
+           AS rank_in_source
+  FROM scored
+)
+SELECT doc_id, source, quality, rank_in_source
+FROM r WHERE rank_in_source <= 5 ORDER BY source, rank_in_source
+"""
+
+
 def pack_materialize(spark, sf_dir):
     """The packed sequences themselves (corpus.materialize_packs):
     one row per (source, pack_id) with the member docs concatenated
@@ -1453,6 +1507,7 @@ QUERIES = {
     "mixture_resample_recipe": mixture_resample_recipe,
     "pack_sequences_windows": pack_sequences_windows,
     "pack_materialize": pack_materialize,
+    "quality_topk_per_source": quality_topk_per_source,
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
     "split_exact_assign": split_exact_assign,
@@ -1493,6 +1548,7 @@ ORACLES = {
     "mixture_resample_recipe": MIXTURE_SQL,
     "pack_sequences_windows": PACK_SQL,
     "pack_materialize": PACK_MATERIALIZE_SQL,
+    "quality_topk_per_source": QUALITY_TOPK_SQL,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,
