@@ -765,6 +765,115 @@ def stream_ingest_boatrace(
     )
 
 
+def stream_token_budget(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    strata_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream_token_budget",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of ``corpus.take_token_budget_stratified``: the
+    "stop ingesting source X after N tokens" admission gate. State per
+    stratum is ONE counter (tokens consumed); an arriving document is
+    emitted iff the tokens consumed BEFORE it are under the stratum's
+    budget (the batch twin's start-offset convention), and every
+    arrival accumulates whether or not it passes — so once a budget
+    exhausts, the stratum's gate stays closed.
+
+    Parity contract: within each micro-batch, rows replay in the batch
+    twin's deterministic shuffle order (the split Knuth hash of the id
+    — computed here in numpy uint64, bit-identical to
+    ``corpus._hash32``); when chunks arrive as hash-ordered slices
+    (tested) the emitted (id, stratum_cum_tokens) set EQUALS the batch
+    operator's output exactly. Under arbitrary arrival order the
+    budget bound still holds, but which documents fill it follows
+    arrival order — the honest streaming semantics.
+
+    ``state_ttl_ms`` evicts an idle stratum's counter (its budget
+    re-opens on re-admission — a rolling-window budget); None keeps
+    counters for the query's lifetime.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if any(b < 0 for b in budgets.values()) or default_budget < 0:
+        raise ValueError(f"budgets must be >= 0 (got {budgets})")
+
+    docs = spark.readStream.schema(schema).parquet(source_dir).select(
+        F.col(id_col).alias("id"),
+        F.col(strata_col).cast("string").alias("stratum"),
+        F.col(text_col).alias("text"),
+    )
+
+    # corpus._hash32 in numpy uint64 (mods keep every value < 2^49,
+    # so uint64 arithmetic is exact and matches the JVM formula)
+    K = np.uint64(2654435761)
+    M32 = np.uint64(2**32)
+    SALT = np.uint64(0x60BA)
+
+    def _h32(ids: np.ndarray) -> np.ndarray:
+        x = (ids.astype(np.int64) % np.int64(2**32) + np.int64(2**32)).astype(
+            np.uint64
+        ) % M32
+        x = (x + SALT) % M32
+        lo = x % np.uint64(65536)
+        hi = x // np.uint64(65536)
+        return (lo * K + ((hi * K) % M32) * np.uint64(65536)) % M32
+
+    def gate(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        consumed = state.get[0] if state.exists else 0
+        budget = budgets.get(key[0], default_budget)
+        batch = pd.concat(list(pdfs))
+        order = np.lexsort(
+            (batch["id"].to_numpy(), _h32(batch["id"].to_numpy()))
+        )
+        out = []
+        for idx in order:
+            row_id = int(batch["id"].iloc[idx])
+            text = batch["text"].iloc[idx]
+            toks = (text or "").strip().split()
+            n_tokens = max(len(toks), 1)  # token_count: empty doc = 1
+            if consumed < budget:
+                out.append((row_id, key[0], n_tokens, consumed + n_tokens))
+            consumed += n_tokens
+        state.update((consumed,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            out,
+            columns=["id", "stratum", "n_tokens", "stratum_cum_tokens"],
+        )
+
+    gated = docs.groupBy("stratum").applyInPandasWithState(
+        gate,
+        outputStructType=(
+            "id LONG, stratum STRING, n_tokens LONG, stratum_cum_tokens LONG"
+        ),
+        stateStructType="consumed LONG",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_ingest_parquet(
     spark: SparkSession,
     source_dir: str,

@@ -1032,6 +1032,66 @@ def test_stream_semantic_string_ids_match_batch(spark, tmp_path):
         assert abs(got[pair] - score) < 5e-5, (pair, got[pair], score)
 
 
+def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
+    """stream_token_budget's parity contract: when chunks arrive as
+    hash-ordered slices (and the op replays each micro-batch in the
+    same Knuth-hash order), the emitted rows EQUAL the batch
+    take_token_budget_stratified output; strata without a budget are
+    dropped; once a budget exhausts mid-stream the gate stays closed
+    for later chunks."""
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators.corpus import SHUFFLE_SALT, _unit_hash
+    from boatrace_database_spark.streaming.ingest import stream_token_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    budgets = {"src0": 800, "src1": 400, "src2": 300}
+    batch = {
+        (r.doc_id, r.source, r.n_tokens, r.stratum_cum_tokens)
+        for r in C.take_token_budget_stratified(
+            docs, "doc_id", "text", "source", budgets, default_budget=0
+        ).collect()
+    }
+    assert batch, "batch twin must keep rows at these budgets"
+
+    hashed = docs.withColumn("_h", _unit_hash(F.col("doc_id"), SHUFFLE_SALT))
+    lo = hashed.where(F.col("_h") < 0.5).drop("_h")
+    hi = hashed.where(F.col("_h") >= 0.5).drop("_h")
+
+    src = str(tmp_path / "tb_src")
+    os.makedirs(src)
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    q = stream_token_budget(
+        spark, src, docs.schema, "source", budgets,
+        query_name="tb_stream",
+    )
+    try:
+        deliver(lo, "tb1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(hi, "tb2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.id, r.stratum, r.n_tokens, r.stratum_cum_tokens)
+            for r in spark.sql("SELECT * FROM tb_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == batch, (
+        f"missing={batch - got} extra={got - batch}"
+    )
+    assert {s for _, s, _, _ in got} <= set(budgets), (
+        "default_budget=0 strata must be dropped"
+    )
+
+
 def test_stream_semantic_rejects_gappy_centroids(spark, tmp_path):
     from boatrace_database_spark.operators.similarity import ivf_build_index
     from boatrace_database_spark.streaming.ingest import stream_dedup_semantic
