@@ -1092,6 +1092,91 @@ def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
     )
 
 
+def test_stream_token_budget_ttl_reopens_budget(spark, tmp_path):
+    """The family TTL contract on the budget gate: a stratum that
+    exhausts its budget stays CLOSED while its state lives, and an
+    idle period past state_ttl_ms evicts the counter so the budget
+    RE-OPENS (rolling-window admission) — with liveness proven by an
+    unrelated stratum between deliveries."""
+    import time
+
+    from boatrace_database_spark.streaming.ingest import stream_token_budget
+
+    schema = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).schema
+
+    def row(doc_id, source, n_tokens):
+        template = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(1).collect()[0].asDict()
+        )
+        template["doc_id"] = doc_id
+        template["source"] = source
+        template["text"] = "tok " * n_tokens
+        return tuple(template[f.name] for f in schema.fields)
+
+    stage_n = [0]
+
+    def deliver(rows, dst_dir):
+        stage_n[0] += 1
+        stage = tmp_path / f"tbstage{stage_n[0]}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, f"{dst_dir}/b{stage_n[0]}.parquet")
+
+    def seen():
+        return {
+            r.id for r in spark.sql("SELECT id FROM tb_ttl").collect()
+        }
+
+    def wait_for(ids, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if ids <= seen():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"ids {ids - seen()} never emitted")
+
+    src = str(tmp_path / "tbttl_src")
+    os.makedirs(src)
+    ttl_ms = 20_000
+    q = stream_token_budget(
+        spark, src, schema, "source", {"sA": 10, "sB": 10**6},
+        query_name="tb_ttl", state_ttl_ms=ttl_ms,
+    )
+    try:
+        # doc 1 (8 tokens) passes; doc 2 arrives with the budget at
+        # 8 < 10 so it passes too and exhausts it; doc 3 is rejected
+        deliver([row(1, "sA", 8)], src)
+        wait_for({1})
+        deliver([row(2, "sA", 8)], src)
+        wait_for({2})
+        deliver([row(3, "sA", 8)], src)
+        deliver([row(50, "sB", 2)], src)
+        wait_for({50})  # liveness: sB emitted while sA's gate is shut
+        assert 3 not in seen(), "exhausted budget must stay closed"
+        # idle past the TTL: sA's counter evicts, budget re-opens
+        time.sleep(ttl_ms / 1000 + 3.0)
+        deliver([row(51, "sB", 2)], src)
+        wait_for({51})
+        deliver([row(4, "sA", 8)], src)
+        wait_for({4})
+        rows = {
+            r.id: r.stratum_cum_tokens
+            for r in spark.sql("SELECT * FROM tb_ttl").collect()
+        }
+        assert rows[4] == 8, (
+            f"budget did not re-open from zero: cum {rows[4]}"
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_semantic_rejects_gappy_centroids(spark, tmp_path):
     from boatrace_database_spark.operators.similarity import ivf_build_index
     from boatrace_database_spark.streaming.ingest import stream_dedup_semantic
