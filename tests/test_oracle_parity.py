@@ -158,6 +158,23 @@ def test_query_matches_oracle(name, spark, ddb):
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
 
 
+def test_canon_is_typed():
+    """The r5 lesson, pinned: the canonicalizer must DISTINGUISH
+    numeric type classes (Python's 1 == 1.0 let an uncast DuckDB
+    HUGEINT slip past the local gate while the driver's typed hash
+    failed). Any refactor that re-merges the classes fails here."""
+    assert _canon(1) != _canon(1.0)
+    assert _canon(decimal.Decimal("500")) != _canon(500)
+    assert _canon(decimal.Decimal("500")) != _canon(500.0)
+    assert _canon(True) == _canon(1)  # bools stay ints, as Spark returns
+    # NaN canonicalizes equal to itself and sorts against floats
+    assert _canon(float("nan")) == _canon(float("nan"))
+    sorted([_canon(float("nan")), _canon(1.0), _canon(-2.5)])
+    # float noise still collapses within a class
+    assert _canon(0.1 + 0.2) == _canon(0.3)
+    assert _canon(-0.0) == _canon(0.0)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
