@@ -58,10 +58,10 @@ _ORDER = [
     "ann_bucket_stats", "split_exact_assign", "split_stratified_assign",
     "chunk_dedup_pipeline", "decontaminate_drop_train",
     "token_budget_head", "token_budget_mixture", "pack_materialize",
-    "quality_topk_per_source",
+    "quality_topk_per_source", "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest
-    # double-verification; tiers 1-3 run 56 deep, so a 50-row budget
-    # truncates tier 3's last six — green r5, still within r5∪r6
+    # double-verification; tiers 1-3 run 57 deep, so a 50-row budget
+    # truncates tier 3's last seven — green r5, still within r5∪r6
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",
     "embedding_cosine_topk", "embedding_norm_stats",
     "multimodal_features", "asof_join_events", "flag_timing_features",

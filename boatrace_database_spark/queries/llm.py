@@ -847,6 +847,20 @@ FROM o ORDER BY doc_id
 """
 
 
+def compression_quality(spark, sf_dir):
+    """Compression-ratio quality signal (text.compression_profile):
+    per-doc zlib ratio — the Gopher repetition/noise filter. No
+    oracle (zlib has no SQL builtin — the documented Arrow pandas_udf
+    edge); the driver records rows-only, and the ordering/bounds
+    contract is pytest-pinned."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.compression_profile(d, "doc_id", "text")
+        .select("doc_id", "source", "n_bytes", "zlib_ratio")
+        .orderBy("doc_id")
+    )
+
+
 def quality_topk_per_source(spark, sf_dir):
     """Quality-based per-source selection: the top-5 documents per
     source by the composite quality heuristic (text.quality_score,
@@ -1508,6 +1522,7 @@ QUERIES = {
     "pack_sequences_windows": pack_sequences_windows,
     "pack_materialize": pack_materialize,
     "quality_topk_per_source": quality_topk_per_source,
+    "compression_quality": compression_quality,
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
     "split_exact_assign": split_exact_assign,
@@ -1549,6 +1564,7 @@ ORACLES = {
     "pack_sequences_windows": PACK_SQL,
     "pack_materialize": PACK_MATERIALIZE_SQL,
     "quality_topk_per_source": QUALITY_TOPK_SQL,
+    "compression_quality": None,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,

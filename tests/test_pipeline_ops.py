@@ -76,6 +76,44 @@ def test_contamination_self_overlap_is_total(spark, contam_frames):
         assert r.contamination_rate == 1.0
 
 
+def test_compression_profile_ordering_bounds_determinism(spark):
+    """The Gopher signal's contract: repetitive text compresses far
+    below high-entropy noise with prose in between; ratios live in
+    (0, ~1.1]; empty text reports 1.0, null stays null; two runs are
+    identical (zlib at a fixed level is deterministic)."""
+    import random
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                for _ in range(8))
+        for _ in range(200)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "pauses to consider the state of the river beyond the mill "
+    ) * 20
+    repetitive = "spam ham " * 400
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, noise), (4, ""), (5, None)],
+        "id LONG, text STRING",
+    )
+    out = {r.id: r for r in TX.compression_profile(df, "id", "text").collect()}
+    assert out[1].zlib_ratio < out[2].zlib_ratio < out[3].zlib_ratio
+    assert out[1].zlib_ratio < 0.1, "repetition must compress away"
+    assert out[3].zlib_ratio > 0.5, "noise must not"
+    for i in (1, 2, 3):
+        assert 0.0 < out[i].zlib_ratio <= 1.1
+        assert out[i].n_bytes == len(out[i].text.encode("utf-8"))
+    assert out[4].zlib_ratio == 1.0 and out[4].n_bytes == 0
+    assert out[5].zlib_ratio is None
+    again = {
+        r.id: r.zlib_ratio
+        for r in TX.compression_profile(df, "id", "text").collect()
+    }
+    assert again == {i: out[i].zlib_ratio for i in out}
+
+
 def test_decontaminate_corpus_drops_and_audits(spark, contam_frames):
     """Removal direction: with the roles flipped (corpus scored against
     a benchmark), docs over the rate bar are dropped, survivors keep
