@@ -212,6 +212,104 @@ SPLIT_SALT = 0x5917
 SHUFFLE_SALT = 0x60BA
 
 
+def _validate_fractions(fractions: dict[str, float]) -> None:
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}): an implicit "
+            "remainder bucket would silently mislabel rows"
+        )
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
+
+
+def _cum_boundaries(fractions: dict[str, float]) -> list[tuple[str, float]]:
+    """Cumulative upper bounds for every split but the last (which
+    absorbs the open end). Python float accumulation ON PURPOSE: the
+    oracles inline repr() of these exact doubles, so both engines
+    compare against bit-identical boundaries."""
+    cum, out = 0.0, []
+    for name in list(fractions)[:-1]:
+        cum += fractions[name]
+        out.append((name, cum))
+    return out
+
+
+def _rank_split_case(pos_col: str, total_col: str, fractions):
+    """CASE chain assigning a split by rank: pos < floor(cum·n).
+    floor(cum·n) in double is engine-portable (n < 2^53, IEEE)."""
+    expr = F.lit(list(fractions)[-1])
+    for name, bound in reversed(_cum_boundaries(fractions)):
+        expr = F.when(
+            F.col(pos_col) < F.floor(F.lit(bound) * F.col(total_col)),
+            F.lit(name),
+        ).otherwise(expr)
+    return expr
+
+
+def _bucketed_running(
+    df: DataFrame,
+    id_col: str,
+    salt: int,
+    n_buckets: int,
+    strata_cols: tuple[str, ...] = (),
+    measure_col: str | None = None,
+):
+    """The module's shared two-level running value over the
+    deterministic shuffle order (within ``strata_cols`` if given),
+    WITHOUT a single-task global window: rows hash into ``n_buckets``
+    contiguous hash ranges (bucket = floor(h·B) is monotone in h, so
+    bucket boundaries are prefixes of the order); each (strata,
+    bucket) computes its value locally under a partitioned window,
+    and per-bucket totals prefix-sum into broadcast offsets.
+
+    Returns ``(frame, bucket_totals)``: frame = df plus ``_run``
+    (the 0-based global RANK when ``measure_col`` is None, else the
+    INCLUSIVE running sum of ``measure_col``) with the ``_h``/``_bkt``
+    helper columns still attached for the caller to drop;
+    bucket_totals = one tiny row per (strata, bucket) with ``_n``,
+    for callers that need stratum totals.
+
+    Every rank/cumsum operator in this module (global_shuffle, the
+    exact splits, the token budgets) is this helper plus a filter or
+    CASE — one copy of the machinery, one set of invariants.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    # h < 1 strictly (integer hash < 2^32 over 2^32), so floor(h·B) is
+    # always <= B-1; with B a power of two both products are exact in
+    # double, making bucket assignment portable arithmetic too.
+    strata = list(strata_cols)
+    hashed = df.withColumn("_h", _unit_hash(F.col(id_col), salt)).withColumn(
+        "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
+    )
+    agg = F.count(F.lit(1)) if measure_col is None else F.sum(measure_col)
+    totals = hashed.groupBy(*strata, "_bkt").agg(agg.alias("_n"))
+    # strata·B rows total: the prefix window is deliberate and tiny
+    prefix = (
+        Window.partitionBy(*strata)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *strata,
+        "_bkt",
+        F.coalesce(F.sum("_n").over(prefix), F.lit(0)).alias("_off"),
+    )
+    joined = hashed.join(F.broadcast(offsets), [*strata, "_bkt"])
+    if measure_col is None:
+        local = Window.partitionBy(*strata, "_bkt").orderBy("_h", id_col)
+        run = F.col("_off") + F.row_number().over(local) - 1
+    else:
+        local = (
+            Window.partitionBy(*strata, "_bkt")
+            .orderBy("_h", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = F.col("_off") + F.sum(measure_col).over(local)
+    return joined.withColumn("_run", run.cast("long")).drop("_off"), totals
+
+
 def split_assign(
     df: DataFrame,
     id_col: str,
@@ -238,23 +336,10 @@ def split_assign(
     Scale shape: one narrow projection — no shuffle, no Python; the
     CASE chain is O(|fractions|) comparisons per row in codegen.
     """
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(
-            f"split fractions must sum to 1 (got {total}): an implicit "
-            "remainder bucket would silently mislabel rows"
-        )
-    if any(f < 0 for f in fractions.values()):
-        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
+    _validate_fractions(fractions)
     h = _unit_hash(F.col(id_col), salt)
-    names = list(fractions)
-    expr = F.lit(names[-1])
-    cum = 0.0
-    boundaries = []
-    for name in names[:-1]:
-        cum += fractions[name]
-        boundaries.append((name, cum))
-    for name, bound in reversed(boundaries):
+    expr = F.lit(list(fractions)[-1])
+    for name, bound in reversed(_cum_boundaries(fractions)):
         expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
 
@@ -287,33 +372,18 @@ def split_exact(
     1-row count aggregate broadcast back for the boundaries. The CASE
     chain is O(|fractions|) codegen comparisons per row.
     """
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(
-            f"split fractions must sum to 1 (got {total}): an implicit "
-            "remainder bucket would silently mislabel rows"
-        )
-    if any(f < 0 for f in fractions.values()):
-        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
+    _validate_fractions(fractions)
     shuffled = global_shuffle(df, id_col, salt=salt, n_buckets=n_buckets)
-    n_rows = shuffled.agg(F.count(F.lit(1)).alias("_n_total"))
-    names = list(fractions)
-    expr = F.lit(names[-1])
-    cum = 0.0
-    boundaries = []
-    for name in names[:-1]:
-        cum += fractions[name]
-        boundaries.append((name, cum))
-    for name, bound in reversed(boundaries):
-        # floor(cum·n) in double: n < 2^53 and IEEE arithmetic, so the
-        # boundary is the same on any engine (the oracle repeats it)
-        expr = F.when(
-            F.col("shuffle_pos") < F.floor(F.lit(bound) * F.col("_n_total")),
-            F.lit(name),
-        ).otherwise(expr)
+    # count the INPUT, not the shuffled plan: global_shuffle preserves
+    # row count, and the optimizer can't prune its bucket-offsets join
+    # out of a count — aggregating `shuffled` would re-run the whole
+    # window machinery just to count rows
+    n_rows = df.agg(F.count(F.lit(1)).alias("_n_total"))
     return (
         shuffled.join(F.broadcast(n_rows))
-        .withColumn("split", expr)
+        .withColumn(
+            "split", _rank_split_case("shuffle_pos", "_n_total", fractions)
+        )
         .drop("_n_total")
     )
 
@@ -349,36 +419,16 @@ def take_token_budget(
 
     if budget_tokens < 1:
         raise ValueError(f"budget_tokens must be >= 1 (got {budget_tokens})")
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
-    hashed = (
-        df.withColumn("_h", _unit_hash(F.col(id_col), salt))
-        .withColumn(
-            "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
-        )
-        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    counted = df.withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long")
     )
-    local = (
-        Window.partitionBy("_bkt")
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    totals = hashed.groupBy("_bkt").agg(F.sum("n_tokens").alias("_btok"))
-    prefix = Window.orderBy("_bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.select(
-        "_bkt",
-        F.coalesce(F.sum("_btok").over(prefix), F.lit(0)).alias("_toff"),
+    frame, _ = _bucketed_running(
+        counted, id_col, salt, n_buckets, measure_col="n_tokens"
     )
     return (
-        hashed.join(F.broadcast(offsets), "_bkt")
-        .withColumn(
-            "cum_tokens",
-            (F.col("_toff") + F.sum("n_tokens").over(local)).cast("long"),
-        )
+        frame.withColumnRenamed("_run", "cum_tokens")
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens))
-        .drop("_h", "_bkt", "_toff")
+        .drop("_h", "_bkt")
     )
 
 
@@ -414,8 +464,6 @@ def take_token_budget_stratified(
     """
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError(f"budgets must be >= 0 (got {budgets})")
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
     from boatrace_database_spark.operators.text import token_count
 
     budget = F.lit(int(default_budget))
@@ -423,41 +471,19 @@ def take_token_budget_stratified(
         budget = F.when(
             F.col(strata_col) == name, F.lit(int(b))
         ).otherwise(budget)
-    hashed = (
-        df.withColumn("_h", _unit_hash(F.col(id_col), salt))
-        .withColumn(
-            "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
-        )
-        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    counted = df.withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long")
     )
-    local = (
-        Window.partitionBy(strata_col, "_bkt")
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    totals = hashed.groupBy(strata_col, "_bkt").agg(
-        F.sum("n_tokens").alias("_btok")
-    )
-    prefix = (
-        Window.partitionBy(strata_col)
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        strata_col,
-        "_bkt",
-        F.coalesce(F.sum("_btok").over(prefix), F.lit(0)).alias("_toff"),
+    frame, _ = _bucketed_running(
+        counted, id_col, salt, n_buckets,
+        strata_cols=(strata_col,), measure_col="n_tokens",
     )
     return (
-        hashed.join(F.broadcast(offsets), [strata_col, "_bkt"])
-        .withColumn(
-            "stratum_cum_tokens",
-            (F.col("_toff") + F.sum("n_tokens").over(local)).cast("long"),
-        )
+        frame.withColumnRenamed("_run", "stratum_cum_tokens")
         .where(
             F.col("stratum_cum_tokens") - F.col("n_tokens") < budget
         )
-        .drop("_h", "_bkt", "_toff")
+        .drop("_h", "_bkt")
     )
 
 
@@ -488,57 +514,21 @@ def split_exact_stratified(
     stratum re-ranks it, so membership is stable only for a fixed
     corpus; use ``split_assign`` for growth-stable membership.
     """
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(
-            f"split fractions must sum to 1 (got {total}): an implicit "
-            "remainder bucket would silently mislabel rows"
-        )
-    if any(f < 0 for f in fractions.values()):
-        raise ValueError(f"split fractions must be >= 0 (got {fractions})")
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
-    hashed = df.withColumn("_h", _unit_hash(F.col(id_col), salt)).withColumn(
-        "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
-    )
-    local = Window.partitionBy(strata_col, "_bkt").orderBy("_h", id_col)
-    counts = hashed.groupBy(strata_col, "_bkt").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    prefix = (
-        Window.partitionBy(strata_col)
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        strata_col,
-        "_bkt",
-        F.coalesce(F.sum("_n").over(prefix), F.lit(0)).alias("_off"),
+    _validate_fractions(fractions)
+    frame, counts = _bucketed_running(
+        df, id_col, salt, n_buckets, strata_cols=(strata_col,)
     )
     totals = counts.groupBy(strata_col).agg(
         F.sum("_n").alias("_n_total")
     )
-    names = list(fractions)
-    expr = F.lit(names[-1])
-    cum = 0.0
-    boundaries = []
-    for name in names[:-1]:
-        cum += fractions[name]
-        boundaries.append((name, cum))
-    for name, bound in reversed(boundaries):
-        expr = F.when(
-            F.col("stratum_pos") < F.floor(F.lit(bound) * F.col("_n_total")),
-            F.lit(name),
-        ).otherwise(expr)
     return (
-        hashed.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        frame.withColumnRenamed("_run", "stratum_pos")
         .join(F.broadcast(totals), strata_col)
         .withColumn(
-            "stratum_pos",
-            (F.col("_off") + F.row_number().over(local) - 1).cast("long"),
+            "split",
+            _rank_split_case("stratum_pos", "_n_total", fractions),
         )
-        .withColumn("split", expr)
-        .drop("_h", "_bkt", "_off", "_n_total")
+        .drop("_h", "_bkt", "_n_total")
     )
 
 
@@ -569,28 +559,5 @@ def global_shuffle(
     |df|/n_buckets rows fit one task (2^20 buckets at 10^12 rows);
     hash keys make bucket sizes near-uniform regardless of id skew.
     """
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
-    # h < 1 strictly (integer hash < 2^32 over 2^32), so floor(h·B) is
-    # always <= B-1; with B a power of two both products are exact in
-    # double, making bucket assignment portable arithmetic too.
-    hashed = df.withColumn("_h", _unit_hash(F.col(id_col), salt)).withColumn(
-        "_bkt", F.floor(F.col("_h") * F.lit(n_buckets)).cast("int")
-    )
-    local = Window.partitionBy("_bkt").orderBy("_h", id_col)
-    counts = hashed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
-    # B rows total: the unpartitioned running sum is deliberate and tiny
-    prefix = Window.orderBy("_bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "_bkt", F.coalesce(F.sum("_n").over(prefix), F.lit(0)).alias("_off")
-    )
-    return (
-        hashed.join(F.broadcast(offsets), "_bkt")
-        .withColumn(
-            "shuffle_pos",
-            (F.col("_off") + F.row_number().over(local) - 1).cast("long"),
-        )
-        .drop("_h", "_bkt", "_off")
-    )
+    frame, _ = _bucketed_running(df, id_col, salt, n_buckets)
+    return frame.withColumnRenamed("_run", "shuffle_pos").drop("_h", "_bkt")

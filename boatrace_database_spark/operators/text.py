@@ -121,11 +121,16 @@ def compression_profile(
     df: DataFrame, id_col: str, text_col: str, level: int = 6
 ) -> DataFrame:
     """Gopher-style compression-ratio quality signal: zlib-compressed
-    size over raw UTF-8 size per document. Highly repetitive /
-    machine-generated text compresses far below ~0.4; high-entropy
-    noise sits near 1.0; natural prose lands between — pipelines drop
-    both extremes. Output: input columns + ``n_bytes`` + ``zlib_ratio``
-    (6 dp; empty text reports 1.0, null stays null).
+    size over raw UTF-8 size per document. For documents past ~1 KB,
+    highly repetitive / machine-generated text compresses far below
+    ~0.4, high-entropy noise sits near 1.0, and natural prose lands
+    between — pipelines drop both extremes. SHORT documents are
+    dominated by zlib's fixed header/dictionary overhead (a 1-byte
+    doc reports ~9.0, <~50 bytes routinely exceeds 2.0), so apply the
+    signal only above a minimum length — the standard Gopher recipe
+    already length-gates before this filter. Output: input columns +
+    ``n_bytes`` + ``zlib_ratio`` (6 dp; empty text reports 1.0, null
+    stays null).
 
     This is a DOCUMENTED Python edge (the module's only one besides
     the parse kernel): zlib has no JVM/SQL builtin, so the ratio runs
@@ -246,7 +251,7 @@ def decontaminate_corpus(
     text_col: str,
     n: int = 13,
     max_rate: float = 0.0,
-    hash_keys: bool = True,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """The REMOVAL direction of decontamination: keep only training
     documents whose n-gram collision rate against the benchmark corpus
@@ -254,6 +259,15 @@ def decontaminate_corpus(
     the conservative pretraining recipe). ``ngram_contamination``
     REPORTS eval-side rates; this guards the train side, which is what
     a pipeline actually ships.
+
+    ``hash_keys`` defaults to FALSE here, inverting the reporting
+    op's default, because the collision tolerance flips with the
+    direction: a 64-bit xxhash collision only nudges a REPORTED rate,
+    but at max_rate=0 it silently DELETES an uncontaminated training
+    document — and at 100 TB (~1e10 train × ~1e8 bench grams) the
+    expected collision count is not negligible. Enable hash_keys for
+    the shuffle-volume win only with a slack max_rate, where one
+    colliding gram cannot cross the bar on its own.
 
     Returns the surviving train rows with their original columns plus
     ``n_ngrams`` / ``n_contaminated`` / ``contamination_rate`` audit

@@ -798,12 +798,19 @@ def stream_token_budget(
     re-opens on re-admission — a rolling-window budget); None keeps
     counters for the query's lifetime.
     """
+    import re
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError(f"budgets must be >= 0 (got {budgets})")
+    # the state key is the stratum CAST TO STRING (applyInPandasWithState
+    # keys are simplest as one string), so budget lookups must use the
+    # same representation — coerce the caller's keys up front or an
+    # int-keyed budgets dict would silently fall back to default_budget
+    budgets = {str(k): v for k, v in budgets.items()}
 
     docs = spark.readStream.schema(schema).parquet(source_dir).select(
         F.col(id_col).alias("id"),
@@ -840,8 +847,16 @@ def stream_token_budget(
         for idx in order:
             row_id = int(batch["id"].iloc[idx])
             text = batch["text"].iloc[idx]
-            toks = (text or "").strip().split()
-            n_tokens = max(len(toks), 1)  # token_count: empty doc = 1
+            if text is None:
+                # batch twin: token_count(NULL) is NULL, the row fails
+                # the filter AND contributes nothing to the window sum
+                continue
+            # token_count semantics REPLICATED BIT-FOR-BIT, not
+            # approximated: Spark's trim strips ASCII spaces only, and
+            # Java split('\s+') keeps edge empty tokens with ASCII \s —
+            # Python str.strip()/str.split() differ on '\thello\n' and
+            # would break the exact-parity contract at budget edges
+            n_tokens = len(re.split(r"\s+", text.strip(" "), flags=re.ASCII))
             if consumed < budget:
                 out.append((row_id, key[0], n_tokens, consumed + n_tokens))
             consumed += n_tokens

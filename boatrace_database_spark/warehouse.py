@@ -422,10 +422,17 @@ def compact_partitions(
         # filter on the NATIVE partition column (the string literal is
         # coerced to the column's inferred type) — casting the column
         # to string instead would both defeat partition pruning and
-        # rewrite the table with a retyped partition column
+        # rewrite the table with a retyped partition column. The null
+        # partition's directory carries Hive's sentinel name, which no
+        # equality filter can match (NULL == anything is never true):
+        # it needs an isNull filter.
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            part_filter = F.col(partition_col).isNull()
+        else:
+            part_filter = F.col(partition_col) == F.lit(value)
         part = (
             spark.read.parquet(table_dir)
-            .where(F.col(partition_col) == F.lit(value))
+            .where(part_filter)
             .repartition(int(needed))
         )
         if sort_cols:

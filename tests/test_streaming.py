@@ -1043,7 +1043,19 @@ def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
     from boatrace_database_spark.operators.corpus import SHUFFLE_SALT, _unit_hash
     from boatrace_database_spark.streaming.ingest import stream_token_budget
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # adversarial whitespace rows: Spark trim strips ASCII spaces only
+    # and split keeps edge empty tokens — the exact-parity contract
+    # must hold where Python str.strip()/split() would disagree
+    template = base.limit(1).collect()[0].asDict()
+    tricky = []
+    for i, t in enumerate(["\thello world\n", "a  b c ", "\n\nx\n", "  "]):
+        d = dict(template)
+        d["doc_id"] = 900_000 + i
+        d["source"] = "src0"
+        d["text"] = t
+        tricky.append(tuple(d[f.name] for f in base.schema.fields))
+    docs = base.unionByName(spark.createDataFrame(tricky, base.schema))
     budgets = {"src0": 800, "src1": 400, "src2": 300}
     batch = {
         (r.doc_id, r.source, r.n_tokens, r.stratum_cum_tokens)

@@ -497,6 +497,30 @@ def test_compact_partitions_skips_on_concurrent_append(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(table).collect()} == got
 
 
+def test_compact_partitions_null_partition(spark, tmp_path):
+    """Rows with a NULL partition value land in Hive's
+    __HIVE_DEFAULT_PARTITION__ directory, which no equality filter can
+    match — compaction must use an isNull filter there instead of
+    raising, and must leave the data intact."""
+    from boatrace_database_spark.warehouse import compact_partitions
+
+    table = str(tmp_path / "tbl")
+    rows = [(i, None if i % 2 else "2020-08-01") for i in range(200)]
+    df = spark.createDataFrame(rows, "id LONG, race_date STRING")
+    df.repartition(8).write.partitionBy("race_date").mode(
+        "overwrite"
+    ).parquet(table)
+    import os
+
+    assert os.path.isdir(f"{table}/race_date=__HIVE_DEFAULT_PARTITION__")
+    before = {(r.id, r.race_date) for r in spark.read.parquet(table).collect()}
+    out = compact_partitions(spark, table, target_bytes=64 * 1024 * 1024)
+    assert set(out) == {"2020-08-01", "__HIVE_DEFAULT_PARTITION__"}
+    assert {
+        (r.id, r.race_date) for r in spark.read.parquet(table).collect()
+    } == before
+
+
 def test_compact_partitions_native_date_partition_and_no_conf_leak(
     spark, tmp_path
 ):
