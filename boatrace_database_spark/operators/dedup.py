@@ -15,7 +15,7 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -25,6 +25,44 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per duplicate group (deterministic)."""
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+def exact_dedup_by(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    rank_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """``exact_dedup`` with a keeper POLICY: keep the row maximizing
+    (default) or minimizing ``rank_col`` per duplicate group — real
+    pipelines keep the BEST duplicate (highest quality score, longest
+    text, newest crawl), not the lowest id. Ties break to the lowest
+    id, so the choice stays deterministic; id-type generic (the
+    tie-break is an ORDER BY, not arithmetic).
+
+    Output: key_cols + ``keeper_id`` + ``keeper_<rank_col>`` +
+    ``n_copies``.
+
+    Scale shape: ONE shuffle on the keys feeding two same-partitioned
+    windows (rank + group count share the exchange), then the rn=1
+    filter — the groupBy path's cost class with an ordering policy
+    attached.
+    """
+    direction = F.desc(rank_col) if descending else F.asc(rank_col)
+    w = Window.partitionBy(*key_cols).orderBy(direction, F.asc(id_col))
+    wall = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wall))
+        .where(F.col("_rn") == 1)
+        .select(
+            *key_cols,
+            F.col(id_col).alias("keeper_id"),
+            F.col(rank_col).alias(f"keeper_{rank_col}"),
+            "n_copies",
+        )
     )
 
 

@@ -41,6 +41,56 @@ FROM documents GROUP BY text ORDER BY keeper_id
 """
 
 
+def dedup_best_quality(spark, sf_dir):
+    """Keeper-policy dedup (dedup.exact_dedup_by): duplicate groups
+    (normalized-text fingerprint) keep their HIGHEST-quality member
+    instead of dedup_exact's min-id — the real curation choice when
+    duplicates differ in trailing junk. Ties break to the lowest id;
+    the oracle repeats the partitioned rank."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return (
+        D.exact_dedup_by(scored, ["fp"], "doc_id", "quality")
+        .select("keeper_id", "keeper_quality", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_BEST_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+         string_split_regex(trim(lower(text)), '\s+') AS lw
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp,
+         round((least(length(text) / 500.0, 1.0)
+                + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1))
+                + least(len(list_filter(lw, x -> x IN
+                        ('the','a','an','of','to','and','in','is','it',
+                         'for','on','with')))
+                        / greatest(len(lw), 1) * 4, 1.0)) / 3, 6)
+           AS quality
+  FROM t
+),
+r AS (
+  SELECT doc_id, fp, quality,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY quality DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+  FROM scored
+)
+SELECT doc_id AS keeper_id, quality AS keeper_quality, n_copies
+FROM r WHERE rn = 1 ORDER BY keeper_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1503,6 +1553,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "token_count_battery": token_count_battery,
     "dedup_cluster_assign": dedup_cluster_assign,
+    "dedup_best_quality": dedup_best_quality,
     "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1545,6 +1596,7 @@ ORACLES = {
     "corpus_clean_pipeline": CORPUS_CLEAN_SQL,
     "token_count_battery": TOKEN_COUNT_SQL,
     "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
+    "dedup_best_quality": DEDUP_BEST_QUALITY_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,

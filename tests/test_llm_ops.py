@@ -62,6 +62,34 @@ def test_quality_lsh_cosine_pairs_recall(spark):
     assert out["lsh_cosine_pairs_recall"] >= 0.85, out
 
 
+def test_exact_dedup_by_keeper_policy(spark):
+    """Keeper policy: highest rank wins, ties break to lowest id,
+    descending=False inverts, singleton groups keep themselves, and
+    string ids work (the tie-break is ORDER BY, not arithmetic)."""
+    rows = [
+        (1, "k1", 0.5), (2, "k1", 0.9), (3, "k1", 0.9),  # tie at 0.9
+        (4, "k2", 0.1),
+        (5, "k3", 0.3), (6, "k3", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, fp STRING, q DOUBLE")
+    best = {r.fp: (r.keeper_id, r.keeper_q, r.n_copies)
+            for r in D.exact_dedup_by(df, ["fp"], "id", "q").collect()}
+    assert best == {
+        "k1": (2, 0.9, 3),   # max q, tie -> lowest id
+        "k2": (4, 0.1, 1),
+        "k3": (5, 0.3, 2),
+    }
+    worst = {r.fp: r.keeper_id
+             for r in D.exact_dedup_by(
+                 df, ["fp"], "id", "q", descending=False
+             ).collect()}
+    assert worst == {"k1": 1, "k2": 4, "k3": 6}
+    sdf = df.withColumn("id", F.format_string("d%02d", F.col("id")))
+    sbest = {r.fp: r.keeper_id
+             for r in D.exact_dedup_by(sdf, ["fp"], "id", "q").collect()}
+    assert sbest == {"k1": "d02", "k2": "d04", "k3": "d05"}
+
+
 def test_minhash_on_chunk_table_recall(spark):
     """The chunk_dedup_pipeline docstring's scale-path claim, made
     true: minhash_lsh_pairs over the SAME chunk table (string chunk
