@@ -66,6 +66,39 @@ def exact_dedup_by(
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_keys: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Daily-ingest dedup: deduplicate an ARRIVING batch against
+    itself AND against the persisted keeper table, without rescanning
+    the corpus. ``seen_keys`` is the keeper table's key projection
+    (e.g. normalized-text fingerprints already in the warehouse).
+    Returns the batch's genuinely NEW keepers — one row per
+    previously-unseen key (key_cols + keeper_id + n_copies, counting
+    only this batch's copies) — ready to append back to the keeper
+    table; batch rows whose key is already known are dropped.
+
+    The batch twin of ``stream_dedup_exact``'s first-seen state: the
+    stream holds the seen-set in operator state, this reads it from
+    the table the previous batches wrote — the standard daily-ingest
+    deployment where state must survive job restarts for free.
+
+    Scale shape: one groupBy on the (daily-sized) batch, then ONE
+    anti-join against the keeper table keyed on the same columns —
+    AQE broadcasts the tiny batch side, so the 100 TB keeper table
+    streams past once with no shuffle of its rows; bucket the keeper
+    table on the key for a co-located join when even that scan should
+    prune.
+    """
+    batch_keepers = exact_dedup(new_df, key_cols, id_col)
+    return batch_keepers.join(
+        seen_keys.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+
+
 # --------------------------------------------------------------------------
 # shingles
 def word_shingles(text_col, n: int = 3):

@@ -24,20 +24,21 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 98 after round 6 added ten queries: the split family,
+# catalog — 99 after round 6 added eleven queries: the split family,
 # chunk-dedup and decontaminate-drop compositions, token budgets,
 # pack materialization, quality top-k, compression ratio,
-# keeper-policy dedup), so ordering is the coverage lever.
+# keeper-policy and batch-incremental dedup), so ordering is the
+# coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
-# oracle CAST fix must re-verify green, plus the ten new queries) —
-# 11 entries, so tiers 1-2 = 49 of the 50-row budget; tier 3 = the
-# queries whose second-newest row is r3 (checked r5 — the oldest
-# double-verification), of which only the FIRST fits the budget —
-# the truncated tail is green r5, still within r5∪r6; tier 4 = the
+# oracle CAST fix must re-verify green, plus the eleven new queries)
+# — 12 entries, so tiers 1-2 fill the 50-row budget exactly; tier 3 =
+# the queries whose second-newest row is r3 (checked r5 — the oldest
+# double-verification), fully truncated at a 50-row budget — its
+# tail is green r5, still within r5∪r6; tier 4 = the
 # rest of the r5-green set (newest row r5); tier 5 = the no-oracle
 # rows-only ops checked r5 — cheapest to defer since their driver
 # record is weaker anyway. Every catalog query stays green within
@@ -62,10 +63,10 @@ _ORDER = [
     "chunk_dedup_pipeline", "decontaminate_drop_train",
     "token_budget_head", "token_budget_mixture", "pack_materialize",
     "quality_topk_per_source", "compression_quality",
-    "dedup_best_quality",
+    "dedup_best_quality", "dedup_incremental_batch",
     # tier 3 — second-newest row is r3 (checked r5): oldest
-    # double-verification; tiers 1-3 run 58 deep, so a 50-row budget
-    # truncates tier 3's last eight — green r5, still within r5∪r6
+    # double-verification; tiers 1-2 already fill a 50-row budget, so
+    # tier 3 only runs if the budget stretches — green r5 either way
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",
     "embedding_cosine_topk", "embedding_norm_stats",
     "multimodal_features", "asof_join_events", "flag_timing_features",

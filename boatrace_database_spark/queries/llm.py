@@ -91,6 +91,44 @@ FROM r WHERE rn = 1 ORDER BY keeper_id
 """
 
 
+def dedup_incremental_batch(spark, sf_dir):
+    """Batch-incremental dedup (dedup.incremental_exact_dedup): odd
+    doc_ids play the arriving daily batch, even doc_ids' fingerprints
+    the persisted keeper table; output is the batch's genuinely new
+    keepers — the daily-ingest twin of stream_dedup_exact's
+    first-seen state, with state read from the table instead of the
+    stream."""
+    d = _t(spark, sf_dir, "documents")
+    seen = d.where(F.col("doc_id") % 2 == 0).select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    batch = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        D.incremental_exact_dedup(batch, seen, ["fp"], "doc_id")
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+batch AS (
+  SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+  FROM fp WHERE doc_id % 2 = 1 GROUP BY fp
+),
+seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
+SELECT keeper_id, n_copies
+FROM batch WHERE fp NOT IN (SELECT fp FROM seen)
+ORDER BY keeper_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1554,6 +1592,7 @@ QUERIES = {
     "token_count_battery": token_count_battery,
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_best_quality": dedup_best_quality,
+    "dedup_incremental_batch": dedup_incremental_batch,
     "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1597,6 +1636,7 @@ ORACLES = {
     "token_count_battery": TOKEN_COUNT_SQL,
     "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
     "dedup_best_quality": DEDUP_BEST_QUALITY_SQL,
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,

@@ -62,6 +62,41 @@ def test_quality_lsh_cosine_pairs_recall(spark):
     assert out["lsh_cosine_pairs_recall"] >= 0.85, out
 
 
+def test_incremental_exact_dedup_replay_equals_full(spark):
+    """Replaying a corpus batch-by-batch through incremental dedup
+    accumulates exactly one keeper per distinct key (same KEY SET as
+    full-corpus exact_dedup), each keyed to its FIRST batch's keeper —
+    the stream_dedup_exact contract read from a table; within-batch
+    dups collapse, already-seen keys drop."""
+    rows = [
+        (1, "A"), (2, "B"), (3, "A"),           # batch 1: A dups itself
+        (10, "A"), (11, "C"), (12, "C"),        # batch 2: A seen, C new
+        (20, "B"), (21, "D"),                   # batch 3
+    ]
+    df = spark.createDataFrame(rows, "id LONG, fp STRING")
+    batches = [df.where(F.col("id") < 10),
+               df.where((F.col("id") >= 10) & (F.col("id") < 20)),
+               df.where(F.col("id") >= 20)]
+    seen = spark.createDataFrame([], "fp STRING")
+    keepers = {}
+    for b in batches:
+        new = D.incremental_exact_dedup(b, seen, ["fp"], "id").collect()
+        for r in new:
+            assert r.fp not in keepers, "key re-admitted"
+            keepers[r.fp] = (r.keeper_id, r.n_copies)
+        seen = seen.unionByName(
+            spark.createDataFrame([(r.fp,) for r in new], "fp STRING")
+        )
+    assert keepers == {
+        "A": (1, 2),   # batch-1 keeper, 2 copies IN ITS BATCH
+        "B": (2, 1),
+        "C": (11, 2),
+        "D": (21, 1),
+    }
+    full_keys = {r.fp for r in D.exact_dedup(df, ["fp"], "id").collect()}
+    assert set(keepers) == full_keys
+
+
 def test_exact_dedup_by_keeper_policy(spark):
     """Keeper policy: highest rank wins, ties break to lowest id,
     descending=False inverts, singleton groups keep themselves, and
