@@ -730,6 +730,62 @@ ORDER BY id_a, id_b
 ANN_PLANE_SEED = 0xA22
 
 
+#: seed for the JL projection matrix — distinct from ANN_PLANE_SEED so
+#: a pipeline projecting AND bucketing never reuses the same planes
+#: (correlated projections would make LSH buckets functions of the
+#: reduced vectors instead of independent draws)
+PROJECTION_SEED = 0x9E37
+
+
+def project_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = PROJECTION_SEED,
+    out_col: str = "projection",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = P·x / √out_dim
+    with P a deterministic ±1 Rademacher matrix — the dimensionality
+    cut before quantizer training / clustering / ANN at scale (train
+    k-means on 16-64 projected dims instead of 1k+ raw ones;
+    distances are preserved within 1±ε w.h.p. by the JL lemma, and
+    the √out_dim scale keeps expected squared norms equal to the
+    input's).
+
+    Deterministic: P is a pure function of (out_dim, dim, seed) —
+    the same rademacher_planes stream the LSH family inlines into
+    its oracles, so the projection itself is oracle-expressible
+    (plane literals + list_dot_product).
+
+    Scale shape: a narrow projection — no shuffle; one Arrow-batched
+    numpy matmul per batch (the `_band_keys_udf` vectorization),
+    never per-row JVM folds.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
+    P = np.asarray(
+        rademacher_planes(out_dim, dim, seed), dtype=np.float64
+    )
+    scale = 1.0 / math.sqrt(out_dim)
+
+    @pandas_udf("array<double>")
+    def _proj(vecs):  # pd.Series[array<float>] -> pd.Series[array<double>]
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        Y = (A @ P.T) * scale
+        return pd.Series(list(Y))
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
 def _table_buckets(vec: Column, n_planes: int, dim: int, n_tables: int) -> Column:
     """Array of ``n_tables`` independent hyperplane bucket keys: table t
     uses planes [t·n_planes, (t+1)·n_planes) of one deterministic ±1

@@ -542,6 +542,51 @@ FROM sizes GROUP BY tbl ORDER BY tbl
 ANN_BUCKET_STATS_SQL = _ann_bucket_stats_oracle_sql()
 
 
+def embedding_project_jl(spark, sf_dir):
+    """Johnson-Lindenstrauss projection (similarity.project_embeddings):
+    64-d embeddings cut to 8 dims via the deterministic ±1 Rademacher
+    matrix — the pre-clustering/ANN dimensionality step. Both sides
+    round components to 6 dp (the sums differ only by FP association
+    order); the oracle inlines the identical plane literals."""
+    d = _t(spark, sf_dir, "embeddings")
+    return (
+        SIM.project_embeddings(d, "embedding", out_dim=8, dim=64)
+        .select(
+            "vec_id",
+            F.transform(
+                "projection", lambda x: F.round(x, 6)
+            ).alias("projection"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _jl_oracle_sql() -> str:
+    import math
+
+    planes = SIM.rademacher_planes(8, 64, SIM.PROJECTION_SEED)
+    scale = repr(1.0 / math.sqrt(8))
+
+    def lit_list(plane):
+        return "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
+
+    comps = ",\n       ".join(
+        f"round(list_dot_product(vec, {lit_list(p)}) * {scale}, 6)"
+        for p in planes
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT vec_id, [{comps}] AS projection
+FROM c ORDER BY vec_id
+"""
+
+
+EMBEDDING_PROJECT_SQL = _jl_oracle_sql()
+
+
 def ivf_cell_stats(spark, sf_dir):
     """The IVF nprobe sizing dial as a first-class query: cell-size
     distribution of the (cached) built index. No oracle — the cells
@@ -1601,6 +1646,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_bucket_stats": ann_bucket_stats,
+    "embedding_project_jl": embedding_project_jl,
     "ivf_cell_stats": ivf_cell_stats,
     "multimodal_features": multimodal_features,
     "asof_join_events": asof_join_events,
@@ -1645,6 +1691,7 @@ ORACLES = {
     "ann_lsh_topk": None,
     "ann_ivf_topk": None,
     "ann_bucket_stats": ANN_BUCKET_STATS_SQL,
+    "embedding_project_jl": EMBEDDING_PROJECT_SQL,
     "ivf_cell_stats": None,
     "multimodal_features": MULTIMODAL_SQL,
     "asof_join_events": ASOF_SQL,

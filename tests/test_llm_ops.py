@@ -62,6 +62,51 @@ def test_quality_lsh_cosine_pairs_recall(spark):
     assert out["lsh_cosine_pairs_recall"] >= 0.85, out
 
 
+def test_project_embeddings_jl_properties(spark):
+    """JL contract: numpy-reference parity (same planes, same scale),
+    expected-norm preservation (mean squared norm within 25% at
+    out_dim=32), and cluster separation survives the cut (within-
+    cluster cosines of a planted mixture stay above cross-cluster
+    ones after projection)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(4), 25)
+    X = centers[labels] + 0.05 * rng.normal(size=(100, 64))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r.vec_id: np.array(r.projection)
+        for r in SIM.project_embeddings(
+            emb, "embedding", out_dim=32, dim=64
+        ).collect()
+    }
+    P = np.asarray(SIM.rademacher_planes(32, 64, SIM.PROJECTION_SEED))
+    ref = (X.astype(np.float32).astype(np.float64) @ P.T) / np.sqrt(32)
+    for i in range(100):
+        assert np.allclose(out[i], ref[i], atol=1e-9), i
+    Y = np.stack([out[i] for i in range(100)])
+    assert abs(
+        (Y**2).sum(1).mean() / (X.astype(np.float32).astype(np.float64) ** 2)
+        .sum(1).mean() - 1
+    ) < 0.25
+    Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    S = Yn @ Yn.T
+    within = [S[i, j] for i in range(100) for j in range(i + 1, 100)
+              if labels[i] == labels[j]]
+    cross = [S[i, j] for i in range(100) for j in range(i + 1, 100)
+             if labels[i] != labels[j]]
+    # JL adds variance, so tails may overlap at out_dim=32 — the
+    # populations must still be clearly separated in aggregate
+    assert np.mean(within) - np.mean(cross) > 0.4, (
+        np.mean(within), np.mean(cross)
+    )
+
+
 def test_incremental_exact_dedup_replay_equals_full(spark):
     """Replaying a corpus batch-by-batch through incremental dedup
     accumulates exactly one keeper per distinct key (same KEY SET as
