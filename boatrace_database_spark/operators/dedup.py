@@ -50,7 +50,13 @@ def exact_dedup_by(
     filter — the groupBy path's cost class with an ordering policy
     attached.
     """
-    direction = F.desc(rank_col) if descending else F.asc(rank_col)
+    # nulls pin LAST in BOTH directions: a row with no rank must never
+    # win keeper over a scored row (Spark's bare asc() is NULLS FIRST)
+    direction = (
+        F.desc_nulls_last(rank_col)
+        if descending
+        else F.asc_nulls_last(rank_col)
+    )
     w = Window.partitionBy(*key_cols).orderBy(direction, F.asc(id_col))
     wall = Window.partitionBy(*key_cols)
     return (
@@ -86,17 +92,26 @@ def incremental_exact_dedup(
     the table the previous batches wrote — the standard daily-ingest
     deployment where state must survive job restarts for free.
 
-    Scale shape: one groupBy on the (daily-sized) batch, then ONE
-    anti-join against the keeper table keyed on the same columns —
-    AQE broadcasts the tiny batch side, so the 100 TB keeper table
-    streams past once with no shuffle of its rows; bucket the keeper
-    table on the key for a co-located join when even that scan should
-    prune.
+    Scale shape — a two-hop probe, because a naive
+    ``batch.join(seen, anti)`` CANNOT avoid shuffling the keeper
+    table: Spark anti-joins only build/broadcast the RIGHT side, so
+    the 100 TB keeper would either exceed the broadcast gate or force
+    a sort-merge shuffle of every keeper key. Instead (1) a LEFT-SEMI
+    probe streams the keeper table past the BROADCAST batch keys once
+    (no keeper shuffle, emits only the tiny hit set — at most one row
+    per seen duplicate key), then (2) the batch anti-joins against
+    that broadcast hit set. Both joins build the daily-sized side;
+    the keeper scan prunes further if the table is bucketed on the
+    key. The hit set is not de-duplicated: anti-join semantics ignore
+    right-side duplicates, and the set is batch-bounded either way.
     """
-    batch_keepers = exact_dedup(new_df, key_cols, id_col)
-    return batch_keepers.join(
-        seen_keys.select(*key_cols).distinct(), key_cols, "left_anti"
+    batch_keepers = exact_dedup(new_df, key_cols, id_col).localCheckpoint(
+        eager=False
+    )  # groupBy output feeds both join branches; materialize once
+    hits = seen_keys.select(*key_cols).join(
+        F.broadcast(batch_keepers.select(*key_cols)), key_cols, "left_semi"
     )
+    return batch_keepers.join(F.broadcast(hits), key_cols, "left_anti")
 
 
 # --------------------------------------------------------------------------

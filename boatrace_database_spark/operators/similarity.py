@@ -762,20 +762,14 @@ def project_embeddings(
     numpy matmul per batch (the `_band_keys_udf` vectorization),
     never per-row JVM folds.
     """
-    import math
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
     P = np.asarray(
         rademacher_planes(out_dim, dim, seed), dtype=np.float64
     )
-    scale = 1.0 / math.sqrt(out_dim)
+    scale = 1.0 / out_dim ** 0.5
 
-    @pandas_udf("array<double>")
+    @F.pandas_udf("array<double>")
     def _proj(vecs):  # pd.Series[array<float>] -> pd.Series[array<double>]
         if not len(vecs):
             return pd.Series([], dtype=object)

@@ -124,7 +124,10 @@ batch AS (
 ),
 seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0)
 SELECT keeper_id, n_copies
-FROM batch WHERE fp NOT IN (SELECT fp FROM seen)
+FROM batch b
+-- NOT EXISTS, not NOT IN: NOT IN's NULL semantics diverge from
+-- Spark's left_anti (a NULL in seen would zero the whole result)
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp)
 ORDER BY keeper_id
 """
 

@@ -170,6 +170,51 @@ def test_exact_dedup_by_keeper_policy(spark):
     assert sbest == {"k1": "d02", "k2": "d04", "k3": "d05"}
 
 
+def test_exact_dedup_by_null_rank_never_wins(spark):
+    """A row with a NULL rank must lose to any scored row in BOTH
+    directions (bare asc() would put NULLS FIRST, silently keeping an
+    unscored row under descending=False); an all-NULL group still
+    keeps its lowest id."""
+    rows = [
+        (1, "k1", None), (2, "k1", 0.2),   # scored row wins both ways
+        (3, "k2", None), (4, "k2", None),  # all-null: lowest id
+    ]
+    df = spark.createDataFrame(rows, "id LONG, fp STRING, q DOUBLE")
+    for desc in (True, False):
+        got = {r.fp: r.keeper_id
+               for r in D.exact_dedup_by(
+                   df, ["fp"], "id", "q", descending=desc
+               ).collect()}
+        assert got == {"k1": 2, "k2": 3}, (desc, got)
+
+
+def test_incremental_exact_dedup_plan_shape(spark):
+    """The 100 TB contract in the docstring, plan-asserted: the keeper
+    (seen) side is probed by a broadcast LEFT-SEMI and is never the
+    build side of a join and never exchanged — anti-joins build right,
+    so the naive batch-anti-seen plan would shuffle the keeper keys."""
+    batch = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("fp")
+    )
+    seen = spark.range(1000).select(
+        (F.col("id") % 13).cast("string").alias("fp")
+    )
+    plan = D.incremental_exact_dedup(
+        batch, seen, ["fp"], "id"
+    )._jdf.queryExecution().executedPlan().toString()
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert len(semi) == 1 and "BroadcastHashJoin" in semi[0], plan
+    assert len(anti) == 1 and "BroadcastHashJoin" in anti[0], plan
+    # the seen-side scan feeds the semi probe directly: the only
+    # Exchanges allowed are the batch groupBy and broadcast exchanges
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "Broadcast" not in ln:
+            assert "hashpartitioning" in ln, ln
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1, plan
+
+
 def test_minhash_on_chunk_table_recall(spark):
     """The chunk_dedup_pipeline docstring's scale-path claim, made
     true: minhash_lsh_pairs over the SAME chunk table (string chunk
