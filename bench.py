@@ -43,6 +43,7 @@ HEADLINE = [
     "flag_timing_features",
     "semantic_dedup_assign",
     "chunk_dedup_pipeline",
+    "bm25_topk_docs",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

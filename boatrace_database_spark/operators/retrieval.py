@@ -1,0 +1,151 @@
+"""Keyword retrieval: BM25 inverted-index scoring, top-k search, and
+reciprocal-rank fusion — the LEXICAL half of similarity search (the
+embedding half lives in operators/similarity.py; `rrf_fuse` welds the
+two into hybrid search, the standard retrieval-prep shape for training
+-data and RAG corpora).
+
+Everything is built-in `pyspark.sql.functions` — no Python in the row
+path — and fully oracle-expressible (tokenizer regex + the Robertson/
+Sparck-Jones idf are plain SQL on both engines).
+
+Scale shape (100 TB corpus, tiny query set):
+- postings/doc-lengths: one explode + two groupBys on (term, doc) and
+  (doc) — the inverted index; map-side partial aggregation throughout.
+- corpus stats (N, avgdl): a 1-row aggregate, broadcast-joined — never
+  a driver `.count()` round-trip.
+- scoring: the distinct query-term table is broadcast into the
+  postings join, so candidate generation touches only postings whose
+  term appears in SOME query (Catalyst pushes nothing heavier than a
+  broadcast probe through the 100 TB side); the per-(query, doc) sum
+  is the single real shuffle; top-k is a k-row window per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokenizer: lowercase, alnum runs only. The SQL twin is
+# string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' ')
+_NON_ALNUM = "[^a-z0-9]+"
+
+
+def search_terms(text: Column) -> Column:
+    """array<string> of lowercase alphanumeric terms (no empties)."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), _NON_ALNUM, " ")), " ")
+    return F.filter(toks, lambda t: t != "")
+
+
+def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index rows (doc_id, term, tf) — one explode + groupBy."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parallelism, F.col(id_col))  # docs arrive 1-file-1-task
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(search_terms(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query under BM25 (Robertson idf,
+    ln(1 + (N - df + ½)/(df + ½)); repeated query terms count once).
+    Output (query_id, doc_id, score, rk); score rounded to 6 dp BEFORE
+    ranking so the ordering is engine-stable, ties break to low doc_id.
+    """
+    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # 1 row — broadcast below, never a driver count()
+    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(search_terms(F.col(query_text_col)))).alias(
+            "term"
+        ),
+    )
+    part = (
+        post.join(F.broadcast(qterms), "term")  # candidate gen: broadcast probe
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = part.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, k_rrf: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (each with columns
+    query_id, doc_id, rk): rrf = Σ_lists 1/(k_rrf + rk), missing list
+    membership contributes 0 — the standard score-free hybrid-search
+    combiner (lexical ∪ vector candidates, no score calibration).
+    Output (query_id, doc_id, rrf, rk), rrf rounded to 6 dp before the
+    re-rank, ties to low doc_id.
+
+    Scale shape: each input is already ≤k rows per query; the fusion
+    is a unionByName + one groupBy on (query_id, doc_id) — trivial
+    next to the searches that produced the inputs.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    contrib = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col("rk"))).alias("c"),
+        )
+        for r in rankings
+    ]
+    allc = contrib[0]
+    for c in contrib[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "rrf", "rk")
+    )

@@ -70,7 +70,8 @@ _ORDER = [
     "token_budget_head", "token_budget_mixture", "pack_materialize",
     "quality_topk_per_source",
     "dedup_best_quality", "dedup_incremental_batch",
-    "embedding_project_jl", "compression_quality",
+    "embedding_project_jl", "bm25_topk_docs", "retrieval_rrf_fusion",
+    "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest
     # double-verification; tiers 1-2 already fill a 50-row budget, so
     # tier 3 only runs if the budget stretches — green r5 either way

@@ -17,6 +17,7 @@ from boatrace_database_spark.operators import corpus as C
 from boatrace_database_spark.operators import dedup as D
 from boatrace_database_spark.operators import multimodal as M
 from boatrace_database_spark.operators import privacy as P
+from boatrace_database_spark.operators import retrieval as R
 from boatrace_database_spark.operators import similarity as SIM
 from boatrace_database_spark.operators import text as TX
 from boatrace_database_spark.operators.joins import asof_join
@@ -455,6 +456,119 @@ SELECT query_id, neighbor_id, score, rk FROM (
   FROM scored
 ) WHERE rk <= 5 ORDER BY query_id, rk
 """
+
+
+def bm25_topk_docs(spark, sf_dir):
+    """Keyword retrieval (retrieval.bm25_topk): the first five
+    documents play full-text queries against the corpus — BM25 with
+    Robertson idf over an exploded inverted index, query terms
+    broadcast into the postings probe, score rounded before ranking
+    so the ordering is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return R.bm25_topk(d, q, k=10).orderBy("query_id", "rk")
+
+
+# tokenizer twin of retrieval.search_terms; k1=1.2, b=0.75 inlined
+_BM25_CTE = r"""
+toks AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS terms
+    FROM documents
+  ), unnest(terms) AS t(term)
+  WHERE t.term <> ''
+),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 5),
+bm25 AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM post p JOIN q ON p.term = q.term
+  JOIN dl l ON p.doc_id = l.doc_id
+  JOIN dft d ON p.term = d.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+bm25_rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM bm25
+)
+"""
+
+BM25_TOPK_SQL = (
+    "WITH " + _BM25_CTE + """
+SELECT query_id, doc_id, score, rk FROM bm25_rk
+WHERE rk <= 10 ORDER BY query_id, rk
+"""
+)
+
+
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid search (retrieval.rrf_fuse): reciprocal-rank fusion of
+    the BM25 lexical top-10 (documents) and the exact-cosine vector
+    top-10 (embeddings — the synthetic tables share the 0..N id
+    space) for the same five queries. Score-free 1/(60+rk) combining,
+    the standard lexical∪vector merge when scores aren't calibrated."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    qd = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lex = R.bm25_topk(d, qd, k=10)
+    vec = SIM.cosine_topk(e, e.where(F.col("vec_id") < 5), k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rk"
+    )
+    return R.rrf_fuse([lex, vec], k=10).orderBy("query_id", "rk")
+
+
+RRF_FUSION_SQL = (
+    "WITH " + _BM25_CTE + r""",
+qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+cos_scored AS (
+  SELECT query_id, neighbor_id,
+    round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           FROM (SELECT unnest(qvec) AS x, unnest(cvec) AS y))
+      / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qvec) AS x)))
+         * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(cvec) AS y)))),
+      6) AS score
+  FROM cv, qv WHERE neighbor_id != query_id
+),
+cos_rk AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rk
+  FROM cos_scored
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rk) AS c FROM bm25_rk WHERE rk <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rk) AS c FROM cos_rk WHERE rk <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 10 ORDER BY query_id, rk
+"""
+)
 
 
 def embedding_norm_stats(spark, sf_dir):
@@ -1646,6 +1760,8 @@ QUERIES = {
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "bm25_topk_docs": bm25_topk_docs,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_bucket_stats": ann_bucket_stats,
@@ -1691,6 +1807,8 @@ ORACLES = {
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
+    "bm25_topk_docs": BM25_TOPK_SQL,
+    "retrieval_rrf_fusion": RRF_FUSION_SQL,
     "ann_lsh_topk": None,
     "ann_ivf_topk": None,
     "ann_bucket_stats": ANN_BUCKET_STATS_SQL,

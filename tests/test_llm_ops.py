@@ -978,3 +978,83 @@ def test_semantic_pairs_rejects_gappy_centroids(spark):
         SIM.semantic_pairs(
             emb, threshold=0.4, n_assign=2, index=(indexed, gappy)
         ).collect()
+
+
+# --------------------------------------------------------------------------
+# keyword retrieval (BM25) + hybrid fusion
+def test_bm25_self_retrieval_and_idf(spark):
+    """A document queried with its own full text ranks itself first;
+    a RARE query term outranks a common one (Robertson idf): the only
+    doc holding 'zymurgy' beats docs matching just the ubiquitous
+    'apple'."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana date"),
+        (2, "apple elderberry fig"),
+        (3, "grape kiwi zymurgy lemon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    q = spark.createDataFrame(
+        [(0, "apple banana cherry"), (1, "zymurgy apple")],
+        "query_id LONG, query_text STRING",
+    )
+    out = R.bm25_topk(docs, q, k=4).collect()
+    top = {r.query_id: r.doc_id for r in out if r.rk == 1}
+    assert top[0] == 0  # self-retrieval
+    assert top[1] == 3  # rare term dominates
+    # every 'apple' doc is still a candidate for query 1
+    assert {r.doc_id for r in out if r.query_id == 1} == {0, 1, 2, 3}
+
+
+def test_bm25_tokenizer_normalizes(spark):
+    """Tokenizer folds case and punctuation: 'Apple, APPLE!' matches a
+    lowercase 'apple' query."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(0, "Apple, APPLE! pie"), (1, "no fruit here at all")],
+        "doc_id LONG, text STRING",
+    )
+    q = spark.createDataFrame([(0, "apple")], "query_id LONG, query_text STRING")
+    out = R.bm25_topk(docs, q, k=2).collect()
+    assert [r.doc_id for r in out] == [0]  # doc 1 shares no term
+
+
+def test_bm25_query_probe_is_broadcast(spark):
+    """Scale contract: the tiny query-term table is the BROADCAST side
+    of the postings probe — the corpus-sized side never shuffles for
+    candidate generation."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    plan = (
+        R.bm25_topk(docs, q, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # qterms + df/stats
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """1/(60+rk) fusion on a 2-list fixture: a doc present in both
+    lists beats single-list docs; contribution arithmetic checked to
+    the rounded digit."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id LONG, doc_id LONG, rk INT"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id LONG, doc_id LONG, rk INT"
+    )
+    out = {r.doc_id: (r.rrf, r.rk)
+           for r in R.rrf_fuse([lex, vec], k=10).collect()}
+    assert out[11] == (round(1 / 62 + 1 / 61, 6), 1)
+    assert out[10] == (round(1 / 61, 6), 2)
+    assert out[12] == (round(1 / 62, 6), 3)
+    with pytest.raises(ValueError):
+        R.rrf_fuse([])
