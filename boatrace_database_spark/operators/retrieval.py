@@ -50,34 +50,31 @@ def postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_id_col: str = "query_id",
-    query_text_col: str = "query_text",
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
 ) -> DataFrame:
-    """Top-k documents per query under BM25 (Robertson idf,
-    ln(1 + (N - df + ½)/(df + ½)); repeated query terms count once).
-    Output (query_id, doc_id, score, rk); score rounded to 6 dp BEFORE
-    ranking so the ordering is engine-stable, ties break to low doc_id.
-    """
-    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )  # 1 row — broadcast below, never a driver count()
-    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
-    qterms = queries.select(
+    """(query_id, term) rows, repeated query terms collapsed."""
+    return queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(search_terms(F.col(query_text_col)))).alias(
             "term"
         ),
     )
+
+
+def _score_topk(
+    post: DataFrame,
+    dl: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring core over index components (in-memory or
+    read back from a persisted index — both paths produce identical
+    rankings, tested)."""
     part = (
         post.join(F.broadcast(qterms), "term")  # candidate gen: broadcast probe
         .join(dl, "doc_id")
@@ -111,6 +108,109 @@ def bm25_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "doc_id", "score", "rk")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query under BM25 (Robertson idf,
+    ln(1 + (N - df + ½)/(df + ½)); repeated query terms count once).
+    Output (query_id, doc_id, score, rk); score rounded to 6 dp BEFORE
+    ranking so the ordering is engine-stable, ties break to low doc_id.
+    """
+    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # 1 row — broadcast below, never a driver count()
+    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = _query_terms(queries, query_id_col, query_text_col)
+    return _score_topk(post, dl, df_t, stats, qterms, k, k1, b)
+
+
+def term_bucket(term: Column, n_buckets: int) -> Column:
+    """Stable term → partition bucket (layout key of the persisted
+    index; pmod so the bucket is never negative)."""
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets))
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the BM25 index: postings + per-term df PARTITIONED BY a
+    stable term-hash bucket, doc lengths, and the 1-row corpus stats —
+    the build-once/probe-many deployment (the lexical analogue of
+    `ivf_write_index`). A probe knows its query terms' buckets up
+    front, so the postings/df scans read only those buckets' files
+    (partition pruning — the storage-level realization of 'a query
+    touches its own terms' slice of the index, not the corpus')."""
+    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    post.withColumn("bucket", term_bucket(F.col("term"), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+    post.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
+
+
+def bm25_topk_prebuilt(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """`bm25_topk` against a persisted index (`bm25_write_index` with
+    the SAME n_buckets): the query set's term buckets — a bounded
+    driver-side list, at most one int per distinct query term — become
+    a static IN-filter on the postings/df partition columns, so only
+    those buckets' files are scanned (plan-asserted in tests).
+    Identical rankings to the in-memory path (tested)."""
+    qterms = _query_terms(
+        queries, query_id_col, query_text_col
+    ).localCheckpoint(eager=False)
+    buckets = [
+        r.b
+        for r in qterms.select(
+            term_bucket(F.col("term"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()  # ≤ one int per distinct query term — driver-bounded
+    ]
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    df_t = (
+        spark.read.parquet(f"{path}/df")
+        .where(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    dl = spark.read.parquet(f"{path}/doclens")
+    stats = spark.read.parquet(f"{path}/stats")
+    return _score_topk(post, dl, df_t, stats, qterms, k, k1, b)
 
 
 def rrf_fuse(

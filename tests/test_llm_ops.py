@@ -1058,3 +1058,43 @@ def test_rrf_fusion_hand_computed(spark):
     assert out[12] == (round(1 / 62, 6), 3)
     with pytest.raises(ValueError):
         R.rrf_fuse([])
+
+
+def test_bm25_prebuilt_index_matches_and_prunes(spark, tmp_path):
+    """The persisted BM25 index returns byte-identical rankings to the
+    in-memory path, and its postings/df scans carry a bucket
+    PartitionFilter — only the query terms' buckets are read."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    R.bm25_write_index(docs, str(tmp_path / "bm25"), n_buckets=16)
+    disk = R.bm25_topk_prebuilt(
+        spark, str(tmp_path / "bm25"), q, k=10, n_buckets=16
+    )
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan, plan
+    mem = R.bm25_topk(docs, q, k=10)
+    rows_disk = sorted(tuple(r) for r in disk.collect())
+    rows_mem = sorted(tuple(r) for r in mem.collect())
+    assert rows_disk == rows_mem and rows_disk
+
+
+def test_bm25_prebuilt_bucket_mismatch_is_safe(spark, tmp_path):
+    """Probing with the WRONG n_buckets must not silently return wrong
+    scores for matched terms — terms whose recomputed bucket differs
+    simply miss (documented contract: same n_buckets as the build)."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id LONG, text STRING"
+    )
+    R.bm25_write_index(docs, str(tmp_path / "idx"), n_buckets=16)
+    q = spark.createDataFrame(
+        [(0, "alpha")], "query_id LONG, query_text STRING"
+    )
+    right = R.bm25_topk_prebuilt(spark, str(tmp_path / "idx"), q, n_buckets=16)
+    got = [(r.query_id, r.doc_id) for r in right.collect()]
+    assert got == [(0, 0)]
