@@ -381,23 +381,31 @@ def minhash_lsh_pairs(
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket).localCheckpoint(
         eager=False
     )
+    return _banded_pairs(banded, num_hashes, threshold)
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # estimated jaccard = matching signature positions / num_hashes.
-    # Computed BEFORE the pair-dedup: it is a pure function of the pair,
-    # so filter-then-dedup is output-identical, the dedup shuffle moves
-    # only the (rare) passing pairs, and the wide 2×num_hashes signature
-    # arrays never ride a shuffle at all.
-    est = F.round(
+
+def _est_jaccard(num_hashes: int, sig_a: str = "sig_a", sig_b: str = "sig_b"):
+    """Signature-estimated Jaccard = matching positions / num_hashes."""
+    return F.round(
         F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e
-            )
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda e: e)
         )
         / F.lit(float(num_hashes)),
         6,
     )
+
+
+def _banded_pairs(
+    banded: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Self-join an (id, sig, band, bucket) table into scored candidate
+    pairs (id_a < id_b, est_jaccard >= threshold). The est filter runs
+    BEFORE the pair-dedup: it is a pure function of the pair, so
+    filter-then-dedup is output-identical, the dedup shuffle moves only
+    the (rare) passing pairs, and the wide signature arrays never ride
+    a shuffle at all."""
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
         a.join(
             b,
@@ -411,11 +419,83 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", _est_jaccard(num_hashes))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_banded: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+    max_df: float | None = None,
+) -> DataFrame:
+    """Daily-ingest NEAR-dup dedup — `incremental_exact_dedup`'s fuzzy
+    twin: drop arriving docs whose estimated Jaccard vs any PREVIOUSLY
+    KEPT doc clears ``threshold``, then near-dup the survivors among
+    themselves (min-id keeper per connected cluster). ``seen_banded``
+    is the persisted keeper band table — exactly this function's own
+    output schema (id, sig, band, bucket), so each batch's result
+    appends straight back (pass an empty frame for the first batch;
+    the batch twin of ``stream_dedup_minhash``'s state, read from the
+    warehouse so it survives job restarts for free).
+
+    Returns the banded rows of the batch's genuinely-new keepers.
+    Like every LSH dedup, transitivity is approximate: a batch doc
+    whose only link to the keeper table runs THROUGH a dropped
+    batch-mate survives (same approximation the one-shot pass makes
+    for cluster chaining).
+
+    Scale shape: signatures/banding are computed on the (daily-sized)
+    batch only — the corpus is never re-shingled; the seen-probe joins
+    the persisted band table on (band, bucket) with the BATCH side
+    broadcast, so the 100 TB band table streams past once with no
+    shuffle (partition it by ``band`` on disk and the scan prunes to
+    the batch's bands — all of them, usually — but stays
+    one-pass); est-Jaccard filters INSIDE that probe so only matching
+    ids come back. Within-batch dedup is the standard banded
+    self-join, trivially sized.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_table(new_df, id_col, text_col, num_hashes, shingle_n, max_df)
+    banded = _cap_buckets(
+        _minhash_banded(sig, bands, rows_per_band),
+        ["band", "bucket"],
+        max_bucket,
+    ).localCheckpoint(eager=False)
+
+    dup_of_seen = (
+        seen_banded.alias("s")
+        .join(
+            F.broadcast(
+                banded.selectExpr(
+                    "id AS id_b", "sig AS sig_b", "band", "bucket"
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            F.col("id_b").alias("id"),
+            _est_jaccard(num_hashes, "s.sig", "sig_b").alias("est"),
+        )
+        .where(F.col("est") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    fresh = banded.join(F.broadcast(dup_of_seen), "id", "left_anti")
+
+    pairs = _banded_pairs(fresh, num_hashes, threshold)
+    comp = connected_components(pairs)  # (id, comp=min reachable id)
+    dropped = comp.where(F.col("id") != F.col("comp")).select("id")
+    return fresh.join(F.broadcast(dropped), "id", "left_anti")
 
 
 # --------------------------------------------------------------------------

@@ -99,7 +99,7 @@ _ORDER = [
     "semantic_dedup_assign", "ann_lsh_topk", "ann_ivf_topk",
     "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
     "text_rolling_hash", "approx_distinct_quantile",
-    "freq_items_heavy_hitters",
+    "freq_items_heavy_hitters", "dedup_minhash_incremental",
 ]
 
 if set(_ORDER) != set(_ALL_QUERIES):

@@ -133,6 +133,30 @@ ORDER BY keeper_id
 """
 
 
+def dedup_minhash_incremental(spark, sf_dir):
+    """Batch-incremental NEAR-dup (dedup.incremental_minhash_dedup):
+    even doc_ids seed the persisted keeper band table (first call from
+    an empty seen frame), odd doc_ids play the arriving batch probed
+    against it — the fuzzy twin of dedup_incremental_batch. Hash-based
+    (xxhash64 signatures): no DuckDB oracle; the replay contract is
+    pytest-pinned (tests/test_llm_ops.py)."""
+    d = _t(spark, sf_dir, "documents")
+    empty = spark.createDataFrame(
+        [], "id LONG, sig ARRAY<BIGINT>, band INT, bucket INT"
+    )
+    seen = D.incremental_minhash_dedup(
+        d.where(F.col("doc_id") % 2 == 0), empty, "doc_id", "text"
+    ).localCheckpoint(eager=False)
+    return (
+        D.incremental_minhash_dedup(
+            d.where(F.col("doc_id") % 2 == 1), seen, "doc_id", "text"
+        )
+        .select("id")
+        .distinct()
+        .orderBy("id")
+    )
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -1755,6 +1779,7 @@ QUERIES = {
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_best_quality": dedup_best_quality,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
     "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1802,6 +1827,7 @@ ORACLES = {
     "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
     "dedup_best_quality": DEDUP_BEST_QUALITY_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "dedup_minhash_incremental": None,
     "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,

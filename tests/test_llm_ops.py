@@ -1098,3 +1098,32 @@ def test_bm25_prebuilt_bucket_mismatch_is_safe(spark, tmp_path):
     right = R.bm25_topk_prebuilt(spark, str(tmp_path / "idx"), q, n_buckets=16)
     got = [(r.query_id, r.doc_id) for r in right.collect()]
     assert got == [(0, 0)]
+
+
+def test_incremental_minhash_dedup_replay(spark):
+    """Near-dup twin of the incremental-exact replay contract: batch
+    docs matching a PREVIOUSLY KEPT doc drop, within-batch near-dups
+    collapse to the min-id keeper, genuinely new content survives, and
+    each batch's output appends straight back as the next seen table."""
+    base_a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    base_c = "completely different content about spark partitions shuffles and broadcast joins at scale"
+    uniq_b = "unrelated text mentioning boats races weather wind waves and venue metadata fields"
+    rows1 = [(1, base_a), (2, uniq_b)]
+    rows2 = [
+        (10, base_a + " extra"),          # near-dup of seen keeper 1
+        (11, base_c),                      # new
+        (12, base_c + " trailing junk"),   # within-batch near-dup of 11
+    ]
+    rows3 = [(20, base_a)]                 # exact text of keeper 1
+    seen = spark.createDataFrame(
+        [], "id LONG, sig ARRAY<BIGINT>, band INT, bucket INT"
+    )
+    kept = []
+    for rows in (rows1, rows2, rows3):
+        batch = spark.createDataFrame(rows, "id LONG, text STRING")
+        new = D.incremental_minhash_dedup(
+            batch, seen, "id", "text", threshold=0.5
+        ).localCheckpoint()
+        kept.append(sorted({r.id for r in new.select("id").collect()}))
+        seen = seen.unionByName(new)
+    assert kept == [[1, 2], [11], []], kept
