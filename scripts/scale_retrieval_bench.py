@@ -1,0 +1,143 @@
+"""10x scale-up evidence for the retrieval family + the incremental
+near-dup probe (the contract scale_dedup_bench.py gives the one-shot
+dedup family):
+
+- `bm25_topk`: 5 full-text queries at 1x and Rx of the sf0.1 documents
+  corpus (per-replica vocabulary bijection from
+  scale_dedup_bench.build_docs, so Rx has R-fold vocabulary AND
+  R-fold postings). The index build (explode + two partial-agg
+  groupBys) is the linear part; scoring is query-bounded — expected
+  overall ratio ~R at fixed cores.
+- `incremental_minhash_dedup`: a FIXED daily-sized batch (500 docs)
+  probed against a persisted keeper band table built from 1x vs Rx
+  corpora (written to /tmp parquet so the probe scans real files).
+  The contract: probe cost grows with the seen-table SCAN, not with
+  pair work (the batch side is broadcast) — ratio well UNDER R means
+  the probe stays scan-bound, which is the 100 TB posture.
+
+Task balance of the heaviest stage <3x max/median (REST API, same
+guard as the other scale benches).
+
+Usage: SPARK_GRAFT_UI=true python scripts/scale_retrieval_bench.py
+(one JSON line on stdout; human detail on stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DOCS_DST = f"/tmp/scale_docs_{REPLICAS}x.parquet"
+SEEN_1X = "/tmp/scale_seen_bands_1x.parquet"
+SEEN_NX = f"/tmp/scale_seen_bands_{REPLICAS}x.parquet"
+
+from scale_dedup_bench import build_docs  # noqa: E402
+from spark_rest import heaviest_stage_balance, stage_ids  # noqa: E402
+
+
+def timed(spark, fn):
+    before = stage_ids(spark)
+    t0 = time.perf_counter()
+    n = fn().count()
+    dt = time.perf_counter() - t0
+    bal = heaviest_stage_balance(spark, stage_ids(spark) - before)
+    return dt, n, bal
+
+
+def build_seen(spark, docs_path: str, dst: str) -> None:
+    """Persist the keeper band table for a corpus (one-time build cost,
+    deliberately OUTSIDE the probe timing — at 100 TB it already
+    exists; probes are the recurring cost)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from boatrace_database_spark.operators import dedup as D
+
+    if os.path.isdir(dst):
+        return
+    corpus = spark.read.parquet(docs_path)
+    empty = spark.createDataFrame(
+        [], "id LONG, sig ARRAY<BIGINT>, band INT, bucket INT"
+    )
+    D.incremental_minhash_dedup(corpus, empty, "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(dst)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.operators import dedup as D
+    from boatrace_database_spark.operators import retrieval as R
+    from boatrace_database_spark.session import get_spark
+
+    spark = get_spark("scale-retrieval-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_docs(spark, REPLICAS, DOCS_DST)
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docsN = spark.read.parquet(DOCS_DST)
+
+    q = docs1.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+
+    build_seen(spark, f"{SF_DIR}/documents.parquet", SEEN_1X)
+    build_seen(spark, DOCS_DST, SEEN_NX)
+    seen1 = spark.read.parquet(SEEN_1X)
+    seenN = spark.read.parquet(SEEN_NX)
+    # fixed daily batch: 500 fresh doc ids, text drawn from the corpus
+    batch = (
+        docs1.orderBy("doc_id")
+        .limit(500)
+        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+
+    # warmup (codegen + python worker pool)
+    R.bm25_topk(docs1, q, k=10).count()
+
+    results = {}
+    for name, small, big, fn in (
+        (
+            "bm25_topk",
+            docs1,
+            docsN,
+            lambda d: R.bm25_topk(d, q, k=10),
+        ),
+        (
+            "incremental_minhash_probe",
+            seen1,
+            seenN,
+            lambda s: D.incremental_minhash_dedup(
+                batch, s, "doc_id", "text"
+            ),
+        ),
+    ):
+        dt1, n1, _ = timed(spark, lambda: fn(small))
+        dtN, nN, bal = timed(spark, lambda: fn(big))
+        ratio = round(dtN / dt1, 2)
+        results[name] = {
+            "t_1x": round(dt1, 2),
+            f"t_{REPLICAS}x": round(dtN, 2),
+            "ratio": ratio,
+            "linearity": round(ratio / REPLICAS, 3),
+            "rows_1x": n1,
+            f"rows_{REPLICAS}x": nN,
+            "task_balance": bal,
+        }
+        print(f"{name}: {results[name]}", file=sys.stderr)
+
+    print(json.dumps({"replicas": REPLICAS, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
