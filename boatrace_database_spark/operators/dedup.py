@@ -462,7 +462,10 @@ def incremental_minhash_dedup(
     the batch's bands — all of them, usually — but stays
     one-pass); est-Jaccard filters INSIDE that probe so only matching
     ids come back. Within-batch dedup is the standard banded
-    self-join, trivially sized.
+    self-join, trivially sized. ``max_bucket`` caps the BATCH side's
+    degenerate buckets (bounding both the broadcast and the probe's
+    fan-out per seen row); the seen side is this function's own
+    output, so its buckets were capped when their batch was admitted.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_table(new_df, id_col, text_col, num_hashes, shingle_n, max_df)
