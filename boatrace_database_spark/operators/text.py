@@ -8,7 +8,7 @@ parallel scans with full column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from boatrace_database_spark.operators.dedup import word_shingles as _word_shingles
@@ -286,6 +286,86 @@ def decontaminate_corpus(
     return (
         train_df.join(rates, id_col)
         .where(F.col("contamination_rate") <= max_rate)
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Corpus-wide EXACT repeated-substring detection (the ExactSubstr
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): every maximal token span covered by some
+    ``min_tokens``-gram that occurs MORE THAN ONCE anywhere in the
+    corpus (other documents or elsewhere in the same one). Returns one
+    row per merged span: ``id, span_start, span_end, n_grams``
+    (token offsets, end exclusive) — the spans a curation pass strikes
+    out or routes to review.
+
+    Built-in-only plan: positional n-grams via posexplode (no
+    suffix array needed — fixed-width grams + span merging recovers
+    the maximal repeated regions longer than ``min_tokens``), a
+    groupBy(gram) HAVING count>1, a join back, then one per-document
+    gaps-and-islands window (new island when the next hit starts more
+    than ``min_tokens`` after the previous — i.e. the spans no longer
+    touch).
+
+    Scale shape: the gram explode is the corpus-token count ×1 row
+    each; with the default ``hash_grams=False`` grams ride the
+    groupBy shuffle as ``min_tokens``-word STRINGS — exact and
+    oracle-expressible, but ~L× token bytes of shuffle width. At
+    100 TB set ``hash_grams=True``: grams collapse to two independent
+    xxhash64s (128 collision bits) before the shuffle, the plan is
+    otherwise identical, and the spans agree except under a 2⁻¹²⁸
+    collision (tested equal on the corpus).
+    """
+    L = min_tokens
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.size(words) - (L - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    g = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram"))
+    )
+    if hash_grams:
+        g = g.select(
+            "id",
+            "pos",
+            F.struct(
+                F.xxhash64("gram", F.lit(1)), F.xxhash64("gram", F.lit(2))
+            ).alias("gram"),
+        )
+    g = g.localCheckpoint(eager=False)  # feeds the dup aggregate AND the join
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
+    islands = hits.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w)
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("id", "span_start", "span_end", "n_grams")
     )
 
 

@@ -73,7 +73,11 @@ _ORDER = [
     "token_budget_head", "pack_materialize",
     "quality_topk_per_source",
     "dedup_best_quality", "dedup_incremental_batch",
-    "embedding_project_jl", "bm25_topk_docs", "retrieval_rrf_fusion",
+    "embedding_project_jl", "bm25_topk_docs", "repeated_substring_spans",
+    # past the 50-row budget: rrf_fusion is a composition of two
+    # primitives that BOTH hold driver rows above (bm25_topk_docs,
+    # embedding_cosine_topk) with the fusion arithmetic pytest-pinned
+    "retrieval_rrf_fusion",
     "split_stratified_assign", "token_budget_mixture",
     "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest

@@ -133,6 +133,45 @@ ORDER BY keeper_id
 """
 
 
+def repeated_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup (text.repeated_substring_spans): maximal token
+    spans covered by an 8-gram occurring more than once anywhere in
+    the corpus — the Lee et al. exact-substring curation signal, as
+    positional grams + gaps-and-islands span merge."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.repeated_substring_spans(d, "doc_id", "text", min_tokens=8)
+        .orderBy("id", "span_start")
+    )
+
+
+REPEATED_SUBSTRING_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id AS id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       count(*) AS n_grams
+FROM isl2 GROUP BY doc_id, island ORDER BY id, span_start
+"""
+
+
 def dedup_minhash_incremental(spark, sf_dir):
     """Batch-incremental NEAR-dup (dedup.incremental_minhash_dedup):
     even doc_ids seed the persisted keeper band table (first call from
@@ -1780,6 +1819,7 @@ QUERIES = {
     "dedup_best_quality": dedup_best_quality,
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "repeated_substring_spans": repeated_substring_spans,
     "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1828,6 +1868,7 @@ ORACLES = {
     "dedup_best_quality": DEDUP_BEST_QUALITY_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "dedup_minhash_incremental": None,
+    "repeated_substring_spans": REPEATED_SUBSTRING_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,

@@ -1127,3 +1127,37 @@ def test_incremental_minhash_dedup_replay(spark):
         kept.append(sorted({r.id for r in new.select("id").collect()}))
         seen = seen.unionByName(new)
     assert kept == [[1, 2], [11], []], kept
+
+
+def test_repeated_substring_spans_fixture(spark):
+    """ExactSubstr contract on a hand-built corpus: a 10-token passage
+    shared by two docs yields one MERGED span per doc at the right
+    offsets; a within-doc repeat separated by a gap yields two spans;
+    unique docs yield nothing; hash_grams=True reproduces the exact
+    spans."""
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (0, A + " u1 u2 u3 u4 u5"),
+        (1, "x1 x2 x3 " + A + " y1 y2"),
+        (2, " ".join(f"q{i}" for i in range(20))),
+        (3, B + " gap " + B),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = TX.repeated_substring_spans(docs, "doc_id", "text", min_tokens=5)
+    got = sorted(
+        (r.id, r.span_start, r.span_end, r.n_grams) for r in out.collect()
+    )
+    assert got == [
+        (0, 0, 10, 6),    # A at offset 0: grams 0..5 merge
+        (1, 3, 13, 6),    # A at offset 3
+        (3, 0, 5, 1),     # within-doc repeat, gap splits the islands
+        (3, 6, 11, 1),
+    ], got
+    hashed = sorted(
+        (r.id, r.span_start, r.span_end, r.n_grams)
+        for r in TX.repeated_substring_spans(
+            docs, "doc_id", "text", min_tokens=5, hash_grams=True
+        ).collect()
+    )
+    assert hashed == got
