@@ -369,6 +369,67 @@ def repeated_substring_spans(
     )
 
 
+def strip_repeated_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The curation ACTION for `repeated_substring_spans`: rewrite each
+    document with every repeated span's tokens removed (the Lee et al.
+    ExactSubstr cut). Output: all input columns with ``text_col``
+    replaced by the stripped text, plus ``n_tokens_removed``.
+    Documents with no repeated span pass through token-identical
+    (n_tokens_removed = 0; whitespace runs normalize to single spaces
+    because the rewrite re-joins the token array).
+
+    Scale shape: spans aggregate to ONE array row per affected doc
+    (far fewer rows than the corpus), broadcast-or-hash joined back on
+    id; the rewrite is pure JVM higher-order functions (filter by
+    span membership + array_join) — no Python, no extra shuffle
+    beyond the span computation itself.
+    """
+    spans = (
+        repeated_substring_spans(df, id_col, text_col, min_tokens, hash_grams)
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_end").alias("e")
+                )
+            ).alias("_spans")
+        )
+    )
+    joined = df.join(
+        spans, df[id_col] == spans["id"], "left"
+    ).drop(spans["id"])
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+    )
+    indexed = F.transform(
+        words, lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            sp, lambda span: (x["i"] >= span["s"]) & (x["i"] < span["e"])
+        ),
+    )
+    out_cols = [
+        F.array_join(
+            F.transform(kept, lambda x: x["w"]), " "
+        ).alias(c) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(
+        *out_cols,
+        (F.size(words) - F.size(kept)).alias("n_tokens_removed"),
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     id_col: str,

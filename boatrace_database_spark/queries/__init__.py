@@ -77,7 +77,7 @@ _ORDER = [
     # past the 50-row budget: rrf_fusion is a composition of two
     # primitives that BOTH hold driver rows above (bm25_topk_docs,
     # embedding_cosine_topk) with the fusion arithmetic pytest-pinned
-    "retrieval_rrf_fusion",
+    "retrieval_rrf_fusion", "strip_repeated_spans",
     "split_stratified_assign", "token_budget_mixture",
     "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest

@@ -172,6 +172,71 @@ FROM isl2 GROUP BY doc_id, island ORDER BY id, span_start
 """
 
 
+def strip_repeated_spans(spark, sf_dir):
+    """The ExactSubstr curation ACTION (text.strip_repeated_substrings):
+    rewrite every document with its repeated 8-gram spans' tokens
+    removed — detection (repeated_substring_spans) composed with the
+    JVM higher-order rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        TX.strip_repeated_substrings(d, "doc_id", "text", min_tokens=8)
+        .select(
+            "doc_id",
+            F.col("text").alias("clean_text"),
+            "n_tokens_removed",
+        )
+        .orderBy("doc_id")
+    )
+
+
+STRIP_REPEATED_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+  FROM docs, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS word
+  FROM docs, unnest(generate_series(1, len(w))) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.e
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       len(d.w) - coalesce(a.n_kept, 0) AS n_tokens_removed
+FROM docs d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_minhash_incremental(spark, sf_dir):
     """Batch-incremental NEAR-dup (dedup.incremental_minhash_dedup):
     even doc_ids seed the persisted keeper band table (first call from
@@ -1820,6 +1885,7 @@ QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "repeated_substring_spans": repeated_substring_spans,
+    "strip_repeated_spans": strip_repeated_spans,
     "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -1869,6 +1935,7 @@ ORACLES = {
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "dedup_minhash_incremental": None,
     "repeated_substring_spans": REPEATED_SUBSTRING_SQL,
+    "strip_repeated_spans": STRIP_REPEATED_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,

@@ -77,6 +77,7 @@ def main() -> None:
 
     from boatrace_database_spark.operators import dedup as D
     from boatrace_database_spark.operators import retrieval as R
+    from boatrace_database_spark.operators import text as TX
     from boatrace_database_spark.session import get_spark
 
     spark = get_spark("scale-retrieval-bench")
@@ -119,6 +120,17 @@ def main() -> None:
             seenN,
             lambda s: D.incremental_minhash_dedup(
                 batch, s, "doc_id", "text"
+            ),
+        ),
+        # the 100 TB configuration (hash_grams=True): grams ride the
+        # shuffle as 128 hash bits, not L-word strings — this is the
+        # shuffle-width risk the docstring documents, measured
+        (
+            "exact_substr_hashed",
+            docs1,
+            docsN,
+            lambda d: TX.repeated_substring_spans(
+                d, "doc_id", "text", min_tokens=8, hash_grams=True
             ),
         ),
     ):

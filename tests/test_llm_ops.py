@@ -1161,3 +1161,27 @@ def test_repeated_substring_spans_fixture(spark):
         ).collect()
     )
     assert hashed == got
+
+
+def test_strip_repeated_substrings_fixture(spark):
+    """The strip action removes exactly the detected spans' tokens and
+    passes untouched docs through byte-identical."""
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (0, A + " u1 u2 u3 u4 u5"),
+        (1, "x1 x2 x3 " + A + " y1 y2"),
+        (2, " ".join(f"q{i}" for i in range(20))),
+        (3, B + " gap " + B),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in TX.strip_repeated_substrings(
+            docs, "doc_id", "text", min_tokens=5
+        ).collect()
+    }
+    assert out[0] == ("u1 u2 u3 u4 u5", 10)
+    assert out[1] == ("x1 x2 x3 y1 y2", 10)
+    assert out[2] == (rows[2][1], 0)
+    assert out[3] == ("gap", 10)
