@@ -436,7 +436,7 @@ def incremental_minhash_dedup(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 256,
-    max_df: float | None = None,
+    max_seen_bucket: int | None = None,
 ) -> DataFrame:
     """Daily-ingest NEAR-dup dedup — `incremental_exact_dedup`'s fuzzy
     twin: drop arriving docs whose estimated Jaccard vs any PREVIOUSLY
@@ -452,7 +452,25 @@ def incremental_minhash_dedup(
     Like every LSH dedup, transitivity is approximate: a batch doc
     whose only link to the keeper table runs THROUGH a dropped
     batch-mate survives (same approximation the one-shot pass makes
-    for cluster chaining).
+    for cluster chaining). No ``max_df`` dial here ON PURPOSE:
+    document-frequency weighting computed per batch would build
+    signatures over batch-dependent shingle sets, making them
+    incomparable with the persisted table's — admission would depend
+    on batch composition, not content. Weight shingles with a GLOBAL
+    df table upstream if boilerplate needs suppressing.
+
+    Capping is candidate-side only and therefore CONSERVATIVE, never
+    lossy: ``max_bucket`` caps the batch's degenerate buckets in the
+    probe and the self-join (bounding the broadcast and the per-seen-
+    row fan-out), but the RETURNED keeper rows are the uncapped
+    banding — a doc whose every bucket is capped is simply admitted
+    un-compared (possibly a duplicate copy), never silently dropped.
+    ``max_seen_bucket`` (off by default) additionally caps the seen
+    side at probe time: the accumulated table can concentrate
+    hash-colliding-but-dissimilar content in one (band, bucket) over
+    many batches, growing probe fan-out with ingest history; capping
+    bounds it at the price of possibly admitting duplicates of
+    fat-bucket content.
 
     Scale shape: signatures/banding are computed on the (daily-sized)
     batch only — the corpus is never re-shingled; the seen-probe joins
@@ -462,24 +480,23 @@ def incremental_minhash_dedup(
     the batch's bands — all of them, usually — but stays
     one-pass); est-Jaccard filters INSIDE that probe so only matching
     ids come back. Within-batch dedup is the standard banded
-    self-join, trivially sized. ``max_bucket`` caps the BATCH side's
-    degenerate buckets (bounding both the broadcast and the probe's
-    fan-out per seen row); the seen side is this function's own
-    output, so its buckets were capped when their batch was admitted.
+    self-join, trivially sized.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_table(new_df, id_col, text_col, num_hashes, shingle_n, max_df)
-    banded = _cap_buckets(
-        _minhash_banded(sig, bands, rows_per_band),
-        ["band", "bucket"],
-        max_bucket,
-    ).localCheckpoint(eager=False)
+    sig = minhash_table(new_df, id_col, text_col, num_hashes, shingle_n)
+    banded = _minhash_banded(sig, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
+    capped = _cap_buckets(banded, ["band", "bucket"], max_bucket)
 
+    seen = seen_banded
+    if max_seen_bucket is not None:
+        seen = _cap_buckets(seen, ["band", "bucket"], max_seen_bucket)
     dup_of_seen = (
-        seen_banded.alias("s")
+        seen.alias("s")
         .join(
             F.broadcast(
-                banded.selectExpr(
+                capped.selectExpr(
                     "id AS id_b", "sig AS sig_b", "band", "bucket"
                 )
             ),
@@ -493,12 +510,16 @@ def incremental_minhash_dedup(
         .select("id")
         .distinct()
     )
-    fresh = banded.join(F.broadcast(dup_of_seen), "id", "left_anti")
 
-    pairs = _banded_pairs(fresh, num_hashes, threshold)
+    pairs = _banded_pairs(
+        capped.join(F.broadcast(dup_of_seen), "id", "left_anti"),
+        num_hashes,
+        threshold,
+    )
     comp = connected_components(pairs)  # (id, comp=min reachable id)
     dropped = comp.where(F.col("id") != F.col("comp")).select("id")
-    return fresh.join(F.broadcast(dropped), "id", "left_anti")
+    removed = dup_of_seen.unionByName(dropped).distinct()
+    return banded.join(F.broadcast(removed), "id", "left_anti")
 
 
 # --------------------------------------------------------------------------

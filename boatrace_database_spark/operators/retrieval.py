@@ -62,9 +62,24 @@ def _query_terms(
     )
 
 
+def _index_components(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The four BM25 index components (post, dl, stats, df_t) — ONE
+    construction shared by the in-memory path and the index writer, so
+    the contractually-identical-rankings pair cannot desynchronize."""
+    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )  # 1 row — broadcast at scoring time, never a driver count()
+    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    return post, dl, stats, df_t
+
+
 def _score_topk(
     post: DataFrame,
-    dl: DataFrame,
+    dl: DataFrame | None,
     df_t: DataFrame,
     stats: DataFrame,
     qterms: DataFrame,
@@ -74,11 +89,17 @@ def _score_topk(
 ) -> DataFrame:
     """Shared BM25 scoring core over index components (in-memory or
     read back from a persisted index — both paths produce identical
-    rankings, tested)."""
+    rankings, tested). ``dl=None`` means ``post`` already carries a
+    ``dl`` column (the persisted layout denormalizes doc length onto
+    the posting rows so a probe never scans the corpus-sized doclens
+    table)."""
+    part = post.join(
+        F.broadcast(qterms), "term"
+    )  # candidate gen: broadcast probe
+    if dl is not None:
+        part = part.join(dl, "doc_id")
     part = (
-        post.join(F.broadcast(qterms), "term")  # candidate gen: broadcast probe
-        .join(dl, "doc_id")
-        .join(F.broadcast(df_t), "term")
+        part.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -126,12 +147,7 @@ def bm25_topk(
     Output (query_id, doc_id, score, rk); score rounded to 6 dp BEFORE
     ranking so the ordering is engine-stable, ties break to low doc_id.
     """
-    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )  # 1 row — broadcast below, never a driver count()
-    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    post, dl, stats, df_t = _index_components(docs, id_col, text_col)
     qterms = _query_terms(queries, query_id_col, query_text_col)
     return _score_topk(post, dl, df_t, stats, qterms, k, k1, b)
 
@@ -155,17 +171,20 @@ def bm25_write_index(
     `ivf_write_index`). A probe knows its query terms' buckets up
     front, so the postings/df scans read only those buckets' files
     (partition pruning — the storage-level realization of 'a query
-    touches its own terms' slice of the index, not the corpus')."""
-    post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats")
-    dl.write.mode("overwrite").parquet(f"{path}/doclens")
-    post.withColumn("bucket", term_bucket(F.col("term"), n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
-    post.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+    touches its own terms' slice of the index, not the corpus').
+
+    The persisted posting rows DENORMALIZE the document length
+    (doc_id, term, tf, dl): +one long per row buys probes that never
+    touch a corpus-sized doclens table — the probe's only scans are
+    the pruned buckets and the 1-row stats file."""
+    post, dl, stats, df_t = _index_components(docs, id_col, text_col)
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    post.join(dl, "doc_id").withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    df_t.withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
 
@@ -185,8 +204,12 @@ def bm25_topk_prebuilt(
     the SAME n_buckets): the query set's term buckets — a bounded
     driver-side list, at most one int per distinct query term — become
     a static IN-filter on the postings/df partition columns, so only
-    those buckets' files are scanned (plan-asserted in tests).
-    Identical rankings to the in-memory path (tested)."""
+    those buckets' files are scanned (plan-asserted in tests); doc
+    length rides the posting rows, so no corpus-sized doclens scan.
+    Identical rankings to the in-memory path (tested). Probing with a
+    DIFFERENT n_buckets than the build is safe-but-lossy: a term whose
+    recomputed bucket differs simply misses (no wrong scores — the
+    score formula never reads the bucket; tested)."""
     qterms = _query_terms(
         queries, query_id_col, query_text_col
     ).localCheckpoint(eager=False)
@@ -208,9 +231,8 @@ def bm25_topk_prebuilt(
         .where(F.col("bucket").isin(buckets))
         .drop("bucket")
     )
-    dl = spark.read.parquet(f"{path}/doclens")
     stats = spark.read.parquet(f"{path}/stats")
-    return _score_topk(post, dl, df_t, stats, qterms, k, k1, b)
+    return _score_topk(post, None, df_t, stats, qterms, k, k1, b)
 
 
 def rrf_fuse(

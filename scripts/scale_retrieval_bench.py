@@ -103,8 +103,15 @@ def main() -> None:
         .localCheckpoint()
     )
 
-    # warmup (codegen + python worker pool)
+    # warmup EVERY op family (codegen + python worker pool) — a family
+    # whose first execution lands inside its own 1x timing absorbs the
+    # one-time costs and flatters the measured linearity
+    warm_docs = docs1.limit(50).localCheckpoint()
     R.bm25_topk(docs1, q, k=10).count()
+    D.incremental_minhash_dedup(warm_docs, seen1.limit(100), "doc_id", "text").count()
+    TX.repeated_substring_spans(
+        warm_docs, "doc_id", "text", min_tokens=8, hash_grams=True
+    ).count()
 
     results = {}
     for name, small, big, fn in (

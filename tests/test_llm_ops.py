@@ -1083,21 +1083,39 @@ def test_bm25_prebuilt_index_matches_and_prunes(spark, tmp_path):
 
 
 def test_bm25_prebuilt_bucket_mismatch_is_safe(spark, tmp_path):
-    """Probing with the WRONG n_buckets must not silently return wrong
-    scores for matched terms — terms whose recomputed bucket differs
-    simply miss (documented contract: same n_buckets as the build)."""
+    """Probing with a WRONG n_buckets must never return wrong scores —
+    each term either matches with the CORRECT score (its recomputed
+    bucket happens to coincide) or misses entirely (documented
+    contract: same n_buckets as the build)."""
     from boatrace_database_spark.operators import retrieval as R
 
-    docs = spark.createDataFrame(
-        [(0, "alpha beta"), (1, "gamma delta")], "doc_id LONG, text STRING"
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    q = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
     R.bm25_write_index(docs, str(tmp_path / "idx"), n_buckets=16)
-    q = spark.createDataFrame(
-        [(0, "alpha")], "query_id LONG, query_text STRING"
+    right = {
+        (r.query_id, r.doc_id): r.score
+        for r in R.bm25_topk_prebuilt(
+            spark, str(tmp_path / "idx"), q, k=1000, n_buckets=16
+        ).collect()
+    }
+    # the actual mismatch: probe mod 7 against an index laid out mod 16
+    wrong = {
+        (r.query_id, r.doc_id): r.score
+        for r in R.bm25_topk_prebuilt(
+            spark, str(tmp_path / "idx"), q, k=1000, n_buckets=7
+        ).collect()
+    }
+    assert wrong, "some terms should still coincide"
+    for pair, s in wrong.items():
+        # every surviving pair scores <= its correct score (subset of
+        # terms matched), and never invents a pair the right probe lacks
+        assert pair in right and s <= right[pair] + 1e-9, (pair, s)
+    # and the mismatch must be REAL: term losses shrink total score mass
+    assert sum(wrong.values()) < sum(right.values()) - 1e-6, (
+        sum(wrong.values()), sum(right.values())
     )
-    right = R.bm25_topk_prebuilt(spark, str(tmp_path / "idx"), q, n_buckets=16)
-    got = [(r.query_id, r.doc_id) for r in right.collect()]
-    assert got == [(0, 0)]
 
 
 def test_incremental_minhash_dedup_replay(spark):
@@ -1185,3 +1203,28 @@ def test_strip_repeated_substrings_fixture(spark):
     assert out[1] == ("x1 x2 x3 y1 y2", 10)
     assert out[2] == (rows[2][1], 0)
     assert out[3] == ("gap", 10)
+
+
+def test_incremental_minhash_cap_is_conservative_not_lossy(spark):
+    """A batch of >max_bucket near-identical docs saturates every
+    (band,bucket); capping must degrade to ADMITTING them un-compared
+    — never to silently losing the content (the one-shot pass's
+    conservative cap semantics, kept under the keep-decision output)."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch = spark.createDataFrame(
+        [(i, text) for i in range(5)], "id LONG, text STRING"
+    )
+    empty = spark.createDataFrame(
+        [], "id LONG, sig ARRAY<BIGINT>, band INT, bucket INT"
+    )
+    out = D.incremental_minhash_dedup(
+        batch, empty, "id", "text", max_bucket=2
+    )
+    ids = {r.id for r in out.select("id").distinct().collect()}
+    assert ids == {0, 1, 2, 3, 4}, ids  # admitted, not vanished
+    # with a workable cap the same batch collapses to one keeper
+    out2 = D.incremental_minhash_dedup(
+        batch, empty, "id", "text", max_bucket=256
+    )
+    ids2 = {r.id for r in out2.select("id").distinct().collect()}
+    assert ids2 == {0}, ids2
