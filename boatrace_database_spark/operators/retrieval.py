@@ -189,6 +189,46 @@ def bm25_write_index(
     ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
 
 
+def bm25_add_to_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Incrementally extend a persisted BM25 index with a new document
+    batch, WITHOUT re-tokenizing the existing corpus (the retrieval
+    twin of `ivf_add_to_index`): the batch's posting rows (with their
+    denormalized doc lengths) APPEND into the bucket-partitioned
+    postings table, then df and the 1-row stats — cheap per-term /
+    global aggregates — rebuild from one scan of the merged postings.
+    Probing after an add equals probing an index built from the union
+    corpus (tested). Caller contract: batch doc ids are disjoint from
+    the indexed corpus (same as every incremental op here).
+
+    Scale shape: the expensive part (tokenize + explode + tf groupBy)
+    touches ONLY the batch; the df/stats rebuild is a partial-agg scan
+    of the postings table — no re-shingling, no join against the old
+    corpus. At petabyte postings, rebuild df per-bucket or fold the
+    batch's term deltas into the stored df instead; the one-scan
+    rebuild keeps this function compaction-grade, not probe-grade.
+    """
+    spark = new_docs.sparkSession
+    post, dl, _stats, _df = _index_components(new_docs, id_col, text_col)
+    post.join(dl, "doc_id").withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    # df/stats rebuild READS postings and WRITES df/stats — no path
+    # overlaps its own input, so plain overwrites are safe
+    merged = spark.read.parquet(f"{path}/postings")
+    merged.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "bucket", term_bucket(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
+    merged.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def bm25_topk_prebuilt(
     spark,
     path: str,

@@ -1228,3 +1228,32 @@ def test_incremental_minhash_cap_is_conservative_not_lossy(spark):
     )
     ids2 = {r.id for r in out2.select("id").distinct().collect()}
     assert ids2 == {0}, ids2
+
+
+def test_bm25_add_to_index_equals_full_rebuild(spark, tmp_path):
+    """Incremental index extension contract: build(half A) +
+    add(half B) probes identically to build(A ∪ B)."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    q = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    R.bm25_write_index(a, str(tmp_path / "inc"), n_buckets=16)
+    R.bm25_add_to_index(b, str(tmp_path / "inc"), n_buckets=16)
+    R.bm25_write_index(docs, str(tmp_path / "full"), n_buckets=16)
+    inc = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, str(tmp_path / "inc"), q, k=10, n_buckets=16
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, str(tmp_path / "full"), q, k=10, n_buckets=16
+        ).collect()
+    )
+    assert inc == full and inc
