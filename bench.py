@@ -44,6 +44,7 @@ HEADLINE = [
     "semantic_dedup_assign",
     "chunk_dedup_pipeline",
     "bm25_topk_docs",
+    "repeated_substring_spans",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"
