@@ -286,11 +286,34 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFra
     shared vocabulary produce a few huge buckets that dominate runtime
     while contributing near-zero precision. Capping bounds the join at
     O(buckets × max_bucket²) — the standard scale guard.
+
+    Broadcasts the KEEP set (one row per surviving bucket) — right for
+    batch-sized inputs where that list is bounded; for corpus-sized
+    inputs use `_drop_fat_buckets`, which broadcasts the (few) fat
+    buckets instead.
     """
     counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
     return banded.join(
         F.broadcast(counts.where(F.col("_bsz") <= max_bucket)), on=keys
     ).drop("_bsz")
+
+
+def _drop_fat_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """`_cap_buckets` inverted for CORPUS-sized tables: the broadcast
+    side is the fat-bucket list (`_bsz > max_bucket` — few by
+    construction, they are the degenerate outliers), anti-joined away.
+    Output-identical to `_cap_buckets` (tested); the bucket-count
+    aggregate is a map-side-combined pass over the table, bounded by
+    distinct bucket keys per partition, and the broadcast never grows
+    with table size."""
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    return banded.join(
+        F.broadcast(counts.where(F.col("_bsz") > max_bucket).select(*keys)),
+        on=keys,
+        how="left_anti",
+    )
 
 
 def _minhash_banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -491,7 +514,10 @@ def incremental_minhash_dedup(
 
     seen = seen_banded
     if max_seen_bucket is not None:
-        seen = _cap_buckets(seen, ["band", "bucket"], max_seen_bucket)
+        # corpus-sized side: broadcast the FAT buckets (few), not the
+        # keep set (≈ every bucket key in the table) — costs one
+        # map-side-combined count pass over seen, never a huge broadcast
+        seen = _drop_fat_buckets(seen, ["band", "bucket"], max_seen_bucket)
     dup_of_seen = (
         seen.alias("s")
         .join(

@@ -204,7 +204,15 @@ def bm25_add_to_index(
     global aggregates — rebuild from one scan of the merged postings.
     Probing after an add equals probing an index built from the union
     corpus (tested). Caller contract: batch doc ids are disjoint from
-    the indexed corpus (same as every incremental op here).
+    the indexed corpus (same as every incremental op here) — and the
+    function ENFORCES it: already-indexed doc ids are filtered out
+    before the append (the incremental_exact_dedup semi-probe shape:
+    the postings doc_id column streams past the broadcast batch ids
+    once), so a RETRIED or double-delivered batch appends nothing and
+    scores stay correct (tested). The append+rebuild is still not
+    atomic — a crash BETWEEN the two leaves df/stats stale until the
+    next add; production deployments at scale should back the postings
+    path with a transactional table format.
 
     Scale shape: the expensive part (tokenize + explode + tf groupBy)
     touches ONLY the batch; the df/stats rebuild is a partial-agg scan
@@ -214,7 +222,17 @@ def bm25_add_to_index(
     rebuild keeps this function compaction-grade, not probe-grade.
     """
     spark = new_docs.sparkSession
-    post, dl, _stats, _df = _index_components(new_docs, id_col, text_col)
+    indexed_ids = spark.read.parquet(f"{path}/postings").select("doc_id")
+    batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    dup_hits = indexed_ids.join(
+        F.broadcast(batch_ids), "doc_id", "left_semi"
+    ).distinct()
+    fresh = new_docs.join(
+        F.broadcast(dup_hits),
+        new_docs[id_col] == dup_hits["doc_id"],
+        "left_anti",
+    )
+    post, dl, _stats, _df = _index_components(fresh, id_col, text_col)
     post.join(dl, "doc_id").withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
@@ -266,6 +284,12 @@ def bm25_topk_prebuilt(
         .where(F.col("bucket").isin(buckets))
         .drop("bucket")
     )
+    if "dl" not in post.columns:
+        raise ValueError(
+            f"BM25 index at {path} predates the dl-on-postings layout "
+            "(it has a separate doclens table); rebuild it with "
+            "bm25_write_index"
+        )
     df_t = (
         spark.read.parquet(f"{path}/df")
         .where(F.col("bucket").isin(buckets))

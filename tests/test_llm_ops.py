@@ -1257,3 +1257,45 @@ def test_bm25_add_to_index_equals_full_rebuild(spark, tmp_path):
         ).collect()
     )
     assert inc == full and inc
+
+
+def test_drop_fat_buckets_equals_cap_buckets(spark):
+    """The corpus-sized-side variant (broadcast the FAT buckets,
+    anti-join) is output-identical to _cap_buckets (broadcast the keep
+    set) on a table with buckets straddling the cap."""
+    rows = [(i, i % 3, i % 2) for i in range(40)] + [(100 + i, 9, 9) for i in range(3)]
+    banded = spark.createDataFrame(rows, "id LONG, band INT, bucket INT")
+    cap = 5
+    a = sorted(tuple(r) for r in D._cap_buckets(banded, ["band", "bucket"], cap).collect())
+    b = sorted(tuple(r) for r in D._drop_fat_buckets(banded, ["band", "bucket"], cap).collect())
+    assert a == b and a  # some buckets survive, fat ones dropped in both
+
+
+def test_bm25_add_to_index_retry_is_idempotent(spark, tmp_path):
+    """Double-delivering the same batch to bm25_add_to_index appends
+    nothing the second time: probes after the retry equal probes after
+    the single add (the enforced id-disjointness guard)."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    q = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    R.bm25_write_index(a, str(tmp_path / "idx"), n_buckets=16)
+    R.bm25_add_to_index(b, str(tmp_path / "idx"), n_buckets=16)
+    once = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, str(tmp_path / "idx"), q, k=10, n_buckets=16
+        ).collect()
+    )
+    R.bm25_add_to_index(b, str(tmp_path / "idx"), n_buckets=16)  # retry
+    twice = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, str(tmp_path / "idx"), q, k=10, n_buckets=16
+        ).collect()
+    )
+    assert once == twice and once
