@@ -35,7 +35,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the twelve new queries)
-# — 17 entries, five past the 50-row budget (see the tier-2 inline
+# — 18 entries, six past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -82,6 +82,10 @@ _ORDER = [
     # primitives that BOTH hold driver rows above (bm25_topk_docs,
     # embedding_cosine_topk) with the fusion arithmetic pytest-pinned
     "retrieval_rrf_fusion", "strip_repeated_spans",
+    # time_hopping: windowing VARIANT whose sibling (time_tumble, tier
+    # 1) holds an in-budget row; the slide fan-out is oracle-parity
+    # pytested locally
+    "time_hopping",
     "split_stratified_assign", "token_budget_mixture",
     "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest

@@ -618,6 +618,42 @@ FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 """
 
 
+# sliding (hopping) time window: 1-hour windows every 30 minutes, so
+# each event lands in exactly two windows — F.window's slideDuration
+# does the fan-out JVM-side (the batch shape of a streaming hopping
+# aggregate; at scale this is one explode-by-2 + the same keyed
+# partial-agg shuffle as the tumble).
+def time_hopping(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+# oracle fans each event out to its two covering window starts
+# explicitly: the 30-min-aligned bucket and the one 30 min earlier
+TIME_HOPPING_SQL = """
+WITH fanned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL (o.off) MINUTE AS wstart,
+         event_type, value
+  FROM events, (VALUES (0), (30)) AS o(off)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM fanned GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
 # sampling / approx (§2.5): approximate distinct + quantile sketches.
 # No SQL oracle (sketch results are engine-specific); pytest bounds the
 # error against exact counts instead.
@@ -687,6 +723,7 @@ QUERIES = {
     "freq_items_heavy_hitters": freq_items_heavy_hitters,
     "percentile_quantile": percentile_quantile,
     "time_tumble": time_tumble,
+    "time_hopping": time_hopping,
     "approx_distinct_quantile": approx_distinct_quantile,
 }
 
@@ -717,6 +754,7 @@ ORACLES = {
     "sample_systematic": SAMPLE_SQL,
     "percentile_quantile": PERCENTILE_SQL,
     "time_tumble": TIME_TUMBLE_SQL,
+    "time_hopping": TIME_HOPPING_SQL,
     "approx_distinct_quantile": None,
     "freq_items_heavy_hitters": None,
 }
