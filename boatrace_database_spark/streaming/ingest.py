@@ -44,17 +44,24 @@ def stream_events_rollup(
     window: str = "1 hour",
     watermark: str = "2 hours",
     query_name: str = "events_rollup",
+    slide: str | None = None,
 ) -> StreamingQuery:
     """Watermarked tumbling-window count/sum per event_type -> memory sink.
 
     The watermark bounds state: windows older than (max ts - watermark)
     finalize and late rows drop — the knob that keeps unbounded streams
     at bounded memory on a real cluster.
+
+    ``slide`` turns the tumble into a HOPPING window (each event lands
+    in window/slide overlapping windows — the streaming twin of the
+    batch ``time_hopping`` catalog query); state grows by the same
+    factor, still watermark-bounded.
     """
     events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     agg = (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),

@@ -1242,3 +1242,35 @@ def test_stateless_ops_compose_with_streams(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_stream_hopping_rollup_matches_batch(spark, tmp_path):
+    """slide= turns the rollup into a hopping window; every
+    watermark-finalized streamed window must equal the batch
+    time_hopping twin (same 1h/30m fan-out)."""
+    from boatrace_database_spark.queries.analytics import time_hopping
+
+    src = str(tmp_path / "hop_src")
+    os.makedirs(src)
+    shutil.copy(SRC, f"{src}/events.parquet")
+    schema = _events_schema(spark)
+
+    q = stream_events_rollup(
+        spark, src, schema, query_name="rollup_hop", slide="30 minutes"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.bucket, r.event_type): (r.n, r.total)
+            for r in spark.sql("SELECT * FROM rollup_hop").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.bucket, r.event_type): (r.n, r.total)
+        for r in time_hopping(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got, "stream emitted nothing"
+    assert set(got) <= set(batch)
+    assert all(batch[k] == v for k, v in got.items())
+    assert len(got) >= len(batch) * 0.8
