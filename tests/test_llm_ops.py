@@ -1299,3 +1299,31 @@ def test_bm25_add_to_index_retry_is_idempotent(spark, tmp_path):
         ).collect()
     )
     assert once == twice and once
+
+
+def test_incremental_minhash_probe_plan_shape(spark, tmp_path):
+    """The seen band table's 100 TB contract, plan-asserted (the
+    fuzzy twin of the incremental-exact plan test): the persisted seen
+    side is probed by a BROADCAST join and never exchanged — only the
+    batch side (groupBys on the daily batch) shuffles."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    empty = spark.createDataFrame(
+        [], "id LONG, sig ARRAY<BIGINT>, band INT, bucket INT"
+    )
+    D.incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 2 == 0), empty, "doc_id", "text"
+    ).write.mode("overwrite").parquet(str(tmp_path / "seen"))
+    seen = spark.read.parquet(str(tmp_path / "seen"))
+    batch = docs.where(F.col("doc_id") % 2 == 1).limit(50)
+    out = D.incremental_minhash_dedup(batch, seen, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the seen parquet scan feeds a BroadcastHashJoin probe directly;
+    # every join touching it builds the broadcast (batch) side
+    seen_joins = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "LeftSemi" not in ln and "LeftAnti" not in ln
+    ]
+    assert seen_joins and all(
+        "BroadcastHashJoin" in ln for ln in seen_joins
+    ), plan
+    assert out.count() >= 0
