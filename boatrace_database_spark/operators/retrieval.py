@@ -299,6 +299,38 @@ def bm25_topk_prebuilt(
     return _score_topk(post, None, df_t, stats, qterms, k, k1, b)
 
 
+def bm25_index_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row index sizing dial (the retrieval analog of
+    `ann_bucket_stats`/`ivf_cell_stats`): run BEFORE building a
+    corpus-scale index to size the bucket count and spot degenerate
+    vocabulary. Columns: n_docs, n_terms, n_postings, avgdl, max_df,
+    avg_postings_per_term. max_df near n_docs means stopword-dominated
+    postings lists (the fat-bucket analog — candidate generation
+    degrades toward a corpus scan for those terms); avg dials the
+    bucket count so per-bucket file sizes stay sane. Two partial-agg
+    passes over the postings, nothing else."""
+    post, dl, stats, df_t = _index_components(docs, id_col, text_col)
+    per_term = df_t.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.max("df").alias("max_df"),
+        F.round(F.avg("df"), 2).alias("avg_postings_per_term"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(per_term))
+        .select(
+            "n_docs",
+            "n_terms",
+            "n_postings",
+            F.round("avgdl", 2).alias("avgdl"),
+            "max_df",
+            "avg_postings_per_term",
+        )
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame], k: int = 10, k_rrf: int = 60
 ) -> DataFrame:

@@ -35,7 +35,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the twelve new queries)
-# — 18 entries, six past the 50-row budget (see the tier-2 inline
+# — 19 entries, seven past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -60,18 +60,14 @@ _ORDER = [
     "string_agg_sorted", "window_range_frame", "moving_avg_rows",
     "ntile_cume",
     # tier 2 — code changed/added in round 6: must (re-)verify. Tiers
-    # 1-2 overflow a 50-row budget by five, so the tail is chosen for
-    # least loss: retrieval_rrf_fusion composes two primitives that
-    # BOTH hold in-budget rows (bm25_topk_docs, embedding_cosine_topk)
-    # with the fusion arithmetic pytest-pinned; strip_repeated_spans is
-    # the action over repeated_substring_spans' in-budget detection,
-    # oracle-parity + fixture pytested; split_stratified_assign and
-    # token_budget_mixture are family VARIANTS whose siblings
-    # (split_exact_assign, token_budget_head) sit inside the budget;
-    # compression_quality is the only rows-only entry (its real
-    # contract is pytest-pinned ordering/bounds/determinism, not an
-    # oracle row). One representative per new family stays inside the
-    # 50.
+    # 1-2 overflow a 50-row budget by seven, so the tail is chosen for
+    # least loss (each truncated entry annotated inline below):
+    # split_stratified_assign and token_budget_mixture are family
+    # VARIANTS whose siblings (split_exact_assign, token_budget_head)
+    # sit inside the budget; compression_quality is the only rows-only
+    # entry (its real contract is pytest-pinned
+    # ordering/bounds/determinism, not an oracle row). One
+    # representative per new family stays inside the 50.
     "ann_bucket_stats", "split_exact_assign",
     "chunk_dedup_pipeline", "decontaminate_drop_train",
     "token_budget_head", "pack_materialize",
@@ -86,6 +82,9 @@ _ORDER = [
     # 1) holds an in-budget row; the slide fan-out is oracle-parity
     # pytested locally
     "time_hopping",
+    # bm25_index_stats: sizing DIAL over the same postings the
+    # in-budget bm25_topk_docs exercises; oracle-parity pytested
+    "bm25_index_stats",
     "split_stratified_assign", "token_budget_mixture",
     "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest

@@ -699,6 +699,43 @@ SELECT query_id, doc_id, rrf, rk FROM (
 )
 
 
+def bm25_index_stats(spark, sf_dir):
+    """Retrieval index sizing dial (retrieval.bm25_index_stats): the
+    pre-flight pass run before building a corpus-scale BM25 index —
+    the lexical analog of ann_bucket_stats/ivf_cell_stats."""
+    d = _t(spark, sf_dir, "documents")
+    return R.bm25_index_stats(d, "doc_id", "text")
+
+
+# sums CAST to BIGINT: DuckDB's HUGEINT sum canonicalizes as float and
+# flips the driver's typed value-hash (the r5 ann_bucket_stats lesson)
+BM25_INDEX_STATS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS terms
+    FROM documents
+  ), unnest(terms) AS t(term)
+  WHERE t.term <> ''
+),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+per_term AS (
+  SELECT count(*) AS n_terms,
+         CAST(sum(df) AS BIGINT) AS n_postings,
+         max(df) AS max_df,
+         round(avg(df), 2) AS avg_postings_per_term
+  FROM dft
+)
+SELECT s.n_docs, p.n_terms, p.n_postings, round(s.avgdl, 2) AS avgdl,
+       p.max_df, p.avg_postings_per_term
+FROM stats s CROSS JOIN per_term p
+"""
+
+
 def embedding_norm_stats(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return (
@@ -1892,6 +1929,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_norm_stats": embedding_norm_stats,
     "bm25_topk_docs": bm25_topk_docs,
+    "bm25_index_stats": bm25_index_stats,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1942,6 +1980,7 @@ ORACLES = {
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,
+    "bm25_index_stats": BM25_INDEX_STATS_SQL,
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
     "ann_lsh_topk": None,
     "ann_ivf_topk": None,
