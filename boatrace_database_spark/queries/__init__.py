@@ -24,11 +24,12 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 100 after round 6 added twelve queries: the split family,
-# chunk-dedup and decontaminate-drop compositions, token budgets,
+# catalog — 107 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
-# keeper-policy and batch-incremental dedup, JL projection), so
-# ordering is the coverage lever.
+# keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
+# projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
+# detect/strip, and the hopping window), so ordering is the coverage
+# lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
