@@ -1327,3 +1327,22 @@ def test_incremental_minhash_probe_plan_shape(spark, tmp_path):
         "BroadcastHashJoin" in ln for ln in seen_joins
     ), plan
     assert out.count() >= 0
+
+
+def test_bm25_empty_inputs_are_safe(spark):
+    """Empty/whitespace/punctuation-only docs contribute no postings
+    (and drop out of n_docs — BM25 is defined over docs with at least
+    one term); a query with no alphanumeric terms returns no rows
+    rather than erroring."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(0, "real content here"), (1, ""), (2, "   "), (3, "!!! ...")],
+        "doc_id LONG, text STRING",
+    )
+    q = spark.createDataFrame(
+        [(0, "content"), (1, ""), (2, "?!")],
+        "query_id LONG, query_text STRING",
+    )
+    out = R.bm25_topk(docs, q, k=5).collect()
+    assert {(r.query_id, r.doc_id) for r in out} == {(0, 0)}
