@@ -449,6 +449,44 @@ def _banded_pairs(
     )
 
 
+def _seen_probe(
+    seen_banded: DataFrame,
+    capped_banded: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    max_seen_bucket: int | None = None,
+) -> DataFrame:
+    """The incremental near-dup seen-probe: batch ids whose estimated
+    Jaccard vs any seen keeper clears the threshold. The seen side is
+    only SCANNED — the batch side is broadcast, so every join builds
+    the batch (plan-asserted in tests, exposed as a helper precisely
+    so the contract stays inspectable past the caller's lineage cut)."""
+    seen = seen_banded
+    if max_seen_bucket is not None:
+        # corpus-sized side: broadcast the FAT buckets (few), not the
+        # keep set (≈ every bucket key in the table) — costs one
+        # map-side-combined count pass over seen, never a huge broadcast
+        seen = _drop_fat_buckets(seen, ["band", "bucket"], max_seen_bucket)
+    return (
+        seen.alias("s")
+        .join(
+            F.broadcast(
+                capped_banded.selectExpr(
+                    "id AS id_b", "sig AS sig_b", "band", "bucket"
+                )
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            F.col("id_b").alias("id"),
+            _est_jaccard(num_hashes, "s.sig", "sig_b").alias("est"),
+        )
+        .where(F.col("est") >= threshold)
+        .select("id")
+        .distinct()
+    )
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     seen_banded: DataFrame,
@@ -512,30 +550,11 @@ def incremental_minhash_dedup(
     )
     capped = _cap_buckets(banded, ["band", "bucket"], max_bucket)
 
-    seen = seen_banded
-    if max_seen_bucket is not None:
-        # corpus-sized side: broadcast the FAT buckets (few), not the
-        # keep set (≈ every bucket key in the table) — costs one
-        # map-side-combined count pass over seen, never a huge broadcast
-        seen = _drop_fat_buckets(seen, ["band", "bucket"], max_seen_bucket)
-    dup_of_seen = (
-        seen.alias("s")
-        .join(
-            F.broadcast(
-                capped.selectExpr(
-                    "id AS id_b", "sig AS sig_b", "band", "bucket"
-                )
-            ),
-            ["band", "bucket"],
-        )
-        .select(
-            F.col("id_b").alias("id"),
-            _est_jaccard(num_hashes, "s.sig", "sig_b").alias("est"),
-        )
-        .where(F.col("est") >= threshold)
-        .select("id")
-        .distinct()
-    )
+    dup_of_seen = _seen_probe(
+        seen_banded, capped, num_hashes, threshold, max_seen_bucket
+    ).localCheckpoint(eager=False)  # feeds the pair stage AND the
+    # final removal union — without this the corpus-sized seen probe
+    # (scan + fat-bucket aggregate) would run twice per batch
 
     pairs = _banded_pairs(
         capped.join(F.broadcast(dup_of_seen), "id", "left_anti"),

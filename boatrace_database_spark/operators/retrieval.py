@@ -179,6 +179,9 @@ def bm25_write_index(
     the pruned buckets and the 1-row stats file."""
     post, dl, stats, df_t = _index_components(docs, id_col, text_col)
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # docids sidecar: one row per indexed doc — what the add-guard
+    # probes, so idempotency costs O(n_docs), not O(n_postings)
+    dl.select("doc_id").write.mode("overwrite").parquet(f"{path}/docids")
     post.join(dl, "doc_id").withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("overwrite").partitionBy("bucket").parquet(
@@ -206,13 +209,17 @@ def bm25_add_to_index(
     corpus (tested). Caller contract: batch doc ids are disjoint from
     the indexed corpus (same as every incremental op here) — and the
     function ENFORCES it: already-indexed doc ids are filtered out
-    before the append (the incremental_exact_dedup semi-probe shape:
-    the postings doc_id column streams past the broadcast batch ids
-    once), so a RETRIED or double-delivered batch appends nothing and
-    scores stay correct (tested). The append+rebuild is still not
-    atomic — a crash BETWEEN the two leaves df/stats stale until the
-    next add; production deployments at scale should back the postings
-    path with a transactional table format.
+    before the append (the incremental_exact_dedup semi-probe shape
+    against the ``docids`` sidecar — one row per doc, so the guard
+    costs O(n_docs), never O(n_postings)), so a RETRIED or
+    double-delivered batch appends nothing and scores stay correct
+    (tested). The sidecar appends BEFORE the postings on purpose: a
+    crash between the two loses that batch from the index (visible,
+    recoverable by rebuild), where the opposite order would make a
+    redelivery silently double-count — missing beats corrupt. The
+    df/stats rebuild is similarly non-atomic (stale until the next
+    add); production deployments at scale should back the index with a
+    transactional table format.
 
     Scale shape: the expensive part (tokenize + explode + tf groupBy)
     touches ONLY the batch; the df/stats rebuild is a partial-agg scan
@@ -222,7 +229,12 @@ def bm25_add_to_index(
     rebuild keeps this function compaction-grade, not probe-grade.
     """
     spark = new_docs.sparkSession
-    indexed_ids = spark.read.parquet(f"{path}/postings").select("doc_id")
+    try:  # docids sidecar: O(n_docs) guard scan
+        indexed_ids = spark.read.parquet(f"{path}/docids")
+    except Exception:  # index written before the sidecar existed
+        indexed_ids = (
+            spark.read.parquet(f"{path}/postings").select("doc_id").distinct()
+        )
     batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
     dup_hits = indexed_ids.join(
         F.broadcast(batch_ids), "doc_id", "left_semi"
@@ -233,6 +245,7 @@ def bm25_add_to_index(
         "left_anti",
     )
     post, dl, _stats, _df = _index_components(fresh, id_col, text_col)
+    dl.select("doc_id").write.mode("append").parquet(f"{path}/docids")
     post.join(dl, "doc_id").withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")

@@ -35,7 +35,7 @@ for mod in (relational, analytics, advanced, llm):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
-# oracle CAST fix must re-verify green, plus the twelve new queries)
+# oracle CAST fix must re-verify green, plus the round's new queries)
 # — 19 entries, seven past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest

