@@ -237,6 +237,32 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental_bloom(spark, sf_dir):
+    """The Bloom pre-filter pattern end-to-end (operators/bloom): the
+    arriving batch is gated by a membership sketch of the keeper
+    fingerprints — possible-dups go through the exact incremental
+    probe (false positives re-checked exactly), definite-new rows are
+    admitted JOIN-FREE. Output-identical to dedup_incremental_batch
+    BY CONSTRUCTION (Bloom filters have no false negatives), so the
+    approximate sketch carries the same exact oracle."""
+    from boatrace_database_spark.operators import bloom as B
+
+    d = _t(spark, sf_dir, "documents")
+    seen = d.where(F.col("doc_id") % 2 == 0).select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    batch = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    bf = B.build_bloom(seen, "fp", n_items=250, fpp=0.01)
+    maybe_dup = B.bloom_prefilter(batch, bf, "fp")
+    definite_new = B.bloom_prefilter(batch, bf, "fp", keep_hits=False)
+    out = D.incremental_exact_dedup(
+        maybe_dup, seen, ["fp"], "doc_id"
+    ).unionByName(D.exact_dedup(definite_new, ["fp"], "doc_id"))
+    return out.select("keeper_id", "n_copies").orderBy("keeper_id")
+
+
 def dedup_minhash_incremental(spark, sf_dir):
     """Batch-incremental NEAR-dup (dedup.incremental_minhash_dedup):
     even doc_ids seed the persisted keeper band table (first call from
@@ -1911,6 +1937,7 @@ QUERIES = {
     "dedup_cluster_assign": dedup_cluster_assign,
     "dedup_best_quality": dedup_best_quality,
     "dedup_incremental_batch": dedup_incremental_batch,
+    "dedup_incremental_bloom": dedup_incremental_bloom,
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "repeated_substring_spans": repeated_substring_spans,
     "strip_repeated_spans": strip_repeated_spans,
@@ -1962,6 +1989,10 @@ ORACLES = {
     "dedup_cluster_assign": DEDUP_CLUSTER_SQL,
     "dedup_best_quality": DEDUP_BEST_QUALITY_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    # the bloom gate is output-identical to the exact incremental path
+    # (no false negatives; false positives re-checked exactly), so the
+    # sketch demo carries the SAME exact oracle
+    "dedup_incremental_bloom": DEDUP_INCREMENTAL_SQL,
     "dedup_minhash_incremental": None,
     "repeated_substring_spans": REPEATED_SUBSTRING_SQL,
     "strip_repeated_spans": STRIP_REPEATED_SQL,

@@ -1358,3 +1358,61 @@ def test_bm25_empty_inputs_are_safe(spark):
     # pin the n_docs drop-out itself, not just the row set: idf would
     # silently shift if termless docs ever counted toward the corpus
     assert R.bm25_index_stats(docs).first().n_docs == 1
+
+
+# --------------------------------------------------------------------------
+# Bloom membership sketch
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """Membership contract: every built value hits (zero false
+    negatives — the guarantee the pre-filter pattern rests on);
+    non-members false-positive at roughly the design rate (<= 3x fpp
+    at this size); keep_hits=False admits only definite non-members."""
+    from boatrace_database_spark.operators import bloom as B
+
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("v")
+    )
+    bf = B.build_bloom(members, "v", n_items=2000, fpp=0.01)
+    assert B.bloom_prefilter(members, bf, "v").count() == 2000  # no FN
+    others = spark.range(0, 10000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    fp = B.bloom_prefilter(others, bf, "v").count()
+    assert fp / 10000 <= 0.03, fp
+    # the definite-new gate: disjoint from the might-contain set
+    definite_new = B.bloom_prefilter(others, bf, "v", keep_hits=False).count()
+    assert definite_new == 10000 - fp
+
+
+def test_bloom_prefilter_composes_with_incremental_dedup(spark):
+    """The LSM pattern end-to-end: gate a batch with the seen-side
+    bloom, run the exact incremental dedup ONLY on possible-dup rows,
+    and admit the definite-new remainder join-free — output ids equal
+    the ungated incremental dedup exactly (FP side is re-checked by
+    the exact join; FN side cannot exist)."""
+    from boatrace_database_spark.operators import bloom as B
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    seen = docs.where(F.col("doc_id") % 2 == 0).select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    direct = {
+        r.keeper_id
+        for r in D.incremental_exact_dedup(batch, seen, ["fp"], "doc_id").collect()
+    }
+    bf = B.build_bloom(seen, "fp", n_items=250, fpp=0.01)
+    maybe_dup = B.bloom_prefilter(batch, bf, "fp")
+    definite_new = B.bloom_prefilter(batch, bf, "fp", keep_hits=False)
+    gated = {
+        r.keeper_id
+        for r in D.incremental_exact_dedup(
+            maybe_dup, seen, ["fp"], "doc_id"
+        ).collect()
+    } | {
+        r.keeper_id
+        for r in D.exact_dedup(definite_new, ["fp"], "doc_id").collect()
+    }
+    assert gated == direct and direct
