@@ -72,6 +72,20 @@ def build_seen(spark, docs_path: str, dst: str) -> None:
     ).parquet(dst)
 
 
+def _bloom_build_probe(docs):
+    """Build a bloom over the corpus fingerprints, then gate a tiny
+    probe with it — returns the gated frame so timed() counts an
+    action that exercises build + probe."""
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.operators import bloom as B
+    from boatrace_database_spark.operators import text as TX
+
+    fps = docs.select(TX.fingerprint(F.col("text")).alias("fp"))
+    bf = B.build_bloom(fps, "fp", n_items=max(docs.count(), 1), fpp=0.01)
+    return B.bloom_prefilter(fps.limit(1000), bf, "fp")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -112,6 +126,7 @@ def main() -> None:
     TX.repeated_substring_spans(
         warm_docs, "doc_id", "text", min_tokens=8, hash_grams=True
     ).count()
+    _bloom_build_probe(warm_docs).count()
 
     results = {}
     for name, small, big, fn in (
@@ -139,6 +154,15 @@ def main() -> None:
             lambda d: TX.repeated_substring_spans(
                 d, "doc_id", "text", min_tokens=8, hash_grams=True
             ),
+        ),
+        # bloom build over the corpus fingerprints: one codegen scan +
+        # a distinct-position aggregate bounded by m bits — the member
+        # count grows 10x but the shuffle is m-bounded either way
+        (
+            "bloom_build",
+            docs1,
+            docsN,
+            lambda d: _bloom_build_probe(d),
         ),
     ):
         dt1, n1, _ = timed(spark, lambda: fn(small))
