@@ -314,6 +314,96 @@ def stream_dedup_exact(
     )
 
 
+def stream_dedup_bloom(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_name: str = "stream_dedup_bloom",
+    n_shards: int = 64,
+    m_bits_per_shard: int = 1 << 17,
+    k: int = 7,
+) -> StreamingQuery:
+    """Exact-fingerprint stream dedup with BOUNDED state: the seen-set
+    lives in ``n_shards`` fixed-size Bloom bit arrays (total state =
+    n_shards × m/8 bytes, CONSTANT for the life of the query) instead
+    of one state row per fingerprint. The third point in the state-
+    lifecycle trade space next to ``stream_dedup_exact``'s exact-but-
+    growing state and its TTL windowed-exact mode:
+
+    - **No false negatives**: a true duplicate is ALWAYS flagged
+      (``is_duplicate=true``), under any replay order/chunking.
+    - **False positives**: a genuinely new document is wrongly flagged
+      at the filter's FP rate (≈ (1-e^{-kn/m})^k as each shard fills;
+      size m per expected per-shard cardinality). The flagged output
+      carries no keeper id — a bloom stores membership, not values —
+      so FP-sensitive consumers route flagged docs through an exact
+      recheck (the batch `dedup_incremental_bloom` composition),
+      keeping end-to-end results exact while the STREAM state stays
+      constant.
+
+    State shards by fingerprint hash (`pmod(xxhash64(fp), n_shards)`),
+    so each micro-batch group touches one bit array; positions are
+    computed JVM-side, the per-shard bit test/set is numpy over the
+    state bytes. Output: (id, is_duplicate).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from boatrace_database_spark.operators.text import fingerprint
+
+    m = m_bits_per_shard
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    fp = fingerprint(F.col(text_col))
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.xxhash64(fp), F.lit(n_shards)).alias("shard"),
+        F.array(
+            *[
+                F.pmod(F.xxhash64(fp, F.lit(seed)), F.lit(m))
+                for seed in range(k)
+            ]
+        ).alias("pos"),
+    )
+
+    n_bytes = (m + 7) // 8
+
+    def flag(key, pdfs, state):
+        bits = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(n_bytes, dtype=np.uint8)
+        )
+        batch = pd.concat(list(pdfs)).sort_values("id")
+        out = []
+        for doc_id, pos in zip(batch["id"], batch["pos"]):
+            p = np.asarray(pos, dtype=np.int64)
+            byte_idx, mask = p >> 3, (1 << (p & 7)).astype(np.uint8)
+            dup = bool(((bits[byte_idx] & mask) != 0).all())
+            bits[byte_idx] |= mask  # set AFTER testing: within-batch
+            # duplicates of an earlier row in the same shard still flag
+            out.append((int(doc_id), dup))
+        state.update((bits.tobytes(),))
+        yield pd.DataFrame(out, columns=["id", "is_duplicate"])
+
+    flagged = keyed.groupBy("shard").applyInPandasWithState(
+        flag,
+        outputStructType="id LONG, is_duplicate BOOLEAN",
+        stateStructType="bits BINARY",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,  # state is constant-
+        # size by construction; TTL would only reset the lookback
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_dedup_minhash(
     spark: SparkSession,
     source_dir: str,
