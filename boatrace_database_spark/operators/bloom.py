@@ -46,6 +46,22 @@ def _positions(col: Column, m: int, k: int) -> Column:
     )
 
 
+def insert_positions(bits: "np.ndarray", P: "np.ndarray") -> None:
+    """Set the bits for position array P in place. MUST be
+    np.bitwise_or.at, not `bits[idx] |= mask`: fancy-index in-place OR
+    applies ONE write per duplicate index, so two positions landing in
+    the same byte would silently drop a bit — a false negative on that
+    value's later duplicates (regression-pinned in tests)."""
+    np.bitwise_or.at(bits, P >> 3, (1 << (P & 7)).astype(np.uint8))
+
+
+def test_positions(bits: "np.ndarray", P: "np.ndarray") -> "np.ndarray":
+    """Row-wise might-contain over a (rows, k) position matrix (or a
+    single (k,) vector) against a packed bit array."""
+    hit = bits[P >> 3] & (1 << (P & 7)).astype(np.uint8)
+    return (hit != 0).all(axis=-1)
+
+
 def build_bloom(
     df: DataFrame, col: str, n_items: int | None = None, fpp: float = 0.01
 ) -> dict:
@@ -67,7 +83,7 @@ def build_bloom(
     )
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
     idx = np.fromiter((r.p for r in pos), dtype=np.int64, count=len(pos))
-    np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    insert_positions(bits, idx)
     return {"bits": bits, "m": m, "k": k}
 
 
@@ -83,8 +99,7 @@ def might_contain(bloom: dict, col: Column) -> Column:
         if not len(pos):
             return pd.Series([], dtype=bool)
         P = np.stack(pos.to_numpy()).astype(np.int64)  # (rows, k)
-        hit = bits[P >> 3] & (1 << (P & 7)).astype(np.uint8)
-        return pd.Series((hit != 0).all(axis=1))
+        return pd.Series(test_positions(bits, P))
 
     return _test(_positions(col, bloom["m"], k))
 

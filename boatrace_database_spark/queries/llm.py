@@ -254,7 +254,11 @@ def dedup_incremental_bloom(spark, sf_dir):
     batch = d.where(F.col("doc_id") % 2 == 1).select(
         "doc_id", TX.fingerprint(F.col("text")).alias("fp")
     )
-    bf = B.build_bloom(seen, "fp", n_items=250, fpp=0.01)
+    # n_items=None: build_bloom counts the seen side so the filter is
+    # sized for WHATEVER sf_dir the driver runs (a hardcoded count
+    # would saturate at larger scale factors and silently degrade the
+    # definite-new gate to vacuous)
+    bf = B.build_bloom(seen, "fp", n_items=None, fpp=0.01)
     maybe_dup = B.bloom_prefilter(batch, bf, "fp")
     definite_new = B.bloom_prefilter(batch, bf, "fp", keep_hits=False)
     out = D.incremental_exact_dedup(

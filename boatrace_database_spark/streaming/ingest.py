@@ -352,6 +352,11 @@ def stream_dedup_bloom(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from boatrace_database_spark.operators.bloom import (
+        _positions,
+        insert_positions,
+        test_positions,
+    )
     from boatrace_database_spark.operators.text import fingerprint
 
     m = m_bits_per_shard
@@ -360,12 +365,8 @@ def stream_dedup_bloom(
     keyed = docs.select(
         F.col(id_col).alias("id"),
         F.pmod(F.xxhash64(fp), F.lit(n_shards)).alias("shard"),
-        F.array(
-            *[
-                F.pmod(F.xxhash64(fp, F.lit(seed)), F.lit(m))
-                for seed in range(k)
-            ]
-        ).alias("pos"),
+        _positions(fp, m, k).alias("pos"),  # ONE hash-family definition
+        # shared with the batch sketch — batch/stream cannot drift
     )
 
     n_bytes = (m + 7) // 8
@@ -380,9 +381,8 @@ def stream_dedup_bloom(
         out = []
         for doc_id, pos in zip(batch["id"], batch["pos"]):
             p = np.asarray(pos, dtype=np.int64)
-            byte_idx, mask = p >> 3, (1 << (p & 7)).astype(np.uint8)
-            dup = bool(((bits[byte_idx] & mask) != 0).all())
-            bits[byte_idx] |= mask  # set AFTER testing: within-batch
+            dup = bool(test_positions(bits, p))
+            insert_positions(bits, p)  # set AFTER testing: within-batch
             # duplicates of an earlier row in the same shard still flag
             out.append((int(doc_id), dup))
         state.update((bits.tobytes(),))

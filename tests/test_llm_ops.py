@@ -1416,3 +1416,23 @@ def test_bloom_prefilter_composes_with_incremental_dedup(spark):
         for r in D.exact_dedup(definite_new, ["fp"], "doc_id").collect()
     }
     assert gated == direct and direct
+
+
+def test_bloom_bit_helpers_handle_same_byte_collisions():
+    """Regression pin for the fancy-index OR pitfall: two positions in
+    the SAME byte must BOTH set (bits[idx] |= mask applies only one
+    write per duplicate index — np.bitwise_or.at is required). A value
+    whose k positions collide in-byte must roundtrip insert→test, or
+    its later true duplicates would false-negative."""
+    import numpy as np
+
+    from boatrace_database_spark.operators import bloom as B
+
+    bits = np.zeros(4, dtype=np.uint8)
+    P = np.array([0, 3, 9], dtype=np.int64)  # bits 0,3 share byte 0
+    B.insert_positions(bits, P)
+    assert bits[0] == 0b00001001, bin(bits[0])  # both byte-0 bits set
+    assert bool(B.test_positions(bits, P))
+    # matrix form: member row True, non-member row False
+    Q = np.array([[0, 3, 9], [1, 2, 4]], dtype=np.int64)
+    assert list(B.test_positions(bits, Q)) == [True, False]

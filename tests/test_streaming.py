@@ -23,6 +23,22 @@ def _events_schema(spark):
     return spark.read.parquet(SRC).schema
 
 
+def _make_deliver(tmp_path):
+    """Micro-batch delivery helper shared by every streaming test:
+    stage a frame as ONE parquet part, copy it into the watched source
+    dir so processAllAvailable() sees exactly one new file."""
+
+    def deliver(df, stage_name: str, dst: str) -> None:
+        stage = tmp_path / stage_name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(
+            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        shutil.copy(part, dst)
+
+    return deliver
+
+
 def test_stream_rollup_matches_batch(spark, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
@@ -260,13 +276,7 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     lo = docs.where(F.col("doc_id") < 100).localCheckpoint(eager=True)
     hi = docs.where(F.col("doc_id") >= 100).localCheckpoint(eager=True)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_exact(spark, src, docs.schema, query_name="sdedup_t")
     try:
@@ -335,13 +345,7 @@ def test_stream_dedup_shuffled_replay_invariants(spark, tmp_path):
     src = str(tmp_path / "shuf_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_exact(spark, src, docs.schema, query_name="sdedup_shuf")
     try:
@@ -407,13 +411,7 @@ def test_stream_minhash_matches_batch_pairs(spark, tmp_path):
     src = str(tmp_path / "mh_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_minhash(
         spark, src, docs.schema, max_members=10**6, query_name="smh_t"
@@ -456,13 +454,7 @@ def test_stream_simhash_matches_batch_pairs(spark, tmp_path):
     src = str(tmp_path / "sh_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     # max_hamming explicit on BOTH sides (defaults are 8/64-bit; this
     # parity fixture wants the richer 12-distance pair set)
@@ -514,13 +506,7 @@ def test_stream_minhash_shuffled_replay_invariants(spark, tmp_path):
     src = str(tmp_path / "mhs_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_minhash(
         spark, src, docs.schema, max_members=10**6, query_name="smh_shuf"
@@ -878,13 +864,7 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     src = str(tmp_path / "decon_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_decontaminate(
         spark, src, docs.schema, bench, n=5, query_name="decon_t"
@@ -933,13 +913,7 @@ def test_stream_semantic_matches_batch_pairs(spark, tmp_path):
     src = str(tmp_path / "sem_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_semantic(
         spark, src, emb.schema, centroids,
@@ -992,13 +966,7 @@ def test_stream_semantic_string_ids_match_batch(spark, tmp_path):
     src = str(tmp_path / "sems_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_semantic(
         spark, src, emb.schema, centroids,
@@ -1072,13 +1040,7 @@ def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
     src = str(tmp_path / "tb_src")
     os.makedirs(src)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_token_budget(
         spark, src, docs.schema, "source", budgets,
@@ -1295,13 +1257,7 @@ def test_stream_dedup_bloom_contract(spark, tmp_path):
     lo = docs.where(F.col("doc_id") < 100).localCheckpoint(eager=True)
     hi = docs.where(F.col("doc_id") >= 100).localCheckpoint(eager=True)
 
-    def deliver(df, stage_name: str, dst: str) -> None:
-        stage = tmp_path / stage_name
-        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
-        part = next(
-            str(stage / f) for f in os.listdir(stage) if f.endswith(".parquet")
-        )
-        shutil.copy(part, dst)
+    deliver = _make_deliver(tmp_path)
 
     q = stream_dedup_bloom(spark, src, docs.schema, query_name="sbloom_t")
     try:
