@@ -695,6 +695,7 @@ def stream_decontaminate(
     text_col: str = "text",
     n: int = 13,
     query_name: str = "decontaminated",
+    bloom_fpp: float | None = None,
 ) -> StreamingQuery:
     """Online decontamination gate: every arriving candidate training
     document is scored against a STATIC benchmark/eval corpus — the
@@ -712,6 +713,17 @@ def stream_decontaminate(
     gram hashing itself stays JVM-side in the stream's projection). No
     state store, no shuffle, no watermark: throughput is scan-bound.
 
+    ``bloom_fpp``: swap the exact broadcast gram set for a Bloom
+    filter of the gram hashes (operators/bloom — same position family
+    as the batch sketch). Memory drops from a Python set of 8-byte
+    hashes (tens of bytes/gram of interpreter overhead) to
+    ~1.2 bytes/gram at fpp=0.01, and the error is ONE-SIDED IN THE
+    SAFE DIRECTION for this gate: a false positive over-counts
+    contamination (a clean doc may be dropped at ~fpp rate — cheap
+    data loss), while a benchmark gram can NEVER slip through
+    uncounted. Reported counts are therefore >= the exact variant's,
+    equal w.h.p. at the design fpp (contract-tested).
+
     Direction matters at scale: eval/benchmark suites are small (1e5-1e6
     grams = a few MB broadcast — this op's regime). To report overlap
     against the 100 TB TRAIN side instead, use the batch operator,
@@ -722,26 +734,54 @@ def stream_decontaminate(
 
     from boatrace_database_spark.operators.dedup import word_shingles
 
-    bench_hashes = set(
-        r.g
-        for r in benchmark_df.select(
+    bench_grams = (
+        benchmark_df.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("gram")
         )
         .select(F.xxhash64("gram").alias("g"))
         .distinct()
-        .collect()
     )
-    bset = spark.sparkContext.broadcast(bench_hashes)
-
-    @pandas_udf("int")
-    def n_hits(grams):  # pd.Series[array<long>] -> pd.Series[int]
-        s = bset.value
-        return grams.apply(lambda a: int(sum(1 for g in a if g in s)))
-
     docs = spark.readStream.schema(schema).parquet(source_dir)
-    grams = F.transform(
+    hashed = F.transform(
         word_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)
     )
+
+    if bloom_fpp is not None:
+        import numpy as np
+
+        from boatrace_database_spark.operators import bloom as B
+
+        bf = B.build_bloom(bench_grams, "g", fpp=bloom_fpp)
+        m, k = bf["m"], bf["k"]
+        bbits = spark.sparkContext.broadcast(bf["bits"])
+
+        @pandas_udf("int")
+        def n_hits(posarr):  # pd.Series[array<array<long>>] -> int
+            bits = bbits.value
+
+            def cnt(a):
+                if len(a) == 0:
+                    return 0
+                P = np.array([list(p) for p in a], dtype=np.int64)
+                return int(B.test_positions(bits, P).sum())
+
+            return posarr.apply(cnt)
+
+        # per-gram k bit positions, JVM-side, over the SAME gram-hash
+        # longs the exact path uses — one hash family, shared with the
+        # batch sketch via bloom._positions
+        grams = F.transform(hashed, lambda h: B._positions(h, m, k))
+    else:
+        bench_hashes = set(r.g for r in bench_grams.collect())
+        bset = spark.sparkContext.broadcast(bench_hashes)
+
+        @pandas_udf("int")
+        def n_hits(grams):  # pd.Series[array<long>] -> pd.Series[int]
+            s = bset.value
+            return grams.apply(lambda a: int(sum(1 for g in a if g in s)))
+
+        grams = hashed
+
     scored = (
         docs.select(F.col(id_col).alias("doc_id"), grams.alias("_grams"))
         .select(

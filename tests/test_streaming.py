@@ -1283,3 +1283,45 @@ def test_stream_dedup_bloom_contract(spark, tmp_path):
     # design: 64 shards x 2^17 bits, k=7, ~docs/64 items per shard ->
     # FP rate well under 1e-6 at this fill; allow a loose 1% ceiling
     assert fp / len(originals) <= 0.01, fp
+
+
+def test_stream_decontaminate_bloom_one_sided(spark, tmp_path):
+    """bloom_fpp variant contract: counts are >= the exact gate's for
+    every doc (benchmark grams can never slip through), and at the
+    design fpp the whole report equals the exact one w.h.p. on this
+    corpus — the safe-direction trade the docstring claims."""
+    from boatrace_database_spark.streaming.ingest import stream_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    deliver = _make_deliver(tmp_path)
+
+    results = {}
+    for label, fpp in (("exact", None), ("bloom", 0.001)):
+        src = str(tmp_path / f"decb_{label}")
+        os.makedirs(src)
+        q = stream_decontaminate(
+            spark, src, docs.schema, bench, n=5,
+            query_name=f"decb_{label}", bloom_fpp=fpp,
+        )
+        try:
+            deliver(arriving, f"s_{label}", f"{src}/c.parquet")
+            q.processAllAvailable()
+            results[label] = {
+                r.doc_id: (r.n_ngrams, r.n_contaminated)
+                for r in spark.sql(f"SELECT * FROM decb_{label}").collect()
+            }
+        finally:
+            q.stop()
+
+    exact, bloom = results["exact"], results["bloom"]
+    assert set(exact) == set(bloom)
+    assert any(v[1] > 0 for v in exact.values()), "fixture must overlap"
+    over = 0
+    for d, (n_ng, n_exact) in exact.items():
+        assert bloom[d][0] == n_ng
+        assert bloom[d][1] >= n_exact, d      # one-sided: never under
+        over += bloom[d][1] - n_exact
+    total = sum(v[0] for v in exact.values())
+    assert over / max(total, 1) <= 0.01, over  # ~fpp over-count bound
