@@ -289,6 +289,70 @@ def decontaminate_corpus(
     )
 
 
+def unigram_logprob(
+    reference: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet-style language-model quality score: each document's mean
+    negative log-probability under an add-one-smoothed UNIGRAM model
+    fit on a reference corpus (the cheap stand-in for CCNet's
+    Wikipedia-perplexity filter — low scores read like the reference,
+    high scores flag gibberish/boilerplate/other-domain text; bucket
+    on quantiles for head/middle/tail curation).
+
+    p(w) = (count_ref(w) + 1) / (total_ref + V + 1), with V = the
+    reference vocabulary size; out-of-vocabulary tokens take the
+    count=0 smoothed mass. Output: id, n_tokens, avg_neg_logprob
+    (6 dp; empty docs score 0.0 by convention).
+
+    Scale shape: the model is ONE aggregate over the reference
+    (vocab-sized — small by Zipf) broadcast into the scoring join;
+    scoring is explode → broadcast join → per-doc avg — two shuffles
+    keyed by token and id, all codegen, no Python.
+    """
+    words = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
+    freqs = (
+        reference.select(
+            F.explode(words(F.col(text_col))).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = freqs.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(words(F.col(text_col))).alias("_p", "w"),
+    )
+    scored = (
+        toks.join(F.broadcast(freqs), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.when(  # null token (null text) contributes nothing
+                F.col("w").isNotNull(),
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("total") + F.col("vocab") + 1.0)
+                ),
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.col("nll")).alias("n_tokens"),
+            F.round(F.coalesce(F.avg("nll"), F.lit(0.0)), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .select("id", "n_tokens", "avg_neg_logprob")
+    )
+
+
 def repeated_substring_spans(
     df: DataFrame,
     id_col: str,

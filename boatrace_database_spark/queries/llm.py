@@ -133,6 +133,48 @@ ORDER BY keeper_id
 """
 
 
+def lm_quality_score(spark, sf_dir):
+    """CCNet-style LM quality signal (text.unigram_logprob): src0
+    documents fit the add-one-smoothed unigram reference model; every
+    other document scores its mean negative log-probability under it —
+    the cheap perplexity-filter stand-in for head/middle/tail
+    curation."""
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("source") == "src0")
+    rest = d.where(F.col("source") != "src0")
+    return TX.unigram_logprob(ref, rest, "doc_id", "text").orderBy("id")
+
+
+LM_QUALITY_SQL = r"""
+WITH ref_toks AS (
+  SELECT t.w
+  FROM (
+    SELECT string_split_regex(trim(text), '\s+') AS ws
+    FROM documents WHERE source = 'src0'
+  ), unnest(ws) AS t(w)
+),
+freqs AS (SELECT w, count(*) AS cnt FROM ref_toks GROUP BY w),
+totals AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM freqs
+),
+doc_toks AS (
+  SELECT doc_id, t.w
+  FROM (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+    FROM documents WHERE source <> 'src0'
+  ), unnest(ws) AS t(w)
+),
+nll AS (
+  SELECT d.doc_id,
+         -ln((coalesce(f.cnt, 0) + 1.0) / (t.total + t.vocab + 1.0)) AS nll
+  FROM doc_toks d LEFT JOIN freqs f ON d.w = f.w CROSS JOIN totals t
+)
+SELECT doc_id AS id, count(*) AS n_tokens,
+       round(avg(nll), 6) AS avg_neg_logprob
+FROM nll GROUP BY doc_id ORDER BY id
+"""
+
+
 def repeated_substring_spans(spark, sf_dir):
     """ExactSubstr dedup (text.repeated_substring_spans): maximal token
     spans covered by an 8-gram occurring more than once anywhere in
@@ -1945,6 +1987,7 @@ QUERIES = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "repeated_substring_spans": repeated_substring_spans,
     "strip_repeated_spans": strip_repeated_spans,
+    "lm_quality_score": lm_quality_score,
     "ngram_topk": ngram_topk,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
@@ -2000,6 +2043,7 @@ ORACLES = {
     "dedup_minhash_incremental": None,
     "repeated_substring_spans": REPEATED_SUBSTRING_SQL,
     "strip_repeated_spans": STRIP_REPEATED_SQL,
+    "lm_quality_score": LM_QUALITY_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,

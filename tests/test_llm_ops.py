@@ -1436,3 +1436,27 @@ def test_bloom_bit_helpers_handle_same_byte_collisions():
     # matrix form: member row True, non-member row False
     Q = np.array([[0, 3, 9], [1, 2, 4]], dtype=np.int64)
     assert list(B.test_positions(bits, Q)) == [True, False]
+
+
+def test_unigram_logprob_ranks_gibberish_above_reference_text(spark):
+    """LM quality contract: text drawn from the reference vocabulary
+    scores LOWER mean NLL than out-of-vocabulary gibberish; counts and
+    the empty-token convention hold."""
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id LONG, text STRING",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the quick fox jumps"),           # in-vocab
+            (101, "zxqv wvut qqqz plmk"),           # pure OOV
+            (102, "the quick zxqv dog"),            # mixed
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.id: (r.n_tokens, r.avg_neg_logprob)
+        for r in TX.unigram_logprob(ref, score, "doc_id", "text").collect()
+    }
+    assert out[100][0] == 4 and out[101][0] == 4 and out[102][0] == 4
+    assert out[100][1] < out[102][1] < out[101][1], out
