@@ -305,14 +305,21 @@ def unigram_logprob(
     p(w) = (count_ref(w) + 1) / (total_ref + V + 1), with V = the
     reference vocabulary size; out-of-vocabulary tokens take the
     count=0 smoothed mass. Output: id, n_tokens, avg_neg_logprob
-    (6 dp; empty docs score 0.0 by convention).
+    (6 dp; empty/whitespace-only/null docs score (0, 0.0) — empty
+    tokens are filtered, NOT scored as a phantom OOV token). Raises on
+    a reference corpus with no tokens (the silently-all-null
+    alternative would zero every score).
 
     Scale shape: the model is ONE aggregate over the reference
     (vocab-sized — small by Zipf) broadcast into the scoring join;
     scoring is explode → broadcast join → per-doc avg — two shuffles
     keyed by token and id, all codegen, no Python.
     """
-    words = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
+    # tokens() keeps a "" element for empty strings (split semantics);
+    # a language model must not score that phantom token
+    def words(c):
+        return F.filter(tokens(c), lambda t: t != "")
+
     freqs = (
         reference.select(
             F.explode(words(F.col(text_col))).alias("w")
@@ -320,12 +327,18 @@ def unigram_logprob(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
+    if freqs.limit(1).count() == 0:
+        raise ValueError(
+            "unigram_logprob: reference corpus has no tokens — every "
+            "score would silently degenerate; supply a non-empty "
+            "reference"
+        )
     totals = freqs.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vocab")
     )
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode_outer(words(F.col(text_col))).alias("_p", "w"),
+        F.explode_outer(words(F.col(text_col))).alias("w"),
     )
     scored = (
         toks.join(F.broadcast(freqs), "w", "left")

@@ -145,6 +145,9 @@ def lm_quality_score(spark, sf_dir):
     return TX.unigram_logprob(ref, rest, "doc_id", "text").orderBy("id")
 
 
+# empty tokens filtered on BOTH sides (a phantom "" must not score);
+# the final LEFT JOIN keeps empty/null-text docs at (0, 0.0), matching
+# Spark's explode_outer convention
 LM_QUALITY_SQL = r"""
 WITH ref_toks AS (
   SELECT t.w
@@ -152,6 +155,7 @@ WITH ref_toks AS (
     SELECT string_split_regex(trim(text), '\s+') AS ws
     FROM documents WHERE source = 'src0'
   ), unnest(ws) AS t(w)
+  WHERE t.w <> ''
 ),
 freqs AS (SELECT w, count(*) AS cnt FROM ref_toks GROUP BY w),
 totals AS (
@@ -163,15 +167,23 @@ doc_toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
     FROM documents WHERE source <> 'src0'
   ), unnest(ws) AS t(w)
+  WHERE t.w <> ''
 ),
 nll AS (
   SELECT d.doc_id,
          -ln((coalesce(f.cnt, 0) + 1.0) / (t.total + t.vocab + 1.0)) AS nll
   FROM doc_toks d LEFT JOIN freqs f ON d.w = f.w CROSS JOIN totals t
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 6) AS s
+  FROM nll GROUP BY doc_id
 )
-SELECT doc_id AS id, count(*) AS n_tokens,
-       round(avg(nll), 6) AS avg_neg_logprob
-FROM nll GROUP BY doc_id ORDER BY id
+SELECT d.doc_id AS id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.s, 0.0) AS avg_neg_logprob
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN agg a USING (doc_id)
+ORDER BY id
 """
 
 

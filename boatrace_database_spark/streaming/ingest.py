@@ -751,7 +751,16 @@ def stream_decontaminate(
 
         from boatrace_database_spark.operators import bloom as B
 
-        bf = B.build_bloom(bench_grams, "g", fpp=bloom_fpp)
+        # persist: build_bloom needs a sizing count AND the positions
+        # pass — without this the explode+distinct pipeline runs twice
+        bench_grams = bench_grams.persist()
+        try:
+            n_grams = bench_grams.count()
+            bf = B.build_bloom(
+                bench_grams, "g", n_items=max(n_grams, 1), fpp=bloom_fpp
+            )
+        finally:
+            bench_grams.unpersist()
         m, k = bf["m"], bf["k"]
         bbits = spark.sparkContext.broadcast(bf["bits"])
 

@@ -1460,3 +1460,27 @@ def test_unigram_logprob_ranks_gibberish_above_reference_text(spark):
     }
     assert out[100][0] == 4 and out[101][0] == 4 and out[102][0] == 4
     assert out[100][1] < out[102][1] < out[101][1], out
+
+
+def test_unigram_logprob_edge_contracts(spark):
+    """Empty/whitespace/null docs score exactly (0, 0.0) — never a
+    phantom ""-token NLL; an empty reference corpus raises instead of
+    silently zeroing every score."""
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id LONG, text STRING"
+    )
+    score = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "alpha beta")],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.id: (r.n_tokens, r.avg_neg_logprob)
+        for r in TX.unigram_logprob(ref, score, "doc_id", "text").collect()
+    }
+    assert out[1] == (0, 0.0) and out[2] == (0, 0.0) and out[3] == (0, 0.0)
+    assert out[4][0] == 2 and out[4][1] > 0
+    with pytest.raises(ValueError, match="no tokens"):
+        TX.unigram_logprob(
+            spark.createDataFrame([(9, "  ")], "doc_id LONG, text STRING"),
+            score, "doc_id", "text",
+        )
