@@ -289,6 +289,30 @@ def decontaminate_corpus(
     )
 
 
+# full-width (zenkaku) ASCII block U+FF01-FF5E ↔ half-width U+21-7E,
+# plus IDEOGRAPHIC SPACE U+3000 → space — the normalization SURVEY §7
+# names for venue/race names. Literal maps so both the Spark and the
+# DuckDB twins are a single codegen translate().
+FULLWIDTH_CHARS = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+HALFWIDTH_CHARS = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+
+
+def normalize_width(text: Column) -> Column:
+    """Fold full-width ASCII + ideographic space to half-width (e.g.
+    ``'大　村　１Ｒ' → '大 村 1R'``) — the join-key/normalization aid
+    for Japanese text fields. Deliberately NOT applied in the silver
+    parity layer: レースID byte-parity with the reference requires the
+    original full-width spaces; use this on gold/analytics views."""
+    return F.translate(text, FULLWIDTH_CHARS, HALFWIDTH_CHARS)
+
+
+def widen_width(text: Column) -> Column:
+    """Inverse direction (half→full) — exists mainly so the
+    normalization can be demonstrated/tested as an exact roundtrip on
+    ASCII corpora."""
+    return F.translate(text, HALFWIDTH_CHARS, FULLWIDTH_CHARS)
+
+
 def unigram_logprob(
     reference: DataFrame,
     docs: DataFrame,

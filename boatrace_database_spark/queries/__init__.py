@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 109 after round 6 added the split family, token budgets,
+# catalog — 110 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -36,7 +36,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 21 entries, nine past the 50-row budget (see the tier-2 inline
+# — 22 entries, ten past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -61,7 +61,7 @@ _ORDER = [
     "string_agg_sorted", "window_range_frame", "moving_avg_rows",
     "ntile_cume",
     # tier 2 — code changed/added in round 6: must (re-)verify. Tiers
-    # 1-2 overflow a 50-row budget by nine, so the tail is chosen for
+    # 1-2 overflow a 50-row budget by ten, so the tail is chosen for
     # least loss (each truncated entry annotated inline below):
     # split_stratified_assign and token_budget_mixture are family
     # VARIANTS whose siblings (split_exact_assign, token_budget_head)
@@ -93,6 +93,10 @@ _ORDER = [
     # lm_quality_score: same scan/agg shape as the in-budget
     # quality_topk_per_source family; oracle-parity + ranking pytested
     "lm_quality_score",
+    # width_normalize_battery: scalar VARIANT of the in-budget-family
+    # scalar_battery (tier 1); translate() roundtrip, oracle-parity +
+    # real-venue pytested
+    "width_normalize_battery",
     "split_stratified_assign", "token_budget_mixture",
     "compression_quality",
     # tier 3 — second-newest row is r3 (checked r5): oldest

@@ -485,6 +485,45 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+# full-width <-> half-width normalization (SURVEY §7 M7: the venue/
+# race-name normalization aid) — demonstrated as an exact roundtrip:
+# widen ASCII names to the zenkaku block, fold back, compare.
+def width_normalize_battery(spark, sf_dir):
+    from boatrace_database_spark.operators import text as TX
+
+    n = _t(spark, sf_dir, "nation")
+    wide = TX.widen_width(F.col("n_name"))
+    return (
+        n.select(
+            "n_nationkey",
+            wide.alias("wide"),
+            TX.normalize_width(wide).alias("back"),
+            (TX.normalize_width(wide) == F.col("n_name")).alias("roundtrip_ok"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+from boatrace_database_spark.operators.text import (  # noqa: E402
+    FULLWIDTH_CHARS,
+    HALFWIDTH_CHARS,
+)
+
+WIDTH_NORMALIZE_SQL = f"""
+SELECT n_nationkey,
+       translate(n_name, {_sql_quote(HALFWIDTH_CHARS)}, {_sql_quote(FULLWIDTH_CHARS)}) AS wide,
+       translate(translate(n_name, {_sql_quote(HALFWIDTH_CHARS)}, {_sql_quote(FULLWIDTH_CHARS)}),
+                 {_sql_quote(FULLWIDTH_CHARS)}, {_sql_quote(HALFWIDTH_CHARS)}) AS back,
+       translate(translate(n_name, {_sql_quote(HALFWIDTH_CHARS)}, {_sql_quote(FULLWIDTH_CHARS)}),
+                 {_sql_quote(FULLWIDTH_CHARS)}, {_sql_quote(HALFWIDTH_CHARS)}) = n_name AS roundtrip_ok
+FROM nation ORDER BY n_nationkey
+"""
+
+
 # JSON extraction (events.props is a JSON string).
 def json_extract(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
@@ -716,6 +755,7 @@ QUERIES = {
     "intersect_setop": intersect_setop,
     "except_setop": except_setop,
     "scalar_battery": scalar_battery,
+    "width_normalize_battery": width_normalize_battery,
     "json_extract": json_extract,
     "pivot_wide": pivot_wide,
     "unpivot_stack": unpivot_stack,
@@ -748,6 +788,7 @@ ORACLES = {
     "intersect_setop": INTERSECT_SQL,
     "except_setop": EXCEPT_SQL,
     "scalar_battery": SCALAR_SQL,
+    "width_normalize_battery": WIDTH_NORMALIZE_SQL,
     "json_extract": JSON_SQL,
     "pivot_wide": PIVOT_SQL,
     "unpivot_stack": UNPIVOT_SQL,

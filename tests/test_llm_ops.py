@@ -1484,3 +1484,31 @@ def test_unigram_logprob_edge_contracts(spark):
             spark.createDataFrame([(9, "  ")], "doc_id LONG, text STRING"),
             score, "doc_id", "text",
         )
+
+
+def test_normalize_width_on_real_venue_strings(spark):
+    """SURVEY §7 M7's venue/race-name normalization on the actual
+    reference strings: full-width digits/letters/space fold to ASCII,
+    Japanese characters pass through untouched, and the ASCII widen →
+    normalize roundtrip is exact."""
+    rows = [
+        (0, "大　村ボートレース発祥地記念第２４回モーターボート誕生祭１Ｒ"),
+        (1, "ＡＢＣ　ｘｙｚ　０１２！"),
+        (2, "plain ascii stays"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, s STRING")
+    out = {
+        r.id: (r.norm, r.round_ok)
+        for r in df.select(
+            "id",
+            TX.normalize_width(F.col("s")).alias("norm"),
+            (
+                TX.normalize_width(TX.widen_width(F.col("s"))) ==
+                TX.normalize_width(F.col("s"))
+            ).alias("round_ok"),
+        ).collect()
+    }
+    assert out[0][0] == "大 村ボートレース発祥地記念第24回モーターボート誕生祭1R"
+    assert out[1][0] == "ABC xyz 012!"
+    assert out[2][0] == "plain ascii stays"
+    assert all(v[1] for v in out.values())
