@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+from boatrace_database_spark.operators import text as TX
 from boatrace_database_spark.queries._util import load_table as _t
 
 
@@ -489,16 +490,15 @@ FROM nation ORDER BY n_nationkey
 # race-name normalization aid) — demonstrated as an exact roundtrip:
 # widen ASCII names to the zenkaku block, fold back, compare.
 def width_normalize_battery(spark, sf_dir):
-    from boatrace_database_spark.operators import text as TX
-
     n = _t(spark, sf_dir, "nation")
     wide = TX.widen_width(F.col("n_name"))
+    back = TX.normalize_width(wide)
     return (
         n.select(
             "n_nationkey",
             wide.alias("wide"),
-            TX.normalize_width(wide).alias("back"),
-            (TX.normalize_width(wide) == F.col("n_name")).alias("roundtrip_ok"),
+            back.alias("back"),
+            (back == F.col("n_name")).alias("roundtrip_ok"),
         )
         .orderBy("n_nationkey")
     )
@@ -508,19 +508,18 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-from boatrace_database_spark.operators.text import (  # noqa: E402
-    FULLWIDTH_CHARS,
-    HALFWIDTH_CHARS,
-)
-
 WIDTH_NORMALIZE_SQL = f"""
-SELECT n_nationkey,
-       translate(n_name, {_sql_quote(HALFWIDTH_CHARS)}, {_sql_quote(FULLWIDTH_CHARS)}) AS wide,
-       translate(translate(n_name, {_sql_quote(HALFWIDTH_CHARS)}, {_sql_quote(FULLWIDTH_CHARS)}),
-                 {_sql_quote(FULLWIDTH_CHARS)}, {_sql_quote(HALFWIDTH_CHARS)}) AS back,
-       translate(translate(n_name, {_sql_quote(HALFWIDTH_CHARS)}, {_sql_quote(FULLWIDTH_CHARS)}),
-                 {_sql_quote(FULLWIDTH_CHARS)}, {_sql_quote(HALFWIDTH_CHARS)}) = n_name AS roundtrip_ok
-FROM nation ORDER BY n_nationkey
+SELECT n_nationkey, wide, back, back = n_name AS roundtrip_ok
+FROM (
+  SELECT n_nationkey, n_name, wide,
+         translate(wide, {_sql_quote(TX.FULLWIDTH_CHARS)}, {_sql_quote(TX.HALFWIDTH_CHARS)}) AS back
+  FROM (
+    SELECT n_nationkey, n_name,
+           translate(n_name, {_sql_quote(TX.HALFWIDTH_CHARS)}, {_sql_quote(TX.FULLWIDTH_CHARS)}) AS wide
+    FROM nation
+  )
+)
+ORDER BY n_nationkey
 """
 
 

@@ -1,8 +1,9 @@
 """10x scale-up evidence for the corpus-assembly family (the same
 contract scale_dedup_bench.py gives the dedup family): split_assign /
 split_exact / split_exact_stratified / global_shuffle /
-take_token_budget / mixture_resample / pack_sequences at 1x and Rx of
-the sf0.1 documents corpus.
+take_token_budget / mixture_resample / pack_sequences /
+normalize_width (roundtrip) at 1x and Rx of the sf0.1 documents
+corpus.
 
 Reuses scale_dedup_bench.build_docs (per-replica vocabulary bijection,
 disjoint doc_id ranges, written to /tmp parquet so runs scan real
@@ -146,6 +147,23 @@ def run_ops(spark, docs, n_rows):
             "doc_id", "text", budget=2048, group_col="grp",
         ).agg(F.max("pack_id")).collect()[0][0],
     )
+
+    from boatrace_database_spark.operators import text as TX
+
+    def width_roundtrip_violations():
+        # widen then normalize must reproduce the original text on every
+        # row (ASCII corpus): violations==0 is the semantic check, and
+        # summing lengths of BOTH computed columns stops Catalyst from
+        # pruning either translate.
+        wide = TX.widen_width(F.col("text"))
+        row = docs.select(
+            F.length(wide).alias("wl"),
+            (TX.normalize_width(wide) != F.col("text")).cast("int").alias("bad"),
+        ).agg(F.sum("wl"), F.sum("bad").alias("violations")).collect()[0]
+        assert row.violations == 0, f"roundtrip broke on {row.violations} rows"
+        return int(row.violations)
+
+    rec("normalize_width_roundtrip", width_roundtrip_violations)
     return out
 
 
