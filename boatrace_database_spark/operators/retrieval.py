@@ -344,6 +344,127 @@ def bm25_index_stats(
     )
 
 
+def term_grams(text: Column, ngram: int = 1) -> Column:
+    """Word n-grams of the search-tokenized text, WITH multiplicity
+    (tf-idf needs term counts, unlike `word_shingles`' distinct sets).
+    ngram=1 is the plain token array; texts shorter than ngram tokens
+    yield an empty array (sequence(1, k) DESCENDS for k < 1 — same
+    guard as word_shingles)."""
+    toks = search_terms(text)
+    if ngram == 1:
+        return toks
+    k = F.size(toks) - (ngram - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+    )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Unit-normalized tf-idf vectors as sparse posting rows
+    (doc_id, term, wn): w = tf · ln(N/df) over word n-grams, wn = w/‖w‖.
+    N is the TOTAL input row count (a 1-row aggregate broadcast into
+    the weights — never a driver count()).
+
+    Two prunings keep the downstream self-join off the boilerplate:
+    terms with df = N carry EXACTLY zero idf and are dropped before
+    any weight math (ln(N/N) = 0 — tf-idf's stopword self-pruning),
+    and ``max_df_frac`` optionally drops terms seen in more than that
+    fraction of docs — the same boilerplate dial as MinHash's max_df,
+    and principled here: high-df terms are precisely the ones tf-idf
+    weights toward zero, so capping them changes scores least while
+    bounding the Σ df² join cost most. Documents whose every term was
+    pruned (zero norm) emit no rows — the zero-norm policy of
+    operators/similarity.py.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1 row, broadcast
+    tf = (
+        docs.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(term_grams(F.col(text_col), ngram)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df_t AND the weight join
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .where(
+            F.col("df") < F.col("n_docs")
+            if max_df_frac is None
+            else F.col("df") <= F.ceil(F.lit(max_df_frac) * F.col("n_docs"))
+        )
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.join(nrm, "doc_id").select(
+        "doc_id", "term", (F.col("w") / F.col("nrm")).alias("wn")
+    )
+
+
+def tfidf_related_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    ngram: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Top-k most-similar OTHER documents per document under sparse
+    tf-idf cosine — the lexical doc-to-doc face of similarity search
+    (BM25 is query-to-doc; embedding cosine is the dense twin). Output
+    (doc_id, other_id, cosine, rk); cosine rounded to 6 dp BEFORE
+    ranking, ties to low other_id. Weights are non-negative, so
+    cosine ∈ [0, 1].
+
+    Scale shape: the pair generation is an inverted-index SELF-join on
+    term — cost Θ(Σ_t df_t²), dominated entirely by high-df terms.
+    That is why the two prunings in `tfidf_weights` are load-bearing at
+    100 TB: df=N terms vanish for free, and ``max_df_frac`` bounds the
+    worst df. Both pair directions come out of ONE join pass (see the
+    inline note); only (doc_id, term, wn) posting rows — never texts —
+    cross the shuffle. For threshold
+    retrieval at extreme scale, prefix filtering (Bayardo et al.'s
+    AllPairs, the dedup.py:74 pattern) prunes further; top-k has no
+    such bound, so the df dial is the cost control.
+    """
+    wn = tfidf_weights(docs, id_col, text_col, ngram, max_df_frac)
+    wn = wn.localCheckpoint(eager=False)  # both sides of the self-join
+    a = wn.select(
+        F.col("doc_id"), "term", F.col("wn").alias("wa")
+    )
+    b = wn.select(
+        F.col("doc_id").alias("other_id"), "term", F.col("wn").alias("wb")
+    )
+    # both pair directions in ONE join pass (!=, not a<b + mirror-union:
+    # the union's two branches would each recompute the join — the plan
+    # showed exactly that double work; aggregating 2x pair rows once is
+    # strictly cheaper, and each direction's sum is the same cosine)
+    pairs = (
+        a.join(b, "term")
+        .where(F.col("doc_id") != F.col("other_id"))
+        .groupBy("doc_id", "other_id")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("other_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "other_id", "cosine", "rk")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame], k: int = 10, k_rrf: int = 60
 ) -> DataFrame:

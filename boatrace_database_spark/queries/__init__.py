@@ -24,12 +24,12 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 110 after round 6 added the split family, token budgets,
+# catalog — 111 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
-# projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
-# detect/strip, and the hopping window), so ordering is the coverage
-# lever.
+# projection, BM25 retrieval + RRF fusion + sizing dial + tf-idf
+# related-docs, ExactSubstr detect/strip, and the hopping window), so
+# ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
@@ -75,9 +75,14 @@ _ORDER = [
     "quality_topk_per_source",
     "dedup_best_quality", "dedup_incremental_batch",
     "embedding_project_jl", "bm25_topk_docs", "repeated_substring_spans",
-    # past the 50-row budget: rrf_fusion is a composition of two
-    # primitives that BOTH hold driver rows above (bm25_topk_docs,
-    # embedding_cosine_topk) with the fusion arithmetic pytest-pinned
+    # past the 50-row budget: tfidf_related_docs shares its two
+    # building blocks with IN-budget rows (bm25_topk_docs: same
+    # postings/tokenizer machinery; dedup_ngram_jaccard held a green
+    # r5 posting-self-join row) and is oracle-parity pytested locally
+    "tfidf_related_docs",
+    # rrf_fusion is a composition of two primitives that BOTH hold
+    # driver rows above (bm25_topk_docs, embedding_cosine_topk) with
+    # the fusion arithmetic pytest-pinned
     "retrieval_rrf_fusion", "strip_repeated_spans",
     # time_hopping: windowing VARIANT whose sibling (time_tumble, tier
     # 1) holds an in-budget row; the slide fan-out is oracle-parity

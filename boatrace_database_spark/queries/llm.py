@@ -783,6 +783,64 @@ SELECT query_id, doc_id, rrf, rk FROM (
 )
 
 
+def tfidf_related_docs(spark, sf_dir):
+    """Sparse doc-to-doc similarity (retrieval.tfidf_related_topk):
+    every document's top-5 most-similar neighbors under unit-normalized
+    bigram tf-idf cosine — the lexical related-documents face of
+    similarity search (BM25 = query→doc, embedding cosine = dense
+    doc→doc). Bigram terms on this corpus because every UNIGRAM
+    appears in ~every doc (df = N ⇒ idf exactly 0 — tf-idf's stopword
+    self-pruning would empty the vectors; the bigram vocabulary is
+    where the signal lives)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        R.tfidf_related_topk(d, "doc_id", "text", k=5, ngram=2)
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_RELATED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> ''
+         ) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS term
+  FROM toks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dft.df) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+  WHERE dft.df < n.n_docs
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+wn AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn FROM w JOIN nrm USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(sum(a.wn * b.wn), 6) AS cosine
+  FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT id_a AS doc_id, id_b AS other_id, cosine FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, cosine FROM pairs
+)
+SELECT doc_id, other_id, cosine, rk FROM (
+  SELECT doc_id, other_id, cosine,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cosine DESC, other_id) AS rk
+  FROM sym
+) WHERE rk <= 5 ORDER BY doc_id, rk
+"""
+
+
 def bm25_index_stats(spark, sf_dir):
     """Retrieval index sizing dial (retrieval.bm25_index_stats): the
     pre-flight pass run before building a corpus-scale BM25 index —
@@ -2008,6 +2066,7 @@ QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_index_stats": bm25_index_stats,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "tfidf_related_docs": tfidf_related_docs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_bucket_stats": ann_bucket_stats,
@@ -2064,6 +2123,7 @@ ORACLES = {
     "bm25_topk_docs": BM25_TOPK_SQL,
     "bm25_index_stats": BM25_INDEX_STATS_SQL,
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
+    "tfidf_related_docs": TFIDF_RELATED_SQL,
     "ann_lsh_topk": None,
     "ann_ivf_topk": None,
     "ann_bucket_stats": ANN_BUCKET_STATS_SQL,

@@ -127,6 +127,7 @@ def main() -> None:
     # one-time costs and flatters the measured linearity
     warm_docs = docs1.limit(50).localCheckpoint()
     R.bm25_topk(docs1, q, k=10).count()
+    R.tfidf_related_topk(warm_docs, k=5, ngram=3).count()
     D.incremental_minhash_dedup(warm_docs, seen1.limit(100), "doc_id", "text").count()
     TX.repeated_substring_spans(
         warm_docs, "doc_id", "text", min_tokens=8, hash_grams=True
@@ -159,6 +160,20 @@ def main() -> None:
             lambda d: TX.repeated_substring_spans(
                 d, "doc_id", "text", min_tokens=8, hash_grams=True
             ),
+        ),
+        # tf-idf doc-to-doc top-k: the posting SELF-join is Θ(Σ df²).
+        # build_docs gives each replica a DISJOINT vocabulary, so df
+        # per term stays 1x-sized while term count grows R-fold —
+        # Σ df² grows ~R (the new-domains growth model; same-vocab
+        # growth would be quadratic and is what max_df_frac bounds).
+        # Trigrams here: the synthetic 31-word vocab makes BIGRAM df
+        # unrealistically fat (~5% of the corpus per bigram) — the
+        # trigram df distribution is the realistic operating point.
+        (
+            "tfidf_related_topk",
+            docs1,
+            docsN,
+            lambda d: R.tfidf_related_topk(d, k=5, ngram=3),
         ),
         # bloom build over the corpus fingerprints: one codegen scan +
         # a distinct-position aggregate bounded by m bits — the member

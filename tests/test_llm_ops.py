@@ -1512,3 +1512,122 @@ def test_normalize_width_on_real_venue_strings(spark):
     assert out[1][0] == "ABC xyz 012!"
     assert out[2][0] == "plain ascii stays"
     assert all(v[1] for v in out.values())
+
+
+# --------------------------------------------------------------------------
+# sparse tf-idf doc-to-doc similarity
+def test_tfidf_related_semantics(spark):
+    """Identical docs score cosine 1.0 and rank each other first; a
+    doc sharing no term (after pruning) with anyone is ABSENT from the
+    output (zero-norm/no-pair policy); scores are symmetric and in
+    (0, 1]."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana cherry"),
+        (2, "apple dog elephant"),
+        (3, "zebra yak xylophone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = R.tfidf_related_topk(docs, k=3).collect()
+    by_pair = {(r.doc_id, r.other_id): r.cosine for r in out}
+    top = {r.doc_id: (r.other_id, r.cosine) for r in out if r.rk == 1}
+    assert top[0] == (1, 1.0) and top[1] == (0, 1.0)  # identical docs
+    assert 3 not in {r.doc_id for r in out}  # no shared term -> absent
+    assert 3 not in {r.other_id for r in out}
+    assert all(0.0 < c <= 1.0 for c in by_pair.values())
+    # symmetry: both directions of every pair carry the same score
+    for (a, b), c in by_pair.items():
+        assert by_pair[(b, a)] == c
+
+
+def test_tfidf_df_n_terms_self_prune(spark):
+    """A term present in EVERY doc has idf exactly ln(N/N)=0 and is
+    dropped before the self-join: docs that share ONLY universal terms
+    produce no pairs at all."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "common alpha"),
+        (1, "common beta"),
+        (2, "common gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    assert R.tfidf_related_topk(docs, k=3).count() == 0
+
+
+def test_tfidf_max_df_cap(spark):
+    """max_df_frac is the boilerplate dial: capping at 0.5 drops
+    'apple' (df 3 of 4) so the only surviving pair is the identical
+    doc pair sharing banana/cherry."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana cherry"),
+        (2, "apple dog elephant"),
+        (3, "zebra yak xylophone"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = R.tfidf_related_topk(docs, k=3, max_df_frac=0.5).collect()
+    assert {(r.doc_id, r.other_id) for r in out} == {(0, 1), (1, 0)}
+
+
+def test_tfidf_ngram_short_docs(spark):
+    """ngram=2 on a single-token doc yields no grams (the sequence
+    guard) — the doc is absent, nothing crashes, and longer docs still
+    pair on shared bigrams."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "one"),
+        (1, "alpha beta gamma"),
+        (2, "alpha beta delta"),
+        (3, "epsilon zeta eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = R.tfidf_related_topk(docs, k=3, ngram=2).collect()
+    assert {(r.doc_id, r.other_id) for r in out} == {(1, 2), (2, 1)}
+
+
+def test_tfidf_weights_are_unit_norm(spark):
+    """Every emitted document vector is unit-length (sum of squared
+    weights = 1) — the invariant that makes the pair dot product a
+    cosine."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    norms = (
+        R.tfidf_weights(docs, ngram=2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wn") * F.col("wn")).alias("sq"))
+        .collect()
+    )
+    assert norms and all(abs(r.sq - 1.0) < 1e-9 for r in norms)
+
+
+def test_tfidf_pair_join_is_broadcast_free_of_text(spark):
+    """Scale contract: df_t and the 1-row N aggregate ride BROADCASTS
+    into the weight join (visible on the weights plan — the top-k plan
+    truncates it behind the localCheckpoint), and the pair self-join
+    exchanges only (doc_id, term, wn) posting rows — the text column
+    never reaches a shuffle."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wplan = (
+        R.tfidf_weights(docs, ngram=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in wplan, wplan  # df_t probe
+    assert "BroadcastNestedLoopJoin" in wplan, wplan  # 1-row N crossJoin
+    plan = (
+        R.tfidf_related_topk(docs, k=5, ngram=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for p in (wplan, plan):
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+        assert exchanges and all("text" not in e for e in exchanges), exchanges
