@@ -340,6 +340,46 @@ def export_reference_csvs(
     return written
 
 
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Zone-map clustering: write parquet range-partitioned AND sorted
+    on ``cluster_cols``, so each output file (and each row group inside
+    it) covers a narrow, near-disjoint slice of the key space. Parquet
+    footers carry per-row-group min/max for every column; a selective
+    filter on the cluster key then SKIPS the non-overlapping row
+    groups instead of decoding them — the storage-layout lever that
+    turns a 100 TB full scan into a reads-what-it-needs scan for
+    range/point predicates, complementing directory-level partitioning
+    (which only works for low-cardinality keys; clustering handles the
+    high-cardinality ones like timestamps, ids, or dates-within-month).
+
+    ``repartitionByRange`` samples the key distribution for balanced
+    range boundaries (one extra sampling pass — the cost of clustering
+    is ONE extra shuffle at write time, amortized over every future
+    pruned scan; boundary files may straddle two adjacent ranges when
+    a single key value spans a boundary). Spark's parquet reader
+    applies the row-group min/max pruning automatically
+    (spark.sql.parquet.filterPushdown, on by default) — no read-side
+    code changes needed.
+
+    n_files defaults to the session's defaultParallelism. For the
+    maintenance-time variant over an already-partitioned table, see
+    ``compact_partitions(sort_cols=...)``.
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(int(n), *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_partitions(
     spark: SparkSession,
     table_dir: str,

@@ -562,3 +562,53 @@ def test_compact_partitions_native_date_partition_and_no_conf_leak(
     assert left.where("race_date = DATE'2020-08-02'").count() == 0, (
         "partitionOverwriteMode leaked: full overwrite no longer truncates"
     )
+
+
+def test_cluster_write_zone_maps(spark, tmp_path):
+    """cluster_write produces files whose parquet row-group min/max
+    footers cover near-disjoint key slices: a point predicate on the
+    cluster key overlaps only a small fraction of row groups (what the
+    reader's min/max pruning skips), where the unclustered layout
+    overlaps essentially all of them. Data is preserved exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    W.cluster_write(docs, clustered, ["source"], n_files=8)
+    docs.repartition(8).write.parquet(plain)
+
+    def overlap_fraction(path, value):
+        total = hits = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["source"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= value <= st.max:
+                    hits += 1
+        assert total > 0
+        return hits / total
+
+    # every source value must be findable in SOME row group, but a
+    # clustered layout confines it to a thin slice
+    frac_clustered = max(
+        overlap_fraction(clustered, f"src{i}") for i in range(10)
+    )
+    frac_plain = min(overlap_fraction(plain, f"src{i}") for i in range(10))
+    # unclustered: nearly everything overlaps (a 60-row part file can
+    # happen to miss an extremal source value, shrinking its min/max)
+    assert frac_plain > 0.7, frac_plain
+    assert frac_clustered <= 0.5, frac_clustered  # clustered: most skip
+    # content identical; filtered scans agree across layouts
+    got = spark.read.parquet(clustered)
+    assert got.count() == docs.count()
+    assert (
+        got.where(F.col("source") == "src3").count()
+        == docs.where(F.col("source") == "src3").count()
+    )
