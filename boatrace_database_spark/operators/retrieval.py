@@ -465,6 +465,38 @@ def tfidf_related_topk(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    ngram: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Keyword extraction: the k highest-tf-idf terms per document —
+    the third face of the tf-idf family (vectors → related docs →
+    keywords; what a corpus browser or topic labeler reads). Output
+    (doc_id, term, weight, rk) with the UNIT-NORMALIZED weight
+    (per-doc ranking is unchanged by the constant norm, and normalized
+    weights compare across documents); weight rounded to 6 dp before
+    ranking, ties break lexicographically on term.
+
+    Scale shape: `tfidf_weights`' two groupBys plus ONE per-doc top-k
+    window (WindowGroupLimit keeps k rows per doc before the sort) —
+    no self-join; this is the cheap member of the family.
+    """
+    wn = tfidf_weights(docs, id_col, text_col, ngram, max_df_frac)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        wn.select("doc_id", "term", F.round("wn", 6).alias("weight"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "weight", "rk")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame], k: int = 10, k_rrf: int = 60
 ) -> DataFrame:

@@ -783,6 +783,54 @@ SELECT query_id, doc_id, rrf, rk FROM (
 )
 
 
+def tfidf_top_terms_per_doc(spark, sf_dir):
+    """Keyword extraction (retrieval.tfidf_top_terms): each document's
+    3 highest-tf-idf bigrams — the cheap member of the tf-idf family
+    (no self-join, one per-doc top-k window over the weights)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        R.tfidf_top_terms(d, "doc_id", "text", k=3, ngram=2)
+        .orderBy("doc_id", "rk")
+    )
+
+
+# weights CTE shared conceptually with TFIDF_RELATED_SQL (kept inline:
+# each oracle must be a self-contained string for the driver)
+TFIDF_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> ''
+         ) AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS term
+  FROM toks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / dft.df) AS w
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+  WHERE dft.df < n.n_docs
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+wn AS (
+  SELECT w.doc_id, w.term, round(w.w / nrm.nrm, 6) AS weight
+  FROM w JOIN nrm USING (doc_id)
+)
+SELECT doc_id, term, weight, rk FROM (
+  SELECT doc_id, term, weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term) AS rk
+  FROM wn
+) WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def tfidf_related_docs(spark, sf_dir):
     """Sparse doc-to-doc similarity (retrieval.tfidf_related_topk):
     every document's top-5 most-similar neighbors under unit-normalized
@@ -2067,6 +2115,7 @@ QUERIES = {
     "bm25_index_stats": bm25_index_stats,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "tfidf_related_docs": tfidf_related_docs,
+    "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_bucket_stats": ann_bucket_stats,
@@ -2124,6 +2173,7 @@ ORACLES = {
     "bm25_index_stats": BM25_INDEX_STATS_SQL,
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
+    "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,
     "ann_ivf_topk": None,
     "ann_bucket_stats": ANN_BUCKET_STATS_SQL,

@@ -1631,3 +1631,24 @@ def test_tfidf_pair_join_is_broadcast_free_of_text(spark):
     for p in (wplan, plan):
         exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
         assert exchanges and all("text" not in e for e in exchanges), exchanges
+
+
+def test_tfidf_top_terms_rare_term_wins(spark):
+    """Keyword extraction ranks the document's RAREST term first: in a
+    corpus where 'apple' is common and 'zymurgy' unique, doc 0's top
+    keyword is zymurgy despite equal tf."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "apple zymurgy"),
+        (1, "apple banana"),
+        (2, "apple banana"),
+        (3, "apple cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = R.tfidf_top_terms(docs, k=2).collect()
+    top = {r.doc_id: r.term for r in out if r.rk == 1}
+    assert top[0] == "zymurgy"
+    # banana (df 2) outranks apple (df 4 = N -> pruned entirely)
+    assert top[1] == "banana" and top[2] == "banana"
+    assert "apple" not in {r.term for r in out}  # df=N self-prunes
