@@ -561,3 +561,63 @@ def global_shuffle(
     """
     frame, _ = _bucketed_running(df, id_col, salt, n_buckets)
     return frame.withColumnRenamed("_run", "shuffle_pos").drop("_h", "_bkt")
+
+
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile-threshold quality filter: keep rows whose
+    ``score_col`` sits at or above the q-quantile WITHIN their group —
+    the 'drop the worst X% per source' gate every corpus-quality
+    pipeline ends with (CCNet buckets by LM perplexity quantile;
+    FineWeb ablates per-dump percentile cuts). Output: the input rows
+    that survive, plus a ``pctile`` column (the row's percent_rank in
+    its group, 0 = worst).
+
+    Two physical strategies, same contract:
+
+    - ``exact=True``: ANSI ``percent_rank`` window per group — one
+      shuffle on the group key and a per-group SORT. Exactly
+      oracle-expressible; right when groups fit a partition's sort
+      budget.
+    - ``exact=False`` (the 100 TB path): per-group
+      ``approx_percentile(score, q)`` thresholds — a partial-agg
+      scan producing ONE ROW PER GROUP, broadcast back and compared.
+      No sort, no window, no corpus-sized shuffle; the trade is the
+      sketch's rank error at the cut boundary (rows within the
+      quantile sketch's error of the threshold may flip sides), so
+      ``pctile`` is NULL on this path — the threshold is the sketch's,
+      not a true rank.
+
+    Keep semantics at the boundary: rows EQUAL to the threshold score
+    survive on both paths (percent_rank of a tied run is the run's
+    FIRST rank, so a tie straddling q keeps the whole run — both
+    engines implement ANSI percent_rank identically).
+    """
+    if not 0.0 <= q < 1.0:
+        raise ValueError(f"q must be in [0, 1) (got {q})")
+    grp = F.col(group_col) if group_col else F.lit(1)
+    if exact:
+        w = Window.partitionBy(grp).orderBy(F.col(score_col))
+        return (
+            df.withColumn("pctile", F.round(F.percent_rank().over(w), 6))
+            .where(F.col("pctile") >= q)
+        )
+    thresholds = (
+        df.groupBy(grp.alias("_grp"))
+        .agg(
+            F.percentile_approx(F.col(score_col), F.lit(q)).alias("_thr")
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(thresholds), grp == F.col("_grp"), "inner"
+        )
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_grp", "_thr")
+        .withColumn("pctile", F.lit(None).cast("double"))
+    )

@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 112 after round 6 added the split family, token budgets,
+# catalog — 113 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial + tf-idf
@@ -36,7 +36,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 24 entries, twelve past the 50-row budget (see the tier-2 inline
+# — 25 entries, thirteen past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -83,6 +83,10 @@ _ORDER = [
     # tfidf_top_terms_per_doc: family VARIANT sharing tfidf_related_docs'
     # weights table (the no-join member); oracle-parity pytested
     "tfidf_top_terms_per_doc",
+    # quality_quantile_gate: gate VARIANT of the in-budget
+    # quality_topk_per_source (same scored window, >= threshold instead
+    # of top-k); approx-vs-exact contract + parity pytested
+    "quality_quantile_gate",
     # rrf_fusion is a composition of two primitives that BOTH hold
     # driver rows above (bm25_topk_docs, embedding_cosine_topk) with
     # the fusion arithmetic pytest-pinned

@@ -1511,6 +1511,52 @@ FROM r WHERE rank_in_source <= 5 ORDER BY source, rank_in_source
 """
 
 
+def quality_quantile_gate(spark, sf_dir):
+    """Percentile-threshold curation (corpus.quantile_gate, exact
+    path): drop each source's worst quality quartile — the gate shape
+    CCNet/FineWeb pipelines cut corpora with. The approx-threshold
+    scale path (no sort, per-group sketch thresholds broadcast back)
+    is contract-tested against this exact path in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return (
+        C.quantile_gate(scored, "quality", 0.25, group_col="source")
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_GATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(lower(text)), '\s+') AS lw
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         round((least(length(text) / 500.0, 1.0)
+                + (1 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       / greatest(length(text), 1))
+                + least(len(list_filter(lw, x -> x IN
+                        ('the','a','an','of','to','and','in','is','it',
+                         'for','on','with')))
+                        / greatest(len(lw), 1) * 4, 1.0)) / 3, 6)
+           AS quality
+  FROM t
+),
+pr AS (
+  SELECT doc_id, source, quality,
+         round(percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality), 6) AS pctile
+  FROM scored
+)
+SELECT doc_id, source, quality, pctile
+FROM pr WHERE pctile >= 0.25 ORDER BY doc_id
+"""
+
+
 def pack_materialize(spark, sf_dir):
     """The packed sequences themselves (corpus.materialize_packs):
     one row per (source, pack_id) with the member docs concatenated
@@ -2131,6 +2177,7 @@ QUERIES = {
     "pack_sequences_windows": pack_sequences_windows,
     "pack_materialize": pack_materialize,
     "quality_topk_per_source": quality_topk_per_source,
+    "quality_quantile_gate": quality_quantile_gate,
     "compression_quality": compression_quality,
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
@@ -2189,6 +2236,7 @@ ORACLES = {
     "pack_sequences_windows": PACK_SQL,
     "pack_materialize": PACK_MATERIALIZE_SQL,
     "quality_topk_per_source": QUALITY_TOPK_SQL,
+    "quality_quantile_gate": QUALITY_GATE_SQL,
     "compression_quality": None,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,

@@ -1652,3 +1652,73 @@ def test_tfidf_top_terms_rare_term_wins(spark):
     # banana (df 2) outranks apple (df 4 = N -> pruned entirely)
     assert top[1] == "banana" and top[2] == "banana"
     assert "apple" not in {r.term for r in out}  # df=N self-prunes
+
+
+# --------------------------------------------------------------------------
+# quantile gate
+def test_quantile_gate_exact_semantics(spark):
+    """Exact path: percent_rank >= q keeps exactly the top (1-q) run of
+    each group; a tied run shares its FIRST rank, so a tie straddling
+    the cut keeps or drops as one block."""
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = [(i, "g", float(i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, score DOUBLE")
+    kept = C.quantile_gate(df, "score", 0.25, group_col="grp").collect()
+    # percent_rank = (rank-1)/7 >= 0.25  =>  rank >= 2.75  =>  scores 3..8
+    assert sorted(r.id for r in kept) == [3, 4, 5, 6, 7, 8]
+    assert all(r.pctile is not None for r in kept)
+    # an all-tied group sits at percent_rank 0: q>0 drops the whole run
+    tied = spark.createDataFrame(
+        [(i, "g", 1.0) for i in range(4)], "id LONG, grp STRING, score DOUBLE"
+    )
+    assert C.quantile_gate(tied, "score", 0.5, group_col="grp").count() == 0
+    assert C.quantile_gate(tied, "score", 0.0, group_col="grp").count() == 4
+
+
+def test_quantile_gate_approx_matches_exact_contract(spark):
+    """The approx (no-sort, broadcast-threshold) path agrees with the
+    exact path everywhere except possibly AT the cut value: the
+    symmetric difference is confined to rows whose score equals the
+    boundary score of their source."""
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators import text as TX
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source",
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+    )
+    exact = {
+        (r.doc_id, r.source, r.q)
+        for r in C.quantile_gate(d, "q", 0.25, group_col="source").collect()
+    }
+    approx = {
+        (r.doc_id, r.source, r.q)
+        for r in C.quantile_gate(
+            d, "q", 0.25, group_col="source", exact=False
+        ).collect()
+    }
+    boundary = {}  # per-source min kept quality on the exact path
+    for _, src, q in exact:
+        boundary[src] = min(q, boundary.get(src, float("inf")))
+    diff = exact ^ approx
+    assert len(diff) <= 0.02 * d.count(), len(diff)
+    for _, src, q in diff:
+        assert abs(q - boundary[src]) < 5e-2, (src, q, boundary[src])
+
+
+def test_quantile_gate_approx_plan_has_no_sort(spark):
+    """Scale contract of the approx path: per-group sketch thresholds
+    broadcast back into a filter — no window, no per-group sort of the
+    corpus (the exact path's cost) anywhere in the plan."""
+    from boatrace_database_spark.operators import corpus as C
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.length("text").cast("double").alias("q")
+    )
+    plan = (
+        C.quantile_gate(d, "q", 0.25, group_col="source", exact=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
