@@ -607,12 +607,7 @@ def quantile_gate(
             df.withColumn("pctile", F.round(F.percent_rank().over(w), 6))
             .where(F.col("pctile") >= q)
         )
-    thresholds = (
-        df.groupBy(grp.alias("_grp"))
-        .agg(
-            F.percentile_approx(F.col(score_col), F.lit(q)).alias("_thr")
-        )
-    )
+    thresholds = quantile_thresholds(df, score_col, q, group_col)
     return (
         df.join(
             F.broadcast(thresholds), grp == F.col("_grp"), "inner"
@@ -620,4 +615,22 @@ def quantile_gate(
         .where(F.col(score_col) >= F.col("_thr"))
         .drop("_grp", "_thr")
         .withColumn("pctile", F.lit(None).cast("double"))
+    )
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group q-quantile score thresholds (``_grp``, ``_thr``) via
+    ``approx_percentile`` — one partial-agg scan, one tiny row per
+    group. This is `quantile_gate(exact=False)`'s threshold table,
+    exposed so it can be PERSISTED and reused as the static gate of a
+    streaming ingest (`stream_quality_gate`): calibrate quantiles on
+    the warehouse corpus, gate the firehose against them."""
+    grp = F.col(group_col) if group_col else F.lit(1)
+    return df.groupBy(grp.alias("_grp")).agg(
+        F.percentile_approx(F.col(score_col), F.lit(q)).alias("_thr")
     )

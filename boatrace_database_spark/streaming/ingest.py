@@ -17,6 +17,10 @@ same pipeline incremental:
 - `stream_decontaminate`: per-arriving-doc n-gram contamination rate
   against a STATIC benchmark gram set (broadcast membership — the
   stream-static pattern; no state, no shuffle).
+- `stream_quality_gate`: arriving docs kept iff their quality score
+  clears their group's STATIC calibrated quantile threshold
+  (corpus.quantile_thresholds) — stream-static like the
+  decontamination gate, stateless, all-codegen scoring.
 - `stream_ingest_parquet` / `stream_ingest_boatrace`: file-source
   streams appending (or partition-replacing) newly arriving files into
   the warehouse via foreachBatch (exactly-once per epoch for an
@@ -813,6 +817,58 @@ def stream_decontaminate(
     )
     return (
         scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    thresholds: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    query_name: str = "quality_gated",
+) -> StreamingQuery:
+    """Online quality gate: arriving documents are scored with
+    text.quality_score and kept iff score >= their group's STATIC
+    threshold — the streaming twin of ``corpus.quantile_gate``'s
+    approx path (``corpus.quantile_thresholds`` produces the
+    ``(_grp, _thr)`` table this consumes; batch/stream survivor parity
+    is tested).
+
+    A stream cannot compute its own corpus quantiles — a percentile is
+    a full-distribution statistic — so the deployment shape is
+    calibrate-then-gate: quantile thresholds computed (and persisted)
+    from the warehouse corpus, broadcast-joined into the firehose.
+    Stream-STATIC and stateless like ``stream_decontaminate``: no
+    state store, no shuffle, no watermark; scoring is all codegen and
+    the threshold join broadcasts one tiny row per group. Re-calibrate
+    by restarting the query with fresh thresholds (quantiles drift
+    with the corpus — the analog of the IVF centroid-drift note).
+
+    Emits survivors as (doc_id, group, quality) rounded to 6 dp.
+    """
+    from boatrace_database_spark.operators import text as TX
+
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group"),
+        F.round(TX.quality_score(F.col(text_col)), 6).alias("quality"),
+    )
+    gated = (
+        scored.join(
+            F.broadcast(thresholds), scored["group"] == thresholds["_grp"]
+        )
+        .where(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "group", "quality")
+    )
+    return (
+        gated.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

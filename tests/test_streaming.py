@@ -1325,3 +1325,50 @@ def test_stream_decontaminate_bloom_one_sided(spark, tmp_path):
         over += bloom[d][1] - n_exact
     total = sum(v[0] for v in exact.values())
     assert over / max(total, 1) <= 0.01, over  # ~fpp over-count bound
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """Stream-static quality gate: survivors of the stream against
+    calibrated thresholds equal the batch quantile_gate(exact=False)
+    survivors computed from the SAME corpus (the calibrate-then-gate
+    deployment), across a two-chunk replay."""
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators import text as TX
+    from boatrace_database_spark.streaming.ingest import stream_quality_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    scored = docs.select(
+        "doc_id", "source",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    thresholds = C.quantile_thresholds(
+        scored, "quality", 0.25, group_col="source"
+    ).localCheckpoint()  # static: calibrated once, reused per batch
+
+    src = str(tmp_path / "qgate_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+
+    q = stream_quality_gate(
+        spark, src, docs.schema, thresholds, query_name="qgate_t"
+    )
+    try:
+        deliver(docs.where(F.col("doc_id") < 250), "g1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(docs.where(F.col("doc_id") >= 250), "g2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.group, r.quality)
+            for r in spark.sql("SELECT * FROM qgate_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.doc_id: (r.source, r.quality)
+        for r in C.quantile_gate(
+            scored, "quality", 0.25, group_col="source", exact=False
+        ).collect()
+    }
+    assert 0 < len(batch) < docs.count(), "gate must drop something"
+    assert got == batch
