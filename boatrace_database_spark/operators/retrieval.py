@@ -465,6 +465,54 @@ def tfidf_related_topk(
     )
 
 
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    retrieve_k: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the top-k BM25-ranked documents EXCLUDING its known
+    positives (``positives``: (query_id, doc_id) rows) — lexically
+    similar but not-relevant docs are exactly the negatives that teach
+    a bi-encoder its decision boundary (the DPR/sentence-transformers
+    recipe). Output (query_id, doc_id, score, rk) with rk re-numbered
+    over the survivors.
+
+    ``retrieve_k`` (default 2k) is the pre-filter retrieval depth: a
+    query whose positives crowd the ranking can yield fewer than k
+    negatives from too shallow a pool — deepen it when positives per
+    query exceed k.
+
+    Scale shape: `bm25_topk`'s cost (broadcast query-term probe into
+    the postings) plus a broadcast ANTI-join against the positives
+    (query-set-sized — tiny by construction) and the same k-row window
+    already bounding the ranking. Nothing new shuffles.
+    """
+    depth = retrieve_k if retrieve_k is not None else 2 * k
+    ranked = bm25_topk(
+        docs, queries, id_col, text_col, query_id_col, query_text_col,
+        k=depth, k1=k1, b=b,
+    )
+    pos = positives.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    )
+    survivors = ranked.join(F.broadcast(pos), ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "doc_id", "score", "rk")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

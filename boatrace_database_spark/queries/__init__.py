@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 113 after round 6 added the split family, token budgets,
+# catalog — 114 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial + tf-idf
@@ -36,7 +36,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 25 entries, thirteen past the 50-row budget (see the tier-2 inline
+# — 26 entries, fourteen past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -90,7 +90,11 @@ _ORDER = [
     # rrf_fusion is a composition of two primitives that BOTH hold
     # driver rows above (bm25_topk_docs, embedding_cosine_topk) with
     # the fusion arithmetic pytest-pinned
-    "retrieval_rrf_fusion", "strip_repeated_spans",
+    "retrieval_rrf_fusion",
+    # hard_negatives: composition of the in-budget bm25_topk_docs with
+    # a broadcast anti-join; mining semantics + parity pytested
+    "retrieval_hard_negatives",
+    "strip_repeated_spans",
     # time_hopping: windowing VARIANT whose sibling (time_tumble, tier
     # 1) holds an in-budget row; the slide fan-out is oracle-parity
     # pytested locally

@@ -783,6 +783,43 @@ SELECT query_id, doc_id, rrf, rk FROM (
 )
 
 
+def retrieval_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (retrieval.mine_hard_negatives): the first
+    five documents act as full-text queries with THEMSELVES as the
+    known positive; the top-5 surviving BM25 hits per query are the
+    lexically-confusable negatives a contrastive trainer wants."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    pos = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "doc_id"
+    )
+    return R.mine_hard_negatives(d, q, pos, k=5, retrieve_k=10).orderBy(
+        "query_id", "rk"
+    )
+
+
+HARD_NEGATIVES_SQL = (
+    "WITH " + _BM25_CTE + """,
+pos AS (SELECT doc_id AS query_id, doc_id FROM documents WHERE doc_id < 5),
+survivors AS (
+  SELECT query_id, doc_id, score
+  FROM bm25_rk r
+  WHERE rk <= 10
+    AND NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.query_id = r.query_id AND p.doc_id = r.doc_id)
+)
+SELECT query_id, doc_id, score, rk FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM survivors
+) WHERE rk <= 5 ORDER BY query_id, rk
+"""
+)
+
+
 def tfidf_top_terms_per_doc(spark, sf_dir):
     """Keyword extraction (retrieval.tfidf_top_terms): each document's
     3 highest-tf-idf bigrams — the cheap member of the tf-idf family
@@ -2160,6 +2197,7 @@ QUERIES = {
     "bm25_topk_docs": bm25_topk_docs,
     "bm25_index_stats": bm25_index_stats,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "retrieval_hard_negatives": retrieval_hard_negatives,
     "tfidf_related_docs": tfidf_related_docs,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
@@ -2219,6 +2257,7 @@ ORACLES = {
     "bm25_topk_docs": BM25_TOPK_SQL,
     "bm25_index_stats": BM25_INDEX_STATS_SQL,
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
+    "retrieval_hard_negatives": HARD_NEGATIVES_SQL,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,

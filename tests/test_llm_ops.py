@@ -1722,3 +1722,27 @@ def test_quantile_gate_approx_plan_has_no_sort(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan and "Sort" not in plan, plan
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    """Hard negatives: the known positive never appears, survivors
+    re-rank densely from 1, and the strongest non-positive match leads
+    — doc 1 (sharing two terms with query 0) beats doc 2 (one term)."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana date"),
+        (2, "apple elderberry fig"),
+        (3, "grape kiwi lemon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    q = spark.createDataFrame(
+        [(0, "apple banana cherry")], "query_id LONG, query_text STRING"
+    )
+    pos = spark.createDataFrame([(0, 0)], "query_id LONG, doc_id LONG")
+    out = R.mine_hard_negatives(docs, q, pos, k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert 0 not in ids  # the positive is gone
+    assert ids[0] == 1  # most-confusable negative first
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))  # dense re-rank
