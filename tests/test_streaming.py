@@ -647,11 +647,15 @@ def test_stream_counters_and_asof_ttl_eviction(spark, tmp_path):
         deliver([ev(1, 7, "click", 1.0, 0), ev(2, 7, "click", 1.0, 1)], src_c)
         deliver([ev(1, 7, "view", 10.0, 0), ev(2, 7, "purchase", 5.0, 1)], src_a)
         wait_until(lambda: (7, 2) in counter_rows(), "counter n=2")
-        wait_until(lambda: 2 in asof_vals(), "purchase 2 enriched")
-        assert asof_vals()[2] == 10.0
-        # chunk 2, within TTL: state persists (counter keeps counting)
+        # chunk 2, within TTL: state persists (counter keeps counting).
+        # Delivered IMMEDIATELY after chunk 1 confirms — any other
+        # check in between widens the window in which a loaded host
+        # lets an empty maintenance batch fire the timeout early (the
+        # flake a saturated full-suite run exposed).
         deliver([ev(3, 7, "click", 1.0, 2)], src_c)
         wait_until(lambda: (7, 3) in counter_rows(), "counter n=3")
+        wait_until(lambda: 2 in asof_vals(), "purchase 2 enriched")
+        assert asof_vals()[2] == 10.0
         # idle past the TTL — cleanup batches evict user 7 on both
         time.sleep(ttl_ms / 1000 + 3.0)
         # prove liveness with an unrelated user, then re-deliver user 7
