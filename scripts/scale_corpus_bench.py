@@ -2,6 +2,7 @@
 contract scale_dedup_bench.py gives the dedup family): split_assign /
 split_exact / split_exact_stratified / global_shuffle /
 take_token_budget / mixture_resample / pack_sequences /
+quantile_gate (exact + approx) /
 normalize_width (roundtrip) at 1x and Rx of the sf0.1 documents
 corpus.
 
@@ -149,6 +150,26 @@ def run_ops(spark, docs, n_rows):
     )
 
     from boatrace_database_spark.operators import text as TX
+
+    # quantile gate, both physical strategies over the quality score:
+    # exact = per-group percent_rank window (one keyed shuffle + sort),
+    # approx = sketch thresholds broadcast back (scan + partial agg,
+    # NO sort) — the 100 TB path, expected flatter than exact at Rx
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).cast("string").alias("src"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+    ).localCheckpoint(eager=False)
+    rec(
+        "quantile_gate_exact",
+        lambda: C.quantile_gate(scored, "q", 0.25, group_col="src").count(),
+    )
+    rec(
+        "quantile_gate_approx",
+        lambda: C.quantile_gate(
+            scored, "q", 0.25, group_col="src", exact=False
+        ).count(),
+    )
 
     def width_roundtrip_violations():
         # widen then normalize must reproduce the original text on every
