@@ -703,3 +703,52 @@ def test_hash_ops_negative_ids_use_mathematical_mod(spark):
     # shuffle positions remain an exact permutation with negatives
     pos = [r.shuffle_pos for r in C.global_shuffle(df, "id").collect()]
     assert sorted(pos) == list(range(len(ids)))
+
+
+# --------------------------------------------------------------------------
+# robust JSONL ingest
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """Good lines parse under the enforced schema; unparseable JSON and
+    type-contradicting lines land in quarantine with the raw line
+    preserved; nothing is silently dropped (good + bad == input)."""
+    from boatrace_database_spark.sources.jsonl import CORRUPT_COL, read_jsonl
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        '{"doc_id": 2, "text": "beta"}',
+        '{"doc_id": "not-a-number", "text": "gamma"}',  # type clash
+        '{broken json',                                  # unparseable
+        '{"doc_id": 5, "text": "epsilon"}',
+    ]
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_jsonl(spark, str(src), schema, quarantine_path=qdir)
+
+    assert {r.doc_id for r in good.collect()} == {1, 2, 5}
+    assert CORRUPT_COL not in good.columns
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    raws = {r[CORRUPT_COL] for r in bad_rows}
+    assert '{broken json' in raws
+    assert any('not-a-number' in r for r in raws)  # raw line preserved
+    assert good.count() + bad.count() == len(lines)
+    # the quarantine sink got the same two rows
+    q = spark.read.parquet(qdir)
+    assert q.count() == 2
+
+
+def test_read_jsonl_rejects_reserved_column(spark, tmp_path):
+    from boatrace_database_spark.sources.jsonl import read_jsonl
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("_corrupt_record", StringType())])
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(tmp_path), schema)
