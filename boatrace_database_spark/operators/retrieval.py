@@ -545,6 +545,112 @@ def tfidf_top_terms(
     )
 
 
+def mmr_rerank(
+    ranked: DataFrame,
+    sims: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein): greedily re-rank each query's candidates trading
+    relevance against redundancy — pick argmax
+    ``lam·score − (1−lam)·max_sim_to_already_picked``; the classic
+    cure for retrieval (or few-shot example selection) returning k
+    copies of the same document. lam=1 reproduces the input ranking;
+    lam→0 maximizes diversity.
+
+    ``ranked``: (query_id, doc_id, score, …) per-query candidates
+    (bm25_topk / cosine_topk / rrf_fuse output). ``sims``: (id_a,
+    id_b, sim) pairwise doc-doc similarities (tfidf_related_topk or
+    embedding cosine pairs; either direction suffices — pairs are
+    symmetrized here, missing pairs count as 0). Output (query_id,
+    doc_id, mmr, rk): mmr is the marginal objective AT SELECTION TIME
+    (monotone non-increasing only for rk≥2), rounded to 6 dp; ties
+    break to low doc_id.
+
+    Scale shape: greedy MMR is inherently sequential PER QUERY, so the
+    right distribution is one task per query group — candidates are
+    k-bounded tiny sets (the searches already capped them), the sims
+    join touches only intra-query candidate pairs, and the greedy loop
+    runs in numpy inside applyInPandas. Never a driver loop, never a
+    corpus-sized shuffle: the expensive work stayed in the searches
+    that produced the inputs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = ranked.select("query_id", "doc_id", "score")
+    both = sims.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("nbr_id"),
+        F.col("sim"),
+    ).unionByName(
+        sims.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("nbr_id"),
+            "sim",
+        )
+    )
+    # intra-query candidate pairs only: join sims to the candidate set
+    # on BOTH endpoints (nbr must itself be a candidate of the query)
+    edges = (
+        cand.join(both, "doc_id")
+        .join(
+            cand.select(
+                "query_id", F.col("doc_id").alias("nbr_id")
+            ).distinct(),
+            ["query_id", "nbr_id"],
+            "left_semi",
+        )
+    )
+    long = cand.join(edges.select("query_id", "doc_id", "nbr_id", "sim"),
+                     ["query_id", "doc_id"], "left")
+
+    id_ddl = dict(zip(ranked.columns, (f.dataType.simpleString()
+                                       for f in ranked.schema.fields)))
+    out_schema = (
+        f"query_id {id_ddl['query_id']}, doc_id {id_ddl['doc_id']}, "
+        "mmr DOUBLE, rk INT"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        cands = (
+            pdf[["doc_id", "score"]]
+            .drop_duplicates("doc_id")
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ids = cands["doc_id"].to_numpy()
+        rel = cands["score"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        pos = {d: i for i, d in enumerate(ids)}
+        S = np.zeros((n, n))
+        ed = pdf.dropna(subset=["nbr_id"])
+        for d, nb, sv in zip(ed["doc_id"], ed["nbr_id"], ed["sim"]):
+            i, j = pos[d], pos.get(nb, -1)
+            if j >= 0:
+                S[i, j] = max(S[i, j], float(sv))
+                S[j, i] = S[i, j]
+        picked: list[int] = []
+        rows = []
+        avail = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            if picked:
+                redundancy = S[:, picked].max(axis=1)
+            else:
+                redundancy = np.zeros(n)
+            obj = lam * rel - (1 - lam) * redundancy
+            obj[~avail] = -np.inf
+            best = int(np.argmax(obj))  # first max: ids sorted -> low id
+            picked.append(best)
+            avail[best] = False
+            rows.append((qid, ids[best], round(float(obj[best]), 6), step + 1))
+        return pd.DataFrame(rows, columns=["query_id", "doc_id", "mmr", "rk"])
+
+    return long.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
 def rrf_fuse(
     rankings: list[DataFrame], k: int = 10, k_rrf: int = 60
 ) -> DataFrame:

@@ -820,6 +820,31 @@ SELECT query_id, doc_id, score, rk FROM (
 )
 
 
+def retrieval_mmr_diversified(spark, sf_dir):
+    """Diversified retrieval (retrieval.mmr_rerank): the 5-query BM25
+    top-10 re-ranked by Maximal Marginal Relevance at lam=0.7, with
+    doc-doc redundancy from ALL-PAIRS tf-idf cosine among just the
+    ≤50 candidate docs (a broadcast semi-join subcorpus — the sims
+    cost lives where the candidates are, never corpus-wide). No SQL
+    oracle: greedy MMR is inherently iterative; the objective
+    arithmetic and lam endpoints are pytest-pinned instead."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    ranked = R.bm25_topk(d, q, k=10)
+    cand_ids = ranked.select("doc_id").distinct()
+    sub = d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sims = R.tfidf_related_topk(sub, k=49, ngram=2).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("other_id").alias("id_b"),
+        F.col("cosine").alias("sim"),
+    )
+    return R.mmr_rerank(ranked, sims, k=5, lam=0.7).orderBy(
+        "query_id", "rk"
+    )
+
+
 def tfidf_top_terms_per_doc(spark, sf_dir):
     """Keyword extraction (retrieval.tfidf_top_terms): each document's
     3 highest-tf-idf bigrams — the cheap member of the tf-idf family
@@ -2198,6 +2223,7 @@ QUERIES = {
     "bm25_index_stats": bm25_index_stats,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "retrieval_hard_negatives": retrieval_hard_negatives,
+    "retrieval_mmr_diversified": retrieval_mmr_diversified,
     "tfidf_related_docs": tfidf_related_docs,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
@@ -2258,6 +2284,7 @@ ORACLES = {
     "bm25_index_stats": BM25_INDEX_STATS_SQL,
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
     "retrieval_hard_negatives": HARD_NEGATIVES_SQL,
+    "retrieval_mmr_diversified": None,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,

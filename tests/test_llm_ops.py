@@ -1746,3 +1746,44 @@ def test_mine_hard_negatives_excludes_positives(spark):
     assert 0 not in ids  # the positive is gone
     assert ids[0] == 1  # most-confusable negative first
     assert [r.rk for r in out] == list(range(1, len(out) + 1))  # dense re-rank
+
+
+def test_mmr_rerank_trades_relevance_for_diversity(spark):
+    """MMR fixture: B is nearly a copy of top-ranked A, C is less
+    relevant but novel — at lam=0.5 the order is A, C, B; at lam=1 the
+    input relevance order A, B, C comes back."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    ranked = spark.createDataFrame(
+        [(0, 10, 0.90, 1), (0, 11, 0.85, 2), (0, 12, 0.50, 3)],
+        "query_id LONG, doc_id LONG, score DOUBLE, rk INT",
+    )
+    sims = spark.createDataFrame(
+        [(10, 11, 0.95), (10, 12, 0.05), (11, 12, 0.05)],
+        "id_a LONG, id_b LONG, sim DOUBLE",
+    )
+    div = R.mmr_rerank(ranked, sims, k=3, lam=0.5).orderBy("rk").collect()
+    assert [r.doc_id for r in div] == [10, 12, 11]
+    # selection-time objective: rk1 = lam*rel, later = lam*rel-(1-lam)*red
+    assert div[0].mmr == 0.45 and div[1].mmr == 0.225
+    rel = R.mmr_rerank(ranked, sims, k=3, lam=1.0).orderBy("rk").collect()
+    assert [r.doc_id for r in rel] == [10, 11, 12]
+
+
+def test_mmr_rerank_multi_query_and_missing_sims(spark):
+    """Queries diversify independently; candidate pairs with no sims
+    row count as 0 similarity (pure relevance order); k caps output."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    ranked = spark.createDataFrame(
+        [(0, 1, 0.9, 1), (0, 2, 0.8, 2), (1, 3, 0.7, 1), (1, 4, 0.6, 2),
+         (1, 5, 0.5, 3)],
+        "query_id LONG, doc_id LONG, score DOUBLE, rk INT",
+    )
+    sims = spark.createDataFrame([], "id_a LONG, id_b LONG, sim DOUBLE")
+    out = R.mmr_rerank(ranked, sims, k=2, lam=0.3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.doc_id))
+    assert sorted(by_q[0]) == [(1, 1), (2, 2)]
+    assert sorted(by_q[1]) == [(1, 3), (2, 4)]  # k=2 caps query 1
