@@ -593,10 +593,16 @@ def quantile_gate(
       ``pctile`` is NULL on this path — the threshold is the sketch's,
       not a true rank.
 
-    Keep semantics at the boundary: rows EQUAL to the threshold score
-    survive on both paths (percent_rank of a tied run is the run's
-    FIRST rank, so a tie straddling q keeps the whole run — both
-    engines implement ANSI percent_rank identically).
+    Boundary semantics DIFFER by design between the paths, and by
+    whole tied runs, not just sketch error: the exact path ranks a
+    tied run at its FIRST rank (ANSI percent_rank — identical in both
+    engines), so a run straddling q keeps or DROPS as one block
+    depending on where the run starts (an all-tied group drops
+    entirely for q > 0); the approx path keeps every row EQUAL to the
+    threshold value. Pick the path by contract: exact = "keep the top
+    (1-q) by rank", approx = "keep scores >= the q-quantile value".
+    NULL groups are a group like any other on BOTH paths (the
+    threshold join is null-safe).
     """
     if not 0.0 <= q < 1.0:
         raise ValueError(f"q must be in [0, 1) (got {q})")
@@ -610,7 +616,7 @@ def quantile_gate(
     thresholds = quantile_thresholds(df, score_col, q, group_col)
     return (
         df.join(
-            F.broadcast(thresholds), grp == F.col("_grp"), "inner"
+            F.broadcast(thresholds), grp.eqNullSafe(F.col("_grp")), "inner"
         )
         .where(F.col(score_col) >= F.col("_thr"))
         .drop("_grp", "_thr")

@@ -397,14 +397,17 @@ def tfidf_weights(
         .localCheckpoint(eager=False)  # feeds df_t AND the weight join
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df = N ALWAYS prunes (zero idf — otherwise a doc of only
+    # universal terms reaches the norm with w=0 and the unit-normalize
+    # divides by zero under ANSI); max_df_frac is a further cap ON TOP,
+    # dropping terms in MORE than that fraction of docs (strict >)
+    keep = F.col("df") < F.col("n_docs")
+    if max_df_frac is not None:
+        keep = keep & (F.col("df") <= F.lit(max_df_frac) * F.col("n_docs"))
     w = (
         tf.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(n))
-        .where(
-            F.col("df") < F.col("n_docs")
-            if max_df_frac is None
-            else F.col("df") <= F.ceil(F.lit(max_df_frac) * F.col("n_docs"))
-        )
+        .where(keep)
         .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))

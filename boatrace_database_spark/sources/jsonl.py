@@ -41,9 +41,12 @@ def read_jsonl(
     audit trail survives the job.
 
     Scale shape: one splittable text scan, codegen from_json + a
-    null-check filter each side, no shuffle. The returned frames
-    re-read from source on each action (cache in the caller if both
-    sides feed long pipelines).
+    null-check filter each side, no shuffle. ``good`` re-reads from
+    source on each action (cache in the caller if it feeds several
+    pipelines); with ``quarantine_path`` set, ``bad`` is materialized
+    ONCE (localCheckpoint) so the persisted quarantine and the
+    returned frame cannot diverge if source files change under an
+    append-style landing directory — without it, ``bad`` stays lazy.
     """
     if CORRUPT_COL in (f.name for f in schema.fields):
         raise ValueError(f"schema must not already contain {CORRUPT_COL!r}")
@@ -64,15 +67,19 @@ def read_jsonl(
         ).alias("j"),
         F.col("value"),
     )
-    good = (
-        parsed.where(F.col(f"j.{CORRUPT_COL}").isNull())
-        .select("j.*")
-        .drop(CORRUPT_COL)
+    # blank/whitespace-only lines parse to an all-null struct with a
+    # NULL corrupt marker — from_json's one gap vs the file source.
+    # They are NOT good rows (the silent-nulls failure this module
+    # exists to prevent), so the bad-side predicate catches them too.
+    is_bad = F.col(f"j.{CORRUPT_COL}").isNotNull() | (
+        F.trim(F.col("value")) == ""
     )
-    bad = parsed.where(F.col(f"j.{CORRUPT_COL}").isNotNull()).select(
+    good = parsed.where(~is_bad).select("j.*").drop(CORRUPT_COL)
+    bad = parsed.where(is_bad).select(
         *[F.col(f"j.{f.name}") for f in schema.fields],
         F.col("value").alias(CORRUPT_COL),
     )
     if quarantine_path is not None:
+        bad = bad.localCheckpoint(eager=True)  # one scan, one truth
         bad.write.mode("append").parquet(quarantine_path)
     return good, bad

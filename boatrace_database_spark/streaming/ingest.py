@@ -850,7 +850,15 @@ def stream_quality_gate(
     by restarting the query with fresh thresholds (quantiles drift
     with the corpus — the analog of the IVF centroid-drift note).
 
-    Emits survivors as (doc_id, group, quality) rounded to 6 dp.
+    A group with NO calibrated threshold row (a source that appeared
+    after calibration) PASSES — it has no threshold to fail, and
+    silently deleting a new source's entire stream is the worse
+    failure; its rows are visible as calibrated=false in the output,
+    which is also the restart-and-recalibrate signal. NULL groups
+    match a NULL-group threshold row null-safely.
+
+    Emits survivors as (doc_id, group, quality, calibrated), quality
+    rounded to 6 dp.
     """
     from boatrace_database_spark.operators import text as TX
 
@@ -862,10 +870,15 @@ def stream_quality_gate(
     )
     gated = (
         scored.join(
-            F.broadcast(thresholds), scored["group"] == thresholds["_grp"]
+            F.broadcast(thresholds),
+            scored["group"].eqNullSafe(thresholds["_grp"]),
+            "left",
         )
-        .where(F.col("quality") >= F.col("_thr"))
-        .select("doc_id", "group", "quality")
+        .where(F.col("_thr").isNull() | (F.col("quality") >= F.col("_thr")))
+        .select(
+            "doc_id", "group", "quality",
+            F.col("_thr").isNotNull().alias("calibrated"),
+        )
     )
     return (
         gated.writeStream.outputMode("append")

@@ -1787,3 +1787,47 @@ def test_mmr_rerank_multi_query_and_missing_sims(spark):
         by_q.setdefault(r.query_id, []).append((r.rk, r.doc_id))
     assert sorted(by_q[0]) == [(1, 1), (2, 2)]
     assert sorted(by_q[1]) == [(1, 3), (2, 4)]  # k=2 caps query 1
+
+
+def test_tfidf_max_df_cap_keeps_df_n_prune(spark):
+    """Review regression: max_df_frac must AND with (not replace) the
+    df=N zero-idf prune — a permissive cap on a corpus with a
+    universal term used to push w=0 rows into the unit-normalize and
+    divide by zero under ANSI; now the universal term still prunes
+    and single-universal-term docs simply emit nothing."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    rows = [
+        (0, "common"),
+        (1, "common banana"),
+        (2, "common cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    wn = R.tfidf_weights(docs, max_df_frac=1.0).collect()  # must not raise
+    assert "common" not in {r.term for r in wn}
+    assert {r.doc_id for r in wn} == {1, 2}  # doc 0 has no vector
+
+
+def test_quantile_gate_null_group_both_paths(spark):
+    """Review regression: NULL groups are a group like any other on
+    BOTH paths — the approx path's threshold join is null-safe, so the
+    same rows survive exact and approx (distinct scores, no tie
+    ambiguity)."""
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = [(i, None if i < 4 else "g", float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, score DOUBLE")
+    exact = {r.id for r in
+             C.quantile_gate(df, "score", 0.5, group_col="grp").collect()}
+    approx = {r.id for r in
+              C.quantile_gate(df, "score", 0.5, group_col="grp",
+                              exact=False).collect()}
+    # the regression: the approx join used to drop EVERY null-group row
+    # (grp == _grp is never true for NULL); both paths must keep the
+    # null group's top rows. Exact/approx still differ by the
+    # DOCUMENTED one-row boundary semantics, so no set equality here —
+    # but the approx cut (score >= quantile VALUE) can only sit at or
+    # below the exact rank cut for distinct scores.
+    assert any(i < 4 for i in exact), "null group must survive exact"
+    assert any(i < 4 for i in approx), "null group must survive approx"
+    assert exact <= approx

@@ -721,6 +721,8 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
         '{"doc_id": 2, "text": "beta"}',
         '{"doc_id": "not-a-number", "text": "gamma"}',  # type clash
         '{broken json',                                  # unparseable
+        '',                                              # blank line
+        '   ',                                           # whitespace only
         '{"doc_id": 5, "text": "epsilon"}',
     ]
     src = tmp_path / "docs.jsonl"
@@ -734,15 +736,18 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
 
     assert {r.doc_id for r in good.collect()} == {1, 2, 5}
     assert CORRUPT_COL not in good.columns
+    # no silent all-null rows from blank/whitespace lines on the good side
+    assert good.where(F.col("doc_id").isNull()).count() == 0
     bad_rows = bad.collect()
-    assert len(bad_rows) == 2
+    assert len(bad_rows) == 4
     raws = {r[CORRUPT_COL] for r in bad_rows}
     assert '{broken json' in raws
     assert any('not-a-number' in r for r in raws)  # raw line preserved
+    assert '' in raws and '   ' in raws  # blank lines quarantined, not nulled
     assert good.count() + bad.count() == len(lines)
-    # the quarantine sink got the same two rows
+    # the quarantine sink got the same rows
     q = spark.read.parquet(qdir)
-    assert q.count() == 2
+    assert q.count() == 4
 
 
 def test_read_jsonl_rejects_reserved_column(spark, tmp_path):

@@ -1361,10 +1361,21 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
         q.processAllAvailable()
         deliver(docs.where(F.col("doc_id") >= 250), "g2", f"{src}/c2.parquet")
         q.processAllAvailable()
+        # chunk 3: a source that appeared AFTER calibration — must PASS
+        # (no threshold to fail), flagged calibrated=false
+        deliver(
+            docs.where(F.col("doc_id") < 3).withColumn(
+                "source", F.lit("src_post_calibration")
+            ).withColumn("doc_id", F.col("doc_id") + 10_000),
+            "g3", f"{src}/c3.parquet",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM qgate_t").collect()
         got = {
             r.doc_id: (r.group, r.quality)
-            for r in spark.sql("SELECT * FROM qgate_t").collect()
+            for r in rows if r.group != "src_post_calibration"
         }
+        fresh = [r for r in rows if r.group == "src_post_calibration"]
     finally:
         q.stop()
 
@@ -1376,3 +1387,8 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     }
     assert 0 < len(batch) < docs.count(), "gate must drop something"
     assert got == batch
+    assert all(
+        r.calibrated for r in rows if r.group != "src_post_calibration"
+    )
+    assert len(fresh) == 3  # nothing silently dropped
+    assert all(not r.calibrated for r in fresh)
