@@ -299,3 +299,108 @@ def test_chunk_documents_invariants(spark, case):
                 r.chunk_text == "" and want in ([""], [])
             ), (i, cid, r.chunk_text, want)
             assert r.chunk_n_tokens == len(want)
+
+
+@st.composite
+def tfidf_corpus(draw):
+    vocab = ["apple", "banana", "cherry", "date", "elderberry", "fig"]
+    n_docs = draw(st.integers(2, 8))
+    return [
+        (
+            i,
+            " ".join(
+                draw(
+                    st.lists(st.sampled_from(vocab), min_size=0, max_size=8)
+                )
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(docs=tfidf_corpus())
+def test_tfidf_related_matches_python_reference(spark, docs):
+    """tfidf_related_topk against a pure-python tf-idf cosine: same
+    pairs, same scores to 6 dp, plus the structural invariants
+    (cosine in (0,1], symmetry, no self-pairs)."""
+    import math
+
+    from boatrace_database_spark.operators import retrieval as R
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        (r.doc_id, r.other_id): r.cosine
+        for r in R.tfidf_related_topk(df, k=100).collect()
+    }
+
+    # pure-python reference
+    n = len(docs)
+    tf = {}
+    for i, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        for t in toks:
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    dfreq = {}
+    for (_, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    w = {
+        (i, t): c * math.log(n / dfreq[t])
+        for (i, t), c in tf.items()
+        if dfreq[t] < n
+    }
+    norms = {}
+    for (i, t), v in w.items():
+        norms[i] = norms.get(i, 0.0) + v * v
+    expected = {}
+    for a in range(n):
+        for b in range(n):
+            if a == b or norms.get(a, 0) == 0 or norms.get(b, 0) == 0:
+                continue
+            dot = sum(
+                w[(a, t)] * w[(b, t)]
+                for t in dfreq
+                if (a, t) in w and (b, t) in w
+            )
+            c = round(dot / math.sqrt(norms[a] * norms[b]), 6)
+            if c != 0.0:
+                expected[(a, b)] = c
+    assert got == expected
+    for (a, b), c in got.items():
+        assert 0.0 < c <= 1.0 + 1e-9
+        assert got[(b, a)] == c
+
+
+@settings(**_SETTINGS)
+@given(
+    scores=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.floats(0, 1, allow_nan=False)),
+        min_size=1,
+        max_size=25,
+    ),
+    q=st.sampled_from([0.0, 0.25, 0.5, 0.9]),
+)
+def test_quantile_gate_exact_matches_python_percent_rank(spark, scores, q):
+    """The exact path equals the ANSI percent_rank formula computed in
+    pure python: pr = (rank-1)/(n-1) with ties at their first rank,
+    pr=0 for singleton groups; keep pr rounded to 6 dp >= q."""
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = [(i, g, round(s, 4)) for i, (g, s) in enumerate(scores)]
+    df = spark.createDataFrame(rows, "id LONG, grp STRING, score DOUBLE")
+    got = {r.id for r in
+           C.quantile_gate(df, "score", q, group_col="grp").collect()}
+
+    expected = set()
+    by_g = {}
+    for i, g, s in rows:
+        by_g.setdefault(g, []).append((i, s))
+    for g, members in by_g.items():
+        n = len(members)
+        svals = sorted(s for _, s in members)
+        for i, s in members:
+            first_rank = svals.index(s) + 1  # ties -> first rank
+            pr = 0.0 if n == 1 else (first_rank - 1) / (n - 1)
+            if round(pr, 6) >= q:
+                expected.add(i)
+    assert got == expected
