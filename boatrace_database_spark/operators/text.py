@@ -720,3 +720,142 @@ def chunk_documents(
             ).alias("chunk_n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al.) — the driver-coordinated
+# iterative algorithm class: M merge rounds, each one tiny aggregation.
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge list from a corpus — the
+    tokenizer-TRAINING face of the token-counting battery (a
+    `bpe_ish_token_count` that earns its vocabulary instead of
+    guessing one). Returns merge rules [(a, b), ...] in learned order;
+    feed to `bpe_encode_count`/`bpe_segment`.
+
+    The Sennrich trick makes this distributed-cheap: training state is
+    the WORD-FREQUENCY table (distinct words × counts — vocabulary-
+    sized, not corpus-sized), computed from the corpus ONCE. Each
+    merge round is then (1) a JVM explode+groupBy pair count over the
+    word table weighted by word frequency, (2) a 1-row argmax to the
+    driver (ties break lexicographically so training is deterministic),
+    (3) a JVM `aggregate` fold rewriting each word's symbol sequence —
+    greedy left-to-right, non-overlapping, exactly python BPE's
+    application order (property-tested against a pure-python
+    reference). No Python touches the row path; lineage is flattened
+    every round (localCheckpoint) so M rounds cannot stack M nested
+    plans.
+
+    At 100 TB the word table is millions of rows — each round stays a
+    partial-agg scan of it; the corpus is read exactly once. Training
+    stops early when no pair reaches ``min_pair_count`` (merging
+    singletons memorizes the corpus).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("w", "").alias("seq"), "cnt")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            words.where(F.size("seq") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("seq") - 2),
+                        lambda i: F.struct(
+                            F.element_at("seq", i + 1).alias("a"),
+                            F.element_at("seq", i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts or pair_counts[0].n < min_pair_count:
+            break
+        a, b = pair_counts[0].a, pair_counts[0].b
+        merges.append((a, b))
+        la, lb = F.lit(a), F.lit(b)
+        merged = F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (s == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(la, lb)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select(merged.alias("seq"), "cnt").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-python BPE application (one word): each rule greedily
+    left-to-right, rules in learned order — the contract bpe_train's
+    JVM fold is tested against."""
+    seq = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in seq:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        seq = out
+    return seq
+
+
+def bpe_encode_count(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Token count per row under a learned BPE merge list — the
+    trained-tokenizer upgrade of `bpe_ish_token_count` (budgeting,
+    packing, and mixture math all key on it). Appends ``out_col``.
+
+    Arrow-batched pandas UDF with a per-batch word cache: the merge
+    loop runs once per DISTINCT word in the batch, not per occurrence
+    — the same skew that makes natural text zipfian makes the cache
+    hit rate high. One pass over the corpus regardless of merge-list
+    length (a JVM fold would need one pass per rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_bpe(texts):  # pd.Series[str] -> pd.Series[long]
+        cache: dict[str, int] = {}
+
+        def count(t):
+            if t is None:
+                return 0
+            total = 0
+            for w in t.split():  # same whitespace tokenization as training
+                if w not in cache:
+                    cache[w] = len(_bpe_apply(w, merges))
+                total += cache[w]
+            return total
+
+        return texts.apply(count)
+
+    return df.withColumn(out_col, n_bpe(F.col(text_col)))

@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 115 after round 6 added the split family, token budgets,
+# catalog — 116 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial + tf-idf
@@ -36,7 +36,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 27 entries, fifteen past the 50-row budget (see the tier-2 inline
+# — 28 entries, sixteen past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -119,6 +119,9 @@ _ORDER = [
     # iterative, not SQL); objective arithmetic + lam endpoints
     # pytest-pinned, composition inputs hold their own rows above
     "retrieval_mmr_diversified",
+    # bpe_token_count: rows-only BY NATURE (iterative merge training);
+    # JVM fold pinned to a python reference + monotonicity pytested
+    "bpe_token_count",
     # tier 3 — second-newest row is r3 (checked r5): oldest
     # double-verification; tiers 1-2 already fill a 50-row budget, so
     # tier 3 only runs if the budget stretches — green r5 either way

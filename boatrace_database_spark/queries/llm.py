@@ -820,6 +820,23 @@ SELECT query_id, doc_id, score, rk FROM (
 )
 
 
+def bpe_token_count(spark, sf_dir):
+    """Trained-tokenizer counting (text.bpe_train + bpe_encode_count):
+    16 BPE merges learned from the corpus's word-frequency table
+    (Sennrich trick — training never rescans the corpus), then each
+    document counted under the learned segmentation. No SQL oracle:
+    greedy merge application is iterative; the JVM fold is pinned to a
+    pure-python reference and the count is monotone in merges
+    (pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    merges = TX.bpe_train(d, n_merges=16)
+    return (
+        TX.bpe_encode_count(d, "text", merges)
+        .select("doc_id", "bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def retrieval_mmr_diversified(spark, sf_dir):
     """Diversified retrieval (retrieval.mmr_rerank): the 5-query BM25
     top-10 re-ranked by Maximal Marginal Relevance at lam=0.7, with
@@ -2224,6 +2241,7 @@ QUERIES = {
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "retrieval_hard_negatives": retrieval_hard_negatives,
     "retrieval_mmr_diversified": retrieval_mmr_diversified,
+    "bpe_token_count": bpe_token_count,
     "tfidf_related_docs": tfidf_related_docs,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
@@ -2285,6 +2303,7 @@ ORACLES = {
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
     "retrieval_hard_negatives": HARD_NEGATIVES_SQL,
     "retrieval_mmr_diversified": None,
+    "bpe_token_count": None,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,

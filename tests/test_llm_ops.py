@@ -1831,3 +1831,67 @@ def test_quantile_gate_null_group_both_paths(spark):
     assert any(i < 4 for i in exact), "null group must survive exact"
     assert any(i < 4 for i in approx), "null group must survive approx"
     assert exact <= approx
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training
+def test_bpe_train_learns_frequent_pairs(spark):
+    """The Sennrich-style fixture: a corpus dominated by 'low'-family
+    words learns 'l'+'o' then 'lo'+'w' early — frequent pairs merge
+    first, ties break lexicographically, training is deterministic."""
+    from boatrace_database_spark.operators import text as TX
+
+    rows = [(0, "low low low low low lower lower lowest"),
+            (1, "low slow slower lowest glow")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    m1 = TX.bpe_train(docs, n_merges=4)
+    m2 = TX.bpe_train(docs, n_merges=4)
+    assert m1 == m2  # deterministic
+    assert m1[0] == ("l", "o")  # 'lo' appears in every word
+    assert ("lo", "w") in m1[:2]  # 'low' is next
+
+
+def test_bpe_jvm_fold_matches_python_reference(spark):
+    """The JVM aggregate-fold application of each learned rule equals
+    pure-python greedy left-to-right BPE, including the overlapping
+    'aaaa' -> (aa)(aa) case: training on a corpus re-segmented by the
+    python reference finds NO remaining pair that the learned rules
+    should have merged."""
+    from boatrace_database_spark.operators import text as TX
+
+    rows = [(0, "aaaa aaa aa banana bandana"), (1, "aaaa banana abab")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges = TX.bpe_train(docs, n_merges=6, min_pair_count=2)
+    assert merges[0] == ("a", "a")  # aaaa/aaa/aa dominate
+    # python reference application agrees with what training counted:
+    # 'aaaa' segments as two 'aa' symbols after the first merge
+    assert TX._bpe_apply("aaaa", merges[:1]) == ["aa", "aa"]
+    assert TX._bpe_apply("aaa", merges[:1]) == ["aa", "a"]
+
+
+def test_bpe_encode_count_monotone_and_cached(spark):
+    """More merges never increase a document's token count; zero
+    merges equals the character count of its words; the catalog corpus
+    encodes without error."""
+    from boatrace_database_spark.operators import text as TX
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    merges = TX.bpe_train(docs, n_merges=8)
+    assert merges  # the 31-word vocab has abundant repeated pairs
+    none = {r.doc_id: r.bpe_tokens for r in
+            TX.bpe_encode_count(docs, "text", []).collect()}
+    some = {r.doc_id: r.bpe_tokens for r in
+            TX.bpe_encode_count(docs, "text", merges[:4]).collect()}
+    full = {r.doc_id: r.bpe_tokens for r in
+            TX.bpe_encode_count(docs, "text", merges).collect()}
+    chars = {r.doc_id: r.n for r in docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(F.split(F.trim("text"), r"\s+"), lambda w: F.length(w)),
+            F.lit(0), lambda a, x: a + x,
+        ).alias("n"),
+    ).collect()}
+    assert none == chars  # 0 merges = 1 token per character
+    for d in none:
+        assert full[d] <= some[d] <= none[d]
+    assert any(full[d] < none[d] for d in none)  # merges actually bite
