@@ -2,7 +2,7 @@
 contract scale_dedup_bench.py gives the dedup family): split_assign /
 split_exact / split_exact_stratified / global_shuffle /
 take_token_budget / mixture_resample / pack_sequences /
-quantile_gate (exact + approx) /
+quantile_gate (exact + approx) / bpe_train + bpe_encode_count /
 normalize_width (roundtrip) at 1x and Rx of the sf0.1 documents
 corpus.
 
@@ -185,6 +185,25 @@ def run_ops(spark, docs, n_rows):
         return int(row.violations)
 
     rec("normalize_width_roundtrip", width_roundtrip_violations)
+
+    # BPE: training cost tracks the WORD-FREQUENCY table (10x replicas
+    # have disjoint vocabularies -> 10x vocab rows), encode tracks the
+    # corpus. Warm the pandas-UDF worker pool before the 1x timing
+    # (cold 1x flatters linearity — the r6 retrieval-bench lesson).
+    warm = docs.limit(20).localCheckpoint()
+    TX.bpe_encode_count(warm, "text", [("a", "b")]).count()
+    learned = {}
+
+    def train():
+        learned["m"] = TX.bpe_train(docs, n_merges=8)
+        return len(learned["m"])
+
+    rec("bpe_train_8_merges", train)
+    rec(
+        "bpe_encode_count",
+        lambda: TX.bpe_encode_count(docs, "text", learned["m"])
+        .agg(F.sum("bpe_tokens")).collect()[0][0],
+    )
     return out
 
 
