@@ -840,7 +840,16 @@ def bpe_encode_count(
     — the same skew that makes natural text zipfian makes the cache
     hit rate high. One pass over the corpus regardless of merge-list
     length (a JVM fold would need one pass per rule)."""
+    import re
+
     from pyspark.sql.functions import pandas_udf
+
+    # EXACTLY training's tokenization: tokens() splits on the Java \s
+    # class [ \t\n\x0B\f\r]. Python str.split() would also split on
+    # U+3000 / NBSP / other Unicode whitespace — words this corpus's
+    # Japanese text keeps intact at training time — and count merges
+    # the trained table never saw.
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @pandas_udf("long")
     def n_bpe(texts):  # pd.Series[str] -> pd.Series[long]
@@ -850,7 +859,9 @@ def bpe_encode_count(
             if t is None:
                 return 0
             total = 0
-            for w in t.split():  # same whitespace tokenization as training
+            for w in java_ws.split(t):
+                if not w:
+                    continue  # leading/trailing runs (tokens() trims)
                 if w not in cache:
                     cache[w] = len(_bpe_apply(w, merges))
                 total += cache[w]

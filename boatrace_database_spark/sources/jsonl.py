@@ -67,13 +67,13 @@ def read_jsonl(
         ).alias("j"),
         F.col("value"),
     )
-    # blank/whitespace-only lines parse to an all-null struct with a
-    # NULL corrupt marker — from_json's one gap vs the file source.
-    # They are NOT good rows (the silent-nulls failure this module
-    # exists to prevent), so the bad-side predicate catches them too.
-    is_bad = F.col(f"j.{CORRUPT_COL}").isNotNull() | (
-        F.trim(F.col("value")) == ""
-    )
+    # blank/whitespace-only lines (spaces, tabs, any JSON whitespace)
+    # parse to a NULL struct with no corrupt marker — from_json's one
+    # gap vs the file source. A NULL struct is NOT a good row (the
+    # silent-nulls failure this module exists to prevent), so struct
+    # nullity itself is the second bad-side predicate — no fragile
+    # whitespace-class trim check.
+    is_bad = F.col("j").isNull() | F.col(f"j.{CORRUPT_COL}").isNotNull()
     good = parsed.where(~is_bad).select("j.*").drop(CORRUPT_COL)
     bad = parsed.where(is_bad).select(
         *[F.col(f"j.{f.name}") for f in schema.fields],

@@ -850,12 +850,18 @@ def stream_quality_gate(
     by restarting the query with fresh thresholds (quantiles drift
     with the corpus — the analog of the IVF centroid-drift note).
 
-    A group with NO calibrated threshold row (a source that appeared
+    A group with NO calibration row at all (a source that appeared
     after calibration) PASSES — it has no threshold to fail, and
     silently deleting a new source's entire stream is the worse
-    failure; its rows are visible as calibrated=false in the output,
-    which is also the restart-and-recalibrate signal. NULL groups
-    match a NULL-group threshold row null-safely.
+    failure; its rows are visible as calibrated=false, the
+    restart-and-recalibrate signal. The join-miss is detected by a
+    marker column from the thresholds side, NOT by ``_thr`` nullity —
+    a calibration row whose stored threshold is NULL (a group whose
+    quality scores were all NULL at calibration time) is a DIFFERENT
+    state: those rows also pass (no usable threshold) but stay
+    calibrated=true, so the recalibrate signal cannot fire for a
+    group that was in fact calibrated. NULL groups match a NULL-group
+    threshold row null-safely.
 
     Emits survivors as (doc_id, group, quality, calibrated), quality
     rounded to 6 dp.
@@ -868,16 +874,17 @@ def stream_quality_gate(
         F.col(group_col).alias("group"),
         F.round(TX.quality_score(F.col(text_col)), 6).alias("quality"),
     )
+    marked = thresholds.withColumn("_cal", F.lit(True))
     gated = (
         scored.join(
-            F.broadcast(thresholds),
-            scored["group"].eqNullSafe(thresholds["_grp"]),
+            F.broadcast(marked),
+            scored["group"].eqNullSafe(marked["_grp"]),
             "left",
         )
         .where(F.col("_thr").isNull() | (F.col("quality") >= F.col("_thr")))
         .select(
             "doc_id", "group", "quality",
-            F.col("_thr").isNotNull().alias("calibrated"),
+            F.col("_cal").isNotNull().alias("calibrated"),
         )
     )
     return (

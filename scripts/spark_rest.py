@@ -88,24 +88,8 @@ def straggler(spark, new_ids: set[int]) -> dict:
     """The single worst task across ALL new completed stages — the
     skew view: a skewed join's straggler lives in a stage whose TOTAL
     time may still be smaller than the scan's, so per-stage 'heaviest'
-    summaries hide it."""
+    summaries hide it. Reuses summarize_stage (one implementation of
+    the taskSummary fetch/shaping, per the module contract)."""
     app, real = _real_stages(spark, new_ids, lambda s: 0)
-    worst = {}
-    for s in real:
-        q = api(
-            spark,
-            f"/applications/{app}/stages/{s['stageId']}/"
-            f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0",
-        )
-        mx = q["executorRunTime"][1]
-        if not worst or mx > worst["task_ms_max"]:
-            worst = {
-                "stage_id": s["stageId"],
-                "num_tasks": s["numTasks"],
-                "task_ms_median": q["executorRunTime"][0],
-                "task_ms_max": mx,
-                "max_over_median": round(
-                    mx / max(q["executorRunTime"][0], 1e-9), 2
-                ),
-            }
-    return worst
+    summaries = (summarize_stage(spark, app, s) for s in real)
+    return max(summaries, key=lambda d: d["task_ms_max"], default={})

@@ -723,6 +723,7 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
         '{broken json',                                  # unparseable
         '',                                              # blank line
         '   ',                                           # whitespace only
+        '\t \t',                                         # tabs (trim misses)
         '{"doc_id": 5, "text": "epsilon"}',
     ]
     src = tmp_path / "docs.jsonl"
@@ -739,15 +740,16 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     # no silent all-null rows from blank/whitespace lines on the good side
     assert good.where(F.col("doc_id").isNull()).count() == 0
     bad_rows = bad.collect()
-    assert len(bad_rows) == 4
+    assert len(bad_rows) == 5
     raws = {r[CORRUPT_COL] for r in bad_rows}
     assert '{broken json' in raws
     assert any('not-a-number' in r for r in raws)  # raw line preserved
-    assert '' in raws and '   ' in raws  # blank lines quarantined, not nulled
+    # blank/whitespace lines (incl. tabs) quarantined, not nulled
+    assert {'', '   ', '\t \t'} <= raws
     assert good.count() + bad.count() == len(lines)
     # the quarantine sink got the same rows
     q = spark.read.parquet(qdir)
-    assert q.count() == 4
+    assert q.count() == 5
 
 
 def test_read_jsonl_rejects_reserved_column(spark, tmp_path):
