@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 116 after round 6 added the split family, token budgets,
+# catalog — 117 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial + tf-idf
@@ -36,7 +36,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 28 entries, sixteen past the 50-row budget (see the tier-2 inline
+# — 29 entries, seventeen past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -122,6 +122,10 @@ _ORDER = [
     # bpe_token_count: rows-only BY NATURE (iterative merge training);
     # JVM fold pinned to a python reference + monotonicity pytested
     "bpe_token_count",
+    # sketch_distinct_users: oracle exact BECAUSE the demo sits in the
+    # HLL sparse-exact regime (150 users); the estimating regime and
+    # the merge-equals-rebuild contract are pytest-pinned
+    "sketch_distinct_users",
     # tier 3 — second-newest row is r3 (checked r5): oldest
     # double-verification; tiers 1-2 already fill a 50-row budget, so
     # tier 3 only runs if the budget stretches — green r5 either way

@@ -820,6 +820,32 @@ SELECT query_id, doc_id, score, rk FROM (
 )
 
 
+def sketch_distinct_users(spark, sf_dir):
+    """Mergeable distinct-count sketches (operators/sketches): one HLL
+    sketch per (event_type, day) — the persistable incremental state —
+    rolled up to distinct users per event_type by sketch UNION, never
+    a rescan. At this corpus's cardinality (150 users) the sketches
+    sit in DataSketches' sparse-EXACT regime, so the oracle is plain
+    COUNT(DISTINCT); the estimating regime's error bound is
+    pytest-pinned instead."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    sk = SK.distinct_sketches(e, "user_id", ["event_type", "day"])
+    return (
+        SK.union_distinct_estimate(sk, ["event_type"])
+        .orderBy("event_type")
+    )
+
+
+SKETCH_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS distinct_estimate,
+       count(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def bpe_token_count(spark, sf_dir):
     """Trained-tokenizer counting (text.bpe_train + bpe_encode_count):
     16 BPE merges learned from the corpus's word-frequency table
@@ -2242,6 +2268,7 @@ QUERIES = {
     "retrieval_hard_negatives": retrieval_hard_negatives,
     "retrieval_mmr_diversified": retrieval_mmr_diversified,
     "bpe_token_count": bpe_token_count,
+    "sketch_distinct_users": sketch_distinct_users,
     "tfidf_related_docs": tfidf_related_docs,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
@@ -2304,6 +2331,7 @@ ORACLES = {
     "retrieval_hard_negatives": HARD_NEGATIVES_SQL,
     "retrieval_mmr_diversified": None,
     "bpe_token_count": None,
+    "sketch_distinct_users": SKETCH_DISTINCT_SQL,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,

@@ -1895,3 +1895,45 @@ def test_bpe_encode_count_monotone_and_cached(spark):
     for d in none:
         assert full[d] <= some[d] <= none[d]
     assert any(full[d] < none[d] for d in none)  # merges actually bite
+
+
+# --------------------------------------------------------------------------
+# mergeable distinct-count sketches
+def test_sketch_merge_equals_rebuild(spark, tmp_path):
+    """The incremental contract: unioning per-day sketches estimates
+    the same as one sketch over the union of days — including after a
+    parquet persist/readback of the sketch table (the binary survives
+    the round trip)."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    e = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    per_day = SK.distinct_sketches(e, "user_id", ["day"])
+    merged = SK.union_distinct_estimate(per_day).collect()[0]
+    rebuilt = SK.union_distinct_estimate(
+        SK.distinct_sketches(e.withColumn("day", F.lit("all")), "user_id", ["day"])
+    ).collect()[0]
+    assert merged.distinct_estimate == rebuilt.distinct_estimate
+    assert merged.n_rows == rebuilt.n_rows
+    # persist round trip
+    path = str(tmp_path / "sketches")
+    per_day.write.parquet(path)
+    back = SK.union_distinct_estimate(spark.read.parquet(path)).collect()[0]
+    assert back.distinct_estimate == merged.distinct_estimate
+
+
+def test_sketch_estimating_regime_error_bound(spark):
+    """Beyond the sparse-exact regime: 200k distinct keys at lgk=12
+    estimate within the ~3x relative standard error (1.04/sqrt(2^12)
+    = 1.6%); lgk=16 tightens it."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"), F.lit("g").alias("g")
+    )
+    for lgk, bound in ((12, 0.05), (16, 0.013)):
+        est = SK.union_distinct_estimate(
+            SK.distinct_sketches(df, "k", ["g"], lgk=lgk)
+        ).collect()[0].distinct_estimate
+        assert abs(est - 200_000) / 200_000 < bound, (lgk, est)
