@@ -3,6 +3,7 @@ contract scale_dedup_bench.py gives the dedup family): split_assign /
 split_exact / split_exact_stratified / global_shuffle /
 take_token_budget / mixture_resample / pack_sequences /
 quantile_gate (exact + approx) / bpe_train + bpe_encode_count /
+hll_sketch_rollup /
 normalize_width (roundtrip) at 1x and Rx of the sf0.1 documents
 corpus.
 
@@ -204,6 +205,23 @@ def run_ops(spark, docs, n_rows):
         lambda: TX.bpe_encode_count(docs, "text", learned["m"])
         .agg(F.sum("bpe_tokens")).collect()[0][0],
     )
+
+    # mergeable HLL sketches: build per-(src, bucket-of-100-docs)
+    # sketches (partial agg, map-side merge) then roll up per src via
+    # sketch union — the whole pipeline is one groupBy + one union
+    # over the sketch-table, corpus touched once
+    from boatrace_database_spark.operators import sketches as SK
+
+    def sketch_rollup():
+        sk = SK.distinct_sketches(
+            docs.withColumn("bkt", (F.col("doc_id") % 100).cast("int"))
+            .withColumn("src", (F.col("doc_id") % 7).cast("string")),
+            "text", ["src", "bkt"],
+        )
+        rows = SK.union_distinct_estimate(sk, ["src"]).collect()
+        return int(sum(r.distinct_estimate for r in rows))
+
+    rec("hll_sketch_rollup", sketch_rollup)
     return out
 
 
