@@ -1392,3 +1392,53 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     )
     assert len(fresh) == 3  # nothing silently dropped
     assert all(not r.calibrated for r in fresh)
+
+
+def test_stream_sketch_ingest_rollup_equals_batch(spark, tmp_path):
+    """The persisted-sketch daily pattern, end to end: each micro-batch
+    appends its own HLL sketch rows (foreachBatch -> distinct_sketches
+    -> parquet append); the rollup over the accumulated SKETCH TABLE
+    equals batch COUNT(DISTINCT) over everything ingested — distinct
+    counts over any period without rescanning any batch's data."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src = str(tmp_path / "sk_src")
+    sketch_table = str(tmp_path / "sk_table")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+
+    def append_sketches(batch_df, epoch_id):
+        SK.distinct_sketches(
+            batch_df.withColumn("epoch", F.lit(int(epoch_id))),
+            "user_id", ["event_type", "epoch"],
+        ).write.mode("append").parquet(sketch_table)
+
+    q = (
+        spark.readStream.schema(events.schema).parquet(src)
+        .writeStream.foreachBatch(append_sketches)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deliver(events.where(F.col("event_id") % 3 == 0), "s1", f"{src}/b1.parquet")
+        q.processAllAvailable()
+        deliver(events.where(F.col("event_id") % 3 == 1), "s2", f"{src}/b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ingested = events.where(F.col("event_id") % 3 != 2)
+    expected = {
+        (r.event_type, r.n): None
+        for r in ingested.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.event_type, r.distinct_estimate): None
+        for r in SK.union_distinct_estimate(
+            spark.read.parquet(sketch_table), ["event_type"]
+        ).collect()
+    }
+    assert got == expected  # sparse-exact regime: estimate == exact
