@@ -824,14 +824,16 @@ def sketch_distinct_users(spark, sf_dir):
     """Mergeable distinct-count sketches (operators/sketches): one HLL
     sketch per (event_type, day) — the persistable incremental state —
     rolled up to distinct users per event_type by sketch UNION, never
-    a rescan. At this corpus's cardinality (150 users) the sketches
-    sit in DataSketches' sparse-EXACT regime, so the oracle is plain
-    COUNT(DISTINCT); the estimating regime's error bound is
-    pytest-pinned instead."""
+    a rescan. lgk=16 keeps the sketches in DataSketches' sparse-EXACT
+    regime well past this testdata's per-type cardinality at EVERY
+    shipped scale factor (150 users at sf0.01, 1,500 at sf0.1 —
+    measured: lgk=12's exactness ends between those, 1488 vs 1500 at
+    sf0.1), so the oracle is plain COUNT(DISTINCT); the estimating
+    regime's error bound is pytest-pinned instead."""
     from boatrace_database_spark.operators import sketches as SK
 
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    sk = SK.distinct_sketches(e, "user_id", ["event_type", "day"])
+    sk = SK.distinct_sketches(e, "user_id", ["event_type", "day"], lgk=16)
     return (
         SK.union_distinct_estimate(sk, ["event_type"])
         .orderBy("event_type")
