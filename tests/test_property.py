@@ -404,3 +404,63 @@ def test_quantile_gate_exact_matches_python_percent_rank(spark, scores, q):
             if round(pr, 6) >= q:
                 expected.add(i)
     assert got == expected
+
+
+@st.composite
+def bpe_corpus(draw):
+    vocab = ["aa", "ab", "aba", "bab", "abab", "ba", "b", "a", "abc"]
+    n_docs = draw(st.integers(1, 5))
+    return [
+        (
+            i,
+            " ".join(
+                draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(docs=bpe_corpus())
+def test_bpe_train_matches_python_trainer(spark, docs):
+    """The ENTIRE distributed training loop equals a pure-python BPE
+    trainer: same word-frequency table, same greedy pair counts, same
+    (count desc, pair lexicographic) tie-break, same greedy
+    left-to-right rule application between rounds — so the learned
+    merge list is identical, round for round."""
+    from collections import Counter
+
+    from boatrace_database_spark.operators import text as TX
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = TX.bpe_train(df, n_merges=5, min_pair_count=2)
+
+    words = Counter()
+    for _, t in docs:
+        for w in t.split():
+            words[w] += 1
+    seqs = {w: list(w) for w in words}
+    expected = []
+    for _ in range(5):
+        pairs = Counter()
+        for w, cnt in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        expected.append((a, b))
+        for w in seqs:
+            out = []
+            for s in seqs[w]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            seqs[w] = out
+    assert got == expected
