@@ -27,9 +27,11 @@ for mod in (relational, analytics, advanced, llm):
 # catalog — 117 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
-# projection, BM25 retrieval + RRF fusion + sizing dial + tf-idf
-# related-docs, ExactSubstr detect/strip, and the hopping window), so
-# ordering is the coverage lever.
+# projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
+# detect/strip, the hopping window, and session 3's tf-idf
+# related-docs + keyword extraction, hard-negative mining, MMR
+# re-rank, quantile gate, width battery, BPE token count, and HLL
+# distinct sketches), so ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
