@@ -114,6 +114,27 @@ def main():
         spark, chunks, workdir,
     )
 
+    # the stateless stream-static gate, for contrast with the stateful
+    # family: thresholds calibrated outside the measured window (the
+    # deployment shape), scoring all codegen, no state store at all
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators import text as TX
+
+    scored = spark.read.parquet(SRC).select(
+        "doc_id", "source",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    thresholds = C.quantile_thresholds(
+        scored, "quality", 0.25, group_col="source"
+    ).localCheckpoint()
+    results["quality_gate"] = drive(
+        "quality_gate",
+        lambda src: I.stream_quality_gate(
+            spark, src, schema, thresholds, query_name="quality_gate"
+        ),
+        spark, chunks, workdir,
+    )
+
     # the semantic twin streams VECTORS (sf0.1 embeddings, 2,000 rows)
     # against a prebuilt static quantizer — smaller corpus, so rows/s
     # is reported against its own row count
