@@ -22,9 +22,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-)
+# deliberately NOT read from SPARK_GRAFT_SF_DIR: an exported bench env
+# var must not silently turn the 10x sweep into a re-run of the gate's
+# own scale — pass the dir explicitly or take the sf0.1 default
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -37,8 +38,13 @@ def main() -> None:
     from boatrace_database_spark.queries import ORACLES, QUERIES
     from boatrace_database_spark.session import get_spark
 
-    sys.path.insert(0, "/root/repo/tests")
-    from test_oracle_parity import _rows_to_set  # same canonicalizer
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo_root, "tests"))
+    from test_oracle_parity import (  # the gate's EXACT comparison pieces
+        _arrow_type_class,
+        _rows_to_set,
+        _spark_type_class,
+    )
 
     spark = get_spark("oracle-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,6 +57,7 @@ def main() -> None:
     mismatches = {}
     checked = 0
     for name, sql in ORACLES.items():
+        n_rows = None
         try:
             sdf = QUERIES[name](spark, SF_DIR)
             srows = [tuple(r) for r in sdf.collect()]
@@ -58,22 +65,44 @@ def main() -> None:
             atable = con.execute(sql).fetch_arrow_table()
             drows = [tuple(r.values()) for r in atable.to_pylist()]
             dcols = atable.column_names
+            checked += 1
+            n_rows = len(srows)
+            # the gate's full comparison: columns, type classes, counts,
+            # then typed values — type drift must fail even when the
+            # value level cannot see it (0-row / all-NULL regimes)
+            if sorted(scols) != sorted(dcols):
+                mismatches[name] = {"columns": [scols, dcols]}
+            else:
+                sclasses = {
+                    f.name: _spark_type_class(f.dataType)
+                    for f in sdf.schema.fields
+                }
+                dclasses = {
+                    fld.name: _arrow_type_class(fld.type)
+                    for fld in atable.schema
+                }
+                drift = {
+                    c: (sclasses[c], dclasses[c])
+                    for c in sclasses
+                    if sclasses[c] != dclasses[c]
+                }
+                if drift:
+                    mismatches[name] = {"type_drift": drift}
+                elif len(srows) != len(drows):
+                    mismatches[name] = {"rows": [len(srows), len(drows)]}
+                else:
+                    a = _rows_to_set(scols, srows)
+                    b = _rows_to_set(dcols, drows)
+                    if a != b:
+                        diff = [(x, y) for x, y in zip(a, b) if x != y]
+                        mismatches[name] = {
+                            "first_value_diff": repr(diff[:1])[:300]
+                        }
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             mismatches[name] = {"error": str(exc).split("\n")[0][:200]}
-            continue
-        checked += 1
-        if len(srows) != len(drows):
-            mismatches[name] = {
-                "rows": [len(srows), len(drows)]
-            }
-            continue
-        a = _rows_to_set(scols, srows)
-        b = _rows_to_set(dcols, drows)
-        if a != b:
-            diff = [(x, y) for x, y in zip(a, b) if x != y]
-            mismatches[name] = {"first_value_diff": repr(diff[:1])[:300]}
-        print(f"  {name}: {'MISMATCH' if name in mismatches else 'ok'}"
-              f" ({len(srows)} rows)", file=sys.stderr)
+        status = "MISMATCH " + next(iter(mismatches[name])) if name in mismatches else "ok"
+        rows_note = "" if n_rows is None else f" ({n_rows} rows)"
+        print(f"  {name}: {status}{rows_note}", file=sys.stderr)
     print(json.dumps({
         "sf_dir": SF_DIR, "checked": checked,
         "n_mismatches": len(mismatches), "mismatches": mismatches,
