@@ -464,3 +464,65 @@ def test_bpe_train_matches_python_trainer(spark, docs):
                     out.append(s)
             seqs[w] = out
     assert got == expected
+
+
+@st.composite
+def mmr_case(draw):
+    n = draw(st.integers(1, 7))
+    scores = [
+        round(draw(st.floats(0, 1, allow_nan=False)), 3) for _ in range(n)
+    ]
+    pairs = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if draw(st.booleans()):
+                pairs[(a, b)] = round(
+                    draw(st.floats(0, 1, allow_nan=False)), 3
+                )
+    k = draw(st.integers(1, 7))
+    lam = draw(st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]))
+    return scores, pairs, k, lam
+
+
+@settings(**_SETTINGS)
+@given(case=mmr_case())
+def test_mmr_matches_python_greedy(spark, case):
+    """mmr_rerank against a pure-python greedy with the same objective
+    (lam·rel − (1−lam)·max-sim-to-picked), first-max/low-id tie-break,
+    and missing-pair = 0 — selection order and objective values agree
+    on random candidate sets."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    scores, pairs, k, lam = case
+    n = len(scores)
+    ranked = spark.createDataFrame(
+        [(0, i, scores[i], i + 1) for i in range(n)],
+        "query_id LONG, doc_id LONG, score DOUBLE, rk INT",
+    )
+    sims = spark.createDataFrame(
+        [(a, b, s) for (a, b), s in pairs.items()] or [],
+        "id_a LONG, id_b LONG, sim DOUBLE",
+    )
+    got = [
+        (r.doc_id, r.mmr)
+        for r in R.mmr_rerank(ranked, sims, k=k, lam=lam)
+        .orderBy("rk").collect()
+    ]
+
+    def sim(a, b):
+        return pairs.get((min(a, b), max(a, b)), 0.0)
+
+    picked: list[int] = []
+    expected = []
+    avail = set(range(n))
+    for _ in range(min(k, n)):
+        best, best_obj = None, None
+        for i in sorted(avail):  # low id wins ties
+            red = max((sim(i, j) for j in picked), default=0.0)
+            obj = lam * scores[i] - (1 - lam) * red
+            if best_obj is None or obj > best_obj:
+                best, best_obj = i, obj
+        picked.append(best)
+        avail.remove(best)
+        expected.append((best, round(best_obj, 6)))
+    assert got == expected
