@@ -111,6 +111,11 @@ _ORDER = [
     # 1) holds an in-budget row; the slide fan-out is oracle-parity
     # pytested locally
     "time_hopping",
+    # time_session: the third windowing VARIANT (native session_window)
+    # — same sibling rationale as time_hopping; merge semantics pinned
+    # by a boundary unit test + islands oracle parity locally, and its
+    # streaming twin has a batch-parity test
+    "time_session",
     # bm25_index_stats: sizing DIAL over the same postings the
     # in-budget bm25_topk_docs exercises; oracle-parity pytested
     "bm25_index_stats",

@@ -692,6 +692,59 @@ FROM fanned GROUP BY 1, 2 ORDER BY bucket, event_type
 """
 
 
+# session time window: Spark's NATIVE F.session_window (dynamic-gap
+# windows that merge while events arrive within the gap of the session's
+# current end — the third windowing mode after tumble/hop, and the batch
+# shape of the streaming `stream_sessionize` twin). Unlike
+# advanced.sessionize_gaps (the gaps-and-islands formulation over
+# lag/cumsum), this is the engine-provided operator: one keyed shuffle,
+# session merge inside the aggregation — no window-function pass. Merge
+# semantics pinned empirically: a gap of EXACTLY the duration still
+# merges (new session iff gap > 30 min strictly), matching the islands
+# convention, which is what the oracle encodes.
+def time_session(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# islands oracle at FULL microsecond precision (epoch_us, not epoch —
+# a float epoch could flip the >30min comparison on a µs-exact gap);
+# session_end replicates session_window's end = last event + gap.
+TIME_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total
+FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+"""
+
+
 # sampling / approx (§2.5): approximate distinct + quantile sketches.
 # No SQL oracle (sketch results are engine-specific); pytest bounds the
 # error against exact counts instead.
@@ -763,6 +816,7 @@ QUERIES = {
     "percentile_quantile": percentile_quantile,
     "time_tumble": time_tumble,
     "time_hopping": time_hopping,
+    "time_session": time_session,
     "approx_distinct_quantile": approx_distinct_quantile,
 }
 
@@ -795,6 +849,7 @@ ORACLES = {
     "percentile_quantile": PERCENTILE_SQL,
     "time_tumble": TIME_TUMBLE_SQL,
     "time_hopping": TIME_HOPPING_SQL,
+    "time_session": TIME_SESSION_SQL,
     "approx_distinct_quantile": None,
     "freq_items_heavy_hitters": None,
 }

@@ -6,6 +6,12 @@ same pipeline incremental:
 - `stream_events_rollup`: watermarked tumbling-window aggregate over an
   event stream (the streaming twin of queries/analytics.time_tumble —
   same window semantics, late data bounded by the watermark).
+- `stream_sessionize`: watermarked SESSION-window aggregate (native
+  `F.session_window`, dynamic-gap merge) — the third windowing mode,
+  batch twin queries/analytics.time_session.
+- `stream_interval_join`: STREAM-STREAM inner join with watermarks on
+  both sides and an event-time range predicate, so the per-side join
+  buffers stay time-bounded (views x purchases within a horizon).
 - `stream_running_counters` / `stream_asof_enrich`: custom stateful
   operators via applyInPandasWithState (running aggregates, as-of
   enrichment) with batch-operator parity tests.
@@ -71,6 +77,53 @@ def stream_events_rollup(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
             "event_type",
             "n",
+            "total",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "sessionize",
+) -> StreamingQuery:
+    """Watermarked SESSION-window aggregate per user — the streaming
+    twin of queries/analytics.time_session, on Spark's native
+    ``F.session_window`` (dynamic-gap windows that MERGE while events
+    keep arriving within ``gap`` of the session's current end).
+
+    This is the third streaming windowing mode next to the rollup's
+    tumble/hop: state per open session, merged on overlap, finalized
+    and emitted (append mode) once the watermark passes the session
+    end — the engine-provided replacement for the stateful
+    gaps-and-islands pass an unbounded sessionization would otherwise
+    need. A session only closes when the user goes quiet for ``gap``
+    AND the watermark advances past that moment, so state is bounded
+    by (open sessions) x (watermark horizon), independent of stream
+    length.
+    """
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
             "total",
         )
     )
@@ -207,6 +260,86 @@ def stream_asof_enrich(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def _interval_join_frames(
+    views: DataFrame, purchases: DataFrame, horizon: str
+) -> DataFrame:
+    """Shared shape of the view->purchase interval join: each purchase
+    matched with every view by the same user in the preceding
+    ``horizon``. One definition serves the batch expectation AND the
+    stream-stream query so the parity test compares the same plan
+    logic, not two hand-written variants."""
+    v = views.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = p.join(
+        v,
+        on=[
+            p["p_user"] == v["v_user"],
+            p["purchase_ts"] >= v["view_ts"],
+            p["purchase_ts"] <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"),
+        ],
+        how="inner",
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        F.round("view_value", 2).alias("view_value"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")).alias(
+            "lag_seconds"
+        ),
+    )
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    views_dir: str,
+    purchases_dir: str,
+    schema: StructType,
+    horizon: str = "10 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "interval_join",
+) -> StreamingQuery:
+    """STREAM-STREAM inner join: a stream of purchases joined against a
+    stream of views on user_id with an event-time interval condition
+    (purchase within ``horizon`` after the view) — the canonical
+    Structured Streaming two-stream pattern (ad impression x click).
+
+    Both sides carry a watermark and the join predicate bounds the
+    event-time distance, which is exactly what lets Spark EVICT
+    buffered rows: a view older than (watermark - horizon) can never
+    match a future purchase, so the join state is a sliding
+    time-bounded buffer per side, not the whole stream — the property
+    that makes this run indefinitely on a cluster. Without the range
+    condition Spark would have to keep every view forever.
+
+    Batch parity: the same `_interval_join_frames` builder over the
+    same files must produce the same rows (tested); late data beyond
+    the watermark is the only divergence allowed.
+    """
+    views = normalize_ts(
+        spark.readStream.schema(schema).parquet(views_dir)
+    ).withWatermark("ts", watermark)
+    purchases = normalize_ts(
+        spark.readStream.schema(schema).parquet(purchases_dir)
+    ).withWatermark("ts", watermark)
+    out = _interval_join_frames(views, purchases, horizon)
     return (
         out.writeStream.outputMode("append")
         .format("memory")

@@ -1442,3 +1442,99 @@ def test_stream_sketch_ingest_rollup_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected  # sparse-exact regime: estimate == exact
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Native session_window streaming twin: every watermark-finalized
+    streamed session must equal the batch time_session row for the same
+    (user, session_start)."""
+    from boatrace_database_spark.queries.analytics import time_session
+    from boatrace_database_spark.streaming.ingest import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    shutil.copy(SRC, f"{src}/events.parquet")
+    schema = _events_schema(spark)
+
+    q = stream_sessionize(spark, src, schema, query_name="sessionize_t")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start): (r.session_end, r.n_events, r.total)
+            for r in spark.sql("SELECT * FROM sessionize_t").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total)
+        for r in time_session(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got, "stream emitted nothing"
+    assert set(got) <= set(batch)
+    assert all(batch[k] == v for k, v in got.items())
+    assert len(got) >= len(batch) * 0.8
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin the merge boundary the time_session oracle encodes: an event
+    arriving EXACTLY gap after the previous one still merges (new
+    session iff gap > duration, strictly). If a Spark upgrade flips
+    this to >=, this fails before the oracle silently diverges."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=1800)),  # exactly the gap: merges
+        (2, t0),
+        (2, t0 + dt.timedelta(seconds=1800, microseconds=1)),  # splits
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r.user_id: r.n_sessions for r in out.collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: with both sides fully delivered, the
+    inner join must emit exactly the batch builder's rows (inner
+    stream-stream joins emit on match, so no watermark subsetting)."""
+    from boatrace_database_spark.streaming.ingest import (
+        _interval_join_frames,
+        stream_interval_join,
+    )
+    from boatrace_database_spark.timeutil import normalize_ts
+
+    views_dir = str(tmp_path / "ij_views")
+    purchases_dir = str(tmp_path / "ij_purchases")
+    os.makedirs(views_dir)
+    os.makedirs(purchases_dir)
+    shutil.copy(SRC, f"{views_dir}/events.parquet")
+    shutil.copy(SRC, f"{purchases_dir}/events.parquet")
+    schema = _events_schema(spark)
+
+    q = stream_interval_join(
+        spark, views_dir, purchases_dir, schema, query_name="ij_t"
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.view_id): (r.user_id, r.view_value, r.lag_seconds)
+            for r in spark.sql("SELECT * FROM ij_t").collect()
+        }
+    finally:
+        q.stop()
+    batch_events = normalize_ts(spark.read.schema(schema).parquet(SRC))
+    batch = {
+        (r.purchase_id, r.view_id): (r.user_id, r.view_value, r.lag_seconds)
+        for r in _interval_join_frames(
+            batch_events, batch_events, "10 minutes"
+        ).collect()
+    }
+    assert batch, "batch builder produced no view->purchase matches"
+    assert got == batch
