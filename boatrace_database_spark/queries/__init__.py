@@ -24,14 +24,15 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 117 after round 6 added the split family, token budgets,
+# catalog — 119 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
 # detect/strip, the hopping window, and session 3's tf-idf
 # related-docs + keyword extraction, hard-negative mining, MMR
 # re-rank, quantile gate, width battery, BPE token count, and HLL
-# distinct sketches), so ordering is the coverage lever.
+# distinct sketches, and session 4's DSIR importance resample and
+# native session window), so ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
@@ -78,7 +79,14 @@ _ORDER = [
     # the catalog (the other session-3 entries below each lean on an
     # in-budget or r5-green sibling)
     "sketch_distinct_users",
-    "token_budget_head", "pack_materialize",
+    "token_budget_head",
+    # dsir_select_corpus takes the in-budget slot pack_materialize held:
+    # DSIR is a wholly NEW family (importance-weighted data selection)
+    # with no sibling anywhere in the catalog, while pack_materialize is
+    # a VARIANT whose sibling pack_sequences_windows holds a green r5
+    # row on the same cumsum/window machinery (pack_materialize moved
+    # past-budget below, oracle-parity pytested)
+    "dsir_select_corpus",
     "quality_topk_per_source",
     "dedup_best_quality", "dedup_incremental_batch",
     "embedding_project_jl", "bm25_topk_docs", "repeated_substring_spans",
@@ -131,6 +139,9 @@ _ORDER = [
     # real-venue pytested
     "width_normalize_battery",
     "split_stratified_assign", "token_budget_mixture",
+    # pack_materialize: yielded its in-budget slot to dsir_select_corpus
+    # (see tier-2 head) — sibling pack_sequences_windows green r5
+    "pack_materialize",
     "compression_quality",
     # retrieval_mmr_diversified: rows-only BY NATURE (greedy MMR is
     # iterative, not SQL); objective arithmetic + lam endpoints

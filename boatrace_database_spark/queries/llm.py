@@ -18,6 +18,7 @@ from boatrace_database_spark.operators import dedup as D
 from boatrace_database_spark.operators import multimodal as M
 from boatrace_database_spark.operators import privacy as P
 from boatrace_database_spark.operators import retrieval as R
+from boatrace_database_spark.operators import selection as SEL
 from boatrace_database_spark.operators import similarity as SIM
 from boatrace_database_spark.operators import text as TX
 from boatrace_database_spark.operators.joins import asof_join
@@ -2242,6 +2243,82 @@ EMB_DEDUP_SQL = SIM.cosine_pairs_lsh_oracle_sql(
 )
 
 
+def dsir_select_corpus(spark, sf_dir):
+    """DSIR importance resampling (operators/selection): score every
+    document against a TARGET slice (sources src1+src2 stand in for
+    'the high-quality domain') with hashed unigram+bigram importance
+    weights, then Gumbel-top-k resample 50 docs without replacement
+    with probability proportional to softmax(log_w). Every number is
+    engine-portable (md5 bucket hash + Knuth Gumbel noise), so the
+    oracle recomputes the IDENTICAL selected set — a fully auditable
+    data-selection step, which is exactly what you want before
+    spending a pretraining run on the output."""
+    d = _t(spark, sf_dir, "documents")
+    target = d.where(F.col("source").isin("src1", "src2"))
+    return SEL.dsir_sample(
+        d, target, "doc_id", "text", k=50, m=4096, alpha=1.0, salt=0xD51A
+    ).orderBy("rank")
+
+
+_DSIR_M = 4096
+DSIR_SELECT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_concat(
+           t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS g
+  FROM tok
+),
+b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_M} AS bucket
+  FROM grams
+),
+raw_c AS (SELECT bucket, count(*) AS n_raw FROM b GROUP BY bucket),
+tgt_c AS (
+  SELECT bucket, count(*) AS n_tgt FROM b
+  WHERE source IN ('src1', 'src2') GROUP BY bucket
+),
+model AS (
+  SELECT r.bucket,
+         ln((coalesce(t.n_tgt, 0) + 1.0) / (tt.t_tgt + {float(_DSIR_M)}))
+       - ln((r.n_raw + 1.0) / (tr.t_raw + {float(_DSIR_M)})) AS log_ratio
+  FROM raw_c r
+  LEFT JOIN tgt_c t USING (bucket),
+       (SELECT sum(n_raw) AS t_raw FROM raw_c) tr,
+       (SELECT coalesce(sum(n_tgt), 0) AS t_tgt FROM tgt_c) tt
+),
+w AS (
+  SELECT b.doc_id, count(*) AS n_grams, round(sum(m.log_ratio), 6) AS log_w
+  FROM b JOIN model m USING (bucket)
+  GROUP BY b.doc_id
+),
+allw AS (
+  SELECT d.doc_id,
+         CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+         coalesce(w.log_w, 0.0) AS log_w
+  FROM documents d LEFT JOIN w USING (doc_id)
+),
+keyed AS (
+  SELECT doc_id, n_grams, log_w,
+         log_w + (-ln(-ln(({_knuth_sql("doc_id", 0xD51A)} + 0.5) / 4294967296.0)))
+           AS gkey
+  FROM allw
+)
+SELECT CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, n_grams, log_w
+FROM keyed
+ORDER BY gkey DESC, doc_id
+LIMIT 50
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2299,6 +2376,7 @@ QUERIES = {
     "global_shuffle_order": global_shuffle_order,
     "chunk_documents_windows": chunk_documents_windows,
     "chunk_dedup_pipeline": chunk_dedup_pipeline,
+    "dsir_select_corpus": dsir_select_corpus,
     "semantic_dedup_assign": semantic_dedup_assign,
 }
 
@@ -2362,5 +2440,6 @@ ORACLES = {
     "global_shuffle_order": SHUFFLE_SQL,
     "chunk_documents_windows": CHUNK_SQL,
     "chunk_dedup_pipeline": CHUNK_DEDUP_SQL,
+    "dsir_select_corpus": DSIR_SELECT_SQL,
     "semantic_dedup_assign": None,
 }

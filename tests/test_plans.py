@@ -291,3 +291,31 @@ def test_semantic_pairs_join_is_cell_equi_join(spark):
         plan = _plan(spark, SIM.semantic_pairs(emb, n_assign=na, n_cells=8))
         assert "CartesianProduct" not in plan
         assert "cell" in plan
+
+
+def test_dsir_model_broadcasts_and_topk_is_take_ordered(spark):
+    """DSIR scale shape: the m-row model joins the doc-gram stream as a
+    BroadcastHashJoin (never a shuffle of the corpus-sized gram
+    stream on bucket), the Gumbel-top-k is a TakeOrderedAndProject
+    (never a global sort), and nothing degenerates to a cartesian
+    product (the 1-row totals ride a broadcast nested loop, which is
+    the documented exception)."""
+    plan = _plan(spark, QUERIES["dsir_select_corpus"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_session_is_single_keyed_exchange(spark):
+    """Native session_window: one hashpartitioning exchange on the
+    session key feeds the merging aggregate — no window-function pass,
+    no second shuffle beyond the output sort."""
+    plan = _plan(spark, QUERIES["time_session"](spark, SF))
+    assert "MergingSessions" in plan  # the native session-merge operator
+    hash_ex = [
+        l
+        for l in plan.splitlines()
+        if "Arguments: hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1  # the only other exchange is the output sort
+    assert "Window" not in plan  # no gaps-and-islands window pass

@@ -526,3 +526,123 @@ def test_mmr_matches_python_greedy(spark, case):
         avail.remove(best)
         expected.append((best, round(best_obj, 6)))
     assert got == expected
+
+
+@st.composite
+def dsir_corpus(draw):
+    vocab = ["apple", "banana", "cherry", "date", "fig", "grape"]
+    n = draw(st.integers(3, 10))
+    docs = [
+        (
+            i,
+            " ".join(
+                draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=8))
+            ),
+        )
+        for i in range(n)
+    ]
+    mask = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    if not any(mask):
+        mask[0] = True
+    return docs, [i for i in range(n) if mask[i]]
+
+
+@settings(**_SETTINGS)
+@given(case=dsir_corpus())
+def test_dsir_matches_python_reference(spark, case):
+    """dsir_log_weights + dsir_sample against a pure-python DSIR with
+    the same md5 bucket hash, add-alpha models, and Knuth-Gumbel
+    resample: identical weights (6 dp) and the identical selected set
+    in the identical order."""
+    import hashlib
+    import math
+    import re
+
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.operators import selection as SEL
+
+    docs, target_ids = case
+    m, alpha, salt = 64, 0.5, 0xABC
+    k = min(len(docs), 4)
+    raw = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    target = raw.where(F.col("doc_id").isin(target_ids))
+
+    # pure-python reference
+    def grams(text):
+        t = [x for x in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    def h32(x, s):
+        x = ((x % 2**32) + s) % 2**32
+        lo, hi = x % 65536, x // 65536
+        return (lo * 2654435761 + ((hi * 2654435761) % 2**32) * 65536) % 2**32
+
+    doc_buckets = {i: [bucket(g) for g in grams(text)] for i, text in docs}
+    raw_c, tgt_c = {}, {}
+    for i, bs in doc_buckets.items():
+        for b in bs:
+            raw_c[b] = raw_c.get(b, 0) + 1
+            if i in target_ids:
+                tgt_c[b] = tgt_c.get(b, 0) + 1
+    t_raw, t_tgt = sum(raw_c.values()), sum(tgt_c.values())
+    ratio = {
+        b: math.log((tgt_c.get(b, 0) + alpha) / (t_tgt + alpha * m))
+        - math.log((raw_c[b] + alpha) / (t_raw + alpha * m))
+        for b in raw_c
+    }
+    expected_w = {
+        i: (len(bs), round(sum(ratio[b] for b in bs), 6))
+        for i, bs in doc_buckets.items()
+    }
+
+    got_w = {
+        r.doc_id: (r.n_grams, r.log_w)
+        for r in SEL.dsir_log_weights(raw, target, "doc_id", "text", m, alpha).collect()
+    }
+    assert got_w == expected_w
+
+    def gumbel(i):
+        u = (h32(i, salt) + 0.5) / 2**32
+        return -math.log(-math.log(u))
+
+    keyed = sorted(
+        ((expected_w[i][1] + gumbel(i), i) for i, _ in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expected_sel = [(rk + 1, i) for rk, (_, i) in enumerate(keyed[:k])]
+    got_sel = [
+        (r.rank, r.doc_id)
+        for r in SEL.dsir_sample(
+            raw, target, "doc_id", "text", k, m, alpha, salt
+        ).orderBy("rank").collect()
+    ]
+    assert got_sel == expected_sel
+
+
+def test_dsir_empty_and_null_text_score_neutral(spark):
+    """Docs with no grams stay in the pool at (n_grams=0, log_w=0.0)
+    rather than vanishing, and a doc made of target-only vocabulary
+    outweighs one made of raw-only vocabulary."""
+    from pyspark.sql import functions as F
+
+    from boatrace_database_spark.operators import selection as SEL
+
+    rows = [
+        (0, "apple apple banana"),
+        (1, "zebra yak zebra"),
+        (2, ""),
+        (3, None),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    target = raw.where(F.col("doc_id") == 0)
+    w = {
+        r.doc_id: (r.n_grams, r.log_w)
+        for r in SEL.dsir_log_weights(raw, target, "doc_id", "text", 128, 1.0).collect()
+    }
+    assert set(w) == {0, 1, 2, 3}
+    assert w[2] == (0, 0.0) and w[3] == (0, 0.0)
+    assert w[0][1] > 0 > w[1][1]
