@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "text_profile",
     "asof_join_events",
     "flag_timing_features",

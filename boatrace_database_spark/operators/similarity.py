@@ -126,6 +126,51 @@ def _nearest_cell_udf(spark, C: "np.ndarray"):
     return nearest_cell
 
 
+def _bounded_training_sample(base: DataFrame, n: int, train_n: int):
+    """Deterministic bounded quantizer-training sample as a pandas
+    frame of ``cvec`` rows — shared by the IVF coarse quantizer and the
+    PQ codebook trainer so both train on the same replayable subset.
+
+    Small corpus: every row, in neighbor_id order (toPandas row order
+    must not depend on partition arrival — the k-means init indexes
+    rows positionally). Large corpus: a deterministic xxhash64 filter
+    ≈ the target fraction (slight over-sample, hard-capped); the
+    orderBy BEFORE limit makes the kept subset + row order a pure
+    function of the data — a bare limit() keeps whichever partitions
+    answer first, which leaked nondeterminism into the quantizer
+    (r4: recall 0.50 vs 0.58 on identical data). Sorting only the
+    ~1.2·train_n filtered rows is cheap at any corpus size.
+    """
+    if n <= train_n:
+        return base.orderBy("neighbor_id").select("cvec").toPandas()
+    den = 1 << 20
+    num = min(den, int(den * 1.2 * train_n / n) + 1)
+    sample_pdf = (
+        base.where(F.pmod(F.xxhash64("neighbor_id"), F.lit(den)) < num)
+        .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
+        .limit(train_n)
+        .select("cvec")
+        .toPandas()
+    )
+    if not len(sample_pdf):
+        raise ValueError(
+            "quantizer sample: deterministic hash sample selected 0 "
+            "of the corpus's rows — id distribution defeats the "
+            "xxhash64 filter; raise the sample size"
+        )
+    if len(sample_pdf) < train_n // 2:
+        import warnings
+
+        warnings.warn(
+            f"quantizer sample: deterministic hash sample returned "
+            f"{len(sample_pdf)} rows, well under train_n={train_n}; "
+            "the quantizer will train on a thin sample "
+            "(raise the sample size or check id distribution)",
+            stacklevel=2,
+        )
+    return sample_pdf
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -171,43 +216,7 @@ def ivf_build_index(
         F.col(vec_col).alias("cvec"),
     )
     train_n = sample_per_cell * n_cells
-    if n <= train_n:
-        # orderBy: toPandas row order must not depend on partition
-        # arrival order — the k-means init indexes rows positionally
-        sample_pdf = base.orderBy("neighbor_id").select("cvec").toPandas()
-    else:
-        # deterministic hash filter ≈ the target fraction (slight over-
-        # sample, hard-capped). The orderBy BEFORE limit makes the kept
-        # subset + row order a pure function of the data: a bare
-        # limit() keeps whichever partitions answer first, which leaked
-        # nondeterminism into the quantizer (r4: recall 0.50 vs 0.58 on
-        # identical data). Sorting only the ~1.2·train_n filtered rows
-        # is cheap at any corpus size.
-        den = 1 << 20
-        num = min(den, int(den * 1.2 * train_n / n) + 1)
-        sample_pdf = (
-            base.where(F.pmod(F.xxhash64("neighbor_id"), F.lit(den)) < num)
-            .orderBy(F.xxhash64("neighbor_id"), "neighbor_id")
-            .limit(train_n)
-            .select("cvec")
-            .toPandas()
-        )
-        if not len(sample_pdf):
-            raise ValueError(
-                "ivf_build_index: deterministic hash sample selected 0 "
-                "of the corpus's rows — id distribution defeats the "
-                "xxhash64 filter; raise sample_per_cell"
-            )
-        if len(sample_pdf) < train_n // 2:
-            import warnings
-
-            warnings.warn(
-                f"ivf_build_index: deterministic hash sample returned "
-                f"{len(sample_pdf)} rows, well under train_n={train_n}; "
-                "the quantizer will train on a thin sample "
-                "(raise sample_per_cell or check id distribution)",
-                stacklevel=2,
-            )
+    sample_pdf = _bounded_training_sample(base, n, train_n)
     X = np.stack(sample_pdf["cvec"].to_numpy()).astype(np.float64)
     C = _lloyd_kmeans(X, n_cells)
 
@@ -1192,3 +1201,347 @@ def ivf_cell_stats(indexed: DataFrame) -> DataFrame:
         F.round(F.avg("sz"), 2).alias("avg_cell"),
         F.round(F.stddev_pop("sz"), 2).alias("stddev_cell"),
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (IVF-PQ): the memory face of ANN at 100 TB.
+# A raw float32 768-dim embedding is 3 KB; its PQ code at 8 subspaces
+# x 256 codes is 8 BYTES (+id) — ~384x smaller, which is the difference
+# between an index that fits in executor memory and one that doesn't.
+# This is FAISS's IVFPQ with by_residual=False (codes quantize the raw
+# vectors, not the cell residuals — one codebook set for the whole
+# corpus, the simpler maintenance story; the residual variant buys
+# extra precision per bit at the cost of cell-coupled codebooks).
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    train_n: int = 65536,
+) -> "np.ndarray":
+    """Train PQ codebooks: split the vector into ``n_subspaces``
+    contiguous sub-vectors and k-means each subspace to ``n_codes``
+    centroids on the same bounded deterministic sample the IVF coarse
+    quantizer uses. Returns the (n_subspaces, n_codes, dim/n_subspaces)
+    codebook tensor; training is driver-side numpy on <= train_n rows
+    (codebooks need the broad distribution, not a full-corpus fit —
+    the same argument as `ivf_build_index`'s quantizer, at any scale).
+    """
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("pq_train: corpus is empty")
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    pdf = _bounded_training_sample(base, n, train_n)
+    X = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"pq_train: dim {dim} not divisible by n_subspaces {n_subspaces}"
+        )
+    dsub = dim // n_subspaces
+    return np.stack(
+        [
+            _lloyd_kmeans(X[:, s * dsub : (s + 1) * dsub], n_codes, seed=7 + s)
+            for s in range(n_subspaces)
+        ]
+    )
+
+
+def _pq_encode_udf(spark, books: "np.ndarray"):
+    """Arrow-batched PQ encoder against the broadcast codebook tensor:
+    per subspace, argmin-L2 over the n_codes centroids. Logical code
+    width is 1 byte at n_codes<=256 (parquet dictionary/bit-packing
+    stores the int32 array near that); the in-plan type stays
+    array<int> for JVM ergonomics."""
+    bc = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        B = bc.value
+        S, _, dsub = B.shape
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(A), S), dtype=np.int32)
+        for s in range(S):
+            Xs = A[:, s * dsub : (s + 1) * dsub]
+            Cs = B[s]
+            d = -2.0 * (Xs @ Cs.T) + np.einsum("ij,ij->i", Cs, Cs)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    sample_per_cell: int = 256,
+) -> tuple[DataFrame, DataFrame, "np.ndarray"]:
+    """IVF-PQ index build: the IVF inverted file for pruning + PQ codes
+    for in-cell compression. Returns ``(codes, centroids, books)``
+    where ``codes`` rows are (neighbor_id, cell, codes) — the raw
+    vectors are GONE from the index, which is the point: the persisted
+    footprint per vector is the id + n_subspaces dictionary-packed
+    bytes, vs dim floats.
+    """
+    spark = corpus.sparkSession
+    indexed, centroids = ivf_build_index(
+        corpus, id_col, vec_col, n_cells, sample_per_cell
+    )
+    books = pq_train(corpus, id_col, vec_col, n_subspaces, n_codes)
+    codes = indexed.withColumn(
+        "codes", _pq_encode_udf(spark, books)(F.col("cvec"))
+    ).select("neighbor_id", "cell", "codes")
+    return codes, centroids, books
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+) -> None:
+    """Persist an IVF-PQ index: cell-partitioned PQ codes (dynamic
+    partition pruning on probe, like `ivf_write_index`) + centroids +
+    the codebook tensor flattened to rows."""
+    spark = corpus.sparkSession
+    codes, centroids, books = ivfpq_build_index(
+        corpus, id_col, vec_col, n_cells, n_subspaces, n_codes
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    S, K, dsub = books.shape
+    book_rows = [
+        (s, k, [float(x) for x in books[s, k]])
+        for s in range(S)
+        for k in range(K)
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def ivfpq_read_index(spark, path: str) -> tuple[DataFrame, DataFrame, "np.ndarray"]:
+    """Load a persisted IVF-PQ index; reassembles the codebook tensor
+    (positional, validated gapless like `centroid_matrix`)."""
+    codes = spark.read.parquet(f"{path}/codes")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    rows = spark.read.parquet(f"{path}/books").orderBy("subspace", "code").collect()
+    S = max(r.subspace for r in rows) + 1
+    K = max(r.code for r in rows) + 1
+    if len(rows) != S * K:
+        raise ValueError(
+            f"ivfpq_read_index: codebook table has {len(rows)} rows, "
+            f"expected {S}x{K} — rebuild the index"
+        )
+    books = np.array([r.centroid for r in rows], dtype=np.float64).reshape(
+        S, K, -1
+    )
+    return codes, centroids, books
+
+
+def ivfpq_probe(
+    codes: DataFrame,
+    centroids: DataFrame,
+    books: "np.ndarray",
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) IVF-PQ search: each query ranks the
+    centroid table, probes its nprobe nearest cells, and scores the
+    candidates' CODES against per-query lookup tables — never touching
+    a raw corpus vector.
+
+    ``refine=R`` adds the FAISS-style refinement stage: the ADC top-R
+    short-list per query is re-scored EXACTLY against the raw
+    ``corpus`` (required then) and the final top-k ranked on exact
+    cosine. This is the dial for the clustered-corpus regime, where
+    cell pruning is nearly free but ALL candidates are nearly
+    equidistant, so PQ noise — not pruning — caps ADC-only recall
+    (measured in BENCHNOTES): the short-list lookup touches only
+    R x n_queries raw rows via a broadcast semi-probe, so the exact
+    vectors can live in a separate cold table at 100 TB.
+
+    ADC mechanics: per (query, subspace) a LUT of dot(q_s, codebook
+    entry) is built ONCE (n_subspaces x n_codes floats), so scoring a
+    candidate is n_subspaces table lookups + adds instead of a dim-wide
+    dot product. Approximate cosine = lut_dot_sum / (|q| * sqrt(sum of
+    codeword sq-norms)) — the codeword-reconstructed vector's cosine,
+    so ranking is comparable with the exact-path scores (and EQUALS
+    them when quantization is lossless, e.g. n_codes >= corpus size —
+    the pytest contract). Zero-norm reconstructions score 0.0, the
+    engine-wide zero-norm policy.
+
+    Scale shape: the query table is collected and broadcast (queries
+    are the small side by contract, as in `cosine_topk`); candidates
+    move only (query_id, neighbor_id, codes) — S ints per row; scoring
+    is one Arrow pass; top-k is a per-query k-row window.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = codes.sparkSession
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # rank cells per query by centroid distance; keep nprobe cells
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "cell",
+        F.aggregate(
+            F.zip_with("qvec", "centroid", lambda x, c: (x.cast("double") - c) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qc.withColumn("cr", F.row_number().over(wq))
+        .where(F.col("cr") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    qpdf = q.toPandas()
+    qvecs = {
+        qid: np.asarray(vec, dtype=np.float64)
+        for qid, vec in zip(qpdf["query_id"], qpdf["qvec"])
+    }
+    books_bc = spark.sparkContext.broadcast(books)
+    q_bc = spark.sparkContext.broadcast(qvecs)
+
+    cand = (
+        codes.join(F.broadcast(probes), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "codes")
+    )
+    out_schema = StructType(
+        [
+            cand.schema["query_id"],
+            cand.schema["neighbor_id"],
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def adc_score(batches):
+        B = books_bc.value
+        S, K, dsub = B.shape
+        # codeword squared norms are query-independent: one (S, K) table
+        norm_lut = np.einsum("skd,skd->sk", B, B)
+        qv = q_bc.value
+        lut_cache: dict = {}
+        rows = np.arange(S)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            scores = np.empty(len(pdf), dtype=np.float64)
+            for qid, idx in pdf.groupby("query_id").groups.items():
+                if qid not in lut_cache:
+                    qarr = qv[qid]
+                    qn = float(np.linalg.norm(qarr))
+                    lut = np.einsum(
+                        "sd,skd->sk", qarr.reshape(S, dsub), B
+                    )
+                    lut_cache[qid] = (lut, qn)
+                lut, qn = lut_cache[qid]
+                pos = pdf.index.get_indexer(idx)
+                cm = codes_m[pos]
+                dot = lut[rows, cm].sum(axis=1)
+                sqn = norm_lut[rows, cm].sum(axis=1)
+                den = qn * np.sqrt(sqn)
+                scores[pos] = np.where(den > 0, dot / np.maximum(den, 1e-300), 0.0)
+            out = pdf[["query_id", "neighbor_id"]].copy()
+            out["score"] = scores
+            yield out
+
+    scored = cand.mapInPandas(adc_score, out_schema).select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    if refine:
+        if corpus is None:
+            raise ValueError("ivfpq_probe: refine > 0 requires the raw corpus")
+        shortlist = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= refine)
+            .select("query_id", "neighbor_id")
+        )
+        raw = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
+        exact = (
+            raw.join(F.broadcast(shortlist), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("score"),
+            )
+        )
+        return (
+            exact.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "score", "rk")
+        )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "score", "rk")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    nprobe: int = 4,
+) -> DataFrame:
+    """One-shot IVF-PQ approximate top-k (build + encode + probe
+    fused). Prefer the split build/probe pair when the index is
+    reused — same argument as `ivf_topk`."""
+    codes, centroids, books = ivfpq_build_index(
+        corpus, id_col, vec_col, n_cells, n_subspaces, n_codes
+    )
+    return ivfpq_probe(
+        codes, centroids, books, queries, id_col, vec_col, k, nprobe
+    )
+
+
+def pq_compression_stats(
+    dim: int, n_subspaces: int, n_codes: int, raw_bytes_per_dim: int = 4
+) -> dict:
+    """The sizing arithmetic for the PQ decision: bytes per vector raw
+    vs coded (ceil(log2(n_codes))/8 per subspace), and the ratio. At
+    dim=768/S=8/K=256: 3072 B -> 8 B, ratio 384."""
+    import math
+
+    code_bits = max(1, math.ceil(math.log2(n_codes)))
+    raw = dim * raw_bytes_per_dim
+    coded = max(1, (n_subspaces * code_bits + 7) // 8)
+    return {
+        "raw_bytes": raw,
+        "code_bytes": coded,
+        "compression_ratio": round(raw / coded, 1),
+    }

@@ -58,10 +58,38 @@ def ann_recalls(
         # nprobe=8/16 matches the catalog demo's operating point
         SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=8).collect()
     )
+    # IVF-PQ at the catalog demo's operating point (S=16/K=256,
+    # nprobe=8/16): ADC over codes, so this recall folds quantization
+    # loss on top of IVF's cell-pruning loss — the honest number for
+    # the 16x-compressed index
+    pq_codes, pq_cents, pq_books = SIM.ivfpq_build_index(
+        emb, n_cells=16, n_subspaces=16, n_codes=256
+    )
+    ivfpq = _topk_sets(
+        SIM.ivfpq_probe(
+            pq_codes, pq_cents, pq_books, queries, k=k, nprobe=8
+        ).collect()
+    )
+    # the refinement dial: exact re-rank of the ADC top-50 short-list
+    # (~2.5% of this corpus) against the raw table
+    ivfpq_ref = _topk_sets(
+        SIM.ivfpq_probe(
+            pq_codes,
+            pq_cents,
+            pq_books,
+            queries,
+            k=k,
+            nprobe=8,
+            refine=50,
+            corpus=emb,
+        ).collect()
+    )
     return {
         "ann_lsh_recall": round(_mean_recall(exact, lsh), 4),
         "ann_lsh_candidates_per_query": round(n_cand / max(len(exact), 1), 1),
         "ann_ivf_recall": round(_mean_recall(exact, ivf), 4),
+        "ann_ivfpq_recall": round(_mean_recall(exact, ivfpq), 4),
+        "ann_ivfpq_refine_recall": round(_mean_recall(exact, ivfpq_ref), 4),
     }
 
 

@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 119 after round 6 added the split family, token budgets,
+# catalog — 120 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -169,8 +169,11 @@ _ORDER = [
     "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
     "dedup_embedding_cosine", "append_union", "sentinel_fill",
     "regex_gate", "regex_extract", "concat_key",
-    # tier 5 — no-oracle rows-only ops, all recorded r5
-    "semantic_dedup_assign", "ann_lsh_topk", "ann_ivf_topk",
+    # tier 5 — no-oracle rows-only ops, all recorded r5 (plus the
+    # session-4-new ann_ivfpq_topk, whose real contract is the pytest
+    # lossless/recall pins — a rows-only driver row adds least here)
+    "semantic_dedup_assign", "ann_ivfpq_topk", "ann_lsh_topk",
+    "ann_ivf_topk",
     "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
     "text_rolling_hash", "approx_distinct_quantile",
     "freq_items_heavy_hitters", "dedup_minhash_incremental",

@@ -1937,3 +1937,145 @@ def test_sketch_estimating_regime_error_bound(spark):
             SK.distinct_sketches(df, "k", ["g"], lgk=lgk)
         ).collect()[0].distinct_estimate
         assert abs(est - 200_000) / 200_000 < bound, (lgk, est)
+
+
+def _recall_of(exact_rows, approx_rows):
+    es, aps = {}, {}
+    for r in exact_rows:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_rows:
+        aps.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(es[q] & aps.get(q, set())) / len(es[q]) for q in es]
+    return sum(recalls) / len(recalls)
+
+
+def test_ivfpq_lossless_equals_exact(spark):
+    """The PQ correctness anchor: with n_codes >= corpus size every
+    sub-vector becomes its own codeword, quantization is lossless, and
+    ADC over codes must return EXACTLY brute force — same neighbors,
+    same ranks, same rounded scores. Any drift in the encoder, the
+    LUTs, or the cosine reconstruction fails this exactly."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.rk): (r.neighbor_id, r.score)
+        for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.rk): (r.neighbor_id, r.score)
+        for r in SIM.ivfpq_topk(
+            emb, queries, k=5, n_cells=4, n_subspaces=8, n_codes=512, nprobe=4
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_ivfpq_recall_floor_and_determinism(spark):
+    """Lossy operating point (the catalog demo's S=16/K=256,
+    nprobe=8/16) on the near-isotropic corpus — PQ's adversarial
+    regime. Recall must clear the IVF-pruning floor by a margin even
+    with quantized scoring, and two full build+probe runs must be
+    identical (deterministic sample -> deterministic codebooks)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+
+    def run():
+        return SIM.ivfpq_topk(
+            emb,
+            queries,
+            k=10,
+            n_cells=16,
+            n_subspaces=16,
+            n_codes=256,
+            nprobe=8,
+        ).collect()
+
+    a, b = run(), run()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rec = _recall_of(exact, a)
+    assert rec > 0.40, f"IVF-PQ mean recall {rec:.3f}"
+
+
+def test_ivfpq_persist_roundtrip(spark, tmp_path):
+    """write -> read -> probe must equal the in-memory probe row for
+    row (codes partitioned by cell; codebook tensor reassembled
+    positionally with the gapless validation)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq_idx")
+    SIM.ivfpq_write_index(emb, path, n_cells=8, n_subspaces=8, n_codes=64)
+    codes, cents, books = SIM.ivfpq_read_index(spark, path)
+    got = SIM.ivfpq_probe(codes, cents, books, queries, k=5, nprobe=4).collect()
+
+    codes2, cents2, books2 = SIM.ivfpq_build_index(
+        emb, n_cells=8, n_subspaces=8, n_codes=64
+    )
+    want = SIM.ivfpq_probe(
+        codes2, cents2, books2, queries, k=5, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivfpq_dim_not_divisible_raises(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_train(emb, n_subspaces=7)
+
+
+def test_pq_compression_stats_arithmetic():
+    s = SIM.pq_compression_stats(dim=768, n_subspaces=8, n_codes=256)
+    assert s == {
+        "raw_bytes": 3072,
+        "code_bytes": 8,
+        "compression_ratio": 384.0,
+    }
+    s64 = SIM.pq_compression_stats(dim=64, n_subspaces=16, n_codes=256)
+    assert s64["raw_bytes"] == 256 and s64["code_bytes"] == 16
+
+
+def test_ivfpq_refine_recovers_clustered_ranking(spark):
+    """The clustered-corpus finding (BENCHNOTES §29): with real cluster
+    structure, cell pruning is nearly free but every candidate is
+    nearly equidistant, so PQ quantization noise — not pruning — caps
+    ADC-only recall. The exact-refinement stage on the ADC short-list
+    must recover it."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, kc = 500, 32, 8
+    centers = rng.normal(size=(kc, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, kc, size=n)
+    pts = centers[labels] + 0.06 * rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    codes, cents, books = SIM.ivfpq_build_index(
+        emb, n_cells=8, n_subspaces=16, n_codes=256
+    )
+    plain = SIM.ivfpq_probe(
+        codes, cents, books, queries, k=10, nprobe=4
+    ).collect()
+    refined = SIM.ivfpq_probe(
+        codes, cents, books, queries, k=10, nprobe=4, refine=50, corpus=emb
+    ).collect()
+    r_plain = _recall_of(exact, plain)
+    r_refined = _recall_of(exact, refined)
+    assert r_refined >= 0.90, f"refined recall {r_refined:.3f}"
+    assert r_refined > r_plain
+
+
+def test_ivfpq_refine_requires_corpus(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2)
+    codes, cents, books = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    with pytest.raises(ValueError, match="requires the raw corpus"):
+        SIM.ivfpq_probe(
+            codes, cents, books, queries, k=5, nprobe=2, refine=10
+        )

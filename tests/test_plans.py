@@ -319,3 +319,17 @@ def test_time_session_is_single_keyed_exchange(spark):
     ]
     assert len(hash_ex) == 1  # the only other exchange is the output sort
     assert "Window" not in plan  # no gaps-and-islands window pass
+
+
+def test_ivfpq_probe_plan_shape(spark):
+    """IVF-PQ probe: the nprobe cell short-list broadcasts into the
+    codes scan (hash equi-join on cell, never a shuffle of the codes
+    table), ADC scoring is the ONE Arrow stage, and top-k is a k-row
+    window — no cartesian product (the 16-row centroid table rides the
+    documented broadcast nested loop)."""
+    plan = _plan(spark, QUERIES["ann_ivfpq_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # exactly one Arrow stage (each node appears once in the tree as
+    # "MapInPandas (n)" and once in the details)
+    assert plan.count("MapInPandas (") == 1
+    assert "CartesianProduct" not in plan
