@@ -8,6 +8,11 @@ This is the cardinality face of the repo's incremental family
 (`incremental_exact_dedup` keeps exact keys, `bloom` keeps membership,
 this keeps distinct COUNTS): a 100 TB warehouse answers "distinct
 users this quarter" from 90 sketch rows.
+
+The Count-Min section below adds the FREQUENCY face: approximate
+per-key counts from the same persist-and-merge pattern, in an
+engine-portable long format (every cell auditable by the DuckDB
+oracle).
 """
 
 from __future__ import annotations
@@ -58,3 +63,126 @@ def union_distinct_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*agg)
     return sketches.agg(*agg)
+
+
+# ----------------------------------------------------------------------
+# Count-Min sketches: the FREQUENCY face of the incremental-sketch
+# family (HLL above keeps distinct counts, operators/bloom.py keeps
+# membership, this keeps approximate per-key counts). Long-format
+# representation — one (group..., d, w, cnt) row per touched cell — so
+# a persisted per-day sketch table MERGES with a plain groupBy-sum
+# (elementwise counter add, the CMS merge operation), and the whole
+# pipeline is deterministic md5-prefix arithmetic reproducible by the
+# DuckDB oracle (unlike the HLL binary blobs).
+
+
+def _cms_bucket(col, salt: str, width: int):
+    """Engine-portable CMS row hash: int(first 8 md5 hex chars of
+    (salt || key)) mod width — the same md5-prefix idiom as
+    selection.hashed_gram_buckets; salt = '<d>:' gives depth
+    independent rows."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10)
+        .cast("bigint")
+        % width
+    )
+
+
+def cms_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """One Count-Min sketch per group as long-format cell rows
+    (group_cols..., d, w, cnt, width, depth) — at most depth*width rows
+    per group regardless of key cardinality. NULL keys are dropped
+    (a NULL has no frequency identity).
+
+    Error contract (Cormode-Muthukrishnan): estimates never
+    UNDERcount; overcount <= e/width * N with probability
+    1 - e^-depth per query. Construction is one explode(depth) +
+    groupBy — map-side partial sums merge in the shuffle, so the
+    sketch of 100 TB is built in one pass and lands as <= depth*width
+    rows. width/depth ride along as columns so a reader can't probe a
+    sketch with the wrong geometry (cms_estimate validates).
+    """
+    group_cols = group_cols or []
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _cms_bucket(key, f"{d}:", width).alias("w")
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, F.explode(cells).alias("c"))
+        .groupBy(*group_cols, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("width", F.lit(width))
+        .withColumn("depth", F.lit(depth))
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge CMS cell rows (e.g. a union of per-day sketch tables, or
+    a rollup that drops some group columns): elementwise counter add =
+    groupBy-sum over the tiny cell table. Merging per-day sketches
+    EQUALS sketching the unioned days (contract-tested) — the property
+    that makes the persisted table incrementally appendable."""
+    group_cols = group_cols or []
+    return (
+        sketches.groupBy(*group_cols, "d", "w", "width", "depth")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*group_cols, "d", "w", "cnt", "width", "depth")
+    )
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-frequency estimates for a key table against a CMS:
+    est(key) = min over d of cnt[d, h_d(key)], absent cells = 0.
+    Geometry (width, depth) is read FROM the sketch rows and validated
+    unique — probing with mismatched hashes cannot happen silently.
+
+    The sketch side is <= depth*width rows per group — broadcast into
+    the key probe, so estimating any number of keys is one narrow
+    pass + a per-key min."""
+    group_cols = group_cols or []
+    geom = sketches.select("width", "depth").distinct().collect()
+    if len(geom) != 1:
+        raise ValueError(
+            f"cms_estimate: sketch table mixes geometries {geom} — merge "
+            "only sketches built with identical (width, depth)"
+        )
+    width, depth = geom[0].width, geom[0].depth
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), _cms_bucket(key, f"{d}:", width).alias("w")
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = (
+        keys.where(F.col(key_col).isNotNull())
+        .select(*group_cols, F.col(key_col), F.explode(cells).alias("c"))
+        .select(*group_cols, key_col, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    )
+    joined = probes.join(
+        F.broadcast(sketches.select(*group_cols, "d", "w", "cnt")),
+        on=[*group_cols, "d", "w"],
+        how="left",
+    )
+    return joined.groupBy(*group_cols, key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
+    )

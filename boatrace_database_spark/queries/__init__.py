@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 120 after round 6 added the split family, token budgets,
+# catalog — 121 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -119,6 +119,11 @@ _ORDER = [
     # 1) holds an in-budget row; the slide fan-out is oracle-parity
     # pytested locally
     "time_hopping",
+    # sketch_freq_sources: the CMS frequency face of the sketch family
+    # — sketch_distinct_users holds the family's in-budget slot; the
+    # CMS pipeline is fully oracle-replicated (md5 arithmetic) and
+    # oracle-parity pytested, plus merge=rebuild/bound property tests
+    "sketch_freq_sources",
     # time_session: the third windowing VARIANT (native session_window)
     # — same sibling rationale as time_hopping; merge semantics pinned
     # by a boundary unit test + islands oracle parity locally, and its

@@ -849,6 +849,49 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def sketch_freq_sources(spark, sf_dir):
+    """Count-Min frequency sketches (operators/sketches.cms_sketches):
+    per-day CMS cell tables over the documents' source column — the
+    persistable incremental frequency state — MERGED by the
+    groupBy-sum cms_merge, then point-estimated for every distinct
+    source. The whole pipeline is md5-prefix + integer arithmetic, so
+    the oracle replicates the sketch EXACTLY (cell counts, min-over-
+    rows, collisions and all) — a frequency sketch whose every
+    estimate is auditable by a second engine. The never-undercount and
+    e/width·N overcount bounds are pytest-pinned separately."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents")
+    # per-"day" shards stand in for the incremental appends: shard by
+    # doc_id range, merge the shards, estimate from the merged sketch
+    shards = d.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+    sk = SK.cms_sketches(shards, "source", ["shard"], width=256, depth=4)
+    merged = SK.cms_merge(sk)  # rollup drops the shard column
+    keys = d.select("source").where(F.col("source").isNotNull()).distinct()
+    return SK.cms_estimate(merged, keys, "source").orderBy("source")
+
+
+SKETCH_FREQ_SQL = """
+WITH cells AS (
+  SELECT dd.d,
+         ('0x' || substr(md5(dd.d || ':' || source), 1, 8))::BIGINT % 256 AS w,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents, (VALUES (0), (1), (2), (3)) AS dd(d)
+  WHERE source IS NOT NULL
+  GROUP BY 1, 2
+),
+kh AS (
+  SELECT DISTINCT source, dd.d,
+         ('0x' || substr(md5(dd.d || ':' || source), 1, 8))::BIGINT % 256 AS w
+  FROM documents, (VALUES (0), (1), (2), (3)) AS dd(d)
+  WHERE source IS NOT NULL
+)
+SELECT kh.source, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+FROM kh LEFT JOIN cells c ON kh.d = c.d AND kh.w = c.w
+GROUP BY kh.source ORDER BY kh.source
+"""
+
+
 def bpe_token_count(spark, sf_dir):
     """Trained-tokenizer counting (text.bpe_train + bpe_encode_count):
     16 BPE merges learned from the corpus's word-frequency table
@@ -2397,6 +2440,7 @@ QUERIES = {
     "retrieval_mmr_diversified": retrieval_mmr_diversified,
     "bpe_token_count": bpe_token_count,
     "sketch_distinct_users": sketch_distinct_users,
+    "sketch_freq_sources": sketch_freq_sources,
     "tfidf_related_docs": tfidf_related_docs,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
@@ -2462,6 +2506,7 @@ ORACLES = {
     "retrieval_mmr_diversified": None,
     "bpe_token_count": None,
     "sketch_distinct_users": SKETCH_DISTINCT_SQL,
+    "sketch_freq_sources": SKETCH_FREQ_SQL,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,

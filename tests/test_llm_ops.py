@@ -2079,3 +2079,64 @@ def test_ivfpq_refine_requires_corpus(spark):
         SIM.ivfpq_probe(
             codes, cents, books, queries, k=5, nprobe=2, refine=10
         )
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """The Cormode-Muthukrishnan contract on real data: for every key,
+    exact <= est <= exact + e/width * N (the bound holds per hash row
+    w.p. 1-1/e; taking min over depth=4 rows makes a violation at
+    width=256 on ~20 keys effectively impossible — treat it as a hard
+    bound here)."""
+    import math
+
+    from boatrace_database_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    width = 256
+    sk = SK.cms_sketches(docs, "source", width=width, depth=4)
+    keys = docs.select("source").where(F.col("source").isNotNull()).distinct()
+    est = {
+        r.source: r.est_count
+        for r in SK.cms_estimate(sk, keys, "source").collect()
+    }
+    exact = {
+        r.source: r.n
+        for r in docs.where(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    slack = math.e / width * n_total
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k], f"{k}: CMS undercounted"
+        assert est[k] <= exact[k] + slack, f"{k}: overcount beyond bound"
+
+
+def test_cms_merge_equals_rebuild(spark):
+    """Elementwise-sum merge of per-shard sketches must equal the
+    sketch built over the union — EXACT cell-table equality (the CMS
+    pipeline is deterministic arithmetic, not an engine blob)."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    shards = docs.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(3)))
+    merged = SK.cms_merge(
+        SK.cms_sketches(shards, "source", ["shard"], width=128, depth=3)
+    )
+    rebuilt = SK.cms_sketches(docs, "source", width=128, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_cms_estimate_rejects_mixed_geometry(spark):
+    from boatrace_database_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = SK.cms_sketches(docs, "source", width=128, depth=3)
+    b = SK.cms_sketches(docs, "source", width=256, depth=3)
+    keys = docs.select("source").distinct()
+    with pytest.raises(ValueError, match="geometr"):
+        SK.cms_estimate(a.unionByName(b), keys, "source")
