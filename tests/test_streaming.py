@@ -1538,3 +1538,45 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert batch, "batch builder produced no view->purchase matches"
     assert got == batch
+
+
+def test_stream_cms_ingest_merge_equals_batch_sketch(spark, tmp_path):
+    """The CMS twin of the HLL daily pattern: each micro-batch appends
+    its own Count-Min cell rows; cms_merge over the accumulated table
+    must equal the ONE sketch built over everything ingested — exact
+    cell equality (deterministic arithmetic), so estimates from the
+    merged table are identical to single-build estimates."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "cms_src")
+    cell_table = str(tmp_path / "cms_table")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+
+    def append_cells(batch_df, epoch_id):
+        SK.cms_sketches(
+            batch_df.withColumn("epoch", F.lit(int(epoch_id))),
+            "source", ["epoch"], width=128, depth=3,
+        ).write.mode("append").parquet(cell_table)
+
+    q = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream.foreachBatch(append_cells)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deliver(docs.where(F.col("doc_id") % 3 == 0), "c1", f"{src}/b1.parquet")
+        q.processAllAvailable()
+        deliver(docs.where(F.col("doc_id") % 3 == 1), "c2", f"{src}/b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ingested = docs.where(F.col("doc_id") % 3 != 2)
+    merged = SK.cms_merge(spark.read.parquet(cell_table))
+    rebuilt = SK.cms_sketches(ingested, "source", width=128, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
