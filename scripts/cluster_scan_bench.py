@@ -47,7 +47,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from boatrace_database_spark.session import get_spark
-    from boatrace_database_spark.warehouse import cluster_write
+    from boatrace_database_spark.warehouse import cluster_write, zorder_write
 
     spark = get_spark("cluster-scan-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,8 +55,10 @@ def main() -> None:
 
     clustered = "/tmp/cluster_bench_clustered.parquet"
     plain = "/tmp/cluster_bench_plain.parquet"
+    zordered = "/tmp/cluster_bench_zorder.parquet"
     cluster_write(li, clustered, ["l_shipdate"], n_files=32)
     li.repartition(32).write.mode("overwrite").parquet(plain)
+    zorder_write(li, zordered, ["l_shipdate", "l_orderkey"], n_files=32)
 
     lo = datetime.datetime.fromisoformat(LO)
     hi = datetime.datetime.fromisoformat(HI + " 23:59:59")
@@ -71,7 +73,11 @@ def main() -> None:
         )
 
     report = {"predicate": f"l_shipdate in [{LO}, {HI}]"}
-    for name, path in (("clustered", clustered), ("plain", plain)):
+    for name, path in (
+        ("clustered", clustered),
+        ("plain", plain),
+        ("zordered", zordered),
+    ):
         n = scan(path)  # warm
         times = []
         for _ in range(5):
@@ -89,6 +95,20 @@ def main() -> None:
         }
         print(f"{name}: {report[name]}", file=sys.stderr)
     assert report["clustered"]["rows"] == report["plain"]["rows"]
+    assert report["zordered"]["rows"] == report["plain"]["rows"]
+
+    # the SECOND dimension is z-order's reason to exist: a 5% orderkey
+    # slice must prune row groups on the z-ordered layout while the
+    # 1-d date-clustered layout decodes everything
+    k_lo, k_hi = li.stat.approxQuantile("l_orderkey", [0.0, 0.05], 0.001)
+    for name, path in (("clustered", clustered), ("zordered", zordered)):
+        hits, total = overlap_fraction(path, "l_orderkey", int(k_lo), int(k_hi))
+        report[name]["orderkey_slice_decode_fraction"] = round(hits / total, 3)
+        print(
+            f"{name} orderkey-slice decode fraction: "
+            f"{report[name]['orderkey_slice_decode_fraction']}",
+            file=sys.stderr,
+        )
     print(json.dumps(report))
 
 
