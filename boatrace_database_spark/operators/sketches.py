@@ -186,3 +186,108 @@ def cms_estimate(
     return joined.groupBy(*group_cols, key_col).agg(
         F.min(F.coalesce("cnt", F.lit(0))).alias("est_count")
     )
+
+
+# ----------------------------------------------------------------------
+# Histogram sketches: the QUANTILE face of the family. Fixed uniform
+# bins over a declared [lo, hi) — one (group..., bin, cnt) row per
+# touched bin — so per-day sketches merge with a groupBy-sum and any
+# quantile over any period interpolates from <= n_bins rows. The
+# declared range is the contract that makes merging sound (two
+# sketches binned over different ranges are different sketches;
+# geometry rides as columns and the estimator refuses mixtures, like
+# the CMS). Error is by construction <= one bin width — a DETERMINISTIC
+# bound, unlike approx_percentile's probabilistic one, and the whole
+# pipeline is plain arithmetic a second engine can replicate.
+
+
+def histogram_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """One histogram per group as (group..., bin, cnt, lo, hi, n_bins)
+    rows. Values are clamped into the declared range (out-of-range
+    mass lands in the edge bins — visible as edge spikes, the signal
+    to re-declare the range); NULLs are dropped. Construction is one
+    groupBy with map-side partial sums."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    b = F.floor((v - F.lit(float(lo))) / F.lit(float(width))).cast("long")
+    bin_ = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), b))
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lo", F.lit(float(lo)))
+        .withColumn("hi", F.lit(float(hi)))
+        .withColumn("n_bins", F.lit(n_bins))
+    )
+
+
+def histogram_merge(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge histogram cell rows (union of per-day tables, or a rollup
+    dropping group columns): groupBy-sum over the bounded bin table —
+    merging per-day histograms equals histogramming the union."""
+    group_cols = group_cols or []
+    return (
+        sketches.groupBy(*group_cols, "bin", "lo", "hi", "n_bins")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*group_cols, "bin", "cnt", "lo", "hi", "n_bins")
+    )
+
+
+def histogram_quantiles(
+    sketches: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the
+    first bin whose cumulative count reaches rank ceil(q*N), linearly
+    interpolated within the bin — deterministic arithmetic with error
+    <= one bin width. Output: (group..., q, est). The window/cumsum
+    runs over the <= n_bins-row sketch table, never the corpus."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    geom = sketches.select("lo", "hi", "n_bins").distinct().collect()
+    if len(geom) != 1:
+        raise ValueError(
+            f"histogram_quantiles: sketch table mixes geometries {geom} — "
+            "merge only sketches with identical (lo, hi, n_bins)"
+        )
+    lo, hi, n_bins = geom[0].lo, geom[0].hi, geom[0].n_bins
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    cum = (
+        sketches.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .withColumn("n_total", F.sum("cnt").over(Window.partitionBy(*group_cols)))
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    expanded = cum.select(*cum.columns, qs).withColumn(
+        "rank", F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n_total")))
+    )
+    hit = expanded.where(
+        (F.col("cum") >= F.col("rank")) & (F.col("cum_prev") < F.col("rank"))
+    )
+    est = (
+        F.lit(float(lo))
+        + (
+            F.col("bin")
+            + (F.col("rank") - F.col("cum_prev")) / F.col("cnt")
+        )
+        * F.lit(float(width))
+    )
+    return hit.select(
+        *group_cols, "q", F.round(est, 6).alias("est")
+    )

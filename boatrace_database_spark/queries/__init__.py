@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 121 after round 6 added the split family, token budgets,
+# catalog — 122 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -124,6 +124,10 @@ _ORDER = [
     # CMS pipeline is fully oracle-replicated (md5 arithmetic) and
     # oracle-parity pytested, plus merge=rebuild/bound property tests
     "sketch_freq_sources",
+    # sketch_price_quantiles: the histogram/quantile face — same
+    # family-slot rationale; fully oracle-replicated arithmetic,
+    # oracle-parity pytested + merge≡rebuild/error-bound tests
+    "sketch_price_quantiles",
     # time_session: the third windowing VARIANT (native session_window)
     # — same sibling rationale as time_hopping; merge semantics pinned
     # by a boundary unit test + islands oracle parity locally, and its

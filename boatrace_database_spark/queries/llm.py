@@ -892,6 +892,64 @@ GROUP BY kh.source ORDER BY kh.source
 """
 
 
+def sketch_price_quantiles(spark, sf_dir):
+    """Mergeable histogram sketches (operators/sketches.histogram_*):
+    per-shard fixed-bin histograms of o_totalprice — the persistable
+    quantile state — merged per order status, then p50/p90/p99
+    interpolated from the <= 512-row bin table. Deterministic error
+    <= one bin width (1171.875 here) by construction, and the whole
+    pipeline is plain arithmetic, so the oracle replicates every
+    estimate exactly — unlike approx_percentile's engine-specific
+    sketch. Merge≡rebuild and error-vs-exact are pytest-pinned."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    o = _t(spark, sf_dir, "orders")
+    shards = o.withColumn("shard", F.pmod(F.col("o_orderkey"), F.lit(4)))
+    sk = SK.histogram_sketches(
+        shards,
+        "o_totalprice",
+        ["shard", "o_orderstatus"],
+        lo=0.0,
+        hi=600000.0,
+        n_bins=512,
+    )
+    merged = SK.histogram_merge(sk, ["o_orderstatus"])
+    return SK.histogram_quantiles(
+        merged, [0.5, 0.9, 0.99], ["o_orderstatus"]
+    ).orderBy("o_orderstatus", "q")
+
+
+SKETCH_QUANTILE_SQL = """
+WITH bins AS (
+  SELECT o_orderstatus,
+         greatest(0, least(511,
+           CAST(floor(CAST(o_totalprice AS DOUBLE) / (600000.0 / 512)) AS BIGINT)
+         )) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, bin, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) - cnt AS cum_prev,
+         sum(cnt) OVER (PARTITION BY o_orderstatus) AS n_total
+  FROM bins
+),
+qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+expanded AS (
+  SELECT c.*, qq.q,
+         greatest(1, CAST(ceil(qq.q * c.n_total) AS BIGINT)) AS rank
+  FROM cum c, qq
+)
+SELECT o_orderstatus, q,
+       round((bin + (rank - cum_prev) * 1.0 / cnt) * (600000.0 / 512), 6)
+         AS est
+FROM expanded WHERE cum >= rank AND cum_prev < rank
+ORDER BY o_orderstatus, q
+"""
+
+
 def bpe_token_count(spark, sf_dir):
     """Trained-tokenizer counting (text.bpe_train + bpe_encode_count):
     16 BPE merges learned from the corpus's word-frequency table
@@ -2441,6 +2499,7 @@ QUERIES = {
     "bpe_token_count": bpe_token_count,
     "sketch_distinct_users": sketch_distinct_users,
     "sketch_freq_sources": sketch_freq_sources,
+    "sketch_price_quantiles": sketch_price_quantiles,
     "tfidf_related_docs": tfidf_related_docs,
     "tfidf_top_terms_per_doc": tfidf_top_terms_per_doc,
     "ann_lsh_topk": ann_lsh_topk,
@@ -2507,6 +2566,7 @@ ORACLES = {
     "bpe_token_count": None,
     "sketch_distinct_users": SKETCH_DISTINCT_SQL,
     "sketch_freq_sources": SKETCH_FREQ_SQL,
+    "sketch_price_quantiles": SKETCH_QUANTILE_SQL,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
     "ann_lsh_topk": None,

@@ -2140,3 +2140,50 @@ def test_cms_estimate_rejects_mixed_geometry(spark):
     keys = docs.select("source").distinct()
     with pytest.raises(ValueError, match="geometr"):
         SK.cms_estimate(a.unionByName(b), keys, "source")
+
+
+def test_histogram_merge_equals_rebuild_and_error_bound(spark):
+    """Histogram sketch contracts: (1) per-shard sketches merged =
+    sketch over the union, exact bin-table equality; (2) every
+    quantile estimate within ONE bin width of the exact percentile
+    (the deterministic bound fixed bins buy)."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    lo, hi, n_bins = 0.0, 600000.0, 512
+    width = (hi - lo) / n_bins
+    shards = o.withColumn("shard", F.pmod(F.col("o_orderkey"), F.lit(3)))
+    merged = SK.histogram_merge(
+        SK.histogram_sketches(
+            shards, "o_totalprice", ["shard"], lo=lo, hi=hi, n_bins=n_bins
+        )
+    )
+    rebuilt = SK.histogram_sketches(
+        o, "o_totalprice", lo=lo, hi=hi, n_bins=n_bins
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {r.q: r.est for r in SK.histogram_quantiles(merged, qs).collect()}
+    vals = sorted(
+        r.o_totalprice
+        for r in o.select("o_totalprice").collect()
+        if r.o_totalprice is not None
+    )
+    import math
+
+    for q in qs:
+        exact = float(vals[max(0, math.ceil(q * len(vals)) - 1)])
+        assert abs(est[q] - exact) <= width, (q, est[q], exact)
+
+
+def test_histogram_quantiles_rejects_mixed_geometry(spark):
+    from boatrace_database_spark.operators import sketches as SK
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    a = SK.histogram_sketches(o, "o_totalprice", lo=0.0, hi=1e5, n_bins=64)
+    b = SK.histogram_sketches(o, "o_totalprice", lo=0.0, hi=2e5, n_bins=64)
+    with pytest.raises(ValueError, match="geometr"):
+        SK.histogram_quantiles(a.unionByName(b), [0.5])
