@@ -9,9 +9,11 @@ same pipeline incremental:
 - `stream_sessionize`: watermarked SESSION-window aggregate (native
   `F.session_window`, dynamic-gap merge) — the third windowing mode,
   batch twin queries/analytics.time_session.
-- `stream_interval_join`: STREAM-STREAM inner join with watermarks on
-  both sides and an event-time range predicate, so the per-side join
-  buffers stay time-bounded (views x purchases within a horizon).
+- `stream_interval_join`: STREAM-STREAM join (inner or left-outer)
+  with watermarks on both sides and an event-time range predicate, so
+  the per-side join buffers stay time-bounded (views x purchases
+  within a horizon); outer no-match rows emit once the watermark
+  closes their window.
 - `stream_running_counters` / `stream_asof_enrich`: custom stateful
   operators via applyInPandasWithState (running aggregates, as-of
   enrichment) with batch-operator parity tests.
@@ -269,13 +271,15 @@ def stream_asof_enrich(
 
 
 def _interval_join_frames(
-    views: DataFrame, purchases: DataFrame, horizon: str
+    views: DataFrame, purchases: DataFrame, horizon: str, how: str = "inner"
 ) -> DataFrame:
     """Shared shape of the view->purchase interval join: each purchase
     matched with every view by the same user in the preceding
     ``horizon``. One definition serves the batch expectation AND the
     stream-stream query so the parity test compares the same plan
-    logic, not two hand-written variants."""
+    logic, not two hand-written variants. ``how='leftOuter'`` keeps
+    view-less purchases with NULL view columns and lag_seconds -1
+    (the no-match sentinel, same convention as stream_asof_enrich)."""
     v = views.where(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         F.col("user_id").alias("v_user"),
@@ -294,16 +298,17 @@ def _interval_join_frames(
             p["purchase_ts"] >= v["view_ts"],
             p["purchase_ts"] <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}"),
         ],
-        how="inner",
+        how=how,
     )
     return joined.select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
         "view_id",
         F.round("view_value", 2).alias("view_value"),
-        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")).alias(
-            "lag_seconds"
-        ),
+        F.coalesce(
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"),
+            F.lit(-1).cast("bigint"),
+        ).alias("lag_seconds"),
     )
 
 
@@ -315,11 +320,19 @@ def stream_interval_join(
     horizon: str = "10 minutes",
     watermark: str = "2 hours",
     query_name: str = "interval_join",
+    how: str = "inner",
 ) -> StreamingQuery:
-    """STREAM-STREAM inner join: a stream of purchases joined against a
+    """STREAM-STREAM join: a stream of purchases joined against a
     stream of views on user_id with an event-time interval condition
     (purchase within ``horizon`` after the view) — the canonical
     Structured Streaming two-stream pattern (ad impression x click).
+
+    ``how='leftOuter'`` adds the unmatched-purchase rows (NULL view
+    columns, lag_seconds -1): Spark can only emit a no-match verdict
+    once the WATERMARK has passed the purchase's whole match window —
+    a view that would match can no longer arrive — so outer results
+    trail the watermark by design (inner matches still emit
+    immediately). The batch-parity test asserts exactly that split.
 
     Both sides carry a watermark and the join predicate bounds the
     event-time distance, which is exactly what lets Spark EVICT
@@ -339,7 +352,7 @@ def stream_interval_join(
     purchases = normalize_ts(
         spark.readStream.schema(schema).parquet(purchases_dir)
     ).withWatermark("ts", watermark)
-    out = _interval_join_frames(views, purchases, horizon)
+    out = _interval_join_frames(views, purchases, horizon, how)
     return (
         out.writeStream.outputMode("append")
         .format("memory")

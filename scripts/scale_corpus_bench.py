@@ -3,7 +3,8 @@ contract scale_dedup_bench.py gives the dedup family): split_assign /
 split_exact / split_exact_stratified / global_shuffle /
 take_token_budget / mixture_resample / pack_sequences /
 quantile_gate (exact + approx) / bpe_train + bpe_encode_count /
-hll_sketch_rollup /
+hll_sketch_rollup / cms_sketch_estimate / histogram_quantiles /
+dsir_sample /
 normalize_width (roundtrip) at 1x and Rx of the sf0.1 documents
 corpus.
 
@@ -222,6 +223,44 @@ def run_ops(spark, docs, n_rows):
         return int(sum(r.distinct_estimate for r in rows))
 
     rec("hll_sketch_rollup", sketch_rollup)
+
+    # CMS frequency + histogram quantile sketches: one corpus pass
+    # each, outputs bounded by geometry (depth*width / n_bins rows) —
+    # expect time ratio ~R on the build, estimates from the tiny
+    # sketch table essentially free
+    def cms_estimate_sum():
+        keyed = docs.withColumn("src", (F.col("doc_id") % 7).cast("string"))
+        sk = SK.cms_sketches(keyed, "src", width=256, depth=4)
+        keys = keyed.select("src").distinct()
+        rows = SK.cms_estimate(sk, keys, "src").collect()
+        assert sum(r.est_count for r in rows) >= n_rows  # never undercount
+        return int(sum(r.est_count for r in rows))
+
+    rec("cms_sketch_estimate", cms_estimate_sum)
+
+    def histogram_p50_p99():
+        lens = docs.select(F.length("text").alias("len"))
+        sk = SK.histogram_sketches(lens, "len", lo=0.0, hi=10000.0, n_bins=256)
+        rows = SK.histogram_quantiles(sk, [0.5, 0.99]).collect()
+        return int(sum(r.est for r in rows))
+
+    rec("histogram_quantiles", histogram_p50_p99)
+
+    # DSIR importance resample: two corpus passes (model + scoring)
+    # joined by an m-bounded broadcast model, Gumbel-top-k is a
+    # TakeOrdered — expect time ratio ~R, skew-free (md5 buckets)
+    from boatrace_database_spark.operators import selection as SEL
+
+    def dsir():
+        target = docs.where(F.col("doc_id") % 11 == 0)
+        sel = SEL.dsir_sample(docs, target, "doc_id", "text", k=100, m=4096)
+        row = sel.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_grams").alias("g")
+        ).collect()[0]
+        assert row.n == 100, f"top-k returned {row.n}"
+        return int(row.g)
+
+    rec("dsir_sample", dsir)
     return out
 
 

@@ -215,6 +215,40 @@ def main() -> None:
         if name in exact_ops:
             assert nN == REPLICAS * n1, (name, n1, nN)
 
+    # IVF-PQ: encode cost tracks the corpus (one Arrow pass over all
+    # vectors), probe cost tracks nprobe * avg_cell * n_queries —
+    # n_cells grows WITH the corpus like semantic_dedup (constant
+    # target cell size), so the probe should stay near-flat while the
+    # build is ~R. Timed separately: build-once/probe-many is the
+    # deployment shape.
+    from pyspark.sql import functions as F
+
+    for label, emb, nc in (("1x", emb1, 16), ("Rx", embN, 16 * REPLICAS)):
+        queries = emb.where(F.col("vec_id") < 10)
+        before = stage_ids(spark)
+        t0 = time.perf_counter()
+        codes, cents, books = SIM.ivfpq_build_index(
+            emb, n_cells=nc, n_subspaces=16, n_codes=256
+        )
+        codes = codes.localCheckpoint(eager=True)
+        t_build = time.perf_counter() - t0
+        bal_build = heaviest_stage_balance(spark, stage_ids(spark) - before)
+        t_probe, n_out = 1e9, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_out = SIM.ivfpq_probe(
+                codes, cents, books, queries, k=10, nprobe=8
+            ).count()
+            t_probe = min(t_probe, time.perf_counter() - t0)
+        results[f"ivfpq_{label}"] = {
+            "t_build": round(t_build, 2),
+            "t_probe": round(t_probe, 2),
+            "rows_out": n_out,
+            "n_cells": nc,
+            "balance_build": bal_build,
+        }
+        print(f"ivfpq_{label}: {results[f'ivfpq_{label}']}", file=sys.stderr)
+
     print(json.dumps({"replicas": REPLICAS, "sf_dir": SF_DIR, "ops": results}))
 
 

@@ -1580,3 +1580,61 @@ def test_stream_cms_ingest_merge_equals_batch_sketch(spark, tmp_path):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_stream_interval_join_left_outer(spark, tmp_path):
+    """Outer stream-stream join: matched rows equal the inner join
+    immediately; unmatched purchases (NULL view, lag -1) emit only
+    once the watermark closes their match window, and every emitted
+    outer row must be in the batch left-outer result."""
+    from boatrace_database_spark.streaming.ingest import (
+        _interval_join_frames,
+        stream_interval_join,
+    )
+    from boatrace_database_spark.timeutil import normalize_ts
+
+    views_dir = str(tmp_path / "ijo_views")
+    purchases_dir = str(tmp_path / "ijo_purchases")
+    os.makedirs(views_dir)
+    os.makedirs(purchases_dir)
+    shutil.copy(SRC, f"{views_dir}/events.parquet")
+    shutil.copy(SRC, f"{purchases_dir}/events.parquet")
+    schema = _events_schema(spark)
+
+    q = stream_interval_join(
+        spark,
+        views_dir,
+        purchases_dir,
+        schema,
+        query_name="ijo_t",
+        how="leftOuter",
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.view_id): (r.user_id, r.view_value, r.lag_seconds)
+            for r in spark.sql("SELECT * FROM ijo_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_events = normalize_ts(spark.read.schema(schema).parquet(SRC))
+    outer = {
+        (r.purchase_id, r.view_id): (r.user_id, r.view_value, r.lag_seconds)
+        for r in _interval_join_frames(
+            batch_events, batch_events, "10 minutes", "leftOuter"
+        ).collect()
+    }
+    inner = {k: v for k, v in outer.items() if k[1] is not None}
+    nulls_batch = {k for k in outer if k[1] is None}
+    nulls_got = {k for k in got if k[1] is None}
+
+    # matched rows: complete and identical to the batch inner join
+    assert {k: v for k, v in got.items() if k[1] is not None} == inner
+    # outer rows: a watermark-gated SUBSET of the batch no-match set,
+    # and the data spans days so most finalize within the run
+    assert nulls_got <= nulls_batch
+    assert nulls_batch, "corpus has no view-less purchases; test is vacuous"
+    assert len(nulls_got) >= len(nulls_batch) * 0.5
+    for k in nulls_got:
+        assert got[k] == outer[k]
