@@ -93,7 +93,9 @@ def dsir_log_weights(
 
     Documents with no grams at all (empty/NULL text) are kept with
     n_grams=0, log_w=0.0 — "no evidence" scores neutral rather than
-    silently vanishing from the resample pool.
+    silently vanishing from the resample pool. ``id_col`` must be
+    unique per document (the standard corpus contract here; duplicate
+    ids would duplicate rows through the re-attach join).
 
     log_w is rounded to 6 decimals so order-of-summation float noise
     cannot flip an engine-parity comparison (and the Gumbel resample

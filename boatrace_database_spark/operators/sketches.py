@@ -158,6 +158,8 @@ def cms_estimate(
     pass + a per-key min."""
     group_cols = group_cols or []
     geom = sketches.select("width", "depth").distinct().collect()
+    if not geom:
+        raise ValueError("cms_estimate: sketch table is empty")
     if len(geom) != 1:
         raise ValueError(
             f"cms_estimate: sketch table mixes geometries {geom} — merge "
@@ -258,6 +260,8 @@ def histogram_quantiles(
 
     group_cols = group_cols or []
     geom = sketches.select("lo", "hi", "n_bins").distinct().collect()
+    if not geom:
+        raise ValueError("histogram_quantiles: sketch table is empty")
     if len(geom) != 1:
         raise ValueError(
             f"histogram_quantiles: sketch table mixes geometries {geom} — "

@@ -449,6 +449,11 @@ def zorder_write(
     z = F.lit(0).cast("long")
     for i, e in enumerate(casts):
         mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_write: column {cluster_cols[i]} is entirely NULL "
+                "(or the frame is empty) — no value range to bucket"
+            )
         bucket = _zorder_bucket(e, mn, mx, bits)
         for b in range(bits):
             bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))

@@ -2187,3 +2187,18 @@ def test_histogram_quantiles_rejects_mixed_geometry(spark):
     b = SK.histogram_sketches(o, "o_totalprice", lo=0.0, hi=2e5, n_bins=64)
     with pytest.raises(ValueError, match="geometr"):
         SK.histogram_quantiles(a.unionByName(b), [0.5])
+
+
+def test_sketch_estimators_reject_empty_tables(spark):
+    from boatrace_database_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    empty_cms = SK.cms_sketches(docs.where(F.lit(False)), "source")
+    keys = docs.select("source").distinct()
+    with pytest.raises(ValueError, match="empty"):
+        SK.cms_estimate(empty_cms, keys, "source")
+    empty_hist = SK.histogram_sketches(
+        docs.where(F.lit(False)).withColumn("len", F.length("text")), "len"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        SK.histogram_quantiles(empty_hist, [0.5])

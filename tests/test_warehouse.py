@@ -682,3 +682,11 @@ def test_zorder_write_guards(spark):
         W.zorder_write(li, "/tmp/unused", ["l_shipdate"])
     with pytest.raises(ValueError, match="unsupported type"):
         W.zorder_write(li, "/tmp/unused", ["l_shipdate", "l_returnflag"])
+
+
+def test_zorder_write_all_null_column_raises(spark, tmp_path):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", F.lit(None).cast("double").alias("dead")
+    )
+    with pytest.raises(ValueError, match="entirely NULL"):
+        W.zorder_write(li, str(tmp_path / "z"), ["l_orderkey", "dead"])
