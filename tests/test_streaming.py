@@ -1638,3 +1638,49 @@ def test_stream_interval_join_left_outer(spark, tmp_path):
     assert len(nulls_got) >= len(nulls_batch) * 0.5
     for k in nulls_got:
         assert got[k] == outer[k]
+
+
+def test_stream_histogram_ingest_merge_equals_batch_sketch(spark, tmp_path):
+    """Histogram twin of the CMS/HLL daily pattern: per-batch bin rows
+    appended, merged table equals the single-build sketch exactly, so
+    streamed-in data answers quantiles without rescans."""
+    from boatrace_database_spark.operators import sketches as SK
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    src = str(tmp_path / "hg_src")
+    cell_table = str(tmp_path / "hg_table")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+
+    def append_bins(batch_df, epoch_id):
+        SK.histogram_sketches(
+            batch_df.select(F.length("text").alias("len")).withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ),
+            "len", ["epoch"], lo=0.0, hi=10000.0, n_bins=128,
+        ).write.mode("append").parquet(cell_table)
+
+    q = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .writeStream.foreachBatch(append_bins)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deliver(docs.where(F.col("doc_id") % 2 == 0), "h1", f"{src}/b1.parquet")
+        q.processAllAvailable()
+        deliver(docs.where(F.col("doc_id") % 2 == 1), "h2", f"{src}/b2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = SK.histogram_merge(spark.read.parquet(cell_table))
+    rebuilt = SK.histogram_sketches(
+        docs.select(F.length("text").alias("len")),
+        "len", lo=0.0, hi=10000.0, n_bins=128,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    qs = SK.histogram_quantiles(merged, [0.5, 0.9]).collect()
+    assert len(qs) == 2 and all(r.est > 0 for r in qs)
