@@ -46,6 +46,7 @@ HEADLINE = [
     "chunk_dedup_pipeline",
     "bm25_topk_docs",
     "repeated_substring_spans",
+    "dsir_select_corpus",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

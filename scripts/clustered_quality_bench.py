@@ -108,6 +108,27 @@ def semantic_sweep(spark, sf_dir, threshold, n_cells=16):
     return out
 
 
+def ivfpq_sweep(spark, sf_dir, k=10, n_queries=10):
+    """ADC-only vs refined recall on both corpora (BENCHNOTES §29):
+    clustered data makes pruning free but quantization-noise-bound,
+    which refinement recovers; random data is candidate-bound."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < n_queries)
+    exact = Q._topk_sets(SIM.cosine_topk(emb, queries, k=k).collect())
+    codes, cents, books = SIM.ivfpq_build_index(
+        emb, n_cells=16, n_subspaces=16, n_codes=256
+    )
+    codes = codes.localCheckpoint(eager=True)
+    out = {}
+    for label, refine in (("adc", 0), ("refine50", 50)):
+        rows = SIM.ivfpq_probe(
+            codes, cents, books, queries, k=k, nprobe=8,
+            refine=refine, corpus=emb if refine else None,
+        ).collect()
+        out[label] = round(Q._mean_recall(exact, Q._topk_sets(rows)), 4)
+    return out
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[32]")
@@ -133,6 +154,8 @@ def main():
         print(f"lsh_ann recall={r} candidates/query={cpq}")
         sem = semantic_sweep(spark, d, theta)
         print(f"semantic recall by n_assign (theta={theta}): {sem}")
+        pq = ivfpq_sweep(spark, d)
+        print(f"ivfpq recall (S=16/K=256, nprobe=8): {pq}")
     print(f"\nclustered corpus left at: {tmp}")
 
 
