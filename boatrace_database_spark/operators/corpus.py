@@ -640,3 +640,50 @@ def quantile_thresholds(
     return df.groupBy(grp.alias("_grp")).agg(
         F.percentile_approx(F.col(score_col), F.lit(q)).alias("_thr")
     )
+
+
+RESERVOIR_SALT = 0x7A1E
+
+
+def sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: int = RESERVOIR_SALT,
+) -> DataFrame:
+    """Deterministic per-group reservoir sample: EXACTLY min(k, |group|)
+    rows per group — the k smallest (hash32(id, salt), id) within each
+    group. The distributed equivalent of seeded reservoir sampling:
+    membership is a pure function of (salt, the group's id set), so
+    re-runs and backfills agree row-for-row and any engine can
+    recompute the member set (plain integer arithmetic, no engine
+    RNG). Adds ``sample_rank`` (0-based hash-order rank within the
+    group) so callers can take nested prefixes: the rank-<j subset of
+    a rank-<k sample IS the j-sample — shrinking a sample never
+    reshuffles it.
+
+    vs the built-ins: ``df.sampleBy`` is binomial per-row (group
+    yields vary run to run, never exactly k) and seeds don't survive
+    repartitioning; ``rdd.takeSample`` collects to the driver. This
+    is exact-count, distributed, and engine-portable.
+
+    Scale shape: ONE shuffle on the group key feeding a row_number
+    window; the sort is per-group, not global. A monster group bounds
+    the longest task at O(|group| log |group|) — the standard
+    per-group-rank caveat; if one group outgrows a task, pre-filter
+    with an approximate per-partition top-k on the same hash (the
+    hash order makes local pruning sound: only a partition's k
+    smallest can survive globally).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        _hash32(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(
+            "sample_rank", (F.row_number().over(w) - 1).cast("long")
+        )
+        .where(F.col("sample_rank") < k)
+    )

@@ -813,3 +813,95 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# edit-distance fuzzy join (SymSpell-style deletion neighborhoods)
+def deletion_neighborhood(text_col, k: int = 1):
+    """All strings reachable from ``text_col`` by deleting at most
+    ``k`` characters (including the string itself), distinct, as
+    array<string>. JVM higher-order functions only — no Python on the
+    hot path.
+
+    This is the SymSpell blocking key set: two strings within
+    Damerau/Levenshtein distance k always share at least one
+    ≤k-deletion variant, so an equi-join on variants yields a
+    complete candidate set (with false positives — e.g. "ax"/"xa"
+    share "a" and "x" at distance 2 > 1 — which the verify step
+    removes). The empty-string guard matters: Spark's sequence(1, 0)
+    DESCENDS, which would feed substr() an invalid slice.
+    """
+    def _del1(col):
+        return F.when(
+            F.length(col) >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    col.substr(F.lit(1), i - F.lit(1)),
+                    col.substr(i + F.lit(1), F.length(col)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    frontier = F.array(text_col)
+    seen = frontier
+    for _ in range(k):
+        frontier = F.array_distinct(F.flatten(F.transform(frontier, _del1)))
+        seen = F.array_distinct(F.concat(seen, frontier))
+    return seen
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 1,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Exact Levenshtein-distance-≤-k pairs via SymSpell deletion-
+    neighborhood blocking: explode each string's ≤k-deletion variants,
+    equi-join on the variant, then VERIFY candidates with the built-in
+    `levenshtein(…, threshold=k)` (JVM, early-exit above threshold).
+    Output: (id_a, id_b, dist) with id_a < id_b and 0 ≤ dist ≤ k —
+    exact-duplicate pairs surface as dist 0.
+
+    Scope: SHORT keys — names, titles, codes — where typo-tolerant
+    matching is the real operation; long documents belong to
+    MinHash/SimHash. The variant table carries the text through the
+    explode ON PURPOSE (length-L text appears ~L·k times): for short
+    keys that duplication is cheaper than the two extra id→text joins
+    the skinny layout would need, and it keeps the verify step inside
+    the same join stage.
+
+    Scale shape: the join is an EQUI-join on the variant string —
+    never a cartesian — and candidates are bounded by neighborhood
+    size (≈ (L choose k)) × bucket size. Degenerate variant buckets
+    (short common fragments collapse many keys onto one variant) are
+    capped with the LSH family's `_cap_buckets` guard — same
+    precision/recall trade, same knob. `dist` is a pure function of
+    the pair, so the threshold filter runs BEFORE pair-dedup and only
+    verified-close pairs ride that shuffle.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.explode(deletion_neighborhood(F.col(text_col), k)).alias("v"),
+    )
+    capped = _cap_buckets(base, ["v"], max_bucket)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.txt"), F.col("b.txt"), threshold=k)
+            .cast("long")
+            .alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # threshold form returns -1 above k
+        .dropDuplicates(["id_a", "id_b"])
+    )

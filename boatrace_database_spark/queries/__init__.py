@@ -24,22 +24,23 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 122 after round 6 added the split family, token budgets,
+# catalog — 124 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
 # detect/strip, the hopping window, and session 3's tf-idf
 # related-docs + keyword extraction, hard-negative mining, MMR
 # re-rank, quantile gate, width battery, BPE token count, and HLL
-# distinct sketches, and session 4's DSIR importance resample and
-# native session window), so ordering is the coverage lever.
+# distinct sketches, session 4's DSIR importance resample and
+# native session window, and session 5's edit-distance fuzzy join
+# and per-group reservoir sample), so ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 29 entries, seventeen past the 50-row budget (see the tier-2 inline
+# — 31 entries, nineteen past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -88,13 +89,28 @@ _ORDER = [
     # past-budget below, oracle-parity pytested)
     "dsir_select_corpus",
     "quality_topk_per_source",
-    "dedup_best_quality", "dedup_incremental_batch",
+    # dedup_fuzzy_edit holds the in-budget slot dedup_best_quality
+    # held: the edit-distance fuzzy join is a wholly NEW family
+    # (SymSpell deletion-neighborhood blocking + exact levenshtein
+    # verify) with no sibling anywhere in the catalog, while
+    # dedup_best_quality is a keeper-POLICY variant of dedup_exact
+    # (green r5, tier 3 below) on the same groupBy/window machinery —
+    # moved past-budget below, oracle-parity pytested
+    "dedup_fuzzy_edit", "dedup_incremental_batch",
     "embedding_project_jl", "bm25_topk_docs", "repeated_substring_spans",
     # decontaminate_drop_train yielded its in-budget slot to the
     # sketch family: its SIBLING decontaminate_eval holds a GREEN r5
     # row (tier 4) on the same gram machinery, and the drop variant is
     # oracle-parity pytested locally
     "decontaminate_drop_train",
+    # dedup_best_quality: yielded its in-budget slot to the new
+    # dedup_fuzzy_edit family (see tier-2 head) — keeper-policy
+    # VARIANT of dedup_exact (green r5); oracle-parity pytested
+    "dedup_best_quality",
+    # sample_group_reservoir: sampling VARIANT whose sibling
+    # sample_systematic holds an in-budget tier-1 row; the exact-count
+    # reservoir contract is property-pytested + oracle-parity pytested
+    "sample_group_reservoir",
     # past the 50-row budget: tfidf_related_docs shares its two
     # building blocks with IN-budget rows (bm25_topk_docs: same
     # postings/tokenizer machinery; dedup_ngram_jaccard held a green

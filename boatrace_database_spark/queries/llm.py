@@ -378,6 +378,38 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_fuzzy_edit(spark, sf_dir):
+    """Edit-distance fuzzy self-join (dedup.edit_distance_pairs):
+    exact Levenshtein-≤-1 pairs over customer names via SymSpell
+    deletion-neighborhood blocking — the typo-tolerant entity-match
+    operation over short keys. The oracle is the brute-force O(n²)
+    levenshtein cross join (capped at id ≤ 2000 on both sides so the
+    quadratic oracle stays bounded at every sf; the Spark side is the
+    blocked equi-join and needs no cap to scale)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 2000)
+    return (
+        D.edit_distance_pairs(c, "c_custkey", "c_name", k=1)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "dist",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_FUZZY_EDIT_SQL = """
+SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+       CAST(b.c_custkey AS BIGINT) AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """Scale-path near-dup: MinHash signatures + LSH banding (no oracle —
     xxhash64; recall vs exact Jaccard asserted in tests)."""
@@ -2075,6 +2107,36 @@ FROM h ORDER BY shuffle_pos
 """
 
 
+def sample_group_reservoir(spark, sf_dir):
+    """Deterministic per-group reservoir (corpus.sample_per_group):
+    exactly 20 docs per source, the k smallest (knuth-hash, id) within
+    each group — seeded reservoir sampling without engine RNG, so the
+    oracle recomputes the exact member set and rank."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.sample_per_group(d, "doc_id", "source", k=20)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "doc_id")
+    )
+
+
+SAMPLE_RESERVOIR_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id, {_knuth_sql("doc_id", 0x7A1E)} AS hv
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hv, doc_id) - 1 AS BIGINT)
+           AS sample_rank
+  FROM h
+)
+SELECT source, doc_id, sample_rank
+FROM r WHERE sample_rank < 20 ORDER BY source, doc_id
+"""
+
+
 def split_exact_assign(spark, sf_dir):
     """Exact-count 80/10/10 split (corpus.split_exact): rank by the
     deterministic shuffle permutation, cut at floor(cum·n) — split
@@ -2472,6 +2534,7 @@ LIMIT 50
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_fuzzy_edit": dedup_fuzzy_edit,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "text_profile": text_profile,
@@ -2522,6 +2585,7 @@ QUERIES = {
     "compression_quality": compression_quality,
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
+    "sample_group_reservoir": sample_group_reservoir,
     "split_exact_assign": split_exact_assign,
     "split_stratified_assign": split_stratified_assign,
     "token_budget_head": token_budget_head,
@@ -2536,6 +2600,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_fuzzy_edit": DEDUP_FUZZY_EDIT_SQL,
     "dedup_minhash_lsh": None,
     "dedup_simhash": None,
     "text_profile": TEXT_PROFILE_SQL,
@@ -2589,6 +2654,7 @@ ORACLES = {
     "compression_quality": None,
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
+    "sample_group_reservoir": SAMPLE_RESERVOIR_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,
     "split_stratified_assign": SPLIT_STRATIFIED_SQL,
     "token_budget_head": TOKEN_BUDGET_SQL,

@@ -2202,3 +2202,76 @@ def test_sketch_estimators_reject_empty_tables(spark):
     )
     with pytest.raises(ValueError, match="empty"):
         SK.histogram_quantiles(empty_hist, [0.5])
+
+
+# --------------------------------------------------------------------------
+# edit-distance fuzzy join (SymSpell deletion-neighborhood blocking)
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein, plain DP."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_neighborhood_values(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("x",)], ["s"])
+    rows = {
+        r.s: sorted(r.n)
+        for r in df.select(
+            "s", D.deletion_neighborhood(F.col("s"), k=1).alias("n")
+        ).collect()
+    }
+    assert rows["abc"] == sorted(["abc", "bc", "ac", "ab"])
+    # empty string must not hit the descending-sequence pitfall
+    assert rows[""] == [""]
+    assert rows["x"] == sorted(["x", ""])
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_edit_distance_pairs_equals_bruteforce(spark, k):
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdef"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(4, 9)))
+            for _ in range(40)]
+    # plant typo variants: substitution, deletion, insertion
+    strings = list(base)
+    for s in base[:15]:
+        i = rng.randrange(len(s))
+        strings.append(s[:i] + rng.choice(alphabet) + s[i + 1:])  # sub
+        strings.append(s[:i] + s[i + 1:])                          # del
+        strings.append(s[:i] + rng.choice(alphabet) + s[i:])       # ins
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], ["id", "s"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in D.edit_distance_pairs(df, "id", "s", k=k).collect()
+    }
+    want = {
+        (i, j): _lev(strings[i], strings[j])
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if _lev(strings[i], strings[j]) <= k
+    }
+    assert got == want
+
+
+def test_edit_distance_bucket_cap_is_lossy_and_documented(spark):
+    # 10 identical 1-char strings: every variant bucket is degenerate;
+    # with a tiny cap the candidate join is suppressed (documented
+    # precision/recall trade), uncapped it finds all 45 dist-0 pairs
+    df = spark.createDataFrame([(i, "a") for i in range(10)], ["id", "s"])
+    full = D.edit_distance_pairs(df, "id", "s", k=1).count()
+    capped = D.edit_distance_pairs(df, "id", "s", k=1, max_bucket=5).count()
+    assert full == 45
+    assert capped == 0

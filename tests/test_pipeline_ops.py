@@ -759,3 +759,35 @@ def test_read_jsonl_rejects_reserved_column(spark, tmp_path):
     schema = StructType([StructField("_corrupt_record", StringType())])
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_jsonl(spark, str(tmp_path), schema)
+
+
+# --------------------------------------------------------------------------
+# per-group reservoir sample (corpus.sample_per_group)
+def test_sample_per_group_exact_counts_and_nesting(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = [(i, f"g{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    k10 = C.sample_per_group(df, "id", "grp", k=10)
+    got = {r.grp: r.cnt for r in k10.groupBy("grp").agg(
+        F.count("*").alias("cnt")).collect()}
+    # exactly min(k, |group|) per group
+    assert got == {"g0": 10, "g1": 10, "g2": 10, "tiny": 1}
+    # nested-prefix property: rank-<5 subset of the k=10 sample IS k=5
+    k5 = {(r.grp, r.id) for r in
+          C.sample_per_group(df, "id", "grp", k=5).collect()}
+    k10_prefix = {(r.grp, r.id) for r in
+                  k10.where(F.col("sample_rank") < 5).collect()}
+    assert k5 == k10_prefix
+    # determinism across partitionings
+    again = {(r.grp, r.id) for r in
+             C.sample_per_group(df.repartition(7), "id", "grp", k=5).collect()}
+    assert again == k5
+
+
+def test_sample_per_group_rejects_bad_k(spark):
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame([(1, "a")], ["id", "grp"])
+    with pytest.raises(ValueError, match="k must be"):
+        C.sample_per_group(df, "id", "grp", k=0)
