@@ -690,3 +690,54 @@ def test_zorder_write_all_null_column_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="entirely NULL"):
         W.zorder_write(li, str(tmp_path / "z"), ["l_orderkey", "dead"])
+
+
+# --------------------------------------------------------------------------
+# bucketed tables (warehouse.bucket_write): shuffle-free co-located joins
+def test_bucket_write_join_has_no_exchange(spark, sf_dir):
+    from boatrace_database_spark.warehouse import bucket_write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    try:
+        bucket_write(o, "t_b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+        bucket_write(c, "t_b_customer", ["c_custkey"], 8, sort_cols=["c_custkey"])
+        bo, bc = spark.table("t_b_orders"), spark.table("t_b_customer")
+        # force SMJ (broadcast would trivially skip the exchange)
+        j = (
+            bo.hint("merge")
+            .join(bc, bo.o_custkey == bc.c_custkey)
+            .select("o_orderkey", "c_mktsegment")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the whole point: both sides come off disk already distributed
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+        # correctness: identical to the plain (non-bucketed) join
+        plain = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "c_mktsegment")
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # groupBy on the bucket key also needs no exchange before the agg
+        g = bo.groupBy("o_custkey").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_b_orders")
+        spark.sql("DROP TABLE IF EXISTS t_b_customer")
+
+
+def test_bucket_write_guards(spark, sf_dir):
+    import pytest as _pytest
+
+    from boatrace_database_spark.warehouse import bucket_write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        bucket_write(o, "t_bad", ["o_custkey"], 0)
+    with _pytest.raises(ValueError, match="bucket_cols"):
+        bucket_write(o, "t_bad", [], 8)
