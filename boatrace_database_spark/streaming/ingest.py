@@ -464,6 +464,53 @@ def stream_dedup_exact(
     )
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    query_name: str = "stream_dedup_wm",
+) -> StreamingQuery:
+    """EVENT-TIME-bounded streaming dedup via the native
+    ``dropDuplicatesWithinWatermark``: emit the first arrival per key,
+    suppress duplicates whose event times fall within ``delay`` of it,
+    and let the watermark evict the key's state once event time moves
+    past first-occurrence + delay.
+
+    The event-time twin of the custom family's ``state_ttl_ms``
+    (processing-time TTL): eviction here is a function of the DATA's
+    timestamps, so a historical replay behaves identically to the
+    live run — processing-time TTLs depend on wall-clock batch timing
+    and cannot promise that. Same windowed-dedup trade, stated in
+    event time: exact within any ``delay``-long event-time window; a
+    duplicate arriving after the watermark passed its group's state is
+    re-admitted as a fresh keeper (asserted in tests). Versus plain
+    streaming ``dropDuplicates(keys)``, whose state grows forever on
+    an endless stream, and versus including the timestamp in the key,
+    which only drops EXACT (key, ts) repeats.
+
+    Implementation is entirely JVM-side (no Python in the hot path,
+    unlike the applyInPandasWithState family — this is the operator
+    to reach for when first-seen-wins on a plain key is enough and no
+    custom per-group logic is needed); state shards by key hash
+    across executors exactly like the batch groupBy shuffle.
+    ``ts_col`` must already be TimestampType (normalize upstream with
+    ``timeutil.normalize_ts``).
+    """
+    rows = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = rows.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_dedup_bloom(
     spark: SparkSession,
     source_dir: str,

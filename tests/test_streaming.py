@@ -1684,3 +1684,67 @@ def test_stream_histogram_ingest_merge_equals_batch_sketch(spark, tmp_path):
     )
     qs = SK.histogram_quantiles(merged, [0.5, 0.9]).collect()
     assert len(qs) == 2 and all(r.est > 0 for r in qs)
+
+
+def test_stream_dedup_within_watermark_event_time_contract(spark, tmp_path):
+    """The native event-time dedup: (a) duplicates within the delay of
+    the first occurrence are suppressed, across and within
+    micro-batches; (b) once the watermark passes first-occurrence +
+    delay the key's state is evicted and a later duplicate re-admits
+    as a fresh keeper — the event-time twin of the custom family's
+    processing-time TTL contract."""
+    import datetime as dt
+
+    from boatrace_database_spark.streaming.ingest import (
+        stream_dedup_within_watermark,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(k, t0 + dt.timedelta(minutes=m)) for k, m in rows],
+            "k string, ts timestamp",
+        )
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_dedup_within_watermark(
+        spark,
+        src,
+        frame([]).schema,
+        ["k"],
+        ts_col="ts",
+        delay="10 minutes",
+        query_name="sdedup_wm",
+    )
+    try:
+        # batch 1: A twice in one batch (in-batch dedup) + B
+        deliver(frame([("A", 0), ("A", 1), ("B", 0)]), "w1", f"{src}/b1.parquet")
+        q.processAllAvailable()
+        # batch 2: A again within the 10-minute delay -> suppressed
+        deliver(frame([("A", 5), ("C", 5)]), "w2", f"{src}/b2.parquet")
+        q.processAllAvailable()
+        # batch 3: far-future row advances the watermark to +30 min,
+        # beyond every earlier key's first-occurrence + delay
+        deliver(frame([("D", 40)]), "w3", f"{src}/b3.parquet")
+        q.processAllAvailable()
+        # batch 4: B re-arrives at +35 (above the +30 watermark, but
+        # B's state was evicted) -> re-admitted as a fresh keeper
+        deliver(frame([("B", 35)]), "w4", f"{src}/b4.parquet")
+        q.processAllAvailable()
+        got = [
+            (r.k, r.ts)
+            for r in spark.sql("SELECT * FROM sdedup_wm ORDER BY ts, k").collect()
+        ]
+    finally:
+        q.stop()
+
+    ks = [k for k, _ in got]
+    assert ks.count("A") == 1, got  # in-batch + cross-batch dup suppressed
+    assert ks.count("C") == 1 and ks.count("D") == 1
+    assert ks.count("B") == 2, got  # evicted then re-admitted
+    # the re-admitted B is the +35 arrival, not a retraction of the first
+    b_times = sorted(ts for k, ts in got if k == "B")
+    assert b_times[0] == t0 and b_times[1] == t0 + dt.timedelta(minutes=35)
