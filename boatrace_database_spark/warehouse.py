@@ -380,6 +380,38 @@ def cluster_write(
     )
 
 
+def export_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table as ORC — the interchange columnar format for
+    consumers standardized on the Hive/Trino side of the house.
+    Functionally parquet's peer here: columnar, splittable, per-stripe
+    min/max zone maps, snappy by default; Spark's reader keeps
+    predicate pushdown and column pruning (plan-asserted in tests), so
+    an ORC warehouse scans like the parquet one. Partitioning carries
+    over unchanged — directory-level pruning works identically.
+
+    Stay on parquet unless a consumer requires ORC: every zone-map /
+    clustering / compaction helper in this module targets parquet, and
+    mixing formats in one warehouse costs more in tooling than the
+    format differences are worth.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def import_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC table written by ``export_orc`` (or any engine) —
+    schema comes from the ORC footers; filters and projections push
+    into the stripe scan exactly as with parquet."""
+    return spark.read.orc(path)
+
+
 def bucket_write(
     df: DataFrame,
     table: str,

@@ -741,3 +741,47 @@ def test_bucket_write_guards(spark, sf_dir):
         bucket_write(o, "t_bad", ["o_custkey"], 0)
     with _pytest.raises(ValueError, match="bucket_cols"):
         bucket_write(o, "t_bad", [], 8)
+
+
+# --------------------------------------------------------------------------
+# ORC + JSONL interchange (warehouse.export_orc / sources.jsonl.write_jsonl)
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from boatrace_database_spark.warehouse import export_orc, import_orc
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    export_orc(o, path, partition_by=["o_orderpriority"])
+    back = import_orc(spark, path)
+    # round-trip equality (partition column moves to the end; compare as sets)
+    cols = sorted(o.columns)
+    assert sorted(back.columns) == cols
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, o.select(*cols).collect())
+    )
+    # pushdown + pruning survive the format: filter reaches the stripe
+    # scan, partition filter prunes directories, projection prunes columns
+    q = back.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_custkey") > 100)
+    ).select("o_orderkey")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [IsNotNull(o_custkey), GreaterThan(o_custkey,100)]" in plan
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_totalprice" not in read
+
+
+def test_jsonl_write_read_roundtrip(spark, sf_dir, tmp_path):
+    from boatrace_database_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(d, path)
+    good, bad = read_jsonl(spark, f"{path}/*.json", d.schema)
+    assert bad.count() == 0
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, d.collect()))
