@@ -50,6 +50,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DOCS_DST = f"/tmp/scale_docs_{REPLICAS}x.parquet"
 EMB_DST = f"/tmp/scale_emb_{REPLICAS}x.parquet"
 EMB_1X_DST = "/tmp/scale_emb_1x.parquet"
+CUST_DST = f"/tmp/scale_cust_{REPLICAS}x.parquet"
+# optional comma-separated op filter, e.g. SCALE_OPS=fuzzy_edit
+OPS_FILTER = {
+    s for s in os.environ.get("SCALE_OPS", "").split(",") if s
+} or None
 
 
 def build_docs(spark, replicas: int, dst: str) -> None:
@@ -79,6 +84,37 @@ def build_docs(spark, replicas: int, dst: str) -> None:
         out = out.unionByName(p)
     n_parts = spark.sparkContext.defaultParallelism
     out.repartition(n_parts, "doc_id").write.mode("overwrite").parquet(dst)
+
+
+def build_customers(spark, replicas: int, dst: str) -> None:
+    """Fuzzy-join replica construction: replica k prefixes every name
+    with a distinct doubled letter ("aa", "bb", ...). Any two replica
+    prefixes differ in BOTH characters, so cross-replica name pairs sit
+    at Levenshtein distance >= 2 — invisible to a k=1 fuzzy join —
+    while within-replica distances are untouched (shared prefix).
+    Exact-linear pair scaling (pairs_Rx == R * pairs_1x) is therefore
+    a hard assertion, same contract as the disjoint-vocabulary docs."""
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(dst):
+        return
+    base = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    parts = []
+    for k in range(replicas):
+        prefix = chr(ord("a") + k) * 2
+        parts.append(
+            base.select(
+                (F.col("c_custkey") + k * 10_000_000).alias("c_custkey"),
+                F.concat(F.lit(prefix), F.col("c_name")).alias("c_name"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    n_parts = spark.sparkContext.defaultParallelism
+    out.repartition(n_parts, "c_custkey").write.mode("overwrite").parquet(dst)
 
 
 def build_embeddings(spark, replicas: int, dst: str) -> None:
@@ -147,11 +183,18 @@ def main() -> None:
     build_docs(spark, REPLICAS, DOCS_DST)
     build_embeddings(spark, REPLICAS, EMB_DST)
     build_embeddings(spark, 1, EMB_1X_DST)  # planted 1x baseline
+    build_customers(spark, REPLICAS, CUST_DST)
 
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docsN = spark.read.parquet(DOCS_DST)
     emb1 = spark.read.parquet(EMB_1X_DST)
     embN = spark.read.parquet(EMB_DST)
+    # 1x fuzzy baseline is the RAW table: replica-0's shared "aa"
+    # prefix shifts every pairwise distance identically (not at all)
+    cust1 = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    custN = spark.read.parquet(CUST_DST)
 
     ops = {
         "dedup_exact": lambda d: D.exact_dedup(d, ["text"], "doc_id"),
@@ -180,17 +223,31 @@ def main() -> None:
         "semantic_dedup": lambda d, nc=16: SIM.semantic_pairs(
             d, threshold=0.9, n_cells=nc, n_assign=1
         ),
+        # SymSpell-blocked exact Levenshtein<=1 over customer names:
+        # deletion-variant equi-join, so candidates track corpus size,
+        # not corpus size squared
+        "fuzzy_edit": lambda d: D.edit_distance_pairs(
+            d, "c_custkey", "c_name", k=1
+        ),
     }
-    exact_ops = {"dedup_exact", "ngram_jaccard"}
+    exact_ops = {"dedup_exact", "ngram_jaccard", "fuzzy_edit"}
+    if OPS_FILTER is not None:
+        ops = {k: v for k, v in ops.items() if k in OPS_FILTER}
 
     # warmup (codegen + python worker pool)
-    ops["minhash_lsh"](docs1).count()
-    ops["cosine_lsh_deep"](emb1).count()
+    if "minhash_lsh" in ops:
+        ops["minhash_lsh"](docs1).count()
+    if "cosine_lsh_deep" in ops:
+        ops["cosine_lsh_deep"](emb1).count()
+    if "fuzzy_edit" in ops:
+        ops["fuzzy_edit"](cust1.limit(100)).count()
 
     results = {}
     for name, fn in ops.items():
         emb_based = name in ("cosine_lsh_deep", "semantic_dedup")
         small, big = (emb1, embN) if emb_based else (docs1, docsN)
+        if name == "fuzzy_edit":
+            small, big = cust1, custN
         if name == "semantic_dedup":
             dt1, n1, _ = timed_pairs(spark, lambda: fn(small, 16))
             dtN, nN, bal = timed_pairs(
@@ -223,7 +280,10 @@ def main() -> None:
     # deployment shape.
     from pyspark.sql import functions as F
 
-    for label, emb, nc in (("1x", emb1, 16), ("Rx", embN, 16 * REPLICAS)):
+    for label, emb, nc in (
+        () if OPS_FILTER is not None and "ivfpq" not in OPS_FILTER
+        else (("1x", emb1, 16), ("Rx", embN, 16 * REPLICAS))
+    ):
         queries = emb.where(F.col("vec_id") < 10)
         before = stage_ids(spark)
         t0 = time.perf_counter()
