@@ -333,3 +333,31 @@ def test_ivfpq_probe_plan_shape(spark):
     # "MapInPandas (n)" and once in the details)
     assert plan.count("MapInPandas (") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_edit_is_blocked_equi_join(spark):
+    """SymSpell fuzzy join: the candidate stage is an EQUI-join on the
+    deletion variant (sort-merge or shuffled-hash — either is a keyed
+    join), never a cartesian/broadcast-nested-loop all-pairs pass, and
+    the levenshtein verify runs inside the join's post-condition or
+    the following projection — no extra shuffle between candidates
+    and verification."""
+    plan = _plan(spark, QUERIES["dedup_fuzzy_edit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "levenshtein" in plan
+
+
+def test_sample_reservoir_is_single_group_exchange(spark):
+    """Per-group reservoir: ONE hashpartitioning exchange on the group
+    key feeds the rank window and the k-filter; the only other
+    exchange is the output-order sort."""
+    plan = _plan(spark, QUERIES["sample_group_reservoir"](spark, SF))
+    hash_ex = [
+        l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1
+    assert "Window" in plan
