@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 124 after round 6 added the split family, token budgets,
+# catalog — 125 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -32,15 +32,16 @@ for mod in (relational, analytics, advanced, llm):
 # related-docs + keyword extraction, hard-negative mining, MMR
 # re-rank, quantile gate, width battery, BPE token count, and HLL
 # distinct sketches, session 4's DSIR importance resample and
-# native session window, and session 5's edit-distance fuzzy join
-# and per-group reservoir sample), so ordering is the coverage lever.
+# native session window, and session 5's edit-distance fuzzy join,
+# per-group reservoir sample, and data-quality audit), so ordering is
+# the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 31 entries, nineteen past the 50-row budget (see the tier-2 inline
+# — 32 entries, twenty past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -73,7 +74,14 @@ _ORDER = [
     # entry (its real contract is pytest-pinned
     # ordering/bounds/determinism, not an oracle row). One
     # representative per new family stays inside the 50.
-    "ann_bucket_stats", "split_exact_assign",
+    # table_audit_orders holds the in-budget slot split_exact_assign
+    # held: the declarative data-quality audit (fused expectation scan
+    # + FK anti-join) is a wholly NEW family with no sibling anywhere
+    # in the catalog, while split_exact_assign is a VARIANT whose
+    # sibling split_train_eval holds a green r5 row on the same
+    # hash-split machinery (moved past-budget below, oracle-parity
+    # pytested)
+    "ann_bucket_stats", "table_audit_orders",
     "chunk_dedup_pipeline",
     # sketch_distinct_users holds the session-3 families' ONE in-budget
     # slot: the sketch family is wholly new with no sibling anywhere in
@@ -111,6 +119,11 @@ _ORDER = [
     # sample_systematic holds an in-budget tier-1 row; the exact-count
     # reservoir contract is property-pytested + oracle-parity pytested
     "sample_group_reservoir",
+    # split_exact_assign: yielded its in-budget slot to the new
+    # table_audit_orders family (see tier-2 head) — split VARIANT
+    # whose sibling split_train_eval is green r5; exact-count contract
+    # property-pytested + oracle-parity pytested
+    "split_exact_assign",
     # past the 50-row budget: tfidf_related_docs shares its two
     # building blocks with IN-budget rows (bm25_topk_docs: same
     # postings/tokenizer machinery; dedup_ngram_jaccard held a green

@@ -353,6 +353,73 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def table_audit_orders(spark, sf_dir):
+    """Declarative data-quality audit (validate.audit_table): seven
+    expectations over orders — null checks, a price range, a priority
+    regex, two uniqueness keys, and the customer foreign key — with
+    the scalar checks fused into ONE conditional-aggregate scan and
+    the FK as a single anti-join. The mix is deliberate: some rules
+    pass (0 violations), some fail (the range and the non-key
+    o_custkey uniqueness), so the audit-as-a-table contract is
+    visible, not vacuous."""
+    from boatrace_database_spark.operators.validate import audit_table
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return audit_table(
+        o,
+        not_null=["o_orderkey", "o_custkey"],
+        ranges={"o_totalprice": (0, 200000)},
+        matches={"o_orderpriority": r"^[1-5]-"},
+        unique=[["o_orderkey"], ["o_custkey"]],
+        foreign_keys=[(["o_custkey"], c, ["c_custkey"])],
+    )
+
+
+TABLE_AUDIT_SQL = """
+WITH scalar AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nn_okey,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nn_ckey,
+         CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 200000)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_rx,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_u_okey,
+         CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) AS v_u_ckey
+  FROM orders
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_checked,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS violations
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL
+)
+SELECT * FROM (
+  SELECT 'not_null' AS rule, 'o_orderkey' AS target,
+         v_nn_okey AS violations, n AS rows_checked FROM scalar
+  UNION ALL
+  SELECT 'not_null', 'o_custkey', v_nn_ckey, n FROM scalar
+  UNION ALL
+  SELECT 'range', 'o_totalprice[0,200000]', v_range, n FROM scalar
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority~^[1-5]-', v_rx, n FROM scalar
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', v_u_okey, n FROM scalar
+  UNION ALL
+  SELECT 'unique', 'o_custkey', v_u_ckey, n FROM scalar
+  UNION ALL
+  SELECT 'foreign_key', 'o_custkey', violations, rows_checked FROM fk
+)
+ORDER BY rule, target
+"""
+
+
 QUERIES = {
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "having_filter": having_filter,
@@ -367,6 +434,7 @@ QUERIES = {
     "null_battery": null_battery,
     "union_distinct": union_distinct,
     "window_value_funcs": window_value_funcs,
+    "table_audit_orders": table_audit_orders,
 }
 
 ORACLES = {
@@ -383,4 +451,5 @@ ORACLES = {
     "null_battery": NULL_SQL,
     "union_distinct": UNION_DISTINCT_SQL,
     "window_value_funcs": WINDOW_VALUE_SQL,
+    "table_audit_orders": TABLE_AUDIT_SQL,
 }

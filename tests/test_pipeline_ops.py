@@ -791,3 +791,56 @@ def test_sample_per_group_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "grp"])
     with pytest.raises(ValueError, match="k must be"):
         C.sample_per_group(df, "id", "grp", k=0)
+
+
+# --------------------------------------------------------------------------
+# declarative data-quality audit (validate.audit_table)
+def test_audit_table_counts_planted_violations(spark):
+    from boatrace_database_spark.operators.validate import audit_table
+
+    rows = [
+        (1, 10.0, "ok", 100),
+        (2, -5.0, "ok", 100),      # range violation
+        (None, 10.0, "bad!", 200),  # null id + regex violation
+        (4, None, "ok", 999),       # null price NOT a range violation
+        (4, 20.0, "ok", 100),       # duplicate id; fk 100 ok, 999 orphan
+    ]
+    df = spark.createDataFrame(rows, "id int, price double, tag string, fk int")
+    dim = spark.createDataFrame([(100,), (200,)], ["pk"])
+    got = {
+        (r.rule, r.target): (r.violations, r.rows_checked)
+        for r in audit_table(
+            df,
+            not_null=["id"],
+            ranges={"price": (0, 100)},
+            matches={"tag": r"^[a-z]+$"},
+            unique=[["id"]],
+            foreign_keys=[(["fk"], dim, ["pk"])],
+        ).collect()
+    }
+    assert got[("not_null", "id")] == (1, 5)
+    assert got[("range", "price[0,100]")] == (1, 5)  # null price skipped
+    assert got[("matches", "tag~^[a-z]+$")] == (1, 5)
+    # 5 rows, 4 distinct ids (incl. the NULL-id row's null) -> 1 surplus?
+    # count_distinct over struct counts the null-id struct too, so
+    # distinct = {1,2,null,4} = 4 and surplus = 1 (the repeated 4)
+    assert got[("unique", "id")] == (1, 5)
+    assert got[("foreign_key", "fk")] == (1, 5)  # the 999 row
+
+
+def test_audit_table_composite_fk_and_empty_rules(spark):
+    import pytest as _pytest
+
+    from boatrace_database_spark.operators.validate import audit_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k1 int, k2 string"
+    )
+    dim = spark.createDataFrame([(1, "a")], "p1 int, p2 string")
+    got = audit_table(
+        df, foreign_keys=[(["k1", "k2"], dim, ["p1", "p2"])]
+    ).collect()[0]
+    # NULL-keyed row excluded from the check (rows_checked 2), one orphan
+    assert (got.violations, got.rows_checked) == (1, 2)
+    with _pytest.raises(ValueError, match="no checks"):
+        audit_table(df)
