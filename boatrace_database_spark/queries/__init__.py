@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 125 after round 6 added the split family, token budgets,
+# catalog — 126 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -33,15 +33,15 @@ for mod in (relational, analytics, advanced, llm):
 # re-rank, quantile gate, width battery, BPE token count, and HLL
 # distinct sketches, session 4's DSIR importance resample and
 # native session window, and session 5's edit-distance fuzzy join,
-# per-group reservoir sample, and data-quality audit), so ordering is
-# the coverage lever.
+# per-group reservoir sample, data-quality audit, and SCD2 history),
+# so ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
 # tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 32 entries, twenty past the 50-row budget (see the tier-2 inline
+# — 33 entries, twenty-one past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -105,7 +105,15 @@ _ORDER = [
     # (green r5, tier 3 below) on the same groupBy/window machinery —
     # moved past-budget below, oracle-parity pytested
     "dedup_fuzzy_edit", "dedup_incremental_batch",
-    "embedding_project_jl", "bm25_topk_docs", "repeated_substring_spans",
+    # scd2_user_state holds the in-budget slot embedding_project_jl
+    # held: type-2 SCD dimension history is a wholly NEW family
+    # (change-dedup runs + validity intervals + incremental apply)
+    # with no sibling in the catalog, while the JL projection's REAL
+    # contract — distance preservation — is property-pytested and its
+    # oracle row only replicates the deterministic matrix (moved
+    # past-budget below, oracle-parity pytested)
+    "scd2_user_state",
+    "bm25_topk_docs", "repeated_substring_spans",
     # decontaminate_drop_train yielded its in-budget slot to the
     # sketch family: its SIBLING decontaminate_eval holds a GREEN r5
     # row (tier 4) on the same gram machinery, and the drop variant is
@@ -124,6 +132,10 @@ _ORDER = [
     # whose sibling split_train_eval is green r5; exact-count contract
     # property-pytested + oracle-parity pytested
     "split_exact_assign",
+    # embedding_project_jl: yielded its in-budget slot to the new
+    # scd2_user_state family (see tier-2 head) — the JL guarantee is
+    # property-pytested; oracle-parity pytested locally
+    "embedding_project_jl",
     # past the 50-row budget: tfidf_related_docs shares its two
     # building blocks with IN-budget rows (bm25_topk_docs: same
     # postings/tokenizer machinery; dedup_ngram_jaccard held a green

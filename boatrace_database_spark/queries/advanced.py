@@ -420,6 +420,36 @@ ORDER BY rule, target
 """
 
 
+def scd2_user_state(spark, sf_dir):
+    """Type-2 SCD history (warehouse.scd2_rebuild): each user's
+    event_type as a tracked attribute — one validity interval per run
+    of equal values, consecutive re-statements collapsed, open row's
+    effective_to NULL. The oracle repeats the change-flag + filtered
+    lead windows."""
+    from boatrace_database_spark.warehouse import scd2_rebuild
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_rebuild(
+        e, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    ).orderBy("user_id", "effective_from", "event_type")
+
+
+SCD2_SQL = """
+WITH flag AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS effective_to
+FROM flag WHERE chg = 1
+ORDER BY user_id, effective_from, event_type
+"""
+
+
 QUERIES = {
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "having_filter": having_filter,
@@ -435,6 +465,7 @@ QUERIES = {
     "union_distinct": union_distinct,
     "window_value_funcs": window_value_funcs,
     "table_audit_orders": table_audit_orders,
+    "scd2_user_state": scd2_user_state,
 }
 
 ORACLES = {
@@ -452,4 +483,5 @@ ORACLES = {
     "union_distinct": UNION_DISTINCT_SQL,
     "window_value_funcs": WINDOW_VALUE_SQL,
     "table_audit_orders": TABLE_AUDIT_SQL,
+    "scd2_user_state": SCD2_SQL,
 }

@@ -785,3 +785,102 @@ def test_jsonl_write_read_roundtrip(spark, sf_dir, tmp_path):
     good, bad = read_jsonl(spark, f"{path}/*.json", d.schema)
     assert bad.count() == 0
     assert sorted(map(tuple, good.collect())) == sorted(map(tuple, d.collect()))
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension history (warehouse.scd2_rebuild / scd2_apply)
+def _scd2_frame(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, attr string")
+
+
+def test_scd2_rebuild_collapses_runs_and_handles_nulls(spark):
+    from boatrace_database_spark.warehouse import scd2_rebuild
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"),   # re-statement: no new version
+        (1, 30, "b"),
+        (1, 40, None), (1, 50, None),  # NULL is a real state, one run
+        (1, 60, "a"),
+        (2, 10, "x"),
+    ]
+    got = {
+        (r.k, r.effective_from): (r.attr, r.effective_to)
+        for r in scd2_rebuild(
+            _scd2_frame(spark, rows), ["k"], "ts", ["attr"]
+        ).collect()
+    }
+    assert got == {
+        (1, 10): ("a", 30),
+        (1, 30): ("b", 40),
+        (1, 40): (None, 60),
+        (1, 60): ("a", None),
+        (2, 10): ("x", None),
+    }
+
+
+def test_scd2_apply_equals_full_rebuild(spark):
+    """The incremental invariant: split any log at a time boundary,
+    rebuild the prefix, apply the suffix — result equals rebuilding
+    the whole log. Covers change, no-op re-statement, new key, and
+    multiple changes for one key inside the suffix batch."""
+    import random
+
+    from boatrace_database_spark.warehouse import scd2_apply, scd2_rebuild
+
+    rng = random.Random(7)
+    rows = [
+        (k, t * 10, rng.choice(["a", "b", "c", None]))
+        for k in range(1, 8)
+        for t in range(1, 11)
+    ]
+    log = _scd2_frame(spark, rows)
+    full = scd2_rebuild(log, ["k"], "ts", ["attr"])
+    for cut in (30, 55, 90):
+        prefix = scd2_rebuild(
+            log.where(F.col("ts") <= cut), ["k"], "ts", ["attr"]
+        )
+        applied = scd2_apply(
+            prefix, log.where(F.col("ts") > cut), ["k"], "ts", ["attr"]
+        )
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        assert sorted(map(tuple, applied.collect()), key=key) == sorted(
+            map(tuple, full.collect()), key=key
+        ), f"cut={cut}"
+
+
+def test_scd2_apply_noop_new_key_and_tie(spark):
+    from boatrace_database_spark.warehouse import scd2_apply, scd2_rebuild
+
+    current = scd2_rebuild(
+        _scd2_frame(spark, [(1, 10, "a")]), ["k"], "ts", ["attr"]
+    )
+    # new key + a change at the SAME ts as the open row (open-row-
+    # first tie: the update wins the later interval) + a later
+    # restatement of "a" — which IS a change here, because the state
+    # moved to "b" in between (change-dedup compares adjacent runs,
+    # not the original open value)
+    updates = _scd2_frame(spark, [(1, 20, "a"), (2, 20, "z"), (1, 10, "b")])
+    rows = sorted(
+        map(
+            tuple,
+            scd2_apply(current, updates, ["k"], "ts", ["attr"]).collect(),
+        ),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert rows == [
+        (1, "a", 10, 10),    # closed by the same-ts "b" (tie rule)
+        (1, "a", 20, None),  # re-opened after the b interval
+        (1, "b", 10, 20),
+        (2, "z", 20, None),
+    ]
+    # a PURE no-op batch leaves the table exactly as it was
+    noop = scd2_apply(
+        current,
+        _scd2_frame(spark, [(1, 30, "a")]),
+        ["k"],
+        "ts",
+        ["attr"],
+    )
+    assert sorted(map(tuple, noop.collect())) == sorted(
+        map(tuple, current.collect())
+    )
