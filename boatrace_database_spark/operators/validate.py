@@ -8,10 +8,12 @@ Check classes and their scale shapes:
   conditional-aggregate scan — adding a check adds a codegen sum, not
   a pass. Exact-distinct uniqueness rides the same aggregate (Spark
   plans the distinct via one expand+shuffle).
-- referential integrity: one LEFT-ANTI join per foreign key against
-  the referenced table's key projection (Catalyst/AQE picks broadcast
-  vs shuffle from the dim's size — at 100 TB the big-dim case is
-  exactly when a forced broadcast would be wrong).
+- referential integrity: ONE left join + conditional aggregate per
+  foreign key against the referenced table's de-duplicated key
+  projection — orphan count and rows-checked come out of the same
+  pass (Catalyst/AQE picks broadcast vs shuffle from the dim's size;
+  at 100 TB the big-dim case is exactly when a forced broadcast would
+  be wrong).
 
 Output contract (every check): ``rule`` (kind), ``target`` (column
 spec), ``violations``, ``rows_checked`` — a table, not an exception,
@@ -114,27 +116,24 @@ def audit_table(
             ).select("r.*")
         )
 
-    # -- one anti-join per declared foreign key --
+    # -- one left join + conditional aggregate per declared foreign
+    # key: violations (no match) and rows_checked (non-NULL keys) come
+    # out of the SAME single pass over the keyed projection --
     for fk_cols, dim, pk_cols in foreign_keys:
         keyed = df.select(*fk_cols).na.drop("any")
+        dim_keys = dim.select(*pk_cols).dropDuplicates()
         cond = None
         for f_, p_ in zip(fk_cols, pk_cols):
-            c = keyed[f_] == dim[p_]
+            c = keyed[f_] == dim_keys[p_]
             cond = c if cond is None else (cond & c)
-        orphans = keyed.join(
-            dim.select(*pk_cols).dropDuplicates(), cond, "left_anti"
-        )
-        # rows_checked for FK = the non-NULL keyed rows; both sides of
-        # this join are 1-row aggregates, so the cross is a broadcast
-        # of a single row, not a real cartesian
+        joined = keyed.join(dim_keys, cond, "left")
         pieces.append(
-            orphans.agg(F.count(F.lit(1)).alias("violations"))
-            .crossJoin(
-                F.broadcast(
-                    keyed.agg(F.count(F.lit(1)).alias("rows_checked"))
-                )
-            )
-            .select(
+            joined.agg(
+                F.sum(dim_keys[pk_cols[0]].isNull().cast("long")).alias(
+                    "violations"
+                ),
+                F.count(F.lit(1)).alias("rows_checked"),
+            ).select(
                 F.lit("foreign_key").alias("rule"),
                 F.lit(",".join(fk_cols)).alias("target"),
                 "violations",

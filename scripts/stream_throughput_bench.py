@@ -135,6 +135,57 @@ def main():
         spark, chunks, workdir,
     )
 
+    # the NATIVE event-time dedup (dropDuplicatesWithinWatermark), for
+    # contrast with sd_exact's applyInPandasWithState: same
+    # first-seen-wins contract on the same fingerprints, but JVM state
+    # and no Python worker round-trip — the rows/s gap is the cost of
+    # custom per-group logic. Fingerprints and a synthetic event time
+    # (doc_id seconds) are staged OUTSIDE the measured window.
+    fp_docs = spark.read.parquet(SRC).select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias(
+            "ts"
+        ),
+    )
+    n_docs = fp_docs.count()
+    per = -(-n_docs // N_CHUNKS)
+    wchunks = []
+    for i in range(N_CHUNKS):
+        stage = f"{workdir}/wstage{i}"
+        (
+            fp_docs.where(
+                (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        wchunks.append(next(
+            f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
+        ))
+    src = f"{workdir}/src_sd_watermark"
+    os.makedirs(src)
+    q = I.stream_dedup_within_watermark(
+        spark, src, fp_docs.schema, ["fp"], ts_col="ts",
+        delay="1 hour", query_name="sd_watermark",
+    )
+    t0 = time.monotonic()
+    try:
+        for i, part in enumerate(wchunks):
+            shutil.copy(part, f"{src}/c{i}.parquet")
+            q.processAllAvailable()
+        dt = time.monotonic() - t0
+        n_out = spark.sql("SELECT count(*) FROM sd_watermark").collect()[0][0]
+    finally:
+        q.stop()
+    results["sd_watermark_native"] = {
+        "sec": round(dt, 2), "rows_per_sec": round(n_docs / dt, 0),
+        "sink_rows": n_out,
+    }
+
     # the semantic twin streams VECTORS (sf0.1 embeddings, 2,000 rows)
     # against a prebuilt static quantizer — smaller corpus, so rows/s
     # is reported against its own row count

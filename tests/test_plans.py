@@ -361,3 +361,27 @@ def test_sample_reservoir_is_single_group_exchange(spark):
     ]
     assert len(hash_ex) == 1
     assert "Window" in plan
+
+
+def test_table_audit_scalar_rules_share_one_scan(spark):
+    """The audit's scalar rules (not-null, range, regex, uniqueness)
+    must all ride ONE aggregate over ONE orders scan; the FK check adds
+    its own scan + anti-join. So: exactly two orders FileScans in the
+    whole plan, and no cartesian beyond the documented 1-row
+    broadcast-nested-loop cross of the FK count pair."""
+    plan = _plan(spark, QUERIES["table_audit_orders"](spark, SF))
+    assert plan.count("orders.parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """SCD2 rebuild: the change-flag window and the effective_to lead
+    window partition identically, so the plan carries ONE
+    hashpartitioning exchange on user_id (plus the output sort) and
+    two Window nodes."""
+    plan = _plan(spark, QUERIES["scd2_user_state"](spark, SF))
+    hash_ex = [
+        l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1, hash_ex
+    assert plan.count("Window (") == 2 or plan.count("Window") >= 2
