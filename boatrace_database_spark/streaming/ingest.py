@@ -369,9 +369,22 @@ def stream_dedup_exact(
     text_col: str = "text",
     query_name: str = "stream_dedup",
     state_ttl_ms: int | None = None,
+    sink_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
     """Incremental exact dedup over an unbounded document stream: each
     arriving document is flagged against every document seen so far.
+
+    **Deployment sinks**: the default memory sink is the test/demo
+    shape. Pass ``sink_dir`` (parquet append via foreachBatch) plus
+    ``checkpoint_dir`` for the production shape: the checkpoint
+    persists BOTH the source offsets and the keeper state store, so a
+    stopped/crashed/redeployed query restarts exactly where it left
+    off — duplicates of documents seen before the restart are still
+    flagged against the original keepers (the restart contract,
+    asserted in tests/test_streaming.py). At 100 TB the checkpoint
+    lives on shared storage and this is what makes the seen-set
+    durable without the warehouse-backed batch twin.
 
     **Keeper semantics: FIRST-SEEN-WINS** (min-id only within a single
     micro-batch). This is the same contract as Spark's own streaming
@@ -456,6 +469,19 @@ def stream_dedup_exact(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+    if sink_dir is not None:
+
+        def _append(batch: DataFrame, epoch_id: int) -> None:
+            batch.write.mode("append").parquet(sink_dir)
+
+        writer = (
+            flagged.writeStream.outputMode("append")
+            .foreachBatch(_append)
+            .queryName(query_name)
+        )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        return writer.start()
     return (
         flagged.writeStream.outputMode("append")
         .format("memory")

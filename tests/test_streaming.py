@@ -1748,3 +1748,56 @@ def test_stream_dedup_within_watermark_event_time_contract(spark, tmp_path):
     # the re-admitted B is the +35 arrival, not a retraction of the first
     b_times = sorted(ts for k, ts in got if k == "B")
     assert b_times[0] == t0 and b_times[1] == t0 + dt.timedelta(minutes=35)
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """The restart contract: with a checkpoint, stopping the dedup
+    query and starting a new one resumes BOTH source offsets and the
+    keeper state store — duplicates of pre-restart documents are still
+    flagged against the original keepers, and already-processed files
+    are not re-emitted."""
+    from boatrace_database_spark.streaming.ingest import stream_dedup_exact
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(20)]
+        # ids 100-104 duplicate texts 0-4, delivered AFTER the restart
+        + [(100 + i, f"text number {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lo = docs.where(F.col("doc_id") < 20).localCheckpoint(eager=True)
+    hi = docs.where(F.col("doc_id") >= 100).localCheckpoint(eager=True)
+    src = str(tmp_path / "restart_src")
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+
+    q1 = stream_dedup_exact(
+        spark, src, docs.schema, query_name="sd_restart1",
+        sink_dir=sink, checkpoint_dir=ckpt,
+    )
+    try:
+        deliver(lo, "rc1", f"{src}/chunk1.parquet")
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # second query, same checkpoint: a fresh state store would treat
+    # the id-100 copies as first-seen keepers
+    q2 = stream_dedup_exact(
+        spark, src, docs.schema, query_name="sd_restart2",
+        sink_dir=sink, checkpoint_dir=ckpt,
+    )
+    try:
+        deliver(hi, "rc2", f"{src}/chunk2.parquet")
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    out = {r.id: (r.keeper_id, r.is_duplicate)
+           for r in spark.read.parquet(sink).collect()}
+    assert len(out) == 25  # 20 + 5, no re-emission of chunk1
+    for i in range(5):
+        assert out[100 + i] == (i, True), (i, out.get(100 + i))
+    for i in range(20):
+        assert out[i] == (i, False)
