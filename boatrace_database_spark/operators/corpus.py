@@ -687,3 +687,47 @@ def sample_per_group(
         )
         .where(F.col("sample_rank") < k)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    salt: int = RESERVOIR_SALT,
+) -> DataFrame:
+    """``sample_per_group`` with per-row WEIGHTS: exactly min(k,
+    |group|) rows per group, where a row's selection probability
+    scales with ``weight_col`` — the Efraimidis–Spirakis A-ES scheme
+    (rank by exponential jump -ln(u)/w ascending; u the deterministic
+    unit hash). Weight-2 rows win against weight-1 rows exactly as
+    often as two independent unit-weight copies would — the classical
+    weighted-reservoir guarantee — while staying a pure function of
+    (id, salt, weights): re-runs, backfills, and the SQL oracle
+    reproduce the member set.
+
+    Rows with NULL, zero, or negative weight are EXCLUDED (they can
+    never be drawn — a weight of 0 means "not in the population";
+    raise upstream if that's a data bug worth failing on). u is
+    shifted to (0,1] so ln(0) can't occur. Same single keyed-window
+    scale shape and monster-group caveat as ``sample_per_group``;
+    nested-prefix stability holds per fixed weights (changing a
+    weight re-keys only that row).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_hash32(F.col(id_col), salt).cast("double") + F.lit(1.0)) / F.lit(
+        float(2**32)
+    )
+    jump = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        jump.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(
+            "sample_rank", (F.row_number().over(w) - 1).cast("long")
+        )
+        .where(F.col("sample_rank") < k)
+    )

@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 126 after round 6 added the split family, token budgets,
+# catalog — 127 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -41,7 +41,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 33 entries, twenty-one past the 50-row budget (see the tier-2 inline
+# — 34 entries, twenty-two past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -123,10 +123,11 @@ _ORDER = [
     # dedup_fuzzy_edit family (see tier-2 head) — keeper-policy
     # VARIANT of dedup_exact (green r5); oracle-parity pytested
     "dedup_best_quality",
-    # sample_group_reservoir: sampling VARIANT whose sibling
-    # sample_systematic holds an in-budget tier-1 row; the exact-count
-    # reservoir contract is property-pytested + oracle-parity pytested
-    "sample_group_reservoir",
+    # sample_group_reservoir + the weighted variant: sampling VARIANTS
+    # whose sibling sample_systematic holds an in-budget tier-1 row;
+    # exact-count + weighted-draw contracts are property-pytested +
+    # oracle-parity pytested
+    "sample_group_reservoir", "sample_group_weighted",
     # split_exact_assign: yielded its in-budget slot to the new
     # table_audit_orders family (see tier-2 head) — split VARIANT
     # whose sibling split_train_eval is green r5; exact-count contract

@@ -2137,6 +2137,41 @@ FROM r WHERE sample_rank < 20 ORDER BY source, doc_id
 """
 
 
+def sample_group_weighted(spark, sf_dir):
+    """Weighted per-group reservoir (corpus.weighted_sample_per_group):
+    20 docs per source with selection probability ∝ text length — the
+    Efraimidis–Spirakis exponential-jump key (-ln(u)/w) on the
+    deterministic unit hash, so the oracle replays the exact draw."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    return (
+        C.weighted_sample_per_group(d, "doc_id", "source", 20, "w")
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "doc_id")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         -ln(({_knuth_sql("doc_id", 0x7A1E)} + 1.0) / 4294967296.0)
+           / length(text) AS jump
+  FROM documents
+  WHERE length(text) > 0
+),
+r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY jump, doc_id) - 1 AS BIGINT)
+           AS sample_rank
+  FROM h
+)
+SELECT source, doc_id, sample_rank
+FROM r WHERE sample_rank < 20 ORDER BY source, doc_id
+"""
+
+
 def split_exact_assign(spark, sf_dir):
     """Exact-count 80/10/10 split (corpus.split_exact): rank by the
     deterministic shuffle permutation, cut at floor(cum·n) — split
@@ -2586,6 +2621,7 @@ QUERIES = {
     "training_data_pipeline": training_data_pipeline,
     "split_train_eval": split_train_eval,
     "sample_group_reservoir": sample_group_reservoir,
+    "sample_group_weighted": sample_group_weighted,
     "split_exact_assign": split_exact_assign,
     "split_stratified_assign": split_stratified_assign,
     "token_budget_head": token_budget_head,
@@ -2655,6 +2691,7 @@ ORACLES = {
     "training_data_pipeline": TRAINING_PIPELINE_SQL,
     "split_train_eval": SPLIT_SQL,
     "sample_group_reservoir": SAMPLE_RESERVOIR_SQL,
+    "sample_group_weighted": SAMPLE_WEIGHTED_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,
     "split_stratified_assign": SPLIT_STRATIFIED_SQL,
     "token_budget_head": TOKEN_BUDGET_SQL,

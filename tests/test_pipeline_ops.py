@@ -844,3 +844,45 @@ def test_audit_table_composite_fk_and_empty_rules(spark):
     assert (got.violations, got.rows_checked) == (1, 2)
     with _pytest.raises(ValueError, match="no checks"):
         audit_table(df)
+
+
+def test_weighted_sample_per_group_favors_heavy_rows(spark):
+    """A-ES weighted reservoir: across many salts, weight-3 rows must
+    be drawn ~3x as often as weight-1 rows (loose 2x bound — the test
+    is a sanity check on the direction and magnitude, not a chi-square);
+    counts stay exactly k; zero/NULL-weight rows never appear."""
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = (
+        [(i, "g", 3.0) for i in range(50)]
+        + [(100 + i, "g", 1.0) for i in range(50)]
+        + [(900, "g", 0.0), (901, "g", None)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    heavy = light = 0
+    for salt in range(12):
+        got = C.weighted_sample_per_group(
+            df, "id", "grp", 20, "w", salt=salt
+        ).collect()
+        assert len(got) == 20
+        ids = {r.id for r in got}
+        assert 900 not in ids and 901 not in ids
+        heavy += sum(1 for i in ids if i < 100)
+        light += sum(1 for i in ids if 100 <= i < 200)
+    assert heavy > 2 * light, (heavy, light)
+
+
+def test_weighted_sample_determinism_and_guards(spark):
+    import pytest as _pytest
+
+    from boatrace_database_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", 1.0), (3, "a", 1.0)], "id long, grp string, w double"
+    )
+    a = {r.id for r in C.weighted_sample_per_group(df, "id", "grp", 2, "w").collect()}
+    b = {r.id for r in C.weighted_sample_per_group(
+        df.repartition(5), "id", "grp", 2, "w").collect()}
+    assert a == b
+    with _pytest.raises(ValueError, match="k must be"):
+        C.weighted_sample_per_group(df, "id", "grp", 0, "w")
