@@ -70,3 +70,63 @@ def test_malformed_header_drops_section_in_both_paths(spark):
     assert len(declarative) == 1 == len(kernel_env)
     assert declarative[0]["レースID"] == "2020-08-01大　村テスト記念レース1R"
     assert kernel_env.iloc[0]["race_id"] == "2020-08-01大　村テスト記念レース1R"
+
+
+# --------------------------------------------------------------------------
+# pluggable Spark 4 Python Data Source (sources/datasource.py)
+def test_boatrace_datasource_matches_kernel_path(spark):
+    from boatrace_database_spark.parse.kernel import parse_txt_files
+    from boatrace_database_spark.sources.datasource import register
+
+    register(spark)
+    ds = spark.read.format("boatrace").load(GLOB)
+    legacy = parse_txt_files(spark, GLOB)
+    assert ds.schema == legacy.schema
+    a = sorted(map(tuple, ds.collect()), key=repr)
+    b = sorted(map(tuple, legacy.collect()), key=repr)
+    assert a == b
+
+
+def test_boatrace_datasource_reads_lzh_archives(spark):
+    from boatrace_database_spark.parse.kernel import parse_lzh_files
+    from boatrace_database_spark.sources.datasource import register
+
+    register(spark)
+    glob_lzh = "/root/reference/lzh/*2020-08*.lzh"
+    ds = spark.read.format("boatrace").load(glob_lzh)
+    legacy = parse_lzh_files(spark, glob_lzh)
+    assert sorted(map(tuple, ds.collect()), key=repr) == sorted(
+        map(tuple, legacy.collect()), key=repr
+    )
+
+
+def test_boatrace_datasource_sql_and_packing(spark):
+    from boatrace_database_spark.sources.datasource import register
+
+    register(spark)
+    # pure-SQL consumption: the format is a catalog citizen
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW br_raw "
+        f"USING boatrace OPTIONS (path '{GLOB}', files_per_task '4')"
+    )
+    n = spark.sql(
+        "SELECT count(*) AS n FROM br_raw WHERE table = 'result'"
+    ).collect()[0].n
+    assert n > 0
+    # files_per_task drives the partition count: 62 files / 4 -> 16
+    df = (
+        spark.read.format("boatrace")
+        .option("files_per_task", "4")
+        .load(GLOB)
+    )
+    assert df.rdd.getNumPartitions() == 16
+
+
+def test_boatrace_datasource_guards(spark):
+    import pytest as _pytest
+
+    from boatrace_database_spark.sources.datasource import register
+
+    register(spark)
+    with _pytest.raises(Exception, match="matched no files"):
+        spark.read.format("boatrace").load("/tmp/nope_*.TXT").collect()
