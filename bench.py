@@ -47,6 +47,11 @@ HEADLINE = [
     "bm25_topk_docs",
     "repeated_substring_spans",
     "dsir_select_corpus",
+    # session-5 additions: the blocked fuzzy join (id-capped like its
+    # oracle), the one-scan data-quality audit, the SCD2 window pair
+    "dedup_fuzzy_edit",
+    "table_audit_orders",
+    "scd2_user_state",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"
