@@ -647,6 +647,95 @@ def top_ngrams(
     )
 
 
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs across the corpus.
+
+    PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p over corpus totals —
+    composed as ONE double expression,
+    ``ln((c_xy·N·N) / (n_pairs·c_x·c_y))``, in a fixed operation
+    order so an ANSI-SQL oracle reproduces it bit-for-bit. High-PMI
+    pairs are the corpus's fused phrases (named entities, templates,
+    code idioms) — the standard signal for phrase-aware tokenizer
+    vocabularies and boilerplate discovery.
+
+    Output: ``(w1, w2, pair_count, pmi)`` for pairs seen at least
+    ``min_count`` times, ordered by (pmi desc, w1, w2).
+
+    Scale shape: bigram extraction is NARROW — the token array is
+    split once per document and adjacent pairs come from zip_with over
+    two slices of the same array (no window, no shuffle, no self-join
+    on positions). Then exactly two aggregates shuffle: pair counts
+    (keyed on the pair) and unigram counts (keyed on the word), both
+    with map-side partials. The unigram table is vocabulary-sized —
+    sublinear in the corpus (Heaps' law) — so both count joins
+    broadcast it; the scalar totals ride the same broadcast.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda w: w != "")
+    n = F.size(toks)
+    pairs_col = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    pairs = (
+        df.where(n >= 2)
+        .select(F.explode(pairs_col).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    words = df.select(F.explode(toks).alias("w"))
+
+    # both count tables are vocabulary-sized (sublinear in the corpus)
+    # and consumed more than once (uni: both word joins + the token
+    # total; big: the pair rows + the pair total) — checkpoint so the
+    # corpus is scanned exactly twice (words once, pairs once) instead
+    # of once per consumer
+    uni = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=False)
+    )
+    # corpus totals re-aggregate the count tables, not the corpus:
+    # identical values/types (sum of longs is long, like a direct count)
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    n_pairs = big.agg(F.sum("pair_count").alias("n_pairs"))
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        big.where(F.col("pair_count") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_x")),
+              F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_y")),
+              F.col("w2") == F.col("w"))
+        .drop("w")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (d("pair_count") * d("n_tokens") * d("n_tokens"))
+                    / (d("n_pairs") * d("c_x") * d("c_y"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -189,6 +189,11 @@ _ORDER = [
     # scalar_battery (tier 1); translate() roundtrip, oracle-parity +
     # real-venue pytested
     "width_normalize_battery",
+    # session-6 behavioral/collocation families (funnel, cohort
+    # retention, PMI): added after tiers 1-2 already filled the 50-row
+    # budget, so their first driver rows land in r7's tier-2 head;
+    # until then all three are oracle-parity pytested locally
+    "funnel_conversion", "cohort_retention", "pmi_collocations",
     "split_stratified_assign", "token_budget_mixture",
     # pack_materialize: yielded its in-budget slot to dsir_select_corpus
     # (see tier-2 head) — sibling pack_sequences_windows green r5

@@ -450,6 +450,83 @@ ORDER BY user_id, effective_from, event_type
 """
 
 
+# staged conversion funnel over the event log: first view → first
+# click at-or-after it → first purchase at-or-after that, with the
+# conversion count and mean hours-from-entry per stage.
+def funnel_conversion(spark, sf_dir):
+    from boatrace_database_spark.operators import behavior
+
+    e = _t(spark, sf_dir, "events")
+    return behavior.funnel_summary(e, ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+         CAST(count(*) AS BIGINT) AS users,
+         round(avg(date_diff('second', t1, t1)) / 3600.0, 3)
+           AS avg_hours_from_entry
+  FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+         round(avg(date_diff('second', t1, t2)) / 3600.0, 3) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+         round(avg(date_diff('second', t1, t3)) / 3600.0, 3) FROM s3
+) ORDER BY stage
+"""
+
+
+# weekly cohort-retention grid: cohort = ISO week of first signup,
+# retained in offset w if any event falls w whole weeks (day-exact)
+# after the first signup.
+def cohort_retention_grid(spark, sf_dir):
+    from boatrace_database_spark.operators import behavior
+
+    e = _t(spark, sf_dir, "events")
+    return behavior.cohort_retention(e, cohort_event="signup")
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), f2 AS (
+  SELECT user_id, cohort_day,
+         CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week
+  FROM first
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM f2 GROUP BY cohort_week
+), act AS (
+  SELECT DISTINCT e.user_id, f2.cohort_week,
+         CAST(floor(date_diff('day', f2.cohort_day, CAST(e.ts AS DATE))
+                    / 7.0) AS BIGINT) AS week_offset
+  FROM events e JOIN f2 ON e.user_id = f2.user_id
+  WHERE CAST(e.ts AS DATE) >= f2.cohort_day
+)
+SELECT a.cohort_week, a.week_offset,
+       CAST(count(*) AS BIGINT) AS active_users,
+       round((100.0 * count(*)) / min(s.cohort_size), 2) AS retention_pct
+FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset
+ORDER BY a.cohort_week, a.week_offset
+"""
+
+
 QUERIES = {
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "having_filter": having_filter,
@@ -466,6 +543,8 @@ QUERIES = {
     "window_value_funcs": window_value_funcs,
     "table_audit_orders": table_audit_orders,
     "scd2_user_state": scd2_user_state,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention_grid,
 }
 
 ORACLES = {
@@ -484,4 +563,6 @@ ORACLES = {
     "window_value_funcs": WINDOW_VALUE_SQL,
     "table_audit_orders": TABLE_AUDIT_SQL,
     "scd2_user_state": SCD2_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
 }

@@ -666,6 +666,53 @@ LIMIT 25
 """
 
 
+def pmi_collocations(spark, sf_dir):
+    """Top-25 adjacent-word collocations by pointwise mutual
+    information (min pair count 5) — the phrase-discovery signal for
+    phrase-aware tokenizer vocabularies and boilerplate mining. The
+    PMI expression is one fixed-order double composition so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.pmi_bigrams(d, "text", min_count=5).limit(25)
+
+
+PMI_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     w -> w <> '') AS a
+  FROM documents
+), words AS (
+  SELECT unnest(a) AS w FROM toks
+), uni AS (
+  SELECT w, count(*) AS c FROM words GROUP BY w
+), nt AS (
+  SELECT count(*) AS n_tokens FROM words
+), pp AS (
+  SELECT p[1] AS w1, p[2] AS w2 FROM (
+    SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+    FROM toks WHERE len(a) >= 2
+  )
+), np AS (
+  SELECT count(*) AS n_pairs FROM pp
+), big AS (
+  SELECT w1, w2, count(*) AS pair_count FROM pp GROUP BY w1, w2
+)
+SELECT w1, w2, pair_count,
+       round(ln((CAST(pair_count AS DOUBLE)
+                 * CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                / (CAST(n_pairs AS DOUBLE)
+                   * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))),
+             4) AS pmi
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN nt CROSS JOIN np
+WHERE pair_count >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 25
+"""
+
+
 def text_rolling_hash(spark, sf_dir):
     """Character-level polynomial rolling hash (document fingerprinting
     via higher-order fold — no oracle; validated in unit tests against
@@ -2585,6 +2632,7 @@ QUERIES = {
     "strip_repeated_spans": strip_repeated_spans,
     "lm_quality_score": lm_quality_score,
     "ngram_topk": ngram_topk,
+    "pmi_collocations": pmi_collocations,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -2655,6 +2703,7 @@ ORACLES = {
     "strip_repeated_spans": STRIP_REPEATED_SQL,
     "lm_quality_score": LM_QUALITY_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
+    "pmi_collocations": PMI_SQL,
     "text_rolling_hash": None,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
