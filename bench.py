@@ -52,6 +52,11 @@ HEADLINE = [
     "dedup_fuzzy_edit",
     "table_audit_orders",
     "scd2_user_state",
+    # session-6 additions: the one-scan funnel fold, the cohort grid,
+    # and collocation mining over the full document corpus
+    "funnel_conversion",
+    "cohort_retention",
+    "pmi_collocations",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

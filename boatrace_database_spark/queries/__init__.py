@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 127 after round 6 added the split family, token budgets,
+# catalog — 130 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -33,7 +33,8 @@ for mod in (relational, analytics, advanced, llm):
 # re-rank, quantile gate, width battery, BPE token count, and HLL
 # distinct sketches, session 4's DSIR importance resample and
 # native session window, and session 5's edit-distance fuzzy join,
-# per-group reservoir sample, data-quality audit, and SCD2 history),
+# per-group reservoir sample, data-quality audit, and SCD2 history,
+# and session 6's funnel, cohort retention, and PMI collocations),
 # so ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):

@@ -374,6 +374,41 @@ def test_table_audit_scalar_rules_share_one_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_funnel_summary_is_single_scan_single_shuffle(spark):
+    """The funnel fold must stay one pushed-filter scan of the event
+    log and one user-key exchange — no joins, no per-stage re-scans
+    (the chain variant's k(k+1)/2-scan shape is exactly what this plan
+    assertion guards against regressing to)."""
+    plan = _plan(spark, QUERIES["funnel_conversion"](spark, SF))
+    assert plan.count("events.parquet") == 1
+    assert "In(event_type" in plan  # stage-type filter reaches the scan
+    hash_ex = [
+        l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 1, hash_ex
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_cohort_retention_broadcasts_sizes_and_pushes_filter(spark):
+    plan = _plan(spark, QUERIES["cohort_retention"](spark, SF))
+    assert "EqualTo(event_type,signup)" in plan  # cohort filter pushed
+    assert "BroadcastHashJoin" in plan  # cohort sizes ride a broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_corpus_scanned_twice_inside_checkpoints(spark):
+    """pmi_bigrams checkpoints the vocabulary-sized count tables, so
+    the visible plan joins ExistingRDD scans (each consumer reuses the
+    one materialization) and the corpus never re-enters the join tree;
+    both word joins broadcast the vocabulary side."""
+    plan = _plan(spark, QUERIES["pmi_collocations"](spark, SF))
+    assert plan.count("documents.parquet") == 0  # behind the checkpoints
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-25, not a global sort
+
+
 def test_scd2_windows_share_one_exchange(spark):
     """SCD2 rebuild: the change-flag window and the effective_to lead
     window partition identically, so the plan carries ONE
