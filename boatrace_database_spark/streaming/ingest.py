@@ -17,6 +17,10 @@ same pipeline incremental:
 - `stream_running_counters` / `stream_asof_enrich`: custom stateful
   operators via applyInPandasWithState (running aggregates, as-of
   enrichment) with batch-operator parity tests.
+- `stream_funnel`: per-user staged-conversion state (the streaming
+  twin of operators/behavior.funnel_summary) — stage times set once,
+  in (ts, stage-index) order, exact batch parity under in-order
+  delivery.
 - `stream_dedup_exact` / `stream_dedup_minhash` / `stream_dedup_simhash`
   / `stream_dedup_semantic`: incremental exact and NEAR-dup detection
   with first-seen state contracts — the streaming twins of ALL FOUR
@@ -36,7 +40,11 @@ same pipeline incremental:
 
 All are file-source streams, so local tests drive them synchronously
 with processAllAvailable(); on a cluster the same code tails a bucket
-or a Kafka topic by swapping readStream.format.
+or a Kafka topic by swapping readStream.format. Exception: once
+``state_ttl_ms`` enables ProcessingTimeTimeout, the engine keeps
+scheduling timeout-check batches and processAllAvailable() never
+settles — TTL tests poll the sink instead (wait_until), which is also
+why every TTL contract test is written that way.
 """
 
 from __future__ import annotations
@@ -264,6 +272,100 @@ def stream_asof_enrich(
     )
     return (
         out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_funnel(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    stages: list[str] | None = None,
+    query_name: str = "funnel_state",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of operators/behavior.funnel_summary: per-user
+    funnel progress maintained as unbounded events arrive.
+
+    State per user = one microsecond timestamp per stage (-1 unset).
+    Each micro-batch replays the user's funnel-type events in
+    (ts, stage-index) order — the same tiebreak as the batch fold —
+    and sets stage k the first time a stage-k event is seen with
+    stage k-1 already complete and ``ts >= t_{k-1}`` (the explicit
+    guard matters across batches: a late event older than an
+    already-set prior stage must not complete the next one). Stage
+    times are monotone: set once, never lowered.
+
+    Emits (update mode) each touched user's current
+    ``stage_reached`` and per-stage times in epoch microseconds —
+    downstream summaries aggregate this tiny per-user frame, never
+    the event log.
+
+    PARITY CONTRACT: with each user's events delivered in event-time
+    order across micro-batches (any batching), the final state equals
+    the batch fold exactly (tested). Under cross-batch disorder a
+    late stage-1 event cannot rewrite history (the batch operator
+    would have used it); the stream keeps the first-completed times —
+    the standard streaming-funnel trade, stated rather than hidden.
+
+    ``state_ttl_ms`` bounds state like the rest of the family: a user
+    idle past the TTL restarts their funnel from scratch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stages = list(stages or ["view", "click", "purchase"])
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"funnel stages must be distinct: {stages!r}")
+    k = len(stages)
+    idx_of = {s: i for i, s in enumerate(stages, start=1)}
+
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+    relevant = events.where(F.col("event_type").isin(stages))
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        t = list(state.get) if state.exists else [-1] * k
+        batch = pd.concat(list(pdfs))
+        # no leading underscore: itertuples() renames such columns
+        batch = batch.assign(sidx=batch["event_type"].map(idx_of))
+        for row in batch.sort_values(["ts", "sidx"]).itertuples():
+            i = int(row.sidx)
+            ts_us = int(row.ts.value // 1000)
+            qualifies = i == 1 or (t[i - 2] != -1 and ts_us >= t[i - 2])
+            if t[i - 1] == -1 and qualifies:
+                t[i - 1] = ts_us
+        state.update(tuple(t))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        reached = sum(1 for v in t if v != -1)
+        yield pd.DataFrame(
+            [(key[0], reached, *t)],
+            columns=["user_id", "stage_reached"]
+            + [f"t_{i}_us" for i in range(1, k + 1)],
+        )
+
+    out_ddl = "user_id LONG, stage_reached INT, " + ", ".join(
+        f"t_{i}_us LONG" for i in range(1, k + 1)
+    )
+    state_ddl = ", ".join(f"t{i} LONG" for i in range(1, k + 1))
+    out = relevant.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_ddl,
+        stateStructType=state_ddl,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        out.writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)
         .start()

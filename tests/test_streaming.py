@@ -1801,3 +1801,196 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
         assert out[100 + i] == (i, True), (i, out.get(100 + i))
     for i in range(20):
         assert out[i] == (i, False)
+
+
+def test_stream_funnel_ordered_replay_matches_batch_fold(spark, tmp_path):
+    """stream_funnel parity contract: with events delivered in
+    event-time order across micro-batches (3 chunks split on global
+    ts), the final per-user state equals the batch funnel exactly
+    (funnel_stage_times chain == funnel_summary fold, already pinned
+    in test_behavior_ops)."""
+    import datetime
+
+    from boatrace_database_spark.operators import behavior
+    from boatrace_database_spark.queries._util import load_table
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut1, cut2 = [r.ts for r in events.orderBy("ts").collect()[330::330][:2]]
+    chunks = [
+        events.where(F.col("ts") <= cut1),
+        events.where((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        events.where(F.col("ts") > cut2),
+    ]
+
+    from boatrace_database_spark.streaming.ingest import stream_funnel
+
+    q = stream_funnel(spark, src, schema, query_name="funnel_replay")
+    try:
+        for i, ch in enumerate(chunks):
+            deliver(ch, f"fstage{i}", f"{src}/b{i}.parquet")
+            q.processAllAvailable()
+        got_rows = spark.sql(
+            """SELECT user_id, max(t_1_us) t1, max(t_2_us) t2,
+                      max(t_3_us) t3, max(stage_reached) reached
+               FROM funnel_replay GROUP BY user_id"""
+        ).collect()
+    finally:
+        q.stop()
+    # monotone state: per-user max over update-mode emissions == final
+    got = {r.user_id: (r.t1, r.t2, r.t3, r.reached) for r in got_rows}
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def us(t):
+        if t is None:
+            return -1
+        d = t - epoch
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+    frames = behavior.funnel_stage_times(events, ["view", "click", "purchase"])
+    expected = {}
+    for i, frame in enumerate(frames, start=1):
+        for r in frame.collect():
+            cur = expected.setdefault(r.user_id, [-1, -1, -1, 0])
+            cur[i - 1] = us(getattr(r, f"t_{i}"))
+            cur[3] = i
+    assert len(got) == len(expected)
+    for u, (t1, t2, t3, reached) in expected.items():
+        assert got[u] == (t1, t2, t3, reached), f"user {u}"
+
+
+def test_stream_funnel_cross_batch_order_guard(spark, tmp_path):
+    """A click arriving in a later batch but timestamped BEFORE the
+    user's recorded first view must not complete stage 2; a genuinely
+    later click must. Same-instant events inside one batch follow the
+    batch fold's stage-index tiebreak."""
+    import datetime
+
+    from boatrace_database_spark.streaming.ingest import stream_funnel
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "funnel_guard_src")
+    os.makedirs(src)
+
+    def ev(eid, uid, typ, minute):
+        ts = datetime.datetime(2024, 1, 1, 12, minute, 0)
+        return (eid, ts, uid, typ, 1.0, "{}")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    q = stream_funnel(spark, src, schema, query_name="funnel_guard")
+    try:
+        # batch 1: user 1 views at 12:10; user 2 view+click same instant
+        deliver(
+            frame([ev(1, 1, "view", 10), ev(2, 2, "view", 5), ev(3, 2, "click", 5)]),
+            "g1", f"{src}/b1.parquet",
+        )
+        q.processAllAvailable()
+        # batch 2: user 1 gets a LATE click stamped 12:05 (< t_1): ignored
+        deliver(frame([ev(4, 1, "click", 5)]), "g2", f"{src}/b2.parquet")
+        q.processAllAvailable()
+        rows = {
+            r.user_id: r
+            for r in spark.sql(
+                """SELECT user_id, max(stage_reached) stage_reached,
+                          max(t_2_us) t_2_us
+                   FROM funnel_guard GROUP BY user_id"""
+            ).collect()
+        }
+        assert rows[1].stage_reached == 1 and rows[1].t_2_us == -1
+        assert rows[2].stage_reached == 2  # same-instant tiebreak admits
+        # batch 3: an in-order click completes user 1's stage 2
+        deliver(frame([ev(5, 1, "click", 20)]), "g3", f"{src}/b3.parquet")
+        q.processAllAvailable()
+        r1 = spark.sql(
+            "SELECT max(stage_reached) s FROM funnel_guard WHERE user_id = 1"
+        ).collect()[0]
+        assert r1.s == 2
+    finally:
+        q.stop()
+
+
+def test_stream_funnel_ttl_eviction_and_restart(spark, tmp_path):
+    """state_ttl_ms on stream_funnel: a user idle past the TTL loses
+    funnel progress (eviction), and their next event restarts the
+    funnel from stage 1 — the same bounded-state contract as the rest
+    of the stateful family.
+
+    Polls the sink (wait_until) like the other TTL tests instead of
+    processAllAvailable(): with ProcessingTimeTimeout enabled,
+    processAllAvailable keeps scheduling timeout-check batches and the
+    call never settles."""
+    import datetime
+    import time
+
+    from boatrace_database_spark.streaming.ingest import stream_funnel
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "funnel_ttl_src")
+    os.makedirs(src)
+    ttl_ms = 20_000
+
+    def ev(eid, uid, typ, minute):
+        ts = datetime.datetime(2024, 1, 1, 12, minute, 0)
+        return (eid, ts, uid, typ, 1.0, "{}")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def rows():
+        return spark.sql("SELECT * FROM funnel_ttl").collect()
+
+    def wait_until(predicate, what, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if predicate():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    q = stream_funnel(
+        spark, src, schema, query_name="funnel_ttl", state_ttl_ms=ttl_ms
+    )
+    try:
+        deliver(
+            frame([ev(1, 9, "view", 0), ev(2, 9, "click", 1)]),
+            "t1", f"{src}/b1.parquet",
+        )
+        wait_until(
+            lambda: any(
+                r.user_id == 9 and r.stage_reached == 2 for r in rows()
+            ),
+            "stage 2 reached",
+        )
+        # idle past the TTL, then a purchase arrives: had state
+        # survived it would complete stage 3; after eviction it is an
+        # out-of-funnel event (no view yet) -> a fresh stage 0 row
+        time.sleep(ttl_ms / 1000 + 3.0)
+        deliver(frame([ev(3, 9, "purchase", 30)]), "t2", f"{src}/b2.parquet")
+        wait_until(
+            lambda: any(
+                r.user_id == 9 and r.stage_reached == 0 and r.t_1_us == -1
+                for r in rows()
+            ),
+            "evicted funnel restarted at 0",
+        )
+        # a fresh view re-admits the user at stage 1
+        deliver(frame([ev(4, 9, "view", 40)]), "t3", f"{src}/b3.parquet")
+        wait_until(
+            lambda: any(
+                r.user_id == 9 and r.stage_reached == 1
+                and r.t_1_us > 0 and r.t_2_us == -1
+                for r in rows()
+            ),
+            "re-admitted at stage 1",
+        )
+    finally:
+        q.stop()
