@@ -36,6 +36,7 @@ def funnel_stage_times(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> list[DataFrame]:
     """Per-user first-completion times for an ordered funnel.
 
@@ -46,6 +47,12 @@ def funnel_stage_times(
     drop out of that stage's frame and all later ones, which is the
     funnel semantics (ordering matters: a click BEFORE the first view
     does not convert the view).
+
+    ``within_seconds`` adds the conversion-window variant: stage k
+    only counts within that horizon of the user's FUNNEL ENTRY (their
+    t_1 — no re-anchoring on later stage-1 events, the standard
+    product-analytics convention). Second-boundary arithmetic
+    (``unix_timestamp``), so an oracle reproduces it exactly.
 
     Scale: every join/groupBy keys on ``user_col``; the filtered
     event subsets partition once each and the stage frames shrink
@@ -67,17 +74,21 @@ def funnel_stage_times(
     frames.append(cur)
     for i, stage in enumerate(stages[1:], start=2):
         prev_cols = [f"t_{j}" for j in range(1, i)]
-        cur = (
+        nxt = (
             df.where(F.col(type_col) == stage)
             .join(cur, user_col)
             .where(F.col(ts_col) >= F.col(f"t_{i - 1}"))
-            .groupBy(user_col)
-            .agg(
-                F.min(ts_col).alias(f"t_{i}"),
-                # constant per user (carried from the join) — min() is
-                # just the deterministic way to thread them through
-                *[F.min(c).alias(c) for c in prev_cols],
+        )
+        if within_seconds is not None:
+            nxt = nxt.where(
+                F.unix_timestamp(ts_col)
+                <= F.unix_timestamp("t_1") + within_seconds
             )
+        cur = nxt.groupBy(user_col).agg(
+            F.min(ts_col).alias(f"t_{i}"),
+            # constant per user (carried from the join) — min() is
+            # just the deterministic way to thread them through
+            *[F.min(c).alias(c) for c in prev_cols],
         )
         frames.append(cur)
     return frames
@@ -89,6 +100,7 @@ def funnel_summary(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Funnel conversion summary: one row per stage with the number of
     users completing it in order and the mean hours from funnel entry
@@ -96,7 +108,11 @@ def funnel_summary(
 
     Columns: ``stage`` (1-based long), ``stage_name``, ``users``
     (long), ``avg_hours_from_entry`` (double, round 3; 0.0 for stage
-    1 by construction).
+    1 by construction). ``within_seconds`` bounds every later stage
+    to the conversion window after the user's funnel entry (same
+    semantics as ``funnel_stage_times`` — anchored at t_1, no
+    re-anchoring; fold≡chain parity holds for the windowed variant
+    too, tested).
 
     SINGLE-PASS plan (the chain in ``funnel_stage_times`` re-derives
     stage k-1 inside stage k's lineage, so its summary would scan the
@@ -140,6 +156,14 @@ def funnel_summary(
         fields = []
         for i in range(1, k + 1):
             ready = F.lit(True) if i == 1 else acc[f"t_{i - 1}"].isNotNull()
+            if within_seconds is not None and i > 1:
+                # conversion window, anchored at funnel entry (t_1 is
+                # set whenever t_{i-1} is); second-boundary arithmetic
+                # like the chain so the two variants stay identical
+                ready = ready & (
+                    F.unix_timestamp(e["ts"])
+                    <= F.unix_timestamp(acc["t_1"]) + within_seconds
+                )
             fields.append(
                 F.when(
                     acc[f"t_{i}"].isNull() & (e["idx"] == i) & ready, e["ts"]

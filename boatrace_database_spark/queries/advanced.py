@@ -491,6 +491,51 @@ SELECT * FROM (
 """
 
 
+# the same funnel under a 24-hour conversion window: later stages only
+# count within 86,400 s of the user's funnel entry (anchored at t_1,
+# no re-anchoring — the standard product-analytics convention).
+def funnel_windowed(spark, sf_dir):
+    from boatrace_database_spark.operators import behavior
+
+    e = _t(spark, sf_dir, "events")
+    return behavior.funnel_summary(
+        e, ["view", "click", "purchase"], within_seconds=86_400
+    )
+
+
+FUNNEL_WINDOWED_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    AND date_diff('second', s1.t1, e.ts) <= 86400
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    AND date_diff('second', s2.t1, e.ts) <= 86400
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+         CAST(count(*) AS BIGINT) AS users,
+         round(avg(date_diff('second', t1, t1)) / 3600.0, 3)
+           AS avg_hours_from_entry
+  FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
+         round(avg(date_diff('second', t1, t2)) / 3600.0, 3) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
+         round(avg(date_diff('second', t1, t3)) / 3600.0, 3) FROM s3
+) ORDER BY stage
+"""
+
+
 # weekly cohort-retention grid: cohort = ISO week of first signup,
 # retained in offset w if any event falls w whole weeks (day-exact)
 # after the first signup.
@@ -544,6 +589,7 @@ QUERIES = {
     "table_audit_orders": table_audit_orders,
     "scd2_user_state": scd2_user_state,
     "funnel_conversion": funnel_conversion,
+    "funnel_windowed": funnel_windowed,
     "cohort_retention": cohort_retention_grid,
 }
 
@@ -564,5 +610,6 @@ ORACLES = {
     "table_audit_orders": TABLE_AUDIT_SQL,
     "scd2_user_state": SCD2_SQL,
     "funnel_conversion": FUNNEL_SQL,
+    "funnel_windowed": FUNNEL_WINDOWED_SQL,
     "cohort_retention": COHORT_SQL,
 }

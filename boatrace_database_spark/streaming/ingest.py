@@ -285,6 +285,7 @@ def stream_funnel(
     stages: list[str] | None = None,
     query_name: str = "funnel_state",
     state_ttl_ms: int | None = None,
+    within_seconds: int | None = None,
 ) -> StreamingQuery:
     """Streaming twin of operators/behavior.funnel_summary: per-user
     funnel progress maintained as unbounded events arrive.
@@ -312,6 +313,8 @@ def stream_funnel(
 
     ``state_ttl_ms`` bounds state like the rest of the family: a user
     idle past the TTL restarts their funnel from scratch.
+    ``within_seconds`` applies the batch operators' conversion window
+    (anchored at the user's funnel entry, second-boundary arithmetic).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -337,6 +340,12 @@ def stream_funnel(
             i = int(row.sidx)
             ts_us = int(row.ts.value // 1000)
             qualifies = i == 1 or (t[i - 2] != -1 and ts_us >= t[i - 2])
+            if qualifies and within_seconds is not None and i > 1:
+                # conversion window anchored at funnel entry, second-
+                # boundary arithmetic to match the batch operators
+                qualifies = (ts_us // 1_000_000) <= (
+                    t[0] // 1_000_000
+                ) + within_seconds
             if t[i - 1] == -1 and qualifies:
                 t[i - 1] = ts_us
         state.update(tuple(t))

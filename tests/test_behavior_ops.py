@@ -215,3 +215,68 @@ def test_pmi_single_token_docs_ignored(spark):
     # the solo token still participates in unigram totals: N=3, so
     # pmi = ln((1*3*3)/(1*1*1)) = ln 9
     assert out[0].pmi == round(math.log(9.0), 4)
+
+
+def test_funnel_window_hand_checked_and_fold_chain_parity(spark):
+    rows = [
+        # u1 converts inside the 1h window
+        (_ts("2024-01-01 10:00:00"), 1, "view"),
+        (_ts("2024-01-01 10:30:00"), 1, "click"),
+        # u2's click is 2h after entry: outside a 3600s window
+        (_ts("2024-01-02 09:00:00"), 2, "view"),
+        (_ts("2024-01-02 11:00:00"), 2, "click"),
+        # u3: a late SECOND view must not re-anchor the window
+        (_ts("2024-01-03 08:00:00"), 3, "view"),
+        (_ts("2024-01-03 10:00:00"), 3, "view"),
+        (_ts("2024-01-03 10:30:00"), 3, "click"),
+    ]
+    ev = _events(spark, rows)
+    out = behavior.funnel_summary(
+        ev, ["view", "click"], within_seconds=3600
+    ).collect()
+    by_stage = {r.stage: r for r in out}
+    assert by_stage[1].users == 3
+    assert by_stage[2].users == 1  # only u1; u3 not re-anchored
+    # exact boundary: 3600s after entry still counts (<=)
+    bnd = _events(
+        spark,
+        [
+            (_ts("2024-01-04 10:00:00"), 4, "view"),
+            (_ts("2024-01-04 11:00:00"), 4, "click"),
+        ],
+    )
+    got = {
+        r.stage: r.users
+        for r in behavior.funnel_summary(
+            bnd, ["view", "click"], within_seconds=3600
+        ).collect()
+    }
+    assert got[2] == 1
+
+    # fold == chain for the windowed variant, random log with ties
+    import random
+
+    rng = random.Random(7)
+    stages = ["view", "click", "purchase"]
+    types = stages + ["noise"]
+    base = dt.datetime(2024, 1, 1)
+    big = _events(
+        spark,
+        [
+            (
+                base + dt.timedelta(seconds=rng.randrange(7200)),
+                rng.randrange(40),
+                rng.choice(types),
+            )
+            for _ in range(800)
+        ],
+    )
+    fold = {
+        r.stage: r.users
+        for r in behavior.funnel_summary(
+            big, stages, within_seconds=600
+        ).collect()
+    }
+    frames = behavior.funnel_stage_times(big, stages, within_seconds=600)
+    chain = {i: f.count() for i, f in enumerate(frames, start=1)}
+    assert fold == chain
