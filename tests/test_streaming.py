@@ -1994,3 +1994,59 @@ def test_stream_funnel_ttl_eviction_and_restart(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_stream_funnel_conversion_window(spark, tmp_path):
+    """within_seconds on stream_funnel matches the batch semantics: a
+    click past the horizon of the user's funnel entry never converts,
+    one exactly at the boundary does (<=), and the window stays
+    anchored at the FIRST view across batches."""
+    import datetime
+
+    from boatrace_database_spark.streaming.ingest import stream_funnel
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "funnel_win_src")
+    os.makedirs(src)
+
+    def ev(eid, uid, typ, minute):
+        ts = datetime.datetime(2024, 1, 1, 12, 0, 0) + datetime.timedelta(
+            minutes=minute
+        )
+        return (eid, ts, uid, typ, 1.0, "{}")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    q = stream_funnel(
+        spark, src, schema, query_name="funnel_win", within_seconds=3600
+    )
+    try:
+        # u1 views at 12:00; u2 views at 12:00 and clicks at 13:00
+        # (exact boundary: converts); u1's click lands in a LATER
+        # batch at 13:30 (past the window: must not convert)
+        deliver(
+            frame([ev(1, 1, "view", 0), ev(2, 2, "view", 0),
+                   ev(3, 2, "click", 60)]),
+            "w1", f"{src}/b1.parquet",
+        )
+        q.processAllAvailable()
+        deliver(
+            frame([ev(4, 1, "click", 90), ev(5, 1, "view", 80)]),
+            "w2", f"{src}/b2.parquet",
+        )
+        q.processAllAvailable()
+        rows = {
+            r.user_id: r.reached
+            for r in spark.sql(
+                """SELECT user_id, max(stage_reached) reached
+                   FROM funnel_win GROUP BY user_id"""
+            ).collect()
+        }
+        # u1's 12:80 second view must NOT re-anchor the window for the
+        # 13:30 click (90 min after the true entry)
+        assert rows[1] == 1
+        assert rows[2] == 2
+    finally:
+        q.stop()
