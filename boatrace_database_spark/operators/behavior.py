@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -201,6 +201,50 @@ def funnel_summary(
         wide.select(F.explode(rows).alias("r"))
         .select("r.*")
         .orderBy("stage")
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered adjacent pair of a user's events,
+    count (from_type → to_type) and the row-normalized transition
+    probability — the journey-mining companion to the funnel (which
+    asks about ONE path; this surfaces ALL next-step edges).
+
+    Columns: ``from_type``, ``to_type``, ``n`` (long),
+    ``p`` (double, round 4, n / Σ n over from_type).
+
+    Scale: ONE user-key window (lead over (ts, tiebreak) — the
+    deterministic order) feeding one (from,to)-keyed aggregate with
+    map-side partials; the normalizing sum is a window over the
+    TYPE-PAIR-sized aggregate, not the event log.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+    )
+    agg = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = Window.partitionBy("from_type")
+    return (
+        agg.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
     )
 
 

@@ -572,6 +572,34 @@ ORDER BY a.cohort_week, a.week_offset
 """
 
 
+# first-order Markov transition matrix over per-user event sequences
+# (journey mining: every next-step edge with its probability).
+def event_transitions_matrix(spark, sf_dir):
+    from boatrace_database_spark.operators import behavior
+
+    e = _t(spark, sf_dir, "events")
+    return behavior.event_transitions(e)
+
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), agg AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM agg
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "correlated_scalar_subquery": correlated_scalar_subquery,
     "having_filter": having_filter,
@@ -591,6 +619,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_windowed": funnel_windowed,
     "cohort_retention": cohort_retention_grid,
+    "event_transitions": event_transitions_matrix,
 }
 
 ORACLES = {
@@ -612,4 +641,5 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "funnel_windowed": FUNNEL_WINDOWED_SQL,
     "cohort_retention": COHORT_SQL,
+    "event_transitions": TRANSITIONS_SQL,
 }

@@ -280,3 +280,37 @@ def test_funnel_window_hand_checked_and_fold_chain_parity(spark):
     frames = behavior.funnel_stage_times(big, stages, within_seconds=600)
     chain = {i: f.count() for i, f in enumerate(frames, start=1)}
     assert fold == chain
+
+
+def test_event_transitions_hand_checked(spark):
+    rows = [
+        (_ts("2024-01-01 10:00:00"), 1, "view"),
+        (_ts("2024-01-01 11:00:00"), 1, "click"),
+        (_ts("2024-01-01 12:00:00"), 1, "view"),
+        (_ts("2024-01-01 13:00:00"), 1, "click"),
+        (_ts("2024-01-02 10:00:00"), 2, "view"),
+        (_ts("2024-01-02 11:00:00"), 2, "purchase"),
+        # user boundary: u2's last event chains to nothing
+    ]
+    out = behavior.event_transitions(_events(spark, rows)).collect()
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in out}
+    # u1: view->click, click->view, view->click; u2: view->purchase
+    assert got[("view", "click")] == (2, 0.6667)
+    assert got[("view", "purchase")] == (1, 0.3333)
+    assert got[("click", "view")] == (1, 1.0)
+    assert set(got) == {
+        ("view", "click"), ("view", "purchase"), ("click", "view")
+    }
+
+
+def test_event_transitions_same_ts_tiebreak(spark):
+    # two events at the same instant order by event_id (insertion order
+    # in the fixture), so the edge is deterministic
+    rows = [
+        (_ts("2024-01-01 10:00:00"), 1, "view"),
+        (_ts("2024-01-01 10:00:00"), 1, "click"),
+    ]
+    out = behavior.event_transitions(_events(spark, rows)).collect()
+    assert [(r.from_type, r.to_type, r.n) for r in out] == [
+        ("view", "click", 1)
+    ]

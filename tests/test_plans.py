@@ -409,6 +409,20 @@ def test_pmi_corpus_scanned_twice_inside_checkpoints(spark):
     assert "TakeOrderedAndProject" in plan  # top-25, not a global sort
 
 
+def test_event_transitions_single_user_exchange(spark):
+    """Journey mining: ONE events scan, one user-key exchange feeding
+    the lead window; the probability normalization windows the tiny
+    (from,to) aggregate — no second pass over the log, no joins."""
+    plan = _plan(spark, QUERIES["event_transitions"](spark, SF))
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    user_ex = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(user_id" in l
+    ]
+    assert len(user_ex) == 1, user_ex
+
+
 def test_scd2_windows_share_one_exchange(spark):
     """SCD2 rebuild: the change-flag window and the effective_to lead
     window partition identically, so the plan carries ONE
