@@ -56,6 +56,7 @@ HEADLINE = [
     # and collocation mining over the full document corpus
     "funnel_conversion",
     "cohort_retention",
+    "event_transitions",
     "pmi_collocations",
 ]
 

@@ -381,6 +381,76 @@ def stream_funnel(
     )
 
 
+def stream_event_edges(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    query_name: str = "event_edges",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of operators/behavior.event_transitions' edge
+    extraction: per-user (from_type → to_type) adjacency edges as
+    events arrive. State per user = (last_ts_us, last_event_id,
+    last_type); each micro-batch replays the user's events in
+    (ts, event_id) order — the batch window's exact sort key — and
+    emits one edge per consecutive pair, bridging across batches via
+    the stored last event (append mode: each edge emits exactly once).
+
+    Downstream transition counts/probabilities are then an ordinary
+    (streaming or batch) aggregate over this tiny edge stream — the
+    log itself is never re-touched, same shape as the batch operator.
+
+    In-order-per-user delivery gives exact batch-pair parity (tested:
+    the ordered-replay edge multiset equals the batch lead-window
+    pairs). ``state_ttl_ms`` evicts idle users; their next event
+    starts a fresh chain (no cross-eviction edge).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+
+    def edges(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, last_eid, last_type = (
+            state.get if state.exists else (-1, -1, "")
+        )
+        out = []
+        batch = pd.concat(list(pdfs))
+        for row in batch.sort_values(["ts", "event_id"]).itertuples():
+            if last_eid != -1:
+                out.append((key[0], last_type, str(row.event_type)))
+            last_ts = int(row.ts.value // 1000)
+            last_eid = int(row.event_id)
+            last_type = str(row.event_type)
+        state.update((last_ts, last_eid, last_type))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            out, columns=["user_id", "from_type", "to_type"]
+        )
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        edges,
+        outputStructType="user_id LONG, from_type STRING, to_type STRING",
+        stateStructType="last_ts LONG, last_eid LONG, last_type STRING",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def _interval_join_frames(
     views: DataFrame, purchases: DataFrame, horizon: str, how: str = "inner"
 ) -> DataFrame:

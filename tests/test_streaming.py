@@ -2050,3 +2050,53 @@ def test_stream_funnel_conversion_window(spark, tmp_path):
         assert rows[2] == 2
     finally:
         q.stop()
+
+
+def test_stream_event_edges_ordered_replay_matches_batch_pairs(spark, tmp_path):
+    """stream_event_edges under a 3-chunk ordered replay of sf0.001
+    emits exactly the batch lead-window pair multiset (edges bridge
+    across micro-batch boundaries via the stored last event)."""
+    from collections import Counter
+
+    from boatrace_database_spark.queries._util import load_table
+    from boatrace_database_spark.streaming.ingest import stream_event_edges
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "edges_src")
+    os.makedirs(src)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    cut1, cut2 = [r.ts for r in events.orderBy("ts").collect()[330::330][:2]]
+    chunks = [
+        events.where(F.col("ts") <= cut1),
+        events.where((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        events.where(F.col("ts") > cut2),
+    ]
+
+    q = stream_event_edges(spark, src, schema, query_name="edges_replay")
+    try:
+        for i, ch in enumerate(chunks):
+            deliver(ch, f"estage{i}", f"{src}/b{i}.parquet")
+            q.processAllAvailable()
+        got = Counter(
+            (r.user_id, r.from_type, r.to_type)
+            for r in spark.sql("SELECT * FROM edges_replay").collect()
+        )
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch_pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .collect()
+    )
+    want = Counter((r.user_id, r.from_type, r.to_type) for r in batch_pairs)
+    assert got == want
