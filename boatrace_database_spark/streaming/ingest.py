@@ -21,6 +21,10 @@ same pipeline incremental:
   twin of operators/behavior.funnel_summary) — stage times set once,
   in (ts, stage-index) order, exact batch parity under in-order
   delivery.
+- `stream_event_edges`: per-user (from → to) transition edges as
+  events arrive (the edge-extraction half of
+  operators/behavior.event_transitions), bridging micro-batch
+  boundaries through the stored last event; each edge emits once.
 - `stream_dedup_exact` / `stream_dedup_minhash` / `stream_dedup_simhash`
   / `stream_dedup_semantic`: incremental exact and NEAR-dup detection
   with first-seen state contracts — the streaming twins of ALL FOUR

@@ -111,9 +111,17 @@ def run_ops(spark, events, docs):
     def pmi():
         return TX.pmi_bigrams(docs, "text", min_count=5).count()
 
+    def transitions():
+        rows = behavior.event_transitions(events).collect()
+        return {
+            "edges": len(rows),
+            "n_total": sum(r.n for r in rows),
+        }
+
     rec("funnel_summary_fold", funnel_fold)
     rec("funnel_chain_last_stage", funnel_chain)
     rec("cohort_retention", cohort)
+    rec("event_transitions", transitions)
     rec("pmi_bigrams", pmi)
     return out
 
@@ -151,6 +159,15 @@ def main() -> None:
         REPLICAS * one["cohort_retention"]["n"]["week0_active"]
     )
     assert big["pmi_bigrams"]["n"] == REPLICAS * one["pmi_bigrams"]["n"]
+    # disjoint user ranges replicate every adjacency R-fold; the edge
+    # VOCABULARY (distinct type pairs) is scale-invariant
+    assert big["event_transitions"]["n"]["n_total"] == (
+        REPLICAS * one["event_transitions"]["n"]["n_total"]
+    )
+    assert (
+        big["event_transitions"]["n"]["edges"]
+        == one["event_transitions"]["n"]["edges"]
+    )
 
     report = {
         "replicas": REPLICAS,
