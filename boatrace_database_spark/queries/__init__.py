@@ -24,7 +24,7 @@ for mod in (relational, analytics, advanced, llm):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (each round records rows for the first ~50 of the
-# catalog — 132 after round 6 added the split family, token budgets,
+# catalog — 133 after round 6 added the split family, token budgets,
 # pack materialization, quality top-k, compression ratio,
 # keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
 # projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
@@ -35,7 +35,8 @@ for mod in (relational, analytics, advanced, llm):
 # native session window, and session 5's edit-distance fuzzy join,
 # per-group reservoir sample, data-quality audit, and SCD2 history,
 # and session 6's funnel (unbounded + conversion-windowed), cohort
-# retention, event-transition matrix, and PMI collocations),
+# retention, event-transition matrix, last-touch attribution, and
+# PMI collocations),
 # so ordering is the coverage lever.
 # Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
 # — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
@@ -196,7 +197,7 @@ _ORDER = [
     # budget, so their first driver rows land in r7's tier-2 head;
     # until then all three are oracle-parity pytested locally
     "funnel_conversion", "funnel_windowed", "cohort_retention",
-    "event_transitions", "pmi_collocations",
+    "event_transitions", "attribution_last_touch", "pmi_collocations",
     "split_stratified_assign", "token_budget_mixture",
     # pack_materialize: yielded its in-budget slot to dsir_select_corpus
     # (see tier-2 head) — sibling pack_sequences_windows green r5

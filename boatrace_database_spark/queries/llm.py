@@ -1498,6 +1498,57 @@ ORDER BY p.event_id
 """
 
 
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: every purchase's value credited
+    to the user's most recent prior-or-equal touch (view or click),
+    'none' when the purchase had no prior touch — the same
+    union+window as-of machinery as asof_join_events, composed with a
+    decimal-exact revenue rollup per touch type. One user-key window
+    over touches+purchases, then a 3-row aggregate."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", F.col("event_type").alias("touch")
+    )
+    out = asof_join(
+        purchases, touches, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["touch"],
+    )
+    return (
+        out.groupBy(
+            F.coalesce(F.col("touch_asof"), F.lit("none")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, event_type AS touch FROM events
+  WHERE event_type IN ('view', 'click')
+)
+SELECT coalesce(t.touch, 'none') AS touch_type,
+       CAST(count(*) AS BIGINT) AS purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+         AS attributed_revenue
+FROM purchases p
+ASOF LEFT JOIN touches t ON p.user_id = t.user_id AND p.ts >= t.ts
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def decontaminate_eval(spark, sf_dir):
     """Train/eval decontamination: even doc_ids act as the training
     corpus, odd doc_ids as the eval set; report each eval document's
@@ -2656,6 +2707,7 @@ QUERIES = {
     "ivf_cell_stats": ivf_cell_stats,
     "multimodal_features": multimodal_features,
     "asof_join_events": asof_join_events,
+    "attribution_last_touch": attribution_last_touch,
     "decontaminate_eval": decontaminate_eval,
     "decontaminate_drop_train": decontaminate_drop_train,
     "repetition_profile": repetition_profile,
@@ -2727,6 +2779,7 @@ ORACLES = {
     "ivf_cell_stats": None,
     "multimodal_features": MULTIMODAL_SQL,
     "asof_join_events": ASOF_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
     "decontaminate_eval": DECONTAMINATE_SQL,
     "decontaminate_drop_train": DECONTAMINATE_DROP_SQL,
     "repetition_profile": REPETITION_SQL,
