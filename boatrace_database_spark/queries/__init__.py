@@ -44,7 +44,7 @@ for mod in (relational, analytics, advanced, llm):
 # tail + tier 5) — the staleness frontier the r5 verdict told r6 to
 # clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
 # oracle CAST fix must re-verify green, plus the round's new queries)
-# — 34 entries, twenty-two past the 50-row budget (see the tier-2 inline
+# — 40 entries, twenty-eight past the 50-row budget (see the tier-2 inline
 # note on which entries absorb the truncation); tier 3 = the queries
 # whose second-newest row is r3 (checked r5 — the oldest
 # double-verification), fully truncated at a 50-row budget — its
@@ -69,7 +69,7 @@ _ORDER = [
     "string_agg_sorted", "window_range_frame", "moving_avg_rows",
     "ntile_cume",
     # tier 2 — code changed/added in round 6: must (re-)verify. Tiers
-    # 1-2 overflow a 50-row budget by seventeen, so the tail is chosen
+    # 1-2 overflow a 50-row budget by twenty-eight, so the tail is chosen
     # for least loss (each truncated entry annotated inline below):
     # split_stratified_assign and token_budget_mixture are family
     # VARIANTS whose siblings (split_exact_assign, token_budget_head)
