@@ -230,6 +230,63 @@ def main():
         "sec": round(dt, 2), "rows_per_sec": round(n_emb / dt, 0),
         "sink_rows": n_out, "corpus_rows": n_emb,
     }
+
+    # the session-6 behavioral pair streams EVENTS (sf0.1, 100k rows,
+    # ts-ordered chunks — the in-order delivery their parity contracts
+    # assume); rows/s against the event count
+    from boatrace_database_spark.queries._util import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    n_ev = ev.count()
+    cuts = [
+        r.ts
+        for r in ev.select("ts").orderBy("ts").collect()[
+            n_ev // N_CHUNKS :: n_ev // N_CHUNKS
+        ][: N_CHUNKS - 1]
+    ]
+    bounds = [None] + cuts + [None]
+    vchunks = []
+    for i in range(N_CHUNKS):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            cond = cond & (F.col("ts") <= bounds[i + 1])
+        stage = f"{workdir}/vstage{i}"
+        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        vchunks.append(next(
+            f"{stage}/{f}" for f in os.listdir(stage) if f.endswith(".parquet")
+        ))
+    for name, starter in (
+        (
+            "ev_funnel",
+            lambda src: I.stream_funnel(
+                spark, src, ev.schema, query_name="ev_funnel"
+            ),
+        ),
+        (
+            "ev_edges",
+            lambda src: I.stream_event_edges(
+                spark, src, ev.schema, query_name="ev_edges"
+            ),
+        ),
+    ):
+        src = f"{workdir}/src_{name}"
+        os.makedirs(src)
+        q = starter(src)
+        t0 = time.monotonic()
+        try:
+            for i, part in enumerate(vchunks):
+                shutil.copy(part, f"{src}/c{i}.parquet")
+                q.processAllAvailable()
+            dt = time.monotonic() - t0
+            n_out = spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0]
+        finally:
+            q.stop()
+        results[name] = {
+            "sec": round(dt, 2), "rows_per_sec": round(n_ev / dt, 0),
+            "sink_rows": n_out, "corpus_rows": n_ev,
+        }
     import json
 
     print(json.dumps({
