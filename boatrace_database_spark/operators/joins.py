@@ -32,6 +32,12 @@ def asof_join(
     Implementation: tag sides, union, window-sort by (ts, side) with
     right rows sorting BEFORE left rows at equal ts (<= semantics),
     then last(ignorenulls) over the ordered stream; keep left rows.
+
+    Ties among RIGHT rows at identical (key, ts) are resolved
+    arbitrarily (no further sort key) — same as DuckDB/pandas asof.
+    Callers needing a deterministic result on tie-bearing data should
+    pre-collapse the right side to one row per (key, ts) (see
+    queries/llm.attribution_last_touch).
     """
     l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     r = right.select(

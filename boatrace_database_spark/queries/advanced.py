@@ -460,19 +460,30 @@ def funnel_conversion(spark, sf_dir):
     return behavior.funnel_summary(e, ["view", "click", "purchase"])
 
 
-FUNNEL_SQL = """
+def _funnel_oracle(within_seconds=None):
+    """One source for both funnel oracles: the windowed variant adds
+    only the two conversion-window predicates (anchored at s1/s2's
+    carried t1), so a future edit to the CTE chain cannot silently
+    diverge between the two strings."""
+    w2 = w3 = ""
+    if within_seconds is not None:
+        w2 = (f"\n    AND date_diff('second', s1.t1, e.ts)"
+              f" <= {within_seconds}")
+        w3 = (f"\n    AND date_diff('second', s2.t1, e.ts)"
+              f" <= {within_seconds}")
+    return f"""
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
 ), s2 AS (
   SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
   FROM events e JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1{w2}
   GROUP BY e.user_id
 ), s3 AS (
   SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
   FROM events e JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2{w3}
   GROUP BY e.user_id
 )
 SELECT * FROM (
@@ -490,6 +501,8 @@ SELECT * FROM (
 ) ORDER BY stage
 """
 
+
+FUNNEL_SQL = _funnel_oracle()
 
 # the same funnel under a 24-hour conversion window: later stages only
 # count within 86,400 s of the user's funnel entry (anchored at t_1,
@@ -503,38 +516,7 @@ def funnel_windowed(spark, sf_dir):
     )
 
 
-FUNNEL_WINDOWED_SQL = """
-WITH s1 AS (
-  SELECT user_id, min(ts) AS t1 FROM events
-  WHERE event_type = 'view' GROUP BY user_id
-), s2 AS (
-  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
-  FROM events e JOIN s1 ON e.user_id = s1.user_id
-  WHERE e.event_type = 'click' AND e.ts >= s1.t1
-    AND date_diff('second', s1.t1, e.ts) <= 86400
-  GROUP BY e.user_id
-), s3 AS (
-  SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
-  FROM events e JOIN s2 ON e.user_id = s2.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
-    AND date_diff('second', s2.t1, e.ts) <= 86400
-  GROUP BY e.user_id
-)
-SELECT * FROM (
-  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
-         CAST(count(*) AS BIGINT) AS users,
-         round(avg(date_diff('second', t1, t1)) / 3600.0, 3)
-           AS avg_hours_from_entry
-  FROM s1
-  UNION ALL
-  SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT),
-         round(avg(date_diff('second', t1, t2)) / 3600.0, 3) FROM s2
-  UNION ALL
-  SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT),
-         round(avg(date_diff('second', t1, t3)) / 3600.0, 3) FROM s3
-) ORDER BY stage
-"""
-
+FUNNEL_WINDOWED_SQL = _funnel_oracle(86_400)
 
 # weekly cohort-retention grid: cohort = ISO week of first signup,
 # retained in offset w if any event falls w whole weeks (day-exact)

@@ -1504,13 +1504,23 @@ def attribution_last_touch(spark, sf_dir):
     'none' when the purchase had no prior touch — the same
     union+window as-of machinery as asof_join_events, composed with a
     decimal-exact revenue rollup per touch type. One user-key window
-    over touches+purchases, then a 3-row aggregate."""
+    over touches+purchases, then a 3-row aggregate.
+
+    Touches are pre-collapsed to one per (user, ts) — max(type), i.e.
+    view wins a view/click tie — BEFORE the as-of join: both Spark's
+    last()-window and DuckDB's native ASOF pick an arbitrary winner
+    among equal-ts right rows, so without the collapse the attribution
+    split would be nondeterministic on tie-bearing data (latent here:
+    the synthetic events carry distinct microsecond stamps, but
+    nothing guarantees that)."""
     e = _t(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    touches = e.where(F.col("event_type").isin("view", "click")).select(
-        "user_id", "ts", F.col("event_type").alias("touch")
+    touches = (
+        e.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch"))
     )
     out = asof_join(
         purchases, touches, on="user_id", left_ts="ts", right_ts="ts",
@@ -1536,8 +1546,9 @@ WITH purchases AS (
   WHERE event_type = 'purchase'
 ),
 touches AS (
-  SELECT user_id, ts, event_type AS touch FROM events
+  SELECT user_id, ts, max(event_type) AS touch FROM events
   WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
 )
 SELECT coalesce(t.touch, 'none') AS touch_type,
        CAST(count(*) AS BIGINT) AS purchases,

@@ -308,12 +308,19 @@ def stream_funnel(
     downstream summaries aggregate this tiny per-user frame, never
     the event log.
 
-    PARITY CONTRACT: with each user's events delivered in event-time
-    order across micro-batches (any batching), the final state equals
-    the batch fold exactly (tested). Under cross-batch disorder a
-    late stage-1 event cannot rewrite history (the batch operator
-    would have used it); the stream keeps the first-completed times —
-    the standard streaming-funnel trade, stated rather than hidden.
+    PARITY CONTRACT: with each user's events delivered in
+    (ts, stage-index) order across micro-batches — event-time order,
+    plus equal-timestamp stage events not split across batches in
+    reverse stage order — the final state equals the batch fold
+    exactly (tested on a 3-chunk ts-split replay, which keeps ties
+    within a batch by construction). Two documented divergences, both
+    arrival-order-resolved rather than rewritten: a late event older
+    than an already-set prior stage never completes the next one (the
+    batch operator would have used it), and an equal-ts pair split
+    across batches with the higher stage first resolves in arrival
+    order (the within-batch sort cannot reorder against stored
+    state). The standard streaming-funnel trade, stated rather than
+    hidden.
 
     ``state_ttl_ms`` bounds state like the rest of the family: a user
     idle past the TTL restarts their funnel from scratch.
@@ -404,10 +411,14 @@ def stream_event_edges(
     (streaming or batch) aggregate over this tiny edge stream — the
     log itself is never re-touched, same shape as the batch operator.
 
-    In-order-per-user delivery gives exact batch-pair parity (tested:
-    the ordered-replay edge multiset equals the batch lead-window
-    pairs). ``state_ttl_ms`` evicts idle users; their next event
-    starts a fresh chain (no cross-eviction edge).
+    Per-user delivery in (ts, event_id) order across batches gives
+    exact batch-pair parity (tested: the ordered-replay edge multiset
+    equals the batch lead-window pairs; the ts-split chunker keeps
+    equal-ts events within one batch). Equal-ts events split across
+    batches out of event_id order resolve in arrival order — the
+    stored last event is never re-sorted against a later arrival.
+    ``state_ttl_ms`` evicts idle users; their next event starts a
+    fresh chain (no cross-eviction edge).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -54,19 +54,17 @@ def build_events(spark, replicas: int, dst: str) -> None:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
-    parts = [
-        base.select(
-            (F.col("event_id") + k * 100_000_000).alias("event_id"),
-            "ts",
-            (F.col("user_id") + k * 10_000_000).alias("user_id"),
-            "event_type",
-            "value",
-        )
-        for k in range(replicas)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # one scan for all replicas: cross the base with the replica index
+    # (a broadcast of R rows) instead of unioning R per-replica selects
+    # over the same file
+    reps = spark.range(replicas).select(F.col("id").alias("k"))
+    out = base.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("k") * 100_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("k") * 10_000_000).alias("user_id"),
+        "event_type",
+        "value",
+    )
     n_parts = spark.sparkContext.defaultParallelism
     out.repartition(n_parts, "event_id").write.mode("overwrite").parquet(dst)
 

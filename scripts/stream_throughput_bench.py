@@ -238,12 +238,16 @@ def main():
 
     ev = load_table(spark, "/root/testdata/sf0.1", "events")
     n_ev = ev.count()
-    cuts = [
-        r.ts
-        for r in ev.select("ts").orderBy("ts").collect()[
-            n_ev // N_CHUNKS :: n_ev // N_CHUNKS
-        ][: N_CHUNKS - 1]
-    ]
+    # chunk boundaries from quantiles of the epoch — no full-column
+    # collect to the driver (ties at a cut land in the earlier chunk,
+    # which is all the ts-ordered delivery contract needs)
+    import datetime as _dt
+
+    probs = [i / N_CHUNKS for i in range(1, N_CHUNKS)]
+    qs = ev.select(
+        F.col("ts").cast("double").alias("t")
+    ).approxQuantile("t", probs, 0.001)
+    cuts = [_dt.datetime.utcfromtimestamp(q) for q in qs]
     bounds = [None] + cuts + [None]
     vchunks = []
     for i in range(N_CHUNKS):
