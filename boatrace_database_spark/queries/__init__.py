@@ -14,47 +14,99 @@ cannot flip the driver's value hash.
 
 from __future__ import annotations
 
-from boatrace_database_spark.queries import advanced, analytics, llm, relational
+from boatrace_database_spark.queries import (
+    advanced,
+    analytics,
+    domain,
+    llm,
+    relational,
+)
 
 _ALL_QUERIES = {}
 _ALL_ORACLES = {}
-for mod in (relational, analytics, advanced, llm):
+for mod in (relational, analytics, advanced, llm, domain):
     _ALL_QUERIES.update(mod.QUERIES)
     _ALL_ORACLES.update({k: v for k, v in mod.ORACLES.items() if v is not None})
 
 # Evaluation order. The driver walks queries() in dict order under a
-# bounded budget (each round records rows for the first ~50 of the
-# catalog — 133 after round 6 added the split family, token budgets,
-# pack materialization, quality top-k, compression ratio,
-# keeper-policy dedup, batch-incremental exact+MinHash dedup, JL
-# projection, BM25 retrieval + RRF fusion + sizing dial, ExactSubstr
-# detect/strip, the hopping window, and session 3's tf-idf
-# related-docs + keyword extraction, hard-negative mining, MMR
-# re-rank, quantile gate, width battery, BPE token count, and HLL
-# distinct sketches, session 4's DSIR importance resample and
-# native session window, and session 5's edit-distance fuzzy join,
-# per-group reservoir sample, data-quality audit, and SCD2 history,
-# and session 6's funnel (unbounded + conversion-windowed), cohort
-# retention, event-transition matrix, last-touch attribution, and
-# PMI collocations),
-# so ordering is the coverage lever.
-# Round-6 rotation (r5 verified its tiers 1-3 plus the head of tier 4
-# — 40 green + 9 rows-only + 1 oracle-type-bug row, now fixed):
-# tier 1 = the 38 queries whose NEWEST driver row is r4 (r5's tier-4
-# tail + tier 5) — the staleness frontier the r5 verdict told r6 to
-# clear; tier 2 = code changed/added in round 6 (the ann_bucket_stats
-# oracle CAST fix must re-verify green, plus the round's new queries)
-# — 40 entries, twenty-eight past the 50-row budget (see the tier-2 inline
-# note on which entries absorb the truncation); tier 3 = the queries
-# whose second-newest row is r3 (checked r5 — the oldest
-# double-verification), fully truncated at a 50-row budget — its
-# tail is green r5, still within r5∪r6; tier 4 = the
-# rest of the r5-green set (newest row r5); tier 5 = the no-oracle
-# rows-only ops checked r5 — cheapest to defer since their driver
-# record is weaker anyway. Every catalog query stays green within
-# r5∪r6.
+# bounded budget (~50 rows per round), so ordering is the coverage
+# lever.
+#
+# Round-7 rotation. State after r6: the r6 driver verified 50 rows
+# (all green), r5 verified 50 (all green after the r6 CAST re-verify),
+# and 34 catalog queries have NEVER held a driver row (the r6 verdict's
+# "What's missing #1" — budget math, not failures; all 29
+# oracle-backed ones are green in the local typed parity gate at
+# sf0.01 plus the sf0.1/sf0.001 sweep).  Tiering:
+#   tier 1 = the 34 never-driver-checked queries — the entire backlog
+#            fits one round's budget, so after r7 every catalog query
+#            holds a driver row;
+#   tier 2 = queries NEW in round 7 (boatrace-domain behavioral
+#            compositions, packed-corpus stratified-split pipeline);
+#   tier 3 = staleness frontier: queries whose newest driver row is r5
+#            (r6's tiers 3-5) — fills the budget remainder so the
+#            oldest rows refresh first;
+#   tier 4 = the 50 r6-green rows (freshest, re-verified last round).
 _ORDER = [
-    # tier 1 — newest driver row is r4: the freshness frontier
+    # ---- tier 1: the 34 never-driver-checked (clears the backlog) ----
+    # behavioral family (session 6): first driver rows
+    "funnel_conversion", "funnel_windowed", "cohort_retention",
+    "event_transitions", "attribution_last_touch", "pmi_collocations",
+    # per-group sampling pair (session 5)
+    "sample_group_reservoir", "sample_group_weighted",
+    # retrieval family tails (tf-idf pair, fusion, mining, dial, MMR)
+    "tfidf_related_docs", "tfidf_top_terms_per_doc",
+    "retrieval_rrf_fusion", "retrieval_hard_negatives",
+    "bm25_index_stats",
+    # retrieval_mmr_diversified: rows-only BY NATURE (greedy MMR is
+    # iterative, not SQL); objective arithmetic pytest-pinned
+    "retrieval_mmr_diversified",
+    # sketch family's CMS + histogram faces
+    "sketch_freq_sources", "sketch_price_quantiles",
+    # text/dedup tails
+    "strip_repeated_spans", "dedup_incremental_bloom",
+    "dedup_best_quality",
+    # dedup_minhash_incremental / bpe_token_count /
+    # compression_quality: rows-only (no oracle by nature)
+    "dedup_minhash_incremental", "bpe_token_count",
+    "compression_quality",
+    # quality tails
+    "quality_quantile_gate", "lm_quality_score",
+    "width_normalize_battery",
+    # corpus-assembly tails (splits, budgets, packing, decontam, JL)
+    "split_exact_assign", "split_stratified_assign",
+    "token_budget_mixture", "pack_materialize",
+    "decontaminate_drop_train", "embedding_project_jl",
+    # windowing variants
+    "time_hopping", "time_session",
+    # ann_ivfpq_topk: rows-only (pytest lossless/recall contracts)
+    "ann_ivfpq_topk",
+    # ---- tier 2: NEW in round 7 ----
+    "career_class_transitions", "racer_podium_funnel",
+    "racer_first_win_cohort", "packed_split_pipeline",
+    # ---- tier 3: staleness frontier (newest row r5) ----
+    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
+    "embedding_cosine_topk", "embedding_norm_stats",
+    "multimodal_features", "asof_join_events", "flag_timing_features",
+    "sessionize_gaps",
+    "salted_skew_agg", "date_battery", "null_battery", "union_distinct",
+    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
+    "token_count_battery", "dedup_cluster_assign",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
+    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
+    "mixture_resample_recipe", "pack_sequences_windows",
+    "training_data_pipeline", "split_train_eval",
+    "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
+    "dedup_embedding_cosine", "append_union", "sentinel_fill",
+    "regex_gate", "regex_extract", "concat_key",
+    # r5 rows-only ops (weakest driver record, cheapest to defer
+    # inside the tier)
+    "semantic_dedup_assign", "ann_lsh_topk", "ann_ivf_topk",
+    "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
+    "text_rolling_hash", "approx_distinct_quantile",
+    "freq_items_heavy_hitters",
+    # ---- tier 4: the 50 r6-green rows (freshest) ----
     "running_counter", "last_value_propagation", "stanza_lookahead",
     "date_range_explode", "full_select", "agg_features",
     "feature_assembly", "roi_simulation", "accuracy_metrics",
@@ -68,175 +120,11 @@ _ORDER = [
     "correlated_scalar_subquery", "having_filter", "min_max_by",
     "string_agg_sorted", "window_range_frame", "moving_avg_rows",
     "ntile_cume",
-    # tier 2 — code changed/added in round 6: must (re-)verify. Tiers
-    # 1-2 overflow a 50-row budget by twenty-eight, so the tail is chosen
-    # for least loss (each truncated entry annotated inline below):
-    # split_stratified_assign and token_budget_mixture are family
-    # VARIANTS whose siblings (split_exact_assign, token_budget_head)
-    # sit inside the budget; compression_quality is the only rows-only
-    # entry (its real contract is pytest-pinned
-    # ordering/bounds/determinism, not an oracle row). One
-    # representative per new family stays inside the 50.
-    # table_audit_orders holds the in-budget slot split_exact_assign
-    # held: the declarative data-quality audit (fused expectation scan
-    # + FK anti-join) is a wholly NEW family with no sibling anywhere
-    # in the catalog, while split_exact_assign is a VARIANT whose
-    # sibling split_train_eval holds a green r5 row on the same
-    # hash-split machinery (moved past-budget below, oracle-parity
-    # pytested)
-    "ann_bucket_stats", "table_audit_orders",
-    "chunk_dedup_pipeline",
-    # sketch_distinct_users holds the session-3 families' ONE in-budget
-    # slot: the sketch family is wholly new with no sibling anywhere in
-    # the catalog (the other session-3 entries below each lean on an
-    # in-budget or r5-green sibling)
-    "sketch_distinct_users",
-    "token_budget_head",
-    # dsir_select_corpus takes the in-budget slot pack_materialize held:
-    # DSIR is a wholly NEW family (importance-weighted data selection)
-    # with no sibling anywhere in the catalog, while pack_materialize is
-    # a VARIANT whose sibling pack_sequences_windows holds a green r5
-    # row on the same cumsum/window machinery (pack_materialize moved
-    # past-budget below, oracle-parity pytested)
-    "dsir_select_corpus",
-    "quality_topk_per_source",
-    # dedup_fuzzy_edit holds the in-budget slot dedup_best_quality
-    # held: the edit-distance fuzzy join is a wholly NEW family
-    # (SymSpell deletion-neighborhood blocking + exact levenshtein
-    # verify) with no sibling anywhere in the catalog, while
-    # dedup_best_quality is a keeper-POLICY variant of dedup_exact
-    # (green r5, tier 3 below) on the same groupBy/window machinery —
-    # moved past-budget below, oracle-parity pytested
-    "dedup_fuzzy_edit", "dedup_incremental_batch",
-    # scd2_user_state holds the in-budget slot embedding_project_jl
-    # held: type-2 SCD dimension history is a wholly NEW family
-    # (change-dedup runs + validity intervals + incremental apply)
-    # with no sibling in the catalog, while the JL projection's REAL
-    # contract — distance preservation — is property-pytested and its
-    # oracle row only replicates the deterministic matrix (moved
-    # past-budget below, oracle-parity pytested)
-    "scd2_user_state",
-    "bm25_topk_docs", "repeated_substring_spans",
-    # decontaminate_drop_train yielded its in-budget slot to the
-    # sketch family: its SIBLING decontaminate_eval holds a GREEN r5
-    # row (tier 4) on the same gram machinery, and the drop variant is
-    # oracle-parity pytested locally
-    "decontaminate_drop_train",
-    # dedup_best_quality: yielded its in-budget slot to the new
-    # dedup_fuzzy_edit family (see tier-2 head) — keeper-policy
-    # VARIANT of dedup_exact (green r5); oracle-parity pytested
-    "dedup_best_quality",
-    # sample_group_reservoir + the weighted variant: sampling VARIANTS
-    # whose sibling sample_systematic holds an in-budget tier-1 row;
-    # exact-count + weighted-draw contracts are property-pytested +
-    # oracle-parity pytested
-    "sample_group_reservoir", "sample_group_weighted",
-    # split_exact_assign: yielded its in-budget slot to the new
-    # table_audit_orders family (see tier-2 head) — split VARIANT
-    # whose sibling split_train_eval is green r5; exact-count contract
-    # property-pytested + oracle-parity pytested
-    "split_exact_assign",
-    # embedding_project_jl: yielded its in-budget slot to the new
-    # scd2_user_state family (see tier-2 head) — the JL guarantee is
-    # property-pytested; oracle-parity pytested locally
-    "embedding_project_jl",
-    # past the 50-row budget: tfidf_related_docs shares its two
-    # building blocks with IN-budget rows (bm25_topk_docs: same
-    # postings/tokenizer machinery; dedup_ngram_jaccard held a green
-    # r5 posting-self-join row) and is oracle-parity pytested locally
-    "tfidf_related_docs",
-    # tfidf_top_terms_per_doc: family VARIANT sharing tfidf_related_docs'
-    # weights table (the no-join member); oracle-parity pytested
-    "tfidf_top_terms_per_doc",
-    # quality_quantile_gate: gate VARIANT of the in-budget
-    # quality_topk_per_source (same scored window, >= threshold instead
-    # of top-k); approx-vs-exact contract + parity pytested
-    "quality_quantile_gate",
-    # rrf_fusion is a composition of two primitives that BOTH hold
-    # driver rows above (bm25_topk_docs, embedding_cosine_topk) with
-    # the fusion arithmetic pytest-pinned
-    "retrieval_rrf_fusion",
-    # hard_negatives: composition of the in-budget bm25_topk_docs with
-    # a broadcast anti-join; mining semantics + parity pytested
-    "retrieval_hard_negatives",
-    "strip_repeated_spans",
-    # time_hopping: windowing VARIANT whose sibling (time_tumble, tier
-    # 1) holds an in-budget row; the slide fan-out is oracle-parity
-    # pytested locally
-    "time_hopping",
-    # sketch_freq_sources: the CMS frequency face of the sketch family
-    # — sketch_distinct_users holds the family's in-budget slot; the
-    # CMS pipeline is fully oracle-replicated (md5 arithmetic) and
-    # oracle-parity pytested, plus merge=rebuild/bound property tests
-    "sketch_freq_sources",
-    # sketch_price_quantiles: the histogram/quantile face — same
-    # family-slot rationale; fully oracle-replicated arithmetic,
-    # oracle-parity pytested + merge≡rebuild/error-bound tests
-    "sketch_price_quantiles",
-    # time_session: the third windowing VARIANT (native session_window)
-    # — same sibling rationale as time_hopping; merge semantics pinned
-    # by a boundary unit test + islands oracle parity locally, and its
-    # streaming twin has a batch-parity test
-    "time_session",
-    # bm25_index_stats: sizing DIAL over the same postings the
-    # in-budget bm25_topk_docs exercises; oracle-parity pytested
-    "bm25_index_stats",
-    # dedup_incremental_bloom: output-identical BY CONSTRUCTION to the
-    # in-budget dedup_incremental_batch (no-false-negative gate + exact
-    # recheck); shares its oracle, parity + FPR/no-FN pytested
-    "dedup_incremental_bloom",
-    # lm_quality_score: same scan/agg shape as the in-budget
-    # quality_topk_per_source family; oracle-parity + ranking pytested
-    "lm_quality_score",
-    # width_normalize_battery: scalar VARIANT of the in-budget-family
-    # scalar_battery (tier 1); translate() roundtrip, oracle-parity +
-    # real-venue pytested
-    "width_normalize_battery",
-    # session-6 behavioral/collocation families (funnel, cohort
-    # retention, PMI): added after tiers 1-2 already filled the 50-row
-    # budget, so their first driver rows land in r7's tier-2 head;
-    # until then all three are oracle-parity pytested locally
-    "funnel_conversion", "funnel_windowed", "cohort_retention",
-    "event_transitions", "attribution_last_touch", "pmi_collocations",
-    "split_stratified_assign", "token_budget_mixture",
-    # pack_materialize: yielded its in-budget slot to dsir_select_corpus
-    # (see tier-2 head) — sibling pack_sequences_windows green r5
-    "pack_materialize",
-    "compression_quality",
-    # retrieval_mmr_diversified: rows-only BY NATURE (greedy MMR is
-    # iterative, not SQL); objective arithmetic + lam endpoints
-    # pytest-pinned, composition inputs hold their own rows above
-    "retrieval_mmr_diversified",
-    # bpe_token_count: rows-only BY NATURE (iterative merge training);
-    # JVM fold pinned to a python reference + monotonicity pytested
-    "bpe_token_count",
-    # tier 3 — second-newest row is r3 (checked r5): oldest
-    # double-verification; tiers 1-2 already fill a 50-row budget, so
-    # tier 3 only runs if the budget stretches — green r5 either way
-    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
-    "embedding_cosine_topk", "embedding_norm_stats",
-    "multimodal_features", "asof_join_events", "flag_timing_features",
-    "sessionize_gaps",
-    # tier 4 — newest row r5 (green): the most recently verified
-    "salted_skew_agg", "date_battery", "null_battery", "union_distinct",
-    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
-    "token_count_battery", "dedup_cluster_assign",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
-    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
-    "mixture_resample_recipe", "pack_sequences_windows",
-    "training_data_pipeline", "split_train_eval",
-    "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
-    "dedup_embedding_cosine", "append_union", "sentinel_fill",
-    "regex_gate", "regex_extract", "concat_key",
-    # tier 5 — no-oracle rows-only ops, all recorded r5 (plus the
-    # session-4-new ann_ivfpq_topk, whose real contract is the pytest
-    # lossless/recall pins — a rows-only driver row adds least here)
-    "semantic_dedup_assign", "ann_ivfpq_topk", "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
-    "text_rolling_hash", "approx_distinct_quantile",
-    "freq_items_heavy_hitters", "dedup_minhash_incremental",
+    "ann_bucket_stats", "table_audit_orders", "chunk_dedup_pipeline",
+    "sketch_distinct_users", "token_budget_head", "dsir_select_corpus",
+    "quality_topk_per_source", "dedup_fuzzy_edit",
+    "dedup_incremental_batch", "scd2_user_state", "bm25_topk_docs",
+    "repeated_substring_spans",
 ]
 
 if set(_ORDER) != set(_ALL_QUERIES):

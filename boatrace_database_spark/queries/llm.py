@@ -2360,6 +2360,105 @@ FROM r ORDER BY doc_id
 """
 
 
+def packed_split_pipeline(spark, sf_dir):
+    """End-to-end packed-corpus split: the last corpus-assembly shape
+    — pack documents into 512-token context windows per source
+    (corpus.pack_sequences), take PACKS as the split unit (keyed by
+    each pack's min doc_id so a pack never straddles train/eval),
+    stratified-exact 80/10/10 split of the packs
+    (corpus.split_exact_stratified — every source contributes exact
+    counts), then the epoch-0 global shuffle order over the TRAIN
+    packs only (corpus.global_shuffle). Non-train packs carry a NULL
+    train_pos.
+
+    Scale shape: the pack cumsum is one per-source window; pack-grain
+    rows are ~tokens/512 of the corpus, so the split + shuffle ranks
+    run on the REDUCED frame; train_pos joins back on the pack key
+    (broadcast-sized at any corpus since it is positions only)."""
+    d = _t(spark, sf_dir, "documents")
+    packs = (
+        C.pack_sequences(d, "doc_id", "text", budget=512, group_col="source")
+        .groupBy("source", "pack_id")
+        .agg(
+            F.min("doc_id").alias("pack_key"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+    split = C.split_exact_stratified(
+        packs, "pack_key", "source",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, n_buckets=64,
+    )
+    train_pos = (
+        C.global_shuffle(
+            split.where(F.col("split") == "train").select("pack_key"),
+            "pack_key", n_buckets=64,
+        )
+        .withColumnRenamed("shuffle_pos", "train_pos")
+    )
+    return (
+        split.join(train_pos, "pack_key", "left")
+        .select(
+            "source", "pack_id", "pack_key", "n_docs", "pack_tokens",
+            "split", "train_pos",
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+PACKED_SPLIT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_tokens AS start_offset
+  FROM t
+),
+packs AS (
+  SELECT source, CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+         CAST(min(doc_id) AS BIGINT) AS pack_key,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+  FROM o GROUP BY source, floor(start_offset / 512)
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY source
+              ORDER BY {_knuth_sql("pack_key", 0x5917)}, pack_key
+            ) - 1 AS BIGINT) AS stratum_pos,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM packs
+),
+s AS (
+  SELECT source, pack_id, pack_key, n_docs, pack_tokens,
+         CASE WHEN stratum_pos < floor({_SPLIT_EXACT_B1!r} * n)
+                THEN 'train'
+              WHEN stratum_pos < floor({_SPLIT_EXACT_B2!r} * n)
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+),
+tp AS (
+  SELECT pack_key,
+         CAST(row_number() OVER (
+           ORDER BY {_knuth_sql("pack_key", 0x60BA)}, pack_key
+         ) - 1 AS BIGINT) AS train_pos
+  FROM s WHERE split = 'train'
+)
+SELECT s.source, s.pack_id, s.pack_key, s.n_docs, s.pack_tokens,
+       s.split, tp.train_pos
+FROM s LEFT JOIN tp ON s.pack_key = tp.pack_key
+ORDER BY s.source, s.pack_id
+"""
+
+
 def token_budget_head(spark, sf_dir):
     """Deterministic token-budget sampling (corpus.take_token_budget):
     the documents whose start offset in the deterministic shuffle
@@ -2735,6 +2834,7 @@ QUERIES = {
     "sample_group_weighted": sample_group_weighted,
     "split_exact_assign": split_exact_assign,
     "split_stratified_assign": split_stratified_assign,
+    "packed_split_pipeline": packed_split_pipeline,
     "token_budget_head": token_budget_head,
     "token_budget_mixture": token_budget_mixture,
     "global_shuffle_order": global_shuffle_order,
@@ -2807,6 +2907,7 @@ ORACLES = {
     "sample_group_weighted": SAMPLE_WEIGHTED_SQL,
     "split_exact_assign": SPLIT_EXACT_SQL,
     "split_stratified_assign": SPLIT_STRATIFIED_SQL,
+    "packed_split_pipeline": PACKED_SPLIT_SQL,
     "token_budget_head": TOKEN_BUDGET_SQL,
     "token_budget_mixture": TOKEN_BUDGET_MIX_SQL,
     "global_shuffle_order": SHUFFLE_SQL,
