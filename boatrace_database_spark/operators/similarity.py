@@ -177,6 +177,8 @@ def ivf_build_index(
     vec_col: str = "embedding",
     n_cells: int = 16,
     sample_per_cell: int = 256,
+    _n: int | None = None,
+    _train_sample=None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: k-means coarse quantizer, FAISS-style.
 
@@ -200,7 +202,10 @@ def ivf_build_index(
     """
     spark = corpus.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    n = corpus.count()  # parquet metadata count — no repartition first
+    # _n/_train_sample: ivfpq_build_index threads its one count and
+    # (when provably identical) one training sample through both
+    # trainers, so a combined build never scans the corpus twice
+    n = corpus.count() if _n is None else _n  # parquet metadata count
     if n == 0:
         raise ValueError(
             "ivf_build_index: corpus is empty — nothing to train the "
@@ -216,7 +221,11 @@ def ivf_build_index(
         F.col(vec_col).alias("cvec"),
     )
     train_n = sample_per_cell * n_cells
-    sample_pdf = _bounded_training_sample(base, n, train_n)
+    sample_pdf = (
+        _train_sample
+        if _train_sample is not None
+        else _bounded_training_sample(base, n, train_n)
+    )
     X = np.stack(sample_pdf["cvec"].to_numpy()).astype(np.float64)
     C = _lloyd_kmeans(X, n_cells)
 
@@ -1221,6 +1230,8 @@ def pq_train(
     n_subspaces: int = 8,
     n_codes: int = 256,
     train_n: int = 65536,
+    _n: int | None = None,
+    _train_sample=None,
 ) -> "np.ndarray":
     """Train PQ codebooks: split the vector into ``n_subspaces``
     contiguous sub-vectors and k-means each subspace to ``n_codes``
@@ -1230,13 +1241,17 @@ def pq_train(
     (codebooks need the broad distribution, not a full-corpus fit —
     the same argument as `ivf_build_index`'s quantizer, at any scale).
     """
-    n = corpus.count()
+    n = corpus.count() if _n is None else _n
     if n == 0:
         raise ValueError("pq_train: corpus is empty")
     base = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    pdf = _bounded_training_sample(base, n, train_n)
+    pdf = (
+        _train_sample
+        if _train_sample is not None
+        else _bounded_training_sample(base, n, train_n)
+    )
     X = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
     dim = X.shape[1]
     if dim % n_subspaces:
@@ -1295,10 +1310,30 @@ def ivfpq_build_index(
     bytes, vs dim floats.
     """
     spark = corpus.sparkSession
+    # ONE corpus count for both trainers, and ONE training-sample scan
+    # when the two would provably draw the identical set: equal target
+    # sizes, or a corpus small enough that both take every row (the
+    # whole-corpus branch of _bounded_training_sample). Otherwise each
+    # keeps its own bounded sample pass — sharing a differently-sized
+    # sample would change the trained quantizers.
+    n = corpus.count()
+    ivf_train_n = sample_per_cell * n_cells
+    pq_train_n = 65536  # pq_train's default train_n
+    shared = None
+    if n <= min(ivf_train_n, pq_train_n) or ivf_train_n == pq_train_n:
+        base = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+        shared = _bounded_training_sample(base, n, ivf_train_n)
     indexed, centroids = ivf_build_index(
-        corpus, id_col, vec_col, n_cells, sample_per_cell
+        corpus, id_col, vec_col, n_cells, sample_per_cell,
+        _n=n, _train_sample=shared,
     )
-    books = pq_train(corpus, id_col, vec_col, n_subspaces, n_codes)
+    books = pq_train(
+        corpus, id_col, vec_col, n_subspaces, n_codes,
+        _n=n, _train_sample=shared,
+    )
     codes = indexed.withColumn(
         "codes", _pq_encode_udf(spark, books)(F.col("cvec"))
     ).select("neighbor_id", "cell", "codes")

@@ -68,7 +68,11 @@ def audit_table(
 
     def add(check: str, target: str, cond):
         alias = f"_v{len(labels)}"
-        aggs.append(F.sum(cond.cast("long")).alias(alias))
+        # coalesce: sum over ZERO rows is NULL — violations is a
+        # count, and NULL would poison rate math (violations / rows)
+        aggs.append(
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(alias)
+        )
         labels.append((check, target, alias))
 
     for c in not_null:
@@ -129,9 +133,12 @@ def audit_table(
         joined = keyed.join(dim_keys, cond, "left")
         pieces.append(
             joined.agg(
-                F.sum(dim_keys[pk_cols[0]].isNull().cast("long")).alias(
-                    "violations"
-                ),
+                # coalesce: all-NULL-key (or empty) audited frames
+                # leave zero joined rows and sum() would return NULL
+                F.coalesce(
+                    F.sum(dim_keys[pk_cols[0]].isNull().cast("long")),
+                    F.lit(0),
+                ).alias("violations"),
                 F.count(F.lit(1)).alias("rows_checked"),
             ).select(
                 F.lit("foreign_key").alias("rule"),

@@ -666,18 +666,27 @@ def stream_dedup_exact(
         ),
     )
     if sink_dir is not None:
+        if checkpoint_dir is None:
+            # an uncheckpointed foreachBatch parquet append restarts
+            # from offset zero and double-appends every prior row —
+            # the documented restart contract only holds WITH a
+            # checkpoint, so refuse rather than silently violate it
+            raise ValueError(
+                "stream_dedup_exact: sink_dir requires checkpoint_dir "
+                "(restart without one reprocesses from offset zero and "
+                "double-appends into the sink)"
+            )
 
         def _append(batch: DataFrame, epoch_id: int) -> None:
             batch.write.mode("append").parquet(sink_dir)
 
-        writer = (
+        return (
             flagged.writeStream.outputMode("append")
             .foreachBatch(_append)
             .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
         )
-        if checkpoint_dir is not None:
-            writer = writer.option("checkpointLocation", checkpoint_dir)
-        return writer.start()
     return (
         flagged.writeStream.outputMode("append")
         .format("memory")

@@ -576,8 +576,11 @@ def _zorder_bucket(col: F.Column, mn, mx, bits: int) -> F.Column:
     span = float(mx - mn) if mx > mn else 1.0
     frac = (v - F.lit(float(mn))) / F.lit(span)
     b = F.floor(frac * F.lit(float(1 << bits))).cast("long")
-    return F.coalesce(
-        F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), b)), F.lit(0)
+    # NULL must be handled by an explicit branch: greatest/least SKIP
+    # nulls (greatest(0, least(max, NULL)) = max), so a trailing
+    # coalesce would never fire and NULLs would land in the TOP bucket
+    return F.when(v.isNull(), F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), b))
     )
 
 

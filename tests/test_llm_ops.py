@@ -1997,6 +1997,29 @@ def test_ivfpq_recall_floor_and_determinism(spark):
     assert rec > 0.40, f"IVF-PQ mean recall {rec:.3f}"
 
 
+def test_ivfpq_shared_sample_preserves_codebooks(spark):
+    """r6 ADVICE: ivfpq_build_index now threads one corpus count and
+    (when provably identical) one training sample through both the IVF
+    and PQ trainers instead of scanning twice. The optimization must be
+    invisible: codebooks and cell assignments from the combined build
+    equal the standalone ivf_build_index + pq_train outputs."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    codes, cents, books = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    indexed2, cents2 = SIM.ivf_build_index(emb, n_cells=4)
+    books2 = SIM.pq_train(emb, n_subspaces=8, n_codes=16)
+    assert np.array_equal(books, books2)
+    assert sorted(map(tuple, cents.collect())) == sorted(
+        map(tuple, cents2.collect())
+    )
+    cells1 = {r.neighbor_id: r.cell for r in codes.collect()}
+    cells2 = {r.neighbor_id: r.cell for r in indexed2.collect()}
+    assert cells1 == cells2
+
+
 def test_ivfpq_persist_roundtrip(spark, tmp_path):
     """write -> read -> probe must equal the in-memory probe row for
     row (codes partitioned by cell; codebook tensor reassembled

@@ -846,6 +846,38 @@ def test_audit_table_composite_fk_and_empty_rules(spark):
         audit_table(df)
 
 
+def test_audit_table_empty_and_all_null_frames_count_zero(spark):
+    """r6 ADVICE: sum() over zero rows is NULL — violations must stay a
+    COUNT (0) on an empty audited frame and on an FK check whose keys
+    are all NULL, or rate math (violations / rows_checked) NULL-poisons."""
+    from boatrace_database_spark.operators.validate import audit_table
+
+    empty = spark.createDataFrame([], "id int, price double, tag string")
+    dim = spark.createDataFrame([(1,)], ["pk"])
+    got = {
+        (r.rule, r.target): (r.violations, r.rows_checked)
+        for r in audit_table(
+            empty,
+            not_null=["id"],
+            ranges={"price": (0, 100)},
+            matches={"tag": r"^[a-z]+$"},
+            unique=[["id"]],
+            foreign_keys=[(["id"], dim, ["pk"])],
+        ).collect()
+    }
+    for key, (violations, rows_checked) in got.items():
+        assert violations == 0, f"{key}: violations must be 0, not NULL"
+        assert rows_checked == 0
+
+    all_null_fk = spark.createDataFrame(
+        [(None,), (None,)], "id int"
+    )
+    row = audit_table(
+        all_null_fk, foreign_keys=[(["id"], dim, ["pk"])]
+    ).collect()[0]
+    assert (row.violations, row.rows_checked) == (0, 0)
+
+
 def test_weighted_sample_per_group_favors_heavy_rows(spark):
     """A-ES weighted reservoir: across many salts, weight-3 rows must
     be drawn ~3x as often as weight-1 rows (loose 2x bound — the test

@@ -1750,6 +1750,26 @@ def test_stream_dedup_within_watermark_event_time_contract(spark, tmp_path):
     assert b_times[0] == t0 and b_times[1] == t0 + dt.timedelta(minutes=35)
 
 
+def test_stream_dedup_sink_without_checkpoint_refused(spark, tmp_path):
+    """r6 ADVICE: sink_dir without checkpoint_dir would silently start
+    an uncheckpointed foreachBatch parquet append whose restart
+    reprocesses from offset zero and double-appends — the documented
+    restart contract only holds WITH a checkpoint, so the combination
+    must raise before any query starts."""
+    import pytest as _pytest
+
+    from boatrace_database_spark.streaming.ingest import stream_dedup_exact
+
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    src = str(tmp_path / "nock_src")
+    os.makedirs(src)
+    with _pytest.raises(ValueError, match="checkpoint_dir"):
+        stream_dedup_exact(
+            spark, src, docs.schema, query_name="sd_nockpt",
+            sink_dir=str(tmp_path / "nock_sink"),
+        )
+
+
 def test_stream_dedup_state_survives_restart(spark, tmp_path):
     """The restart contract: with a checkpoint, stopping the dedup
     query and starting a new one resumes BOTH source offsets and the

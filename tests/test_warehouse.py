@@ -692,6 +692,25 @@ def test_zorder_write_all_null_column_raises(spark, tmp_path):
         W.zorder_write(li, str(tmp_path / "z"), ["l_orderkey", "dead"])
 
 
+def test_zorder_bucket_nulls_land_in_bucket_zero(spark):
+    """r6 ADVICE: greatest/least SKIP nulls, so the old trailing
+    coalesce never fired and NULLs landed in the TOP bucket (255 at
+    bits=8) instead of the documented bucket 0. Pin the contract."""
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (None,)], "v double"
+    )
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v", W._zorder_bucket(F.col("v"), 0.0, 100.0, 8).alias("b")
+        ).collect()
+    }
+    assert got[None] == 0  # NULLs sort first, as documented
+    assert got[0.0] == 0
+    assert got[100.0] == 255  # max clamps into the top bucket
+    assert 0 < got[50.0] < 255
+
+
 # --------------------------------------------------------------------------
 # bucketed tables (warehouse.bucket_write): shuffle-free co-located joins
 def test_bucket_write_join_has_no_exchange(spark, sf_dir):
