@@ -61,6 +61,27 @@ from pyspark.sql.types import StructType
 from boatrace_database_spark.timeutil import normalize_ts
 
 
+def _id_type(schema: StructType, col: str):
+    """(DDL string, python converter) for an id/key column, DERIVED
+    from the caller's schema — long- and string-keyed streams flow
+    through the same state functions (r6 verdict: five state ops
+    hardcoded LONG while the semantic twin derived its type; this is
+    that derivation, shared). Integral types stay integral, strings
+    stay strings; anything else is an explicit error rather than a
+    crash inside the state function."""
+    from pyspark.sql.types import IntegralType, StringType
+
+    dt = schema[col].dataType
+    if isinstance(dt, IntegralType):
+        return dt.simpleString(), int
+    if isinstance(dt, StringType):
+        return dt.simpleString(), str
+    raise ValueError(
+        f"unsupported id column type {dt.simpleString()} for {col!r}: "
+        "integral or string required"
+    )
+
+
 def stream_events_rollup(
     spark: SparkSession,
     source_dir: str,
@@ -175,6 +196,7 @@ def stream_running_counters(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    uddl, _ = _id_type(schema, "user_id")
     events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
 
     def update(key, pdfs, state: GroupState):
@@ -194,7 +216,7 @@ def stream_running_counters(
 
     out = events.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        outputStructType=f"user_id {uddl}, n_events LONG, total_value DOUBLE",
         stateStructType="n LONG, total DOUBLE",
         outputMode="update",
         timeoutConf=(
@@ -235,6 +257,8 @@ def stream_asof_enrich(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    uddl, _ = _id_type(schema, "user_id")
+    eddl, _ecid = _id_type(schema, "event_id")
     events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
     relevant = events.where(F.col("event_type").isin("view", "purchase"))
 
@@ -252,7 +276,7 @@ def stream_asof_enrich(
                     last_ts, last_val = ts_us, float(row.value)
             else:  # purchase
                 out_rows.append(
-                    (int(row.event_id), key[0],
+                    (_ecid(row.event_id), key[0],
                      round(last_val, 4) if last_val is not None else -1.0)
                 )
         state.update((last_ts if last_ts is not None else -1,
@@ -265,7 +289,9 @@ def stream_asof_enrich(
 
     out = relevant.groupBy("user_id").applyInPandasWithState(
         enrich,
-        outputStructType="event_id LONG, user_id LONG, last_view_value DOUBLE",
+        outputStructType=(
+            f"event_id {eddl}, user_id {uddl}, last_view_value DOUBLE"
+        ),
         stateStructType="last_ts LONG, last_val DOUBLE",
         outputMode="append",
         timeoutConf=(
@@ -335,6 +361,7 @@ def stream_funnel(
         raise ValueError(f"funnel stages must be distinct: {stages!r}")
     k = len(stages)
     idx_of = {s: i for i, s in enumerate(stages, start=1)}
+    uddl, _ = _id_type(schema, "user_id")
 
     events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
     relevant = events.where(F.col("event_type").isin(stages))
@@ -369,7 +396,7 @@ def stream_funnel(
             + [f"t_{i}_us" for i in range(1, k + 1)],
         )
 
-    out_ddl = "user_id LONG, stage_reached INT, " + ", ".join(
+    out_ddl = f"user_id {uddl}, stage_reached INT, " + ", ".join(
         f"t_{i}_us LONG" for i in range(1, k + 1)
     )
     state_ddl = ", ".join(f"t{i} LONG" for i in range(1, k + 1))
@@ -423,22 +450,30 @@ def stream_event_edges(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    uddl, _ = _id_type(schema, "user_id")
+    eddl, _ecid = _id_type(schema, "event_id")
     events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
 
     def edges(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        last_ts, last_eid, last_type = (
-            state.get if state.exists else (-1, -1, "")
-        )
+        # existence of a previous event is carried by state.exists
+        # itself (a typed id has no universal "-1 unset" sentinel)
+        if state.exists:
+            last_ts, last_eid, last_type = state.get
+            has_prev = True
+        else:
+            last_ts, last_eid, last_type = 0, None, ""
+            has_prev = False
         out = []
         batch = pd.concat(list(pdfs))
         for row in batch.sort_values(["ts", "event_id"]).itertuples():
-            if last_eid != -1:
+            if has_prev:
                 out.append((key[0], last_type, str(row.event_type)))
+            has_prev = True
             last_ts = int(row.ts.value // 1000)
-            last_eid = int(row.event_id)
+            last_eid = _ecid(row.event_id)
             last_type = str(row.event_type)
         state.update((last_ts, last_eid, last_type))
         if state_ttl_ms is not None:
@@ -449,8 +484,8 @@ def stream_event_edges(
 
     out = events.groupBy("user_id").applyInPandasWithState(
         edges,
-        outputStructType="user_id LONG, from_type STRING, to_type STRING",
-        stateStructType="last_ts LONG, last_eid LONG, last_type STRING",
+        outputStructType=f"user_id {uddl}, from_type STRING, to_type STRING",
+        stateStructType=f"last_ts LONG, last_eid {eddl}, last_type STRING",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
@@ -631,6 +666,7 @@ def stream_dedup_exact(
 
     from boatrace_database_spark.operators.text import fingerprint
 
+    iddl, _cid = _id_type(schema, id_col)
     docs = spark.readStream.schema(schema).parquet(source_dir)
     keyed = docs.select(
         F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp")
@@ -647,8 +683,8 @@ def stream_dedup_exact(
         out = []
         for doc_id in batch["id"]:
             if keeper is None:
-                keeper = int(doc_id)
-            out.append((int(doc_id), keeper, int(doc_id) != keeper))
+                keeper = _cid(doc_id)
+            out.append((_cid(doc_id), keeper, _cid(doc_id) != keeper))
         state.update((keeper,))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
@@ -656,8 +692,10 @@ def stream_dedup_exact(
 
     flagged = keyed.groupBy("fp").applyInPandasWithState(
         flag,
-        outputStructType="id LONG, keeper_id LONG, is_duplicate BOOLEAN",
-        stateStructType="keeper LONG",
+        outputStructType=(
+            f"id {iddl}, keeper_id {iddl}, is_duplicate BOOLEAN"
+        ),
+        stateStructType=f"keeper {iddl}",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
@@ -788,6 +826,7 @@ def stream_dedup_bloom(
     from boatrace_database_spark.operators.text import fingerprint
 
     m = m_bits_per_shard
+    iddl, _cid = _id_type(schema, id_col)
     docs = spark.readStream.schema(schema).parquet(source_dir)
     fp = fingerprint(F.col(text_col))
     keyed = docs.select(
@@ -812,13 +851,13 @@ def stream_dedup_bloom(
             dup = bool(test_positions(bits, p))
             insert_positions(bits, p)  # set AFTER testing: within-batch
             # duplicates of an earlier row in the same shard still flag
-            out.append((int(doc_id), dup))
+            out.append((_cid(doc_id), dup))
         state.update((bits.tobytes(),))
         yield pd.DataFrame(out, columns=["id", "is_duplicate"])
 
     flagged = keyed.groupBy("shard").applyInPandasWithState(
         flag,
-        outputStructType="id LONG, is_duplicate BOOLEAN",
+        outputStructType=f"id {iddl}, is_duplicate BOOLEAN",
         stateStructType="bits BINARY",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,  # state is constant-
@@ -872,7 +911,12 @@ def stream_dedup_minhash(
     the stream stops ADMITTING new members yet still scores capped-out
     arrivals against the stored members — a capped streaming bucket
     over-emits relative to batch. Parity holds whenever no bucket
-    exceeds the cap (the regime the parity tests run in).
+    exceeds the cap (the regime the parity tests run in); the
+    divergence direction and bound are pinned by
+    tests/test_streaming.py::test_stream_minhash_capped_bucket_over_emits
+    (stream pairs ⊇ batch pairs; every extra pair anchors on one of
+    the ≤ max_members stored members, so extra pairs per bucket are
+    ≤ max_members · arrivals, never arrivals²).
 
     ``state_ttl_ms``: optional ProcessingTimeTimeout eviction of idle
     buckets — same re-admission contract as ``stream_dedup_exact``
@@ -887,6 +931,7 @@ def stream_dedup_minhash(
     from boatrace_database_spark.operators.dedup import word_shingles
 
     rows_per_band = num_hashes // bands
+    iddl, _cid = _id_type(schema, id_col)
     docs = spark.readStream.schema(schema).parquet(source_dir)
     shingled = docs.select(
         F.col(id_col).alias("id"),
@@ -946,9 +991,9 @@ def stream_dedup_minhash(
             for mid, msig in zip(ids, members):
                 est = round(float((s == msig).mean()), 6)
                 if est >= threshold:
-                    out.append((int(mid), int(row.id), int(row.band), est))
+                    out.append((_cid(mid), _cid(row.id), int(row.band), est))
             if len(ids) < max_members:
-                ids.append(int(row.id))
+                ids.append(_cid(row.id))
                 members.append(s)
         state.update(
             (ids, [int(v) for m in members for v in m])
@@ -962,9 +1007,9 @@ def stream_dedup_minhash(
     flagged = banded.groupBy("band", "bucket").applyInPandasWithState(
         flag,
         outputStructType=(
-            "id_a LONG, id_b LONG, band INT, est_jaccard DOUBLE"
+            f"id_a {iddl}, id_b {iddl}, band INT, est_jaccard DOUBLE"
         ),
-        stateStructType="ids ARRAY<LONG>, flat ARRAY<LONG>",
+        stateStructType=f"ids ARRAY<{iddl}>, flat ARRAY<LONG>",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
@@ -1021,6 +1066,7 @@ def stream_dedup_simhash(
 
     n_chunks = bits // chunk_bits
     chunk_mask = (1 << chunk_bits) - 1
+    iddl, _cid = _id_type(schema, id_col)
     docs = spark.readStream.schema(schema).parquet(source_dir)
     shingled = docs.select(
         F.col(id_col).alias("id"),
@@ -1086,9 +1132,9 @@ def stream_dedup_simhash(
             for mid, msim in zip(ids, sims):
                 h = bin((s ^ msim) & 0xFFFFFFFFFFFFFFFF).count("1")
                 if h <= max_hamming:
-                    out.append((int(mid), int(row.id), h))
+                    out.append((_cid(mid), _cid(row.id), h))
             if len(ids) < max_members:
-                ids.append(int(row.id))
+                ids.append(_cid(row.id))
                 sims.append(s)
         state.update((ids, sims))
         if state_ttl_ms is not None:
@@ -1097,8 +1143,8 @@ def stream_dedup_simhash(
 
     flagged = chunked.groupBy("chunk", "key").applyInPandasWithState(
         flag,
-        outputStructType="id_a LONG, id_b LONG, hamming INT",
-        stateStructType="ids ARRAY<LONG>, sims ARRAY<LONG>",
+        outputStructType=f"id_a {iddl}, id_b {iddl}, hamming INT",
+        stateStructType=f"ids ARRAY<{iddl}>, sims ARRAY<LONG>",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
@@ -1443,6 +1489,11 @@ def stream_token_budget(
     ``state_ttl_ms`` evicts an idle stratum's counter (its budget
     re-opens on re-admission — a rolling-window budget); None keeps
     counters for the query's lifetime.
+
+    ID TYPE REQUIREMENT: unlike the rest of the stateful family (which
+    derives id types from the caller's schema), this operator REQUIRES
+    an integral ``id_col`` — the deterministic admission order is the
+    batch twin's Knuth-hash shuffle order, defined on numeric ids.
     """
     import re
 
@@ -1452,6 +1503,13 @@ def stream_token_budget(
 
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError(f"budgets must be >= 0 (got {budgets})")
+    iddl, _cid = _id_type(schema, id_col)
+    if _cid is not int:
+        raise ValueError(
+            "stream_token_budget requires an integral id_col: the "
+            "deterministic admission order is the Knuth-hash shuffle "
+            "order, defined on numeric ids (see docstring)"
+        )
     # the state key is the stratum CAST TO STRING (applyInPandasWithState
     # keys are simplest as one string), so budget lookups must use the
     # same representation — coerce the caller's keys up front or an
@@ -1517,7 +1575,8 @@ def stream_token_budget(
     gated = docs.groupBy("stratum").applyInPandasWithState(
         gate,
         outputStructType=(
-            "id LONG, stratum STRING, n_tokens LONG, stratum_cum_tokens LONG"
+            f"id {iddl}, stratum STRING, n_tokens LONG, "
+            "stratum_cum_tokens LONG"
         ),
         stateStructType="consumed LONG",
         outputMode="append",
@@ -1612,20 +1671,9 @@ def stream_dedup_semantic(
     # id type is DERIVED from the caller's schema (like the batch
     # twin's _broadcast_pair_scores): long and string corpora both
     # stream through the same state function — the parity claim with
-    # semantic_pairs holds for either, tested both ways
-    from pyspark.sql.types import IntegralType, StringType
-
-    id_dt = schema[id_col].dataType
-    if isinstance(id_dt, IntegralType):
-        _cid = int
-    elif isinstance(id_dt, StringType):
-        _cid = str
-    else:
-        raise ValueError(
-            f"unsupported id column type {id_dt.simpleString()} for "
-            f"{id_col!r}: integral or string required"
-        )
-    id_ddl = id_dt.simpleString()
+    # semantic_pairs holds for either, tested both ways (the shared
+    # derivation the whole stateful family now uses)
+    id_ddl, _cid = _id_type(schema, id_col)
     # shared gapless validation: positional argmin indices must BE
     # cell ids (see centroid_matrix)
     C = centroid_matrix(centroids)
