@@ -58,6 +58,10 @@ HEADLINE = [
     "cohort_retention",
     "event_transitions",
     "pmi_collocations",
+    # round-7 additions: the as-of/windowed faces of the behavioral
+    # family (r6 verdict #4's missing headline entries)
+    "attribution_last_touch",
+    "funnel_windowed",
 ]
 
 BOATRACE_TXT = "/root/reference/txt/*2008*.TXT"

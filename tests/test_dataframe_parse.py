@@ -113,6 +113,15 @@ def test_boatrace_datasource_sql_and_packing(spark):
         "SELECT count(*) AS n FROM br_raw WHERE table = 'result'"
     ).collect()[0].n
     assert n > 0
+    # golden-month pin THROUGH the SQL view (r6 verdict #7): the full
+    # silver -> gold pipeline fed from spark.table() must reproduce the
+    # reference-committed golden day's row count exactly
+    from boatrace_database_spark.gold import race_table
+    from boatrace_database_spark.silver import silver_tables
+
+    t = silver_tables(spark.table("br_raw"))
+    race = race_table(t["result"], t["env"], t["schedule"])
+    assert race.where(race["race_date"] == "2020-08-01").count() == 854
     # files_per_task drives the partition count: 62 files / 4 -> 16
     df = (
         spark.read.format("boatrace")
