@@ -2384,11 +2384,22 @@ def packed_split_pipeline(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
         )
+        # materialize the pack grain ONCE (pmi_bigrams precedent): the
+        # split machinery's rank frame + its offset/total broadcast
+        # aggregates + the train-shuffle branch all re-derive their
+        # input, which without this would re-scan and re-shuffle the
+        # CORPUS 4x; a deployment writes the packs table, this is the
+        # in-session equivalent
+        .localCheckpoint()
     )
+    # second materialization: `split` feeds BOTH the train-shuffle
+    # branch and the final join — un-checkpointed, each branch re-runs
+    # the full stratified-rank window machinery (measured: 17 exchanges
+    # in the plan vs 4 after)
     split = C.split_exact_stratified(
         packs, "pack_key", "source",
         {"train": 0.8, "val": 0.1, "test": 0.1}, n_buckets=64,
-    )
+    ).localCheckpoint()
     train_pos = (
         C.global_shuffle(
             split.where(F.col("split") == "train").select("pack_key"),

@@ -423,6 +423,50 @@ def test_event_transitions_single_user_exchange(spark):
     assert len(user_ex) == 1, user_ex
 
 
+def test_packed_split_documents_scanned_once_behind_checkpoints(spark):
+    """The packed-split pipeline materializes the pack grain and the
+    split assignment ONCE each (the deployment shape: write the packs
+    table, then split it) — the visible plan must join ExistingRDD
+    scans with the corpus absent, carry only the train-shuffle's two
+    bucket exchanges, and never fall back to a cartesian
+    (un-checkpointed this plan had 17 exchanges re-deriving the full
+    stratified-rank machinery per branch)."""
+    plan = _plan(spark, QUERIES["packed_split_pipeline"](spark, SF))
+    assert plan.count("documents.parquet") == 0  # behind the checkpoints
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    hash_ex = [
+        l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    assert len(hash_ex) == 2, hash_ex  # the bucketed-rank windows only
+    assert all("_bkt" in l for l in hash_ex)
+
+
+def test_domain_behavioral_plans_are_join_safe(spark):
+    """The boatrace-domain compositions ride the cached gold table:
+    transitions/funnel keep ONE user-key exchange over it (the
+    behavioral operators' contract), nothing degenerates to a
+    cartesian, and the funnel's stage filter reaches the frame."""
+    plan = _plan(spark, QUERIES["career_class_transitions"](spark, SF))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    user_ex = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(player_id" in l
+    ]
+    assert len(user_ex) == 1, user_ex
+
+    plan_f = _plan(spark, QUERIES["racer_podium_funnel"](spark, SF))
+    assert "CartesianProduct" not in plan_f
+    user_ex_f = [
+        l for l in plan_f.splitlines()
+        if "Arguments: hashpartitioning(player_id" in l
+    ]
+    assert len(user_ex_f) == 1, user_ex_f  # the single funnel-fold shuffle
+
+    plan_c = _plan(spark, QUERIES["racer_first_win_cohort"](spark, SF))
+    assert "CartesianProduct" not in plan_c
+    assert "BroadcastHashJoin" in plan_c  # cohort sizes ride a broadcast
+
+
 def test_scd2_windows_share_one_exchange(spark):
     """SCD2 rebuild: the change-flag window and the effective_to lead
     window partition identically, so the plan carries ONE
