@@ -90,6 +90,14 @@ def mixture_resample(
     w = F.lit(float(default_weight))
     for name, weight in weights.items():
         w = F.when(F.col(strata_col) == name, F.lit(float(weight))).otherwise(w)
+    return _copies_from_weight(df, id_col, w, salt)
+
+
+def _copies_from_weight(df: DataFrame, id_col: str, w, salt: int) -> DataFrame:
+    """Shared copy-materialization: weight w = k + f → k copies plus
+    one more iff unit_hash(id, salt) < f (E[copies] = w exactly, a
+    pure function of the id). Narrow projection + explode — no
+    shuffle."""
     whole = F.floor(w).cast("int")
     frac = w - whole
     extra = (_unit_hash(F.col(id_col), salt) < frac).cast("int")
@@ -101,6 +109,43 @@ def mixture_resample(
         .withColumn("copy", F.col("copy") - 1)
         .drop("n_copies")
     )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    scale: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature-smoothed mixture at α = 1/2: per-row weight
+    w_s = scale · √(N / n_s), so a stratum's sampled mass is
+    ∝ √(p_s) — small sources get upweighted, dominant sources
+    damped, the standard multilingual/multi-source smoothing recipe
+    (per-row weight q_s/p_s with q_s ∝ p_s^α at α = 1/2,
+    un-normalized so the arithmetic stays engine-exact).
+
+    α is FIXED at 1/2 deliberately: √ is a correctly-rounded IEEE
+    operation on every engine, so w_s — and therefore the exact copy
+    draw — is bit-identical between Spark and a SQL oracle. A general
+    pow(p, α−1) is not correctly rounded and could flip a
+    hash-threshold comparison at the last ulp; callers needing other
+    temperatures precompute weights and call ``mixture_resample``.
+
+    Copy materialization is ``mixture_resample``'s exact-draw rule
+    (floor + hash-threshold fraction, E[copies] = w). Scale shape:
+    one tiny per-stratum count aggregate + a 1-row total, both
+    broadcast back — no corpus shuffle, no collect; then the narrow
+    explode.
+    """
+    totals = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    n_rows = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    w = F.lit(float(scale)) * F.sqrt(F.col("_n_total") / F.col("_n_s"))
+    out = _copies_from_weight(
+        df.join(F.broadcast(totals), strata_col).join(F.broadcast(n_rows)),
+        id_col, w, salt,
+    )
+    return out.drop("_n_s", "_n_total")
 
 
 def pack_sequences(

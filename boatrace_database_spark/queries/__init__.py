@@ -84,6 +84,7 @@ _ORDER = [
     # ---- tier 2: NEW in round 7 ----
     "career_class_transitions", "racer_podium_funnel",
     "racer_first_win_cohort", "packed_split_pipeline",
+    "mixture_temperature_resample",
     # ---- tier 3: staleness frontier (newest row r5) ----
     "dedup_exact", "dedup_ngram_jaccard", "text_profile",
     "embedding_cosine_topk", "embedding_norm_stats",

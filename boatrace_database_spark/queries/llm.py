@@ -1809,6 +1809,56 @@ ORDER BY doc_id, copy
 """
 
 
+def mixture_temperature_resample(spark, sf_dir):
+    """Temperature-smoothed mixture at α = 1/2
+    (corpus.mixture_temperature): per-row weight √(N/n_source) — the
+    multilingual 'damp the dominant source, lift the tail' recipe with
+    DATA-DERIVED weights (the fixed-recipe sibling is
+    mixture_resample_recipe). α = 1/2 keeps every step correctly
+    rounded (÷ and √ only), so the oracle replays the exact draw."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        C.mixture_temperature(d, "doc_id", "source")
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+MIXTURE_TEMP_SQL = r"""
+WITH s AS (
+  SELECT source, count(*) AS n_s FROM documents GROUP BY source
+),
+t AS (
+  SELECT count(*) AS n FROM documents
+),
+w AS (
+  -- bigint/bigint division and sqrt are both correctly-rounded IEEE
+  -- ops, so wt is bit-identical to Spark's sqrt(_n_total / _n_s)
+  SELECT d.doc_id, d.source,
+         1.0 * sqrt(CAST(t.n AS DOUBLE) / s.n_s) AS wt
+  FROM documents d JOIN s USING (source) CROSS JOIN t
+),
+h AS (
+  SELECT doc_id, source, wt,
+         ((doc_id % 4294967296) % 65536) * 2654435761 AS klo,
+         (((doc_id % 4294967296) // 65536) * 2654435761) % 4294967296 AS khi
+  FROM w
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS INT)
+         + CASE WHEN ((klo + khi * 65536) % 4294967296)
+                     / 4294967296.0 < wt - floor(wt)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM h
+)
+SELECT doc_id, source, CAST(i - 1 AS INT) AS copy
+FROM c, unnest(generate_series(1, n_copies)) AS t(i)
+WHERE n_copies > 0
+ORDER BY doc_id, copy
+"""
+
+
 def pack_sequences_windows(spark, sf_dir):
     """Concat-and-chunk context-window packing: documents laid
     end-to-end per source in doc_id order; each doc assigned the
@@ -2834,6 +2884,7 @@ QUERIES = {
     "repetition_profile": repetition_profile,
     "pii_redact_scrub": pii_redact_scrub,
     "mixture_resample_recipe": mixture_resample_recipe,
+    "mixture_temperature_resample": mixture_temperature_resample,
     "pack_sequences_windows": pack_sequences_windows,
     "pack_materialize": pack_materialize,
     "quality_topk_per_source": quality_topk_per_source,
@@ -2907,6 +2958,7 @@ ORACLES = {
     "repetition_profile": REPETITION_SQL,
     "pii_redact_scrub": PII_REDACT_SQL,
     "mixture_resample_recipe": MIXTURE_SQL,
+    "mixture_temperature_resample": MIXTURE_TEMP_SQL,
     "pack_sequences_windows": PACK_SQL,
     "pack_materialize": PACK_MATERIALIZE_SQL,
     "quality_topk_per_source": QUALITY_TOPK_SQL,

@@ -151,6 +151,33 @@ def run_ops(spark, docs, n_rows):
         ).agg(F.max("pack_id")).collect()[0][0],
     )
 
+    def packed_split():
+        # the round-7 composition (queries/llm.packed_split_pipeline):
+        # pack -> stratified exact split on PACK grain -> train-only
+        # shuffle; pack count grows ~R, so time should too
+        packs = (
+            C.pack_sequences(
+                docs.withColumn("grp", (F.col("doc_id") % 64).cast("int")),
+                "doc_id", "text", budget=2048, group_col="grp",
+            )
+            .groupBy("grp", "pack_id")
+            .agg(
+                F.min("doc_id").alias("pack_key"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .localCheckpoint()
+        )
+        split = C.split_exact_stratified(
+            packs, "pack_key", "grp", fr
+        ).localCheckpoint()
+        train = split.where(F.col("split") == "train").select("pack_key")
+        pos = C.global_shuffle(train, "pack_key").withColumnRenamed(
+            "shuffle_pos", "train_pos"
+        )
+        return split.join(pos, "pack_key", "left").count()
+
+    rec("packed_split_pipeline", packed_split)
+
     from boatrace_database_spark.operators import text as TX
 
     # quantile gate, both physical strategies over the quality score:

@@ -878,6 +878,44 @@ def test_audit_table_empty_and_all_null_frames_count_zero(spark):
     assert (row.violations, row.rows_checked) == (0, 0)
 
 
+def test_mixture_temperature_smooths_toward_sqrt(spark):
+    """α=1/2 temperature mixture: per-row weight √(N/n_s), so each
+    stratum's expected output mass is √(N·n_s) — a 4:1 input imbalance
+    becomes 2:1 in expectation. Per-row copies must be exactly
+    floor(w) or ceil(w) (the deterministic draw), and the per-stratum
+    totals must sit within a binomial-noise band of n_s·w_s."""
+    import math
+
+    from boatrace_database_spark.operators import corpus as C
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = C.mixture_temperature(df, "doc_id", "source").collect()
+    n_total = 500
+    per_row = {}
+    for r in out:
+        per_row[r.doc_id] = max(per_row.get(r.doc_id, 0), r.copy + 1)
+    totals = {"big": 0, "small": 0}
+    for r in out:
+        if r.copy == 0:
+            totals[r.source] += per_row[r.doc_id]
+    for src, n_s in (("big", 400), ("small", 100)):
+        w = math.sqrt(n_total / n_s)
+        lo, hi = math.floor(w), math.ceil(w)
+        ids = {r.doc_id for r in out if r.source == src}
+        for i in ids:
+            assert per_row[i] in (lo, hi), (i, per_row[i], w)
+        expect = n_s * w
+        assert abs(totals[src] - expect) < 4 * math.sqrt(n_s) + 1, (
+            src, totals[src], expect
+        )
+    # determinism: the exact same row set on a re-run
+    again = C.mixture_temperature(df, "doc_id", "source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_weighted_sample_per_group_favors_heavy_rows(spark):
     """A-ES weighted reservoir: across many salts, weight-3 rows must
     be drawn ~3x as often as weight-1 rows (loose 2x bound — the test
