@@ -45,23 +45,24 @@ from boatrace_database_spark.silver import silver_tables
 REF = "/root/reference"
 _GOLDEN_CSV = f"{REF}/table/2020-08-*.csv"
 
-# one-line cache: all three domain queries parse the same month, and
-# the driver calls them back-to-back — keyed by session so a fresh
-# session (new JVM / tests) never sees a stale plan
-_GOLD_CACHE: dict[int, DataFrame] = {}
+# one-entry cache: all three domain queries parse the same month, and
+# the driver calls them back-to-back. The SESSION OBJECT is stored
+# alongside the frame and compared by identity — keeping the strong
+# reference means a dead session's id() can never be reused for a
+# false hit, and a fresh session (new JVM / tests) rebuilds.
+_GOLD_CACHE: list = []  # [(spark, gold_df)] — at most one entry
 
 
 def _gold_race(spark: SparkSession) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = id(spark)
-    if key not in _GOLD_CACHE:
-        parsed = parse_txt_files(spark, f"{REF}/txt/*2008*.TXT")
-        t = silver_tables(parsed)
-        _GOLD_CACHE.clear()
-        _GOLD_CACHE[key] = race_table(
-            t["result"], t["env"], t["schedule"]
-        ).persist()
-    return _GOLD_CACHE[key]
+    if _GOLD_CACHE and _GOLD_CACHE[0][0] is spark:
+        return _GOLD_CACHE[0][1]
+    parsed = parse_txt_files(spark, f"{REF}/txt/*2008*.TXT")
+    t = silver_tables(parsed)
+    gold = race_table(t["result"], t["env"], t["schedule"]).persist()
+    _GOLD_CACHE.clear()
+    _GOLD_CACHE.append((spark, gold))
+    return gold
 
 
 def _race_base(spark: SparkSession) -> DataFrame:
