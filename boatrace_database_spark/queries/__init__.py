@@ -30,14 +30,15 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever.
+# lever. Catalog after round 7: 138 queries, 124 oracle-backed.
 #
 # Round-7 rotation. State after r6: the r6 driver verified 50 rows
 # (all green), r5 verified 50 (all green after the r6 CAST re-verify),
 # and 34 catalog queries have NEVER held a driver row (the r6 verdict's
 # "What's missing #1" — budget math, not failures; all 29
 # oracle-backed ones are green in the local typed parity gate at
-# sf0.01 plus the sf0.1/sf0.001 sweep).  Tiering:
+# sf0.01 plus the sf0.1/sf0.001 sweep, re-run this round at 123/123 —
+# BENCHNOTES §35).  Tiering:
 #   tier 1 = the 34 never-driver-checked queries — the entire backlog
 #            fits one round's budget, so after r7 every catalog query
 #            holds a driver row;
