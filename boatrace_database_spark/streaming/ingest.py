@@ -419,6 +419,113 @@ def stream_funnel(
     )
 
 
+def stream_cohort_activity(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    cohort_event: str = "signup",
+    query_name: str = "cohort_activity",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of operators/behavior.cohort_retention's
+    activity-cell extraction: emits ONE row per (user, week_offset)
+    the FIRST time that user is active w whole weeks (day-exact,
+    ``floor(days/7)`` — the batch operator's arithmetic) after their
+    first ``cohort_event``. Cells emit exactly once (append mode), so
+    the retention grid is then an ordinary aggregate over this tiny
+    cell stream: ``count(*)`` per (week(cohort_day), offset) equals
+    the batch grid's ``count_distinct(user)``, and the cohort size is
+    the offset-0 count (every cohorted user's anchor event is itself
+    offset-0 activity) — the same
+    log-never-re-touched shape as ``stream_event_edges``.
+
+    State per user = (cohort_day in epoch days, emitted offsets). The
+    offsets array is bounded by the stream's lifetime in weeks (52
+    entries/user/year), not by event volume.
+
+    PARITY CONTRACT: with each user's events delivered in event-time
+    order across micro-batches, aggregating the cells reproduces the
+    batch ``cohort_retention`` grid exactly (tested on a ts-split
+    replay where each user's cohort event is their earliest event).
+    One arrival-order divergence, stated: the batch operator counts
+    any event whose DATE is at-or-after the cohort day, including
+    same-day events that precede the cohort event in time; the stream
+    cannot retro-emit an event that arrived in an earlier micro-batch
+    than the user's cohort event. Pre-cohort users carry no state
+    beyond their arrivals being ignored.
+
+    ``state_ttl_ms`` evicts idle users; their next cohort_event starts
+    a fresh cohort (re-admission, like the rest of the family).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    uddl, _ = _id_type(schema, "user_id")
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+
+    def cells(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            cohort_day, seen = state.get
+            seen = set(seen)
+        else:
+            cohort_day, seen = None, set()
+        batch = pd.concat(list(pdfs))
+        # .value is ns-since-epoch for naive AND tz-aware timestamps
+        days = [int(row.ts.value // 86_400_000_000_000)
+                for row in batch.itertuples()]
+        if cohort_day is None:
+            anchors = [
+                d for d, et in zip(days, batch["event_type"])
+                if et == cohort_event
+            ]
+            if not anchors:
+                # pre-cohort arrivals: nothing to anchor against (the
+                # documented divergence); keep no state
+                yield pd.DataFrame(
+                    [], columns=["user_id", "cohort_day", "week_offset"]
+                )
+                return
+            cohort_day = min(anchors)
+        out = []
+        for d in days:
+            off = (d - cohort_day) // 7
+            if d >= cohort_day and off not in seen:
+                seen.add(off)
+                out.append(
+                    (key[0], pd.Timestamp(cohort_day * 86_400_000_000_000),
+                     off)
+                )
+        state.update((cohort_day, sorted(seen)))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            out, columns=["user_id", "cohort_day", "week_offset"]
+        )
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        cells,
+        outputStructType=(
+            f"user_id {uddl}, cohort_day TIMESTAMP, week_offset LONG"
+        ),
+        stateStructType="cohort_day LONG, seen ARRAY<LONG>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_event_edges(
     spark: SparkSession,
     source_dir: str,

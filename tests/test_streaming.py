@@ -2127,6 +2127,91 @@ def test_stream_funnel_ordered_replay_matches_batch_fold(spark, tmp_path):
         assert got[u] == (t1, t2, t3, reached), f"user {u}"
 
 
+def test_stream_cohort_activity_ordered_replay_matches_batch_grid(
+    spark, tmp_path
+):
+    """stream_cohort_activity parity: with events delivered in
+    event-time order across micro-batches CUT AT DAY BOUNDARIES (the
+    documented divergence is a same-day pre-cohort event stranded in
+    an earlier batch — day-aligned chunks make it impossible),
+    aggregating the emitted activity cells reproduces the batch
+    cohort_retention grid exactly: count(*) per (week, offset) is the
+    distinct-user count (cells emit once per user-offset), the
+    offset-0 count is the cohort size, and the derived retention_pct
+    matches."""
+    from boatrace_database_spark.operators import behavior
+    from boatrace_database_spark.queries._util import load_table
+    from boatrace_database_spark.streaming.ingest import stream_cohort_activity
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "cohact_src")
+    os.makedirs(src)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    days = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    cut1, cut2 = days[len(days) // 3], days[2 * len(days) // 3]
+    chunks = [
+        events.where(F.to_date("ts") <= F.lit(cut1)),
+        events.where(
+            (F.to_date("ts") > F.lit(cut1)) & (F.to_date("ts") <= F.lit(cut2))
+        ),
+        events.where(F.to_date("ts") > F.lit(cut2)),
+    ]
+
+    q = stream_cohort_activity(spark, src, schema, cohort_event="signup",
+                               query_name="cohact_replay")
+    try:
+        for i, ch in enumerate(chunks):
+            deliver(ch, f"cstage{i}", f"{src}/b{i}.parquet")
+            q.processAllAvailable()
+        got_rows = spark.sql(
+            """
+            WITH cells AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', cohort_day) AS DATE)
+                       AS cohort_week,
+                     week_offset
+              FROM cohact_replay
+            ),
+            grid AS (
+              SELECT cohort_week, week_offset,
+                     count(*) AS active_users
+              FROM cells GROUP BY cohort_week, week_offset
+            ),
+            sizes AS (
+              SELECT cohort_week, active_users AS cohort_size
+              FROM grid WHERE week_offset = 0
+            )
+            SELECT g.cohort_week, g.week_offset, g.active_users,
+                   round((100.0 * g.active_users) / s.cohort_size, 2)
+                     AS retention_pct
+            FROM grid g JOIN sizes s ON g.cohort_week = s.cohort_week
+            """
+        ).collect()
+    finally:
+        q.stop()
+    got = {
+        (str(r.cohort_week), r.week_offset): (r.active_users, r.retention_pct)
+        for r in got_rows
+    }
+    expected = {
+        (str(r.cohort_week), r.week_offset): (r.active_users, r.retention_pct)
+        for r in behavior.cohort_retention(
+            events, cohort_event="signup"
+        ).collect()
+    }
+    assert got == expected
+    # append-mode exactly-once: no duplicate (user, offset) cells
+    dup = spark.sql(
+        """SELECT user_id, week_offset, count(*) c FROM cohact_replay
+           GROUP BY user_id, week_offset HAVING count(*) > 1"""
+    ).collect()
+    assert dup == []
+
+
 def test_stream_funnel_cross_batch_order_guard(spark, tmp_path):
     """A click arriving in a later batch but timestamped BEFORE the
     user's recorded first view must not complete stage 2; a genuinely
