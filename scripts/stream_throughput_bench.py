@@ -274,6 +274,13 @@ def main():
                 spark, src, ev.schema, query_name="ev_edges"
             ),
         ),
+        (
+            "ev_cohort",
+            lambda src: I.stream_cohort_activity(
+                spark, src, ev.schema, cohort_event="signup",
+                query_name="ev_cohort",
+            ),
+        ),
     ):
         src = f"{workdir}/src_{name}"
         os.makedirs(src)

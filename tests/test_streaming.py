@@ -2344,6 +2344,79 @@ def test_stream_funnel_ttl_eviction_and_restart(spark, tmp_path):
         q.stop()
 
 
+def test_stream_cohort_ttl_eviction_and_readmission(spark, tmp_path):
+    """stream_cohort_activity's TTL contract (the family's standard
+    re-admission semantics): after eviction, a bare activity event is
+    pre-cohort (no cell, no state), and a NEW cohort event starts a
+    FRESH cohort anchored at its own day. Polls the sink like the
+    other TTL tests (processAllAvailable never settles under
+    ProcessingTimeTimeout)."""
+    import datetime
+    import time
+
+    from boatrace_database_spark.streaming.ingest import stream_cohort_activity
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "cohort_ttl_src")
+    os.makedirs(src)
+    ttl_ms = 20_000
+
+    def ev(eid, uid, typ, day):
+        ts = datetime.datetime(2024, 1, 1, 12, 0, 0) + datetime.timedelta(
+            days=day
+        )
+        return (eid, ts, uid, typ, 1.0, "{}")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def rows():
+        return spark.sql("SELECT * FROM cohort_ttl").collect()
+
+    def wait_until(predicate, what, timeout=90.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if predicate():
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}")
+
+    q = stream_cohort_activity(
+        spark, src, schema, cohort_event="signup",
+        query_name="cohort_ttl", state_ttl_ms=ttl_ms,
+    )
+    try:
+        deliver(
+            frame([ev(1, 9, "signup", 0), ev(2, 9, "view", 8)]),
+            "c1", f"{src}/b1.parquet",
+        )
+        wait_until(
+            lambda: {(r.week_offset) for r in rows() if r.user_id == 9}
+            == {0, 1},
+            "offsets 0 and 1 emitted",
+        )
+        day0 = next(r.cohort_day for r in rows() if r.week_offset == 0)
+        # idle past the TTL, then bare activity: state evicted, the
+        # event is pre-cohort — NO new cell may appear
+        time.sleep(ttl_ms / 1000 + 3.0)
+        deliver(frame([ev(3, 9, "view", 10)]), "c2", f"{src}/b2.parquet")
+        time.sleep(4.0)
+        assert {r.week_offset for r in rows() if r.user_id == 9} == {0, 1}
+        # a NEW signup re-admits with a FRESH cohort day (day 14)
+        deliver(frame([ev(4, 9, "signup", 14)]), "c3", f"{src}/b3.parquet")
+        wait_until(
+            lambda: any(
+                r.user_id == 9 and r.week_offset == 0
+                and r.cohort_day != day0
+                for r in rows()
+            ),
+            "re-admitted with a fresh cohort day",
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_funnel_conversion_window(spark, tmp_path):
     """within_seconds on stream_funnel matches the batch semantics: a
     click past the horizon of the user's funnel entry never converts,
