@@ -1179,6 +1179,23 @@ def test_stream_funnel_and_edges_string_ids(spark, tmp_path):
         qc.stop()
     assert counts == {"u-1": (3, 6.5), "u-2": (1, 4.0)}
 
+    from boatrace_database_spark.streaming.ingest import stream_asof_enrich
+
+    src_a = str(tmp_path / "sasf_src")
+    os.makedirs(src_a)
+    qa = stream_asof_enrich(spark, src_a, events.schema, query_name="sasf_str")
+    try:
+        deliver(events, "sa1", f"{src_a}/c1.parquet")
+        qa.processAllAvailable()
+        enriched = {
+            r.event_id: (r.user_id, r.last_view_value)
+            for r in spark.sql("SELECT * FROM sasf_str").collect()
+        }
+    finally:
+        qa.stop()
+    # u-1's purchase (e-03) enriched with their view value 1.0
+    assert enriched == {"e-03": ("u-1", 1.0)}
+
 
 def test_stream_minhash_capped_bucket_over_emits(spark, tmp_path):
     """The capped-regime contract (r6 verdict #4): when a bucket is
