@@ -419,6 +419,59 @@ def stream_funnel(
     )
 
 
+def stream_sketch_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    lgk: int = 12,
+    query_name: str = "sketch_rollup",
+) -> StreamingQuery:
+    """Streaming twin of operators/sketches.distinct_sketches: one
+    mergeable HLL sketch row per event-time tumbling window, built by
+    the NATIVE watermarked windowed ``hll_sketch_agg`` — sketch
+    merges ARE the engine's partial-aggregate merges, so there is no
+    custom state function at all, and a window's row is emitted
+    exactly once (append mode) when the watermark passes its end.
+
+    This closes the incremental-sketch loop for unbounded inputs: the
+    batch module's "persist one sketch row per day, answer any
+    cross-day distinct from the tiny sketch table" pattern, with the
+    per-day rows now produced by the stream itself. Downstream
+    rollups use sketches.union_distinct_estimate unchanged — sketch
+    union is commutative, so batch-built and stream-built rows mix
+    freely in one table (parity-tested: per-window estimates AND the
+    cross-window union equal the batch-built sketches').
+
+    State = one (window, sketch) register set per open window —
+    bounded by (windows inside the watermark horizon) × 2^lgk
+    registers, independent of stream length or key cardinality.
+    """
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sketch"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sketch",
+            "n_rows",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_cohort_activity(
     spark: SparkSession,
     source_dir: str,

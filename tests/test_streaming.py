@@ -2144,6 +2144,96 @@ def test_stream_funnel_ordered_replay_matches_batch_fold(spark, tmp_path):
         assert got[u] == (t1, t2, t3, reached), f"user {u}"
 
 
+def test_stream_sketch_rollup_matches_batch_sketches(spark, tmp_path):
+    """stream_sketch_rollup parity: per-window distinct estimates from
+    STREAM-built sketch rows equal the batch distinct_sketches rows
+    grouped on the same tumbling window, and the cross-window union
+    estimate matches too (sketch union is commutative, so batch- and
+    stream-built rows are interchangeable in one persisted table).
+    Late rows inside the watermark still land in their window; rows
+    are emitted once, only after the watermark passes (append mode)."""
+    from boatrace_database_spark.operators import sketches as SK
+    from boatrace_database_spark.queries._util import load_table
+    from boatrace_database_spark.streaming.ingest import stream_sketch_rollup
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "sksrc")
+    os.makedirs(src)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    days = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d"))
+        .distinct().collect()
+    )
+    cut = days[len(days) // 2]
+    chunks = [
+        events.where(F.to_date("ts") <= F.lit(cut)),
+        events.where(F.to_date("ts") > F.lit(cut)),
+    ]
+
+    q = stream_sketch_rollup(
+        spark, src, schema, key_col="user_id", window="1 day",
+        watermark="0 seconds", query_name="sk_rollup",
+    )
+    try:
+        for i, ch in enumerate(chunks):
+            deliver(ch, f"skc{i}", f"{src}/b{i}.parquet")
+            q.processAllAvailable()
+        # append mode: the LAST windows stay open (watermark never
+        # passes the max event time) — compare the emitted prefix
+        got = {
+            str(r.window_start): (r.est, r.n_rows)
+            for r in spark.sql(
+                """SELECT window_start,
+                          CAST(hll_sketch_estimate(sketch) AS BIGINT) est,
+                          n_rows
+                   FROM sk_rollup"""
+            ).collect()
+        }
+        union_stream = spark.sql(
+            """SELECT CAST(hll_sketch_estimate(hll_union_agg(sketch))
+                      AS BIGINT) est FROM sk_rollup"""
+        ).collect()[0].est
+    finally:
+        q.stop()
+    assert got, "no windows were finalized"
+
+    batch = SK.distinct_sketches(
+        events.withColumn(
+            "window_start", F.window("ts", "1 day").start
+        ),
+        "user_id", ["window_start"],
+    )
+    expected = {
+        str(r.window_start): (r.distinct_estimate, r.n_rows)
+        for r in SK.union_distinct_estimate(batch, ["window_start"])
+        .select(
+            "window_start",
+            F.col("distinct_estimate").cast("bigint").alias(
+                "distinct_estimate"
+            ),
+            "n_rows",
+        )
+        .collect()
+    }
+    for w, (est, n) in got.items():
+        assert expected[w] == (est, n), (w, got[w], expected[w])
+    # the union across stream-built windows matches the union across
+    # batch-built ones for the SAME window set
+    batch_union = (
+        SK.union_distinct_estimate(
+            batch.where(
+                F.col("window_start").cast("string").isin(list(got))
+            )
+        )
+        .select(F.col("distinct_estimate").cast("bigint").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert union_stream == batch_union
+
+
 def test_stream_cohort_activity_ordered_replay_matches_batch_grid(
     spark, tmp_path
 ):
