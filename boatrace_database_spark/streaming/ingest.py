@@ -472,6 +472,74 @@ def stream_sketch_rollup(
     )
 
 
+def stream_cms_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    width: int = 1024,
+    depth: int = 4,
+    query_name: str = "cms_rollup",
+) -> StreamingQuery:
+    """Streaming twin of operators/sketches.cms_sketches — the
+    FREQUENCY face next to ``stream_sketch_rollup``'s distinct face:
+    one Count-Min sketch per event-time tumbling window, emitted as
+    the batch module's long-format cell rows (window, d, w, cnt,
+    width, depth) once the watermark passes the window (append mode).
+
+    Like the HLL twin there is NO custom state: cells are the same
+    md5-bucket explode the batch op uses, and the windowed
+    ``count(*)`` per (window, d, w) cell IS the sketch build — the
+    engine's partial-aggregate merges are the CMS counter adds. The
+    emitted rows drop straight into the persisted sketch table:
+    ``sketches.cms_merge`` / ``cms_estimate`` consume them unchanged
+    (geometry columns ride along), and batch- and stream-built rows
+    mix freely (parity-tested cell-for-cell).
+
+    State = open windows × touched cells, hard-bounded by
+    (windows inside the watermark horizon) × depth·width regardless
+    of stream length or key cardinality.
+    """
+    from boatrace_database_spark.operators.sketches import _cms_bucket
+
+    events = normalize_ts(spark.readStream.schema(schema).parquet(source_dir))
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(key, f"{d}:", width).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    agg = (
+        events.where(F.col(key_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .select(F.col("ts"), F.explode(cells).alias("c"))
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("c.d").alias("d"),
+            F.col("c.w").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "d", "w", "cnt",
+            F.lit(width).alias("width"),
+            F.lit(depth).alias("depth"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_cohort_activity(
     spark: SparkSession,
     source_dir: str,

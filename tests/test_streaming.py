@@ -2234,6 +2234,80 @@ def test_stream_sketch_rollup_matches_batch_sketches(spark, tmp_path):
     assert union_stream == batch_union
 
 
+def test_stream_cms_rollup_matches_batch_cells(spark, tmp_path):
+    """stream_cms_rollup parity: the finalized windows' cell rows are
+    IDENTICAL to batch cms_sketches grouped on the same tumbling
+    window (same md5 buckets, same counts, same geometry columns), and
+    cms_estimate over the stream-built table returns the same
+    never-undercounting estimates as over the batch-built one."""
+    from boatrace_database_spark.operators import sketches as SK
+    from boatrace_database_spark.queries._util import load_table
+    from boatrace_database_spark.streaming.ingest import stream_cms_rollup
+
+    schema = _events_schema(spark)
+    deliver = _make_deliver(tmp_path)
+    src = str(tmp_path / "cmssrc")
+    os.makedirs(src)
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    days = sorted(
+        r.d for r in events.select(F.to_date("ts").alias("d"))
+        .distinct().collect()
+    )
+    cut = days[len(days) // 2]
+    chunks = [
+        events.where(F.to_date("ts") <= F.lit(cut)),
+        events.where(F.to_date("ts") > F.lit(cut)),
+    ]
+
+    q = stream_cms_rollup(
+        spark, src, schema, key_col="event_type", window="1 day",
+        watermark="0 seconds", width=64, depth=3, query_name="cms_roll",
+    )
+    try:
+        for i, ch in enumerate(chunks):
+            deliver(ch, f"cmsc{i}", f"{src}/b{i}.parquet")
+            q.processAllAvailable()
+        got_df = spark.sql("SELECT * FROM cms_roll").localCheckpoint()
+        got = {
+            (str(r.window_start), r.d, r.w): (r.cnt, r.width, r.depth)
+            for r in got_df.collect()
+        }
+    finally:
+        q.stop()
+    assert got, "no windows were finalized"
+    finalized = {ws for ws, _, _ in got}
+
+    batch = SK.cms_sketches(
+        events.withColumn(
+            "window_start", F.window("ts", "1 day").start
+        ),
+        "event_type", ["window_start"], width=64, depth=3,
+    ).localCheckpoint()
+    expected = {
+        (str(r.window_start), r.d, r.w): (r.cnt, r.width, r.depth)
+        for r in batch.collect()
+        if str(r.window_start) in finalized
+    }
+    assert got == expected
+    # estimates from the stream-built table match the batch-built one
+    keys = spark.createDataFrame(
+        [("view",), ("click",), ("purchase",)], ["k"]
+    )
+    def est(sketch_df):
+        return {
+            r.k: r.est_count
+            for r in SK.cms_estimate(
+                SK.cms_merge(sketch_df), keys, "k"
+            ).collect()
+        }
+    got_in = got_df.drop("window_start")
+    batch_in = batch.where(
+        F.col("window_start").cast("string").isin(list(finalized))
+    ).drop("window_start")
+    assert est(got_in) == est(batch_in)
+
+
 def test_stream_cohort_activity_ordered_replay_matches_batch_grid(
     spark, tmp_path
 ):
