@@ -281,6 +281,25 @@ def main():
                 query_name="ev_cohort",
             ),
         ),
+        # the native-windowed-aggregate sketch twins, for contrast
+        # with the applyInPandasWithState family above: no Python
+        # worker in the loop at all
+        (
+            "ev_hll_rollup",
+            lambda src: I.stream_sketch_rollup(
+                spark, src, ev.schema, key_col="user_id",
+                window="1 day", watermark="0 seconds",
+                query_name="ev_hll_rollup",
+            ),
+        ),
+        (
+            "ev_cms_rollup",
+            lambda src: I.stream_cms_rollup(
+                spark, src, ev.schema, key_col="event_type",
+                window="1 day", watermark="0 seconds",
+                query_name="ev_cms_rollup",
+            ),
+        ),
     ):
         src = f"{workdir}/src_{name}"
         os.makedirs(src)
