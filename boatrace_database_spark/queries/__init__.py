@@ -32,66 +32,26 @@ for mod in (relational, analytics, advanced, llm, domain):
 # bounded budget (~50 rows per round), so ordering is the coverage
 # lever. Catalog after round 7: 138 queries, 124 oracle-backed.
 #
-# Round-7 rotation. State after r6: the r6 driver verified 50 rows
-# (all green), r5 verified 50 (all green after the r6 CAST re-verify),
-# and 34 catalog queries have NEVER held a driver row (the r6 verdict's
-# "What's missing #1" — budget math, not failures; all 29
-# oracle-backed ones are green in the local typed parity gate at
-# sf0.01 plus the sf0.1/sf0.001 sweep, re-run this round at 123/123 —
-# BENCHNOTES §35).  Tiering:
-#   tier 1 = the 34 never-driver-checked queries — the entire backlog
-#            fits one round's budget, so after r7 every catalog query
-#            holds a driver row;
-#   tier 2 = queries NEW in round 7 (boatrace-domain behavioral
-#            compositions, packed-corpus stratified-split pipeline);
-#   tier 3 = staleness frontier: queries whose newest driver row is r5
-#            (r6's tiers 3-5) — fills the budget remainder so the
-#            oldest rows refresh first;
-#   tier 4 = the 50 r6-green rows (freshest, re-verified last round).
+# Round-8 rotation. State after r7: every catalog query holds a driver
+# row (the r7 driver cleared the 34-row backlog); 48 rows are r7-green,
+# 2 are r7-RED (pack_materialize / embedding_project_jl — the driver's
+# pandas canonicalizer cannot sort ArrayType cells; both reshaped to
+# scalar/exploded output this round, see their docstrings), 50 rows are
+# r6-green, and 38 rows' newest record is r5. Tiering:
+#   tier 1 = the 2 reshaped r7-red queries — the only rows without a
+#            green/rows-only record; verifying the fix is the round's
+#            first job;
+#   tier 2 = the 38 r5-stale rows (the staleness frontier) — with the
+#            2 fixes that is exactly 40 <= 50, so after r8 every
+#            catalog row is at most ~1 round old and the rotation
+#            reaches steady state;
+#   tier 3 = the 50 r6-green rows (2 rounds old at r8);
+#   tier 4 = the 48 r7-green rows (freshest).
 _ORDER = [
-    # ---- tier 1: the 34 never-driver-checked (clears the backlog) ----
-    # behavioral family (session 6): first driver rows
-    "funnel_conversion", "funnel_windowed", "cohort_retention",
-    "event_transitions", "attribution_last_touch", "pmi_collocations",
-    # per-group sampling pair (session 5)
-    "sample_group_reservoir", "sample_group_weighted",
-    # retrieval family tails (tf-idf pair, fusion, mining, dial, MMR)
-    "tfidf_related_docs", "tfidf_top_terms_per_doc",
-    "retrieval_rrf_fusion", "retrieval_hard_negatives",
-    "bm25_index_stats",
-    # retrieval_mmr_diversified: rows-only BY NATURE (greedy MMR is
-    # iterative, not SQL); objective arithmetic pytest-pinned
-    "retrieval_mmr_diversified",
-    # sketch family's CMS + histogram faces
-    "sketch_freq_sources", "sketch_price_quantiles",
-    # text/dedup tails
-    "strip_repeated_spans", "dedup_incremental_bloom",
-    "dedup_best_quality",
-    # dedup_minhash_incremental / bpe_token_count /
-    # compression_quality: rows-only (no oracle by nature)
-    "dedup_minhash_incremental", "bpe_token_count",
-    "compression_quality",
-    # quality tails
-    "quality_quantile_gate", "lm_quality_score",
-    "width_normalize_battery",
-    # corpus-assembly tails (splits, budgets, packing, decontam, JL)
-    "split_exact_assign", "split_stratified_assign",
-    "token_budget_mixture", "pack_materialize",
-    "decontaminate_drop_train", "embedding_project_jl",
-    # windowing variants
-    "time_hopping", "time_session",
-    # ann_ivfpq_topk: rows-only (pytest lossless/recall contracts)
-    "ann_ivfpq_topk",
-    # ---- tier 2: NEW in round 7 ----
-    "career_class_transitions", "racer_podium_funnel",
-    "racer_first_win_cohort", "packed_split_pipeline",
-    "mixture_temperature_resample",
-    # ---- tier 3: staleness frontier (newest row r5) ----
-    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
-    "embedding_cosine_topk", "embedding_norm_stats",
-    "multimodal_features", "asof_join_events", "flag_timing_features",
-    "sessionize_gaps",
-    "salted_skew_agg", "date_battery", "null_battery", "union_distinct",
+    # ---- tier 1: the 2 r7-red rows, reshaped to scalar output ----
+    "pack_materialize", "embedding_project_jl",
+    # ---- tier 2: staleness frontier (newest driver row r5) ----
+    "null_battery", "union_distinct",
     "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
     "token_count_battery", "dedup_cluster_assign",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
@@ -102,13 +62,12 @@ _ORDER = [
     "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
     "dedup_embedding_cosine", "append_union", "sentinel_fill",
     "regex_gate", "regex_extract", "concat_key",
-    # r5 rows-only ops (weakest driver record, cheapest to defer
-    # inside the tier)
+    # r5 rows-only ops (weakest driver record, refreshed last in tier)
     "semantic_dedup_assign", "ann_lsh_topk", "ann_ivf_topk",
     "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
     "text_rolling_hash", "approx_distinct_quantile",
     "freq_items_heavy_hitters",
-    # ---- tier 4: the 50 r6-green rows (freshest) ----
+    # ---- tier 3: the 50 r6-green rows (2 rounds old) ----
     "running_counter", "last_value_propagation", "stanza_lookahead",
     "date_range_explode", "full_select", "agg_features",
     "feature_assembly", "roi_simulation", "accuracy_metrics",
@@ -127,6 +86,34 @@ _ORDER = [
     "quality_topk_per_source", "dedup_fuzzy_edit",
     "dedup_incremental_batch", "scd2_user_state", "bm25_topk_docs",
     "repeated_substring_spans",
+    # ---- tier 4: the 48 r7-green rows (freshest) ----
+    "funnel_conversion", "funnel_windowed", "cohort_retention",
+    "event_transitions", "attribution_last_touch", "pmi_collocations",
+    "sample_group_reservoir", "sample_group_weighted",
+    "tfidf_related_docs", "tfidf_top_terms_per_doc",
+    "retrieval_rrf_fusion", "retrieval_hard_negatives",
+    "bm25_index_stats",
+    "retrieval_mmr_diversified",
+    "sketch_freq_sources", "sketch_price_quantiles",
+    "strip_repeated_spans", "dedup_incremental_bloom",
+    "dedup_best_quality",
+    "dedup_minhash_incremental", "bpe_token_count",
+    "compression_quality",
+    "quality_quantile_gate", "lm_quality_score",
+    "width_normalize_battery",
+    "split_exact_assign", "split_stratified_assign",
+    "token_budget_mixture",
+    "decontaminate_drop_train",
+    "time_hopping", "time_session",
+    "ann_ivfpq_topk",
+    "career_class_transitions", "racer_podium_funnel",
+    "racer_first_win_cohort", "packed_split_pipeline",
+    "mixture_temperature_resample",
+    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
+    "embedding_cosine_topk", "embedding_norm_stats",
+    "multimodal_features", "asof_join_events", "flag_timing_features",
+    "sessionize_gaps",
+    "salted_skew_agg", "date_battery",
 ]
 
 if set(_ORDER) != set(_ALL_QUERIES):

@@ -1298,17 +1298,23 @@ def embedding_project_jl(spark, sf_dir):
     64-d embeddings cut to 8 dims via the deterministic ±1 Rademacher
     matrix — the pre-clustering/ANN dimensionality step. Both sides
     round components to 6 dp (the sums differ only by FP association
-    order); the oracle inlines the identical plane literals."""
+    order); the oracle inlines the identical plane literals.
+
+    Driver-harness note: the projection is posexploded to one
+    (vec_id, dim, component) row per component — the driver's pandas
+    canonicalizer needs atomic cells, and the exploded shape gives a
+    strictly STRONGER check than whole-array equality: every component
+    is hashed individually."""
     d = _t(spark, sf_dir, "embeddings")
     return (
         SIM.project_embeddings(d, "embedding", out_dim=8, dim=64)
+        .select("vec_id", F.posexplode("projection").alias("dim", "component"))
         .select(
             "vec_id",
-            F.transform(
-                "projection", lambda x: F.round(x, 6)
-            ).alias("projection"),
+            F.col("dim").cast("int").alias("dim"),
+            F.round("component", 6).alias("component"),
         )
-        .orderBy("vec_id")
+        .orderBy("vec_id", "dim")
     )
 
 
@@ -1321,17 +1327,19 @@ def _jl_oracle_sql() -> str:
     def lit_list(plane):
         return "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
 
-    comps = ",\n       ".join(
-        f"round(list_dot_product(vec, {lit_list(p)}) * {scale}, 6)"
-        for p in planes
+    dims = "\nUNION ALL\n".join(
+        f"SELECT vec_id, CAST({d} AS INTEGER) AS dim,\n"
+        f"       round(list_dot_product(vec, {lit_list(p)}) * {scale}, 6)"
+        f" AS component FROM c"
+        for d, p in enumerate(planes)
     )
     return f"""
 WITH c AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings
 )
-SELECT vec_id, [{comps}] AS projection
-FROM c ORDER BY vec_id
+{dims}
+ORDER BY vec_id, dim
 """
 
 
@@ -2011,12 +2019,22 @@ def pack_materialize(spark, sf_dir):
     one row per (source, pack_id) with the member docs concatenated
     in id order — the step that writes model inputs, downstream of
     pack_sequences_windows' assignment. The oracle re-derives the
-    assignment and rebuilds each pack with ordered aggregates."""
+    assignment and rebuilds each pack with ordered aggregates.
+
+    Driver-harness note: the operator's ``doc_ids ARRAY<LONG>`` is
+    serialized to a comma-joined string in the final projection (both
+    sides identically) because the driver's pandas canonicalizer can
+    only sort/hash atomic cells — the membership list stays fully
+    value-checked, just as a scalar."""
     d = _t(spark, sf_dir, "documents")
     return (
         C.materialize_packs(d, "doc_id", "text", 512, group_col="source")
         .select(
-            "source", "pack_id", "doc_ids", "n_docs", "pack_tokens",
+            "source", "pack_id",
+            F.concat_ws(
+                ",", F.transform("doc_ids", lambda x: x.cast("string"))
+            ).alias("doc_ids"),
+            "n_docs", "pack_tokens",
             "pack_text",
         )
         .orderBy("source", "pack_id")
@@ -2041,7 +2059,7 @@ q AS (
   SELECT *, CAST(floor(start_offset / 512) AS BIGINT) AS pack_id FROM o
 )
 SELECT source, pack_id,
-       list(doc_id ORDER BY doc_id) AS doc_ids,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
        string_agg(text, ' ' ORDER BY doc_id) AS pack_text

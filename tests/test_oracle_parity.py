@@ -188,3 +188,33 @@ def test_contract_invariants():
     assert set(os_) <= set(qs)
     assert all(isinstance(v, str) and v.strip() for v in os_.values())
     assert len(qs) >= 60
+
+
+def test_catalog_schemas_driver_canonicalizable(spark):
+    """Round-7 failure class, pinned: the driver's pandas canonicalizer
+    sorts every result column and dies on non-hashable cells
+    (``TypeError: unhashable type: 'list'`` — the r7 red rows for
+    pack_materialize / embedding_project_jl). Every oracle-backed
+    catalog entry must therefore emit only ATOMIC top-level column
+    types; arrays belong serialized (concat_ws) or exploded
+    (posexplode) in the query's final projection. Rows-only entries
+    skip the driver's value hash, but their row-count collect still
+    round-trips through Arrow, so they are exempt here.
+
+    Schema inspection only — the plan is never executed, so this stays
+    cheap across the full catalog.
+    """
+    offenders = {}
+    for name in entry_mod.oracle_sql():
+        sdf = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
+        bad = {
+            f.name: f.dataType.simpleString()
+            for f in sdf.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        }
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle-backed queries with driver-uncanonicalizable top-level "
+        f"columns (reshape to scalar/exploded output): {offenders}"
+    )
