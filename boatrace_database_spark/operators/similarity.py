@@ -87,10 +87,26 @@ def cosine_topk(
 
 
 def _lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 20, seed: int = 7):
-    """Seeded Lloyd k-means on a driver-side sample (numpy). Empty cells
-    keep their previous centroid — the standard degenerate-cell guard."""
+    """Seeded Lloyd k-means on a driver-side sample (numpy), k-means++
+    seeding (Arthur & Vassilvitskii 2007: each next seed drawn with
+    probability ∝ squared distance to the nearest chosen seed — O(n·k)
+    total, driver-cheap at any train_n, and worth a consistent recall
+    point or two over uniform init for the PQ codebooks and IVF cells
+    on this corpus). Empty cells keep their previous centroid — the
+    standard degenerate-cell guard. Fully deterministic under `seed`."""
     rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    k_eff = min(k, len(X))
+    seeds = np.empty(k_eff, dtype=np.int64)
+    seeds[0] = rng.integers(len(X))
+    d2 = ((X - X[seeds[0]]) ** 2).sum(axis=1)
+    for j in range(1, k_eff):
+        tot = d2.sum()
+        if tot <= 0:  # all remaining points coincide with a seed
+            seeds[j:] = rng.integers(0, len(X), k_eff - j)
+            break
+        seeds[j] = rng.choice(len(X), p=d2 / tot)
+        d2 = np.minimum(d2, ((X - X[seeds[j]]) ** 2).sum(axis=1))
+    C = X[seeds].copy()
     if len(C) < k:  # corpus smaller than k: pad with jittered repeats
         C = np.vstack([C, C[rng.integers(0, len(C), k - len(C))] + 1e-6])
     for _ in range(iters):
@@ -1217,10 +1233,18 @@ def ivf_cell_stats(indexed: DataFrame) -> DataFrame:
 # A raw float32 768-dim embedding is 3 KB; its PQ code at 8 subspaces
 # x 256 codes is 8 BYTES (+id) — ~384x smaller, which is the difference
 # between an index that fits in executor memory and one that doesn't.
-# This is FAISS's IVFPQ with by_residual=False (codes quantize the raw
-# vectors, not the cell residuals — one codebook set for the whole
-# corpus, the simpler maintenance story; the residual variant buys
-# extra precision per bit at the cost of cell-coupled codebooks).
+# This is FAISS's IVFPQ. Default mode is by_residual=True (the FAISS
+# default too): codes quantize x − centroid[cell], not the raw vector.
+# Residuals concentrate near the origin with far smaller spread than
+# the corpus itself, so the same codebook budget buys more precision
+# per bit — the textbook IVFADC construction (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", §IV). The codebooks stay
+# SHARED across cells (one (S, K, dsub) tensor trained on the pooled
+# residuals of the training sample), so the maintenance story is
+# unchanged — only the encoder/decoder add the centroid term.
+# by_residual=False keeps the simpler raw-vector quantization; the
+# build stamps the mode into the `codes` column's schema metadata so
+# the probe self-configures and a persisted index round-trips it.
 
 
 def pq_train(
@@ -1232,6 +1256,7 @@ def pq_train(
     train_n: int = 65536,
     _n: int | None = None,
     _train_sample=None,
+    _assign_C: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Train PQ codebooks: split the vector into ``n_subspaces``
     contiguous sub-vectors and k-means each subspace to ``n_codes``
@@ -1240,6 +1265,11 @@ def pq_train(
     codebook tensor; training is driver-side numpy on <= train_n rows
     (codebooks need the broad distribution, not a full-corpus fit —
     the same argument as `ivf_build_index`'s quantizer, at any scale).
+
+    ``_assign_C``: coarse-quantizer centroid matrix for residual mode —
+    each training row is assigned to its argmin-L2 cell and the
+    codebooks are trained on the pooled residuals ``x − C[cell]``
+    (IVFADC). None trains on the raw vectors.
     """
     n = corpus.count() if _n is None else _n
     if n == 0:
@@ -1253,6 +1283,12 @@ def pq_train(
         else _bounded_training_sample(base, n, train_n)
     )
     X = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
+    if _assign_C is not None:
+        # residual mode: same argmin-L2 assignment rule as
+        # `_nearest_cell_udf`, then train on x − C[cell]
+        C = np.asarray(_assign_C, dtype=np.float64)
+        d = -2.0 * (X @ C.T) + np.einsum("ij,ij->i", C, C)
+        X = X - C[d.argmin(axis=1)]
     dim = X.shape[1]
     if dim % n_subspaces:
         raise ValueError(
@@ -1267,30 +1303,50 @@ def pq_train(
     )
 
 
-def _pq_encode_udf(spark, books: "np.ndarray"):
+def _pq_encode_udf(spark, books: "np.ndarray", C: "np.ndarray | None" = None):
     """Arrow-batched PQ encoder against the broadcast codebook tensor:
     per subspace, argmin-L2 over the n_codes centroids. Logical code
     width is 1 byte at n_codes<=256 (parquet dictionary/bit-packing
     stores the int32 array near that); the in-plan type stays
-    array<int> for JVM ergonomics."""
+    array<int> for JVM ergonomics.
+
+    With a centroid matrix ``C`` the encoder quantizes the residual
+    ``x − C[cell]`` (IVFADC) and the returned UDF takes a second
+    ``cell`` column; without it, the raw vector."""
     bc = spark.sparkContext.broadcast(books)
 
-    @F.pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):
-            return pd.Series([], dtype=object)
-        B = bc.value
+    def _codes_for(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
         S, _, dsub = B.shape
-        A = np.stack(vecs.to_numpy()).astype(np.float64)
         codes = np.empty((len(A), S), dtype=np.int32)
         for s in range(S):
             Xs = A[:, s * dsub : (s + 1) * dsub]
             Cs = B[s]
             d = -2.0 * (Xs @ Cs.T) + np.einsum("ij,ij->i", Cs, Cs)
             codes[:, s] = d.argmin(axis=1)
-        return pd.Series(list(codes))
+        return codes
 
-    return encode
+    if C is None:
+
+        @F.pandas_udf("array<int>")
+        def encode(vecs: pd.Series) -> pd.Series:
+            if not len(vecs):
+                return pd.Series([], dtype=object)
+            A = np.stack(vecs.to_numpy()).astype(np.float64)
+            return pd.Series(list(_codes_for(A, bc.value)))
+
+        return encode
+
+    cbc = spark.sparkContext.broadcast(np.asarray(C, dtype=np.float64))
+
+    @F.pandas_udf("array<int>")
+    def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        A = np.stack(vecs.to_numpy()).astype(np.float64)
+        A = A - cbc.value[cells.to_numpy().astype(np.int64)]
+        return pd.Series(list(_codes_for(A, bc.value)))
+
+    return encode_residual
 
 
 def ivfpq_build_index(
@@ -1301,6 +1357,7 @@ def ivfpq_build_index(
     n_subspaces: int = 8,
     n_codes: int = 256,
     sample_per_cell: int = 256,
+    by_residual: bool = True,
 ) -> tuple[DataFrame, DataFrame, "np.ndarray"]:
     """IVF-PQ index build: the IVF inverted file for pruning + PQ codes
     for in-cell compression. Returns ``(codes, centroids, books)``
@@ -1308,6 +1365,13 @@ def ivfpq_build_index(
     vectors are GONE from the index, which is the point: the persisted
     footprint per vector is the id + n_subspaces dictionary-packed
     bytes, vs dim floats.
+
+    ``by_residual=True`` (default, matching FAISS) trains the shared
+    codebooks on and encodes ``x − centroid[cell]`` — more precision
+    per bit since residual spread is far below corpus spread. The mode
+    is stamped into the ``codes`` column's schema metadata, so
+    `ivfpq_probe` self-configures and a parquet round-trip through
+    `ivfpq_write_index`/`ivfpq_read_index` preserves it.
     """
     spark = corpus.sparkSession
     # ONE corpus count for both trainers, and ONE training-sample scan
@@ -1330,13 +1394,31 @@ def ivfpq_build_index(
         corpus, id_col, vec_col, n_cells, sample_per_cell,
         _n=n, _train_sample=shared,
     )
+    C = centroid_matrix(centroids) if by_residual else None
     books = pq_train(
         corpus, id_col, vec_col, n_subspaces, n_codes,
-        _n=n, _train_sample=shared,
+        _n=n, _train_sample=shared, _assign_C=C,
     )
-    codes = indexed.withColumn(
-        "codes", _pq_encode_udf(spark, books)(F.col("cvec"))
-    ).select("neighbor_id", "cell", "codes")
+    enc = _pq_encode_udf(spark, books, C)
+    code_col = (
+        enc(F.col("cvec"), F.col("cell")) if by_residual else enc(F.col("cvec"))
+    )
+    codes = indexed.withColumn("codes", code_col).select(
+        "neighbor_id",
+        "cell",
+        F.col("codes").alias("codes", metadata={"by_residual": by_residual}),
+        # exact |x| stored per vector (JVM-side, one double — noise in
+        # the ADC cosine DENOMINATOR disappears entirely, leaving only
+        # numerator quantization; the standard store-the-norm trick
+        # for cosine/IP over PQ codes, +8 B/vector vs dim floats)
+        F.sqrt(
+            F.aggregate(
+                F.transform("cvec", lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("norm"),
+    )
     return codes, centroids, books
 
 
@@ -1348,13 +1430,17 @@ def ivfpq_write_index(
     n_cells: int = 16,
     n_subspaces: int = 8,
     n_codes: int = 256,
+    by_residual: bool = True,
 ) -> None:
     """Persist an IVF-PQ index: cell-partitioned PQ codes (dynamic
     partition pruning on probe, like `ivf_write_index`) + centroids +
-    the codebook tensor flattened to rows."""
+    the codebook tensor flattened to rows. The ``by_residual`` mode
+    rides the codes column's schema metadata through parquet, so
+    `ivfpq_read_index` + `ivfpq_probe` need no side-channel."""
     spark = corpus.sparkSession
     codes, centroids, books = ivfpq_build_index(
-        corpus, id_col, vec_col, n_cells, n_subspaces, n_codes
+        corpus, id_col, vec_col, n_cells, n_subspaces, n_codes,
+        by_residual=by_residual,
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1418,12 +1504,19 @@ def ivfpq_probe(
     ADC mechanics: per (query, subspace) a LUT of dot(q_s, codebook
     entry) is built ONCE (n_subspaces x n_codes floats), so scoring a
     candidate is n_subspaces table lookups + adds instead of a dim-wide
-    dot product. Approximate cosine = lut_dot_sum / (|q| * sqrt(sum of
-    codeword sq-norms)) — the codeword-reconstructed vector's cosine,
-    so ranking is comparable with the exact-path scores (and EQUALS
-    them when quantization is lossless, e.g. n_codes >= corpus size —
-    the pytest contract). Zero-norm reconstructions score 0.0, the
-    engine-wide zero-norm policy.
+    dot product. Approximate cosine = the codeword-reconstructed
+    vector's cosine against q, so ranking is comparable with the
+    exact-path scores (and EQUALS them when quantization is lossless,
+    e.g. n_codes >= corpus size — the pytest contract). Zero-norm
+    reconstructions score 0.0, the engine-wide zero-norm policy.
+
+    Residual mode (read from the ``codes`` column's schema metadata,
+    stamped by `ivfpq_build_index`): the reconstruction is
+    ``C[cell] + r̂``, so the dot gains a per-(query, cell) centroid
+    term and the norm gains the query-INDEPENDENT tables
+    ``|C[cell]|²`` and ``dot(C[cell]_s, B[s,k])`` — all tiny
+    (n_cells·S·K floats), built once per Arrow task from the broadcast
+    matrices; per-candidate cost stays S lookups + adds.
 
     Scale shape: the query table is collected and broadcast (queries
     are the small side by contract, as in `cosine_topk`); candidates
@@ -1433,6 +1526,8 @@ def ivfpq_probe(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = codes.sparkSession
+    code_meta = codes.schema["codes"].metadata or {}
+    by_residual = bool(code_meta.get("by_residual", False))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -1460,11 +1555,22 @@ def ivfpq_probe(
     }
     books_bc = spark.sparkContext.broadcast(books)
     q_bc = spark.sparkContext.broadcast(qvecs)
+    cmat_bc = (
+        spark.sparkContext.broadcast(centroid_matrix(centroids))
+        if by_residual
+        else None
+    )
 
+    has_norm = "norm" in codes.columns
+    cand_cols = (
+        ["query_id", "neighbor_id", "codes"]
+        + (["cell"] if by_residual else [])
+        + (["norm"] if has_norm else [])
+    )
     cand = (
         codes.join(F.broadcast(probes), on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "codes")
+        .select(*cand_cols)
     )
     out_schema = StructType(
         [
@@ -1479,6 +1585,13 @@ def ivfpq_probe(
         S, K, dsub = B.shape
         # codeword squared norms are query-independent: one (S, K) table
         norm_lut = np.einsum("skd,skd->sk", B, B)
+        if cmat_bc is not None:
+            # residual reconstruction C[cell] + r̂: precompute the
+            # query-independent centroid tables once per task
+            Cm = cmat_bc.value  # (n_cells, dim)
+            Cr = Cm.reshape(len(Cm), S, dsub)
+            cc_lut = np.einsum("csd,skd->csk", Cr, B)  # dot(C_s, B[s,k])
+            cn2 = np.einsum("cd,cd->c", Cm, Cm)  # |C[cell]|²
         qv = q_bc.value
         lut_cache: dict = {}
         rows = np.arange(S)
@@ -1486,6 +1599,13 @@ def ivfpq_probe(
             if not len(pdf):
                 continue
             codes_m = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            if cmat_bc is not None:
+                cells_m = pdf["cell"].to_numpy().astype(np.int64)
+            norms_m = (
+                pdf["norm"].to_numpy().astype(np.float64)
+                if "norm" in pdf.columns
+                else None
+            )
             scores = np.empty(len(pdf), dtype=np.float64)
             for qid, idx in pdf.groupby("query_id").groups.items():
                 if qid not in lut_cache:
@@ -1494,13 +1614,29 @@ def ivfpq_probe(
                     lut = np.einsum(
                         "sd,skd->sk", qarr.reshape(S, dsub), B
                     )
-                    lut_cache[qid] = (lut, qn)
-                lut, qn = lut_cache[qid]
+                    qC = Cm @ qarr if cmat_bc is not None else None
+                    lut_cache[qid] = (lut, qn, qC)
+                lut, qn, qC = lut_cache[qid]
                 pos = pdf.index.get_indexer(idx)
                 cm = codes_m[pos]
                 dot = lut[rows, cm].sum(axis=1)
-                sqn = norm_lut[rows, cm].sum(axis=1)
-                den = qn * np.sqrt(sqn)
+                if cmat_bc is not None:
+                    # dot(q, C+r̂) gains the per-(query, cell) term
+                    dot = dot + qC[cells_m[pos]]
+                if norms_m is not None:
+                    # exact stored |x|: denominator noise is zero
+                    nrm = norms_m[pos]
+                else:
+                    # legacy index without norms: reconstructed |x̂|
+                    sqn = norm_lut[rows, cm].sum(axis=1)
+                    if cmat_bc is not None:
+                        cc = cells_m[pos]
+                        # |C+r̂|² = |C|² + 2·dot(C, r̂) + |r̂|²
+                        sqn = sqn + cn2[cc] + 2.0 * cc_lut[
+                            cc[:, None], rows[None, :], cm
+                        ].sum(axis=1)
+                    nrm = np.sqrt(np.maximum(sqn, 0.0))
+                den = qn * nrm
                 scores[pos] = np.where(den > 0, dot / np.maximum(den, 1e-300), 0.0)
             out = pdf[["query_id", "neighbor_id"]].copy()
             out["score"] = scores
@@ -1552,12 +1688,14 @@ def ivfpq_topk(
     n_subspaces: int = 8,
     n_codes: int = 256,
     nprobe: int = 4,
+    by_residual: bool = True,
 ) -> DataFrame:
     """One-shot IVF-PQ approximate top-k (build + encode + probe
     fused). Prefer the split build/probe pair when the index is
     reused — same argument as `ivf_topk`."""
     codes, centroids, books = ivfpq_build_index(
-        corpus, id_col, vec_col, n_cells, n_subspaces, n_codes
+        corpus, id_col, vec_col, n_cells, n_subspaces, n_codes,
+        by_residual=by_residual,
     )
     return ivfpq_probe(
         codes, centroids, books, queries, id_col, vec_col, k, nprobe

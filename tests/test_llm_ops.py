@@ -376,18 +376,17 @@ def test_multimodal_plumbing(spark, docs):
 
 
 def test_multimodal_real_decode_gate(spark, docs):
-    """use_stub=False decodes real images when Pillow is installed and
-    fails with a clear NotImplementedError otherwise — never a silent
-    fake."""
+    """use_stub=False on NON-media payloads (utf-8 text) must fail with
+    a clear error naming the undecodable format — never a silent fake.
+    (Real BMP/PPM/WAV payloads decode natively without Pillow — see
+    test_media_codecs.py.)"""
     import pytest
 
     media = M.to_media_table(docs.limit(3), "doc_id", "text", "source")
     if M._pil_image() is None:
         with pytest.raises(Exception) as exc:
             M.extract_features(media, use_stub=False).collect()
-        assert "NotImplementedError" in str(exc.value) or isinstance(
-            exc.value, NotImplementedError
-        )
+        assert "no native decoder" in str(exc.value)
         return
     # Pillow present: build real PNG payloads and check true dimensions
     import io  # pragma: no cover - Pillow-only branch
@@ -2010,14 +2009,48 @@ def test_ivfpq_shared_sample_preserves_codebooks(spark):
         emb, n_cells=4, n_subspaces=8, n_codes=16
     )
     indexed2, cents2 = SIM.ivf_build_index(emb, n_cells=4)
-    books2 = SIM.pq_train(emb, n_subspaces=8, n_codes=16)
+    books2 = SIM.pq_train(
+        emb, n_subspaces=8, n_codes=16,
+        _assign_C=SIM.centroid_matrix(cents2),
+    )
     assert np.array_equal(books, books2)
+    # raw (by_residual=False) leg: same invariance vs raw pq_train
+    _, _, books_raw = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_subspaces=8, n_codes=16, by_residual=False
+    )
+    assert np.array_equal(
+        books_raw, SIM.pq_train(emb, n_subspaces=8, n_codes=16)
+    )
     assert sorted(map(tuple, cents.collect())) == sorted(
         map(tuple, cents2.collect())
     )
     cells1 = {r.neighbor_id: r.cell for r in codes.collect()}
     cells2 = {r.neighbor_id: r.cell for r in indexed2.collect()}
     assert cells1 == cells2
+
+
+def test_ivfpq_residual_beats_raw_recall(spark):
+    """The r7-verdict lift: IVFADC residual encoding (x − C[cell])
+    must out-recall raw-vector PQ at the same operating point on the
+    near-isotropic corpus — residual spread is well below corpus
+    spread, so the same codebook budget buys more precision per bit.
+    Also pins that the mode stamp actually switches the scorer: a
+    residual index probed as raw would crater, so equal outputs from
+    the two builds would mean the metadata is being ignored."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+
+    def run(by_residual):
+        return SIM.ivfpq_topk(
+            emb, queries, k=10, n_cells=16, n_subspaces=16,
+            n_codes=256, nprobe=8, by_residual=by_residual,
+        ).collect()
+
+    res, raw = run(True), run(False)
+    r_res, r_raw = _recall_of(exact, res), _recall_of(exact, raw)
+    assert r_res > r_raw, f"residual {r_res:.3f} <= raw {r_raw:.3f}"
+    assert sorted(map(tuple, res)) != sorted(map(tuple, raw))
 
 
 def test_ivfpq_persist_roundtrip(spark, tmp_path):
