@@ -1,0 +1,288 @@
+"""Pure-Python media codecs: BMP / PPM-PGM / WAV, no Pillow or ffmpeg.
+
+The container ships no media libraries, but these three formats are
+simple enough to decode from their public specs with `struct` alone —
+which makes the multimodal real-decode path REAL (bytes in, pixels /
+samples out) for any payload in one of them, with Pillow reserved for
+formats that genuinely need it (PNG/JPEG). Everything here is
+driver-free: the decoders run inside Arrow batches on executors
+(`multimodal.extract_features` / `resize_media`), each call touching
+only its own payload bytes.
+
+Formats (public specs):
+- BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER (40 B), uncompressed
+  24-bit BGR, rows bottom-up and padded to 4-byte multiples.
+- PPM/PGM: P6 (binary RGB) / P5 (binary gray) with ASCII header
+  `magic width height maxval` and `#` comments.
+- WAV: RIFF container, `fmt ` chunk (PCM, format tag 1) + `data`
+  chunk of interleaved little-endian PCM16 samples.
+
+The matching tiny encoders exist so tests can commit golden fixtures
+and property-check encode→decode round-trips; they are NOT a general
+imaging library.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# sniffing
+
+
+def sniff_mime(payload: bytes) -> str:
+    """Magic-byte MIME sniff for the formats the engine can decode
+    natively (+ the two common ones it knows it can't)."""
+    b = bytes(payload[:16])
+    if b[:2] == b"BM":
+        return "image/bmp"
+    if b[:2] in (b"P6", b"P5"):
+        return "image/x-portable-pixmap" if b[:2] == b"P6" else (
+            "image/x-portable-graymap"
+        )
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "audio/wav"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if b[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
+    return "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed)
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_stride = (w * 3 + 3) & ~3
+    image_size = row_stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    pad = b"\x00" * (row_stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += px[y, :, ::-1].tobytes() + pad  # RGB -> BGR
+    return header + bytes(rows)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed BMP -> {width, height, pixels (h,w,3 RGB)}."""
+    b = bytes(payload)
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("decode_bmp: not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", b, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"decode_bmp: only 24-bit uncompressed supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    if len(b) < data_off + row_stride * h:
+        raise ValueError("decode_bmp: truncated pixel data")
+    raw = np.frombuffer(b, dtype=np.uint8, count=row_stride * h, offset=data_off)
+    rows = raw.reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return {"width": w, "height": h, "pixels": rows[:, :, ::-1].copy()}
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM (binary P6 / P5)
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> binary P6 PPM bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_pgm(pixels: "np.ndarray") -> bytes:
+    """(h, w) uint8 grayscale -> binary P5 PGM bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers after the magic,
+    skipping `#` comments; returns (values, offset-just-past-the-single
+    -whitespace-byte that terminates the header)."""
+    vals: list[int] = []
+    i = 2  # past magic
+    while len(vals) < n_tokens:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if i < len(b) and b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("decode_ppm: truncated header")
+        vals.append(int(b[i:j]))
+        i = j
+    return vals, i + 1  # single whitespace byte ends the header
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary P6 (RGB) / P5 (gray) -> {width, height, pixels}."""
+    b = bytes(payload)
+    magic = b[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("decode_ppm: not a binary PPM/PGM payload")
+    (w, h, maxval), off = _ppm_header_tokens(b, 3)
+    if maxval > 255:
+        raise ValueError("decode_ppm: only maxval <= 255 supported")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    if len(b) < off + need:
+        raise ValueError("decode_ppm: truncated pixel data")
+    px = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+    shape = (h, w, 3) if ch == 3 else (h, w)
+    return {"width": w, "height": h, "pixels": px.reshape(shape).copy()}
+
+
+def split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream (the classic raw animation
+    container: frames are simply appended) into per-frame payloads."""
+    b = bytes(payload)
+    frames = []
+    i = 0
+    while i < len(b) and b[i : i + 2] == b"P6":
+        (w, h, _maxval), off = _ppm_header_tokens(b[i:], 3)
+        end = i + off + w * h * 3
+        if end > len(b):
+            raise ValueError("split_ppm_stream: truncated final frame")
+        frames.append(b[i:end])
+        i = end
+    if i != len(b):
+        raise ValueError("split_ppm_stream: trailing non-P6 bytes")
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM16)
+
+
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """int16 sample array (flat, interleaved if multichannel) ->
+    RIFF/WAVE PCM16 bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM16 -> {n_channels, sample_rate, n_samples,
+    duration_ms, samples (frames, channels) int16}. Walks the chunk
+    list, so extra chunks (LIST/INFO) between fmt and data are fine."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, i)
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("decode_wav: missing fmt/data chunk")
+    tag, n_channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1 or bits != 16:
+        raise ValueError(
+            f"decode_wav: only PCM16 supported (tag={tag}, bits={bits})"
+        )
+    samples = np.frombuffer(
+        data, dtype="<i2", count=len(data) // 2
+    ).reshape(-1, n_channels)
+    n_samples = samples.shape[0]
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "n_samples": int(n_samples),
+        "duration_ms": int(round(n_samples * 1000 / sample_rate)),
+        "samples": samples,
+    }
+
+
+# ---------------------------------------------------------------------------
+# decode dispatch + features
+
+
+def resize_nearest(pixels: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resample (the classic index-map construction) —
+    pure numpy, exact for upscale-by-integer, standard for thumbnails."""
+    src = np.asarray(pixels)
+    h, w = src.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return src[ys][:, xs]
+
+
+def decode_features(payload: bytes) -> dict:
+    """Sniff + decode a payload into the engine's media feature dict:
+    mime, width, height, channels, duration_ms (audio), plus a
+    content mean (pixel or |sample| mean) — the real bytes->features
+    path behind `multimodal.extract_features(use_stub=False)`.
+    Raises ValueError for formats with no native decoder (the caller
+    may then fall back to Pillow or fail loudly)."""
+    mime = sniff_mime(payload)
+    if mime == "image/bmp":
+        d = decode_bmp(payload)
+    elif mime.startswith("image/x-portable"):
+        d = decode_ppm(payload)
+    elif mime == "audio/wav":
+        d = decode_wav(payload)
+        return {
+            "mime": mime,
+            "width": None,
+            "height": None,
+            "channels": d["n_channels"],
+            "duration_ms": d["duration_ms"],
+            "content_mean": float(np.abs(d["samples"]).mean())
+            if d["n_samples"]
+            else 0.0,
+        }
+    else:
+        raise ValueError(f"decode_features: no native decoder for {mime}")
+    px = d["pixels"]
+    return {
+        "mime": mime,
+        "width": d["width"],
+        "height": d["height"],
+        "channels": 3 if px.ndim == 3 else 1,
+        "duration_ms": None,
+        "content_mean": float(px.mean()) if px.size else 0.0,
+    }

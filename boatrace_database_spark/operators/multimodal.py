@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The image/audio decode libraries are not in this container, so the
-decode step is a clearly-marked deterministic stub — but the Spark-side
-contract is real and tested: binary columns travel as `binary`, feature
-extraction runs as Arrow-batched `mapInPandas` over (id, payload,
-metadata-struct) rows, output schema is typed, and partitioning is by
-id so payload bytes never shuffle twice.
+The real-decode path (`use_stub=False`) is NATIVE for BMP / PPM-PGM /
+WAV via the pure-Python codecs in `media_codecs` (no Pillow/ffmpeg
+needed — bytes in, pixels/samples out, golden-tested), with Pillow as
+an optional fallback for formats that genuinely need it (PNG/JPEG).
+`use_stub=True` keeps the deterministic fake for corpora whose
+payloads aren't media at all (e.g. the test tables' utf-8 text). The
+Spark-side contract is identical either way: binary columns travel as
+`binary`, feature extraction runs as Arrow-batched `mapInPandas` over
+(id, payload, metadata-struct) rows, output schema is typed, and
+partitioning is by id so payload bytes never shuffle twice.
 
 At 100 TB: payloads live in parquet binary columns (or object-store
 pointers); `spark.sql.files.maxPartitionBytes` bounds scan partitions;
@@ -21,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from boatrace_database_spark.operators import media_codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -46,6 +52,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("mime", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("content_mean", T.DoubleType()),
         T.StructField("checksum", T.LongType()),
     ]
 )
@@ -86,16 +95,30 @@ def _pil_image():
         return None
 
 
-def _decode_real(payload: bytes) -> tuple[int, int]:
-    """Real decode: Pillow when available (width, height), else a
-    clearly-marked NotImplementedError — see extract_features' stub."""
-    image_mod = _pil_image()
-    if image_mod is None:
-        raise NotImplementedError("media decode libraries not installed")
-    import io  # pragma: no cover - Pillow-only path
+def _decode_real(payload: bytes) -> dict:
+    """Real decode: the native pure-Python codecs (BMP/PPM/WAV) first,
+    Pillow for anything else it can open, else a clear ValueError
+    naming the sniffed format. Returns the `media_codecs.decode_features`
+    dict either way."""
+    try:
+        return media_codecs.decode_features(payload)
+    except ValueError as native_err:
+        image_mod = _pil_image()
+        if image_mod is None:
+            raise ValueError(
+                f"{native_err} (and Pillow is not installed for a fallback)"
+            ) from native_err
+        import io  # pragma: no cover - Pillow-only path
 
-    with image_mod.open(io.BytesIO(payload)) as im:  # pragma: no cover
-        return im.width, im.height
+        with image_mod.open(io.BytesIO(payload)) as im:  # pragma: no cover
+            return {
+                "mime": image_mod.MIME.get(im.format, "image/unknown"),
+                "width": im.width,
+                "height": im.height,
+                "channels": len(im.getbands()),
+                "duration_ms": None,
+                "content_mean": None,
+            }
 
 
 def resize_media(
@@ -103,11 +126,16 @@ def resize_media(
 ) -> DataFrame:
     """Resize transform: binary in -> binary out, same media layout.
 
+    Real resample (``use_stub=False``): native decode (BMP/PPM/PGM) ->
+    nearest-neighbor resample -> re-encode in the SAME format, pure
+    Python; Pillow fallback for other image formats; audio payloads
+    raise ValueError (resize of PCM is not defined — use
+    `sample_frames` to window audio).
+
     STUB resample: the payload is truncated/cycled to exactly
-    width*height bytes (a real implementation decodes, resamples with
-    PIL/ffmpeg, re-encodes — same signature). The plumbing is the real
-    pattern: payload bytes stay inside one Arrow batch, metadata updates
-    in place, output schema identical so resize stages compose.
+    width*height bytes. Either way the plumbing is the real pattern:
+    payload bytes stay inside one Arrow batch, metadata updates in
+    place, output schema identical so resize stages compose.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,16 +148,38 @@ def resize_media(
                     reps = -(-target // len(b))  # ceil
                     return (bytes(b) * reps)[:target]
             else:
-                image_mod = _pil_image()
-                if image_mod is None:
-                    raise NotImplementedError(
-                        "real media resample needs Pillow installed"
-                    )
+                def _resize(b: bytes) -> bytes:
+                    b = bytes(b)
+                    mime = media_codecs.sniff_mime(b)
+                    if mime == "image/bmp":
+                        px = media_codecs.decode_bmp(b)["pixels"]
+                        return media_codecs.encode_bmp(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
+                    if mime == "image/x-portable-pixmap":
+                        px = media_codecs.decode_ppm(b)["pixels"]
+                        return media_codecs.encode_ppm(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
+                    if mime == "image/x-portable-graymap":
+                        px = media_codecs.decode_ppm(b)["pixels"]
+                        return media_codecs.encode_pgm(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
+                    if mime == "audio/wav":
+                        raise ValueError(
+                            "resize_media: audio payloads have no resize "
+                            "semantics — window them with sample_frames"
+                        )
+                    image_mod = _pil_image()
+                    if image_mod is None:
+                        raise ValueError(
+                            f"resize_media: no native resampler for {mime} "
+                            "and Pillow is not installed"
+                        )
+                    import io  # pragma: no cover - Pillow-only path
 
-                def _resize(b: bytes) -> bytes:  # pragma: no cover
-                    import io
-
-                    with image_mod.open(io.BytesIO(bytes(b))) as im:
+                    with image_mod.open(io.BytesIO(b)) as im:  # pragma: no cover
                         buf = io.BytesIO()
                         im.resize((width, height)).save(buf, format="PNG")
                         return buf.getvalue()
@@ -159,25 +209,60 @@ def sample_frames(
     use_stub: bool = True,
 ) -> DataFrame:
     """Frame sampling: one media row -> many frame rows (the video
-    pattern). STUB decode: the payload is treated as a container of
-    fixed-size frames and every n-th one is emitted; real ffmpeg
-    keyframe extraction has the same one-to-many mapInPandas shape.
-    Partitioning stays by media_id — frames of one clip never split
-    across tasks, so downstream per-clip ops need no shuffle.
+    pattern). Partitioning stays by media_id — frames of one clip
+    never split across tasks, so downstream per-clip ops need no
+    shuffle.
+
+    Real decode (``use_stub=False``), native both ways:
+    - concatenated-P6 streams (the classic raw animation container:
+      frames simply appended) split on their headers — every n-th
+      frame is emitted as a standalone P6 payload;
+    - WAV: the PCM data chunk windows into ``frame_bytes``-sized
+      sample blocks (block-align rounded) — audio chunking for
+      feature pipelines;
+    - anything else raises ValueError naming the sniffed format.
+
+    STUB decode: the payload is treated as a container of fixed-size
+    byte frames and every n-th one is emitted — same one-to-many
+    mapInPandas shape as real ffmpeg keyframe extraction.
     """
 
+    def _stub_frames(b: bytes) -> list[tuple[int, bytes]]:
+        n_frames = max(len(b) // frame_bytes, 1)
+        return [
+            (fno, b[fno * frame_bytes : (fno + 1) * frame_bytes])
+            for fno in range(0, n_frames, every_n)
+        ]
+
+    def _real_frames(b: bytes) -> list[tuple[int, bytes]]:
+        mime = media_codecs.sniff_mime(b)
+        if mime == "image/x-portable-pixmap":
+            all_frames = media_codecs.split_ppm_stream(b)
+            return [
+                (fno, all_frames[fno])
+                for fno in range(0, len(all_frames), every_n)
+            ]
+        if mime == "audio/wav":
+            d = media_codecs.decode_wav(b)
+            block = d["n_channels"] * 2
+            step = max(frame_bytes // block, 1)  # samples per window
+            raw = d["samples"].tobytes()
+            n_frames = max(-(-d["n_samples"] // step), 1)
+            return [
+                (fno, raw[fno * step * block : (fno + 1) * step * block])
+                for fno in range(0, n_frames, every_n)
+            ]
+        raise ValueError(f"sample_frames: no native frame decoder for {mime}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        split = _stub_frames if use_stub else _real_frames
         for pdf in it:
-            if not use_stub:  # pragma: no cover
-                raise NotImplementedError("real frame decode not available")
             ids, nos, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = max(len(b) // frame_bytes, 1)
-                for fno in range(0, n_frames, every_n):
+                for fno, frame in split(bytes(payload)):
                     ids.append(mid)
                     nos.append(fno)
-                    frames.append(b[fno * frame_bytes:(fno + 1) * frame_bytes])
+                    frames.append(frame)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -192,36 +277,77 @@ def sample_frames(
 def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
+    Real decode (``use_stub=False``): native BMP/PPM/WAV codecs (pure
+    Python, no libraries), Pillow fallback for other image formats —
+    true dimensions/channels for images, duration/channels for audio,
+    plus a content mean (pixel value or |sample|). Sniffed mime
+    replaces the metadata's claim.
+
     STUB decode: width/height are deterministic functions of the id and
     the checksum is a byte-sum — fake values, REAL plumbing (binary in,
-    typed struct out, bounded batches).
+    typed struct out, bounded batches) for corpora whose payloads
+    aren't media at all.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
             if use_stub:
-                width = (pdf["media_id"] % 640 + 1).astype("int32")
-                height = (pdf["media_id"] % 480 + 1).astype("int32")
+                out = pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "n_bytes": payloads.map(len).astype("int32"),
+                        "mime": pdf["meta"].map(lambda m: m["mime"]),
+                        "width": (pdf["media_id"] % 640 + 1).astype("int32"),
+                        "height": (pdf["media_id"] % 480 + 1).astype("int32"),
+                        "channels": pd.Series(
+                            [None] * len(pdf), index=pdf.index, dtype="object"
+                        ),
+                        "duration_ms": pd.Series(
+                            [None] * len(pdf), index=pdf.index, dtype="object"
+                        ),
+                        "content_mean": pd.Series(
+                            [None] * len(pdf), index=pdf.index, dtype="object"
+                        ),
+                    }
+                )
             else:
-                # true dimensions via Pillow when installed; a clear
-                # NotImplementedError (from _decode_real) otherwise
-                dims = [_decode_real(bytes(b)) for b in payloads]
-                width = pd.Series(
-                    [d[0] for d in dims], index=pdf.index, dtype="int32"
+                feats = [_decode_real(bytes(b)) for b in payloads]
+                out = pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "n_bytes": payloads.map(len).astype("int32"),
+                        "mime": [f["mime"] for f in feats],
+                        "width": pd.Series(
+                            [f["width"] for f in feats],
+                            index=pdf.index,
+                            dtype="object",
+                        ),
+                        "height": pd.Series(
+                            [f["height"] for f in feats],
+                            index=pdf.index,
+                            dtype="object",
+                        ),
+                        "channels": pd.Series(
+                            [f["channels"] for f in feats],
+                            index=pdf.index,
+                            dtype="object",
+                        ),
+                        "duration_ms": pd.Series(
+                            [f["duration_ms"] for f in feats],
+                            index=pdf.index,
+                            dtype="object",
+                        ),
+                        "content_mean": pd.Series(
+                            [f["content_mean"] for f in feats],
+                            index=pdf.index,
+                            dtype="object",
+                        ),
+                    }
                 )
-                height = pd.Series(
-                    [d[1] for d in dims], index=pdf.index, dtype="int32"
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len).astype("int32"),
-                    "mime": pdf["meta"].map(lambda m: m["mime"]),
-                    "width": width,
-                    "height": height,
-                    "checksum": payloads.map(lambda b: sum(b) % 2**31).astype("int64"),
-                }
+            out["checksum"] = payloads.map(lambda b: sum(b) % 2**31).astype(
+                "int64"
             )
+            yield out
 
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
