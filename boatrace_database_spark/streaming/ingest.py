@@ -1718,10 +1718,15 @@ def stream_token_budget(
     re-opens on re-admission — a rolling-window budget); None keeps
     counters for the query's lifetime.
 
-    ID TYPE REQUIREMENT: unlike the rest of the stateful family (which
-    derives id types from the caller's schema), this operator REQUIRES
-    an integral ``id_col`` — the deterministic admission order is the
-    batch twin's Knuth-hash shuffle order, defined on numeric ids.
+    ID TYPES: integral ids order by the Knuth hash of the id itself —
+    bit-identical to the batch twin (the documented fast path).
+    Non-integral ids order by the Knuth hash of ``xxhash64(id)``
+    (computed JVM-side per arriving row) — EXACTLY the order the batch
+    twin produces when run on the standard xxhash64 surrogate key
+    (``corpus._hash32``'s docstring names that pattern), so the parity
+    contract extends to string ids: stream(string id) ==
+    batch(surrogate id) under hash-ordered arrival. The emitted ``id``
+    column keeps the caller's type either way.
     """
     import re
 
@@ -1732,20 +1737,20 @@ def stream_token_budget(
     if any(b < 0 for b in budgets.values()) or default_budget < 0:
         raise ValueError(f"budgets must be >= 0 (got {budgets})")
     iddl, _cid = _id_type(schema, id_col)
-    if _cid is not int:
-        raise ValueError(
-            "stream_token_budget requires an integral id_col: the "
-            "deterministic admission order is the Knuth-hash shuffle "
-            "order, defined on numeric ids (see docstring)"
-        )
     # the state key is the stratum CAST TO STRING (applyInPandasWithState
     # keys are simplest as one string), so budget lookups must use the
     # same representation — coerce the caller's keys up front or an
     # int-keyed budgets dict would silently fall back to default_budget
     budgets = {str(k): v for k, v in budgets.items()}
 
+    ord_id = (
+        F.col(id_col).cast("long")
+        if _cid is int
+        else F.xxhash64(F.col(id_col))
+    )
     docs = spark.readStream.schema(schema).parquet(source_dir).select(
         F.col(id_col).alias("id"),
+        ord_id.alias("ord_id"),
         F.col(strata_col).cast("string").alias("stratum"),
         F.col(text_col).alias("text"),
     )
@@ -1773,11 +1778,11 @@ def stream_token_budget(
         budget = budgets.get(key[0], default_budget)
         batch = pd.concat(list(pdfs))
         order = np.lexsort(
-            (batch["id"].to_numpy(), _h32(batch["id"].to_numpy()))
+            (batch["ord_id"].to_numpy(), _h32(batch["ord_id"].to_numpy()))
         )
         out = []
         for idx in order:
-            row_id = int(batch["id"].iloc[idx])
+            row_id = batch["id"].iloc[idx]
             text = batch["text"].iloc[idx]
             if text is None:
                 # batch twin: token_count(NULL) is NULL, the row fails

@@ -1250,18 +1250,63 @@ def test_stream_minhash_capped_bucket_over_emits(spark, tmp_path):
     assert got == {(a, b) for b in range(2, 6) for a in stored if a < b}
 
 
-def test_stream_token_budget_rejects_string_ids(spark, tmp_path):
+def test_stream_token_budget_string_id_parity(spark, tmp_path):
+    """r7 verdict item #7: the last stateful op outside the
+    schema-generic family gets its string-id path — admission order is
+    the Knuth hash of ``xxhash64(id)``, which must EQUAL the batch
+    twin run on the standard xxhash64 surrogate key (the batch
+    module's documented pattern for non-numeric ids), delivered here
+    as hash-ordered chunks. Emitted ids must keep the string type."""
+    from boatrace_database_spark.operators import corpus as C
+    from boatrace_database_spark.operators.corpus import SHUFFLE_SALT, _unit_hash
     from boatrace_database_spark.streaming.ingest import stream_token_budget
 
-    docs = spark.createDataFrame(
-        [("d-1", "s", "hello world")],
-        "doc_id string, source string, text string",
-    )
-    with pytest.raises(ValueError, match="integral id_col"):
-        stream_token_budget(
-            spark, str(tmp_path / "never"), docs.schema,
-            strata_col="source", budgets={}, default_budget=10,
+    base = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(300)
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"),
+            "source",
+            "text",
         )
+    )
+    budgets = {"src0": 500, "src1": 250}
+    # batch twin on the surrogate key, mapped back to the string id
+    surr = base.withColumn("_sid", F.xxhash64("doc_id"))
+    batch = {
+        (r.doc_id, r.source, r.n_tokens, r.stratum_cum_tokens)
+        for r in C.take_token_budget_stratified(
+            surr, "_sid", "text", "source", budgets, default_budget=0
+        ).collect()
+    }
+    assert batch, "batch twin must keep rows at these budgets"
+
+    hashed = surr.withColumn("_h", _unit_hash(F.col("_sid"), SHUFFLE_SALT))
+    lo = hashed.where(F.col("_h") < 0.5).drop("_h", "_sid")
+    hi = hashed.where(F.col("_h") >= 0.5).drop("_h", "_sid")
+
+    src = str(tmp_path / "tbs_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_token_budget(
+        spark, src, base.schema, "source", budgets,
+        query_name="tbs_stream",
+    )
+    try:
+        deliver(lo, "tbs1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(hi, "tbs2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM tbs_stream")
+        assert dict(out.dtypes)["id"] == "string"
+        got = {
+            (r.id, r.stratum, r.n_tokens, r.stratum_cum_tokens)
+            for r in out.collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == batch, f"missing={batch - got} extra={got - batch}"
 
 
 def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
