@@ -192,18 +192,19 @@ def main() -> None:
     # multi-second host-interference window (observed poisoning 5
     # consecutive queries); interleaving means such a window costs each
     # query at most one of its N samples.
-    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     counts: dict[str, int] = {}
     for _ in range(ITERS):
         for name in HEADLINE:
             t0 = time.perf_counter()
             rows = QUERIES[name](spark, sf_dir).collect()
-            best[name] = min(best[name], time.perf_counter() - t0)
+            runs[name].append(round(time.perf_counter() - t0, 3))
             counts[name] = len(rows)
     for name in HEADLINE:
-        timings[name] = round(best[name], 3)
+        timings[name] = min(runs[name])
         print(
-            f"{name}: {counts[name]} rows in {timings[name]:.2f}s",
+            f"{name}: {counts[name]} rows in {timings[name]:.2f}s "
+            f"(runs {runs[name]})",
             file=sys.stderr,
         )
 
@@ -223,6 +224,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # every interleaved sample per query (timings = the
+                # min): host drift shows as a min << median spread in
+                # the artifact itself instead of needing a BENCHNOTES
+                # cross-reference (r7 verdict item #8)
+                "queries_runs": runs,
                 "quality": quality,
                 "host": host,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1540,12 +1540,17 @@ def ivfpq_probe(
             F.lit(0.0),
             lambda acc, v: acc + v,
         ).alias("d2"),
+        # dot(q, C[cell]) rides the SAME crossJoin row (JVM-side) —
+        # the residual ADC numerator's centroid term, carried through
+        # the probes join so the probe never collects the centroid
+        # table driver-side (a per-probe job that measured ~0.65 s)
+        dot(F.col("qvec"), F.col("centroid")).alias("qdotc"),
     )
     wq = Window.partitionBy("query_id").orderBy("d2", "cell")
     probes = (
         qc.withColumn("cr", F.row_number().over(wq))
         .where(F.col("cr") <= nprobe)
-        .select("query_id", "cell")
+        .select("query_id", "cell", "qdotc")
     )
 
     qpdf = q.toPandas()
@@ -1555,16 +1560,20 @@ def ivfpq_probe(
     }
     books_bc = spark.sparkContext.broadcast(books)
     q_bc = spark.sparkContext.broadcast(qvecs)
+    has_norm = "norm" in codes.columns
+    # driver-side centroid matrix ONLY for the legacy-index fallback
+    # (no stored norms -> the reconstructed |C+r̂| needs per-cell
+    # tables); the modern path gets its centroid term as the qdotc
+    # column and never collects
     cmat_bc = (
         spark.sparkContext.broadcast(centroid_matrix(centroids))
-        if by_residual
+        if by_residual and not has_norm
         else None
     )
 
-    has_norm = "norm" in codes.columns
     cand_cols = (
         ["query_id", "neighbor_id", "codes"]
-        + (["cell"] if by_residual else [])
+        + (["cell", "qdotc"] if by_residual else [])
         + (["norm"] if has_norm else [])
     )
     cand = (
@@ -1586,8 +1595,8 @@ def ivfpq_probe(
         # codeword squared norms are query-independent: one (S, K) table
         norm_lut = np.einsum("skd,skd->sk", B, B)
         if cmat_bc is not None:
-            # residual reconstruction C[cell] + r̂: precompute the
-            # query-independent centroid tables once per task
+            # legacy residual index without stored norms: the
+            # reconstructed |C+r̂| needs the per-cell tables
             Cm = cmat_bc.value  # (n_cells, dim)
             Cr = Cm.reshape(len(Cm), S, dsub)
             cc_lut = np.einsum("csd,skd->csk", Cr, B)  # dot(C_s, B[s,k])
@@ -1599,11 +1608,16 @@ def ivfpq_probe(
             if not len(pdf):
                 continue
             codes_m = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qdotc_m = (
+                pdf["qdotc"].to_numpy().astype(np.float64)
+                if by_residual
+                else None
+            )
             if cmat_bc is not None:
                 cells_m = pdf["cell"].to_numpy().astype(np.int64)
             norms_m = (
                 pdf["norm"].to_numpy().astype(np.float64)
-                if "norm" in pdf.columns
+                if has_norm
                 else None
             )
             scores = np.empty(len(pdf), dtype=np.float64)
@@ -1614,15 +1628,15 @@ def ivfpq_probe(
                     lut = np.einsum(
                         "sd,skd->sk", qarr.reshape(S, dsub), B
                     )
-                    qC = Cm @ qarr if cmat_bc is not None else None
-                    lut_cache[qid] = (lut, qn, qC)
-                lut, qn, qC = lut_cache[qid]
+                    lut_cache[qid] = (lut, qn)
+                lut, qn = lut_cache[qid]
                 pos = pdf.index.get_indexer(idx)
                 cm = codes_m[pos]
                 dot = lut[rows, cm].sum(axis=1)
-                if cmat_bc is not None:
-                    # dot(q, C+r̂) gains the per-(query, cell) term
-                    dot = dot + qC[cells_m[pos]]
+                if qdotc_m is not None:
+                    # dot(q, C+r̂) gains the per-(query, cell) term,
+                    # delivered as the JVM-computed qdotc column
+                    dot = dot + qdotc_m[pos]
                 if norms_m is not None:
                     # exact stored |x|: denominator noise is zero
                     nrm = norms_m[pos]
