@@ -48,8 +48,10 @@ for mod in (relational, analytics, advanced, llm, domain):
 #   tier 3 = the 50 r6-green rows (2 rounds old at r8);
 #   tier 4 = the 48 r7-green rows (freshest).
 _ORDER = [
-    # ---- tier 1: the 2 r7-red rows, reshaped to scalar output ----
+    # ---- tier 1: the 2 r7-red rows, reshaped to scalar output,
+    # plus the round-8 NEW query (real-codec media decode) ----
     "pack_materialize", "embedding_project_jl",
+    "media_decode_roundtrip",
     # ---- tier 2: staleness frontier (newest driver row r5) ----
     "null_battery", "union_distinct",
     "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
