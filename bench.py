@@ -209,10 +209,17 @@ def main() -> None:
         )
 
     # driver-visible recall/agreement for the no-oracle hash operators
-    # (what pytest asserts; see boatrace_database_spark/quality.py)
-    from boatrace_database_spark.quality import quality_metrics
+    # (what pytest asserts; see boatrace_database_spark/quality.py).
+    # SPARK_GRAFT_QUALITY=0 skips them: their EXACT baselines (all-pairs
+    # cosine / edit-distance truth sets) are quadratic by definition and
+    # sized for the sf0.1 gate — at sf1 they exhaust worker memory while
+    # the headline queries themselves are fine.
+    if os.environ.get("SPARK_GRAFT_QUALITY", "1") != "0":
+        from boatrace_database_spark.quality import quality_metrics
 
-    quality = quality_metrics(spark, sf_dir)
+        quality = quality_metrics(spark, sf_dir)
+    else:
+        quality = {}
     print(f"quality: {quality}", file=sys.stderr)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 

@@ -95,18 +95,27 @@ def _lloyd_kmeans(X: "np.ndarray", k: int, iters: int = 20, seed: int = 7):
     on this corpus). Empty cells keep their previous centroid — the
     standard degenerate-cell guard. Fully deterministic under `seed`."""
     rng = np.random.default_rng(seed)
-    k_eff = min(k, len(X))
+    # seeding cost is O(|pool|·k) with k sequential steps: cap the
+    # seeding POOL at 32·k via a deterministic stride subsample (Lloyd
+    # still refines on all of X) — at sf1 the uncapped 20k-point pool
+    # made the one-shot IVF-PQ build seed 4096 times over the full
+    # sample (§38); 32 candidates per final centroid loses nothing
+    # k-means++'s guarantee cares about
+    pool = X
+    if len(X) > 32 * k:
+        pool = X[:: max(len(X) // (32 * k), 1)]
+    k_eff = min(k, len(pool))
     seeds = np.empty(k_eff, dtype=np.int64)
-    seeds[0] = rng.integers(len(X))
-    d2 = ((X - X[seeds[0]]) ** 2).sum(axis=1)
+    seeds[0] = rng.integers(len(pool))
+    d2 = ((pool - pool[seeds[0]]) ** 2).sum(axis=1)
     for j in range(1, k_eff):
         tot = d2.sum()
         if tot <= 0:  # all remaining points coincide with a seed
-            seeds[j:] = rng.integers(0, len(X), k_eff - j)
+            seeds[j:] = rng.integers(0, len(pool), k_eff - j)
             break
-        seeds[j] = rng.choice(len(X), p=d2 / tot)
-        d2 = np.minimum(d2, ((X - X[seeds[j]]) ** 2).sum(axis=1))
-    C = X[seeds].copy()
+        seeds[j] = rng.choice(len(pool), p=d2 / tot)
+        d2 = np.minimum(d2, ((pool - pool[seeds[j]]) ** 2).sum(axis=1))
+    C = pool[seeds].copy()
     if len(C) < k:  # corpus smaller than k: pad with jittered repeats
         C = np.vstack([C, C[rng.integers(0, len(C), k - len(C))] + 1e-6])
     for _ in range(iters):
