@@ -1725,6 +1725,74 @@ def ivfpq_topk(
     )
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Semantic decontamination: flag (and let the caller drop) training
+    vectors whose cosine to ANY eval/benchmark vector reaches
+    ``threshold`` — the embedding-space complement of the 13-gram
+    `text.decontaminate_corpus` (paraphrased leakage that shares no
+    n-gram still lands nearby in embedding space).
+
+    Scale shape: the EVAL side is tiny by contract (benchmark suites
+    are thousands of rows against a multi-billion-row corpus), so its
+    (m × dim) float64 matrix is collected once and broadcast — the
+    guard raises if it exceeds ``broadcast_max_bytes`` rather than
+    silently collecting gigabytes. The train side is ONE scan: an
+    Arrow-batched pandas UDF computes each row's max-cosine against
+    the matrix as a single numpy matmul per batch. No join, no
+    shuffle, no candidate blowup — max(eval-cosine) per train row is
+    a row-local quantity once the matrix is resident. If the eval set
+    ever outgrows broadcast, LSH-block it first (`cosine_pairs_lsh`)
+    and max-aggregate the collision scores; same output contract.
+
+    Output: (id, max_eval_cosine rounded to 6, is_contaminated);
+    zero-norm vectors score 0.0 (engine-wide policy). Filter
+    ``NOT is_contaminated`` for the shippable corpus.
+    """
+    spark = train.sparkSession
+    ev = eval_set.select(F.col(vec_col).alias("evec")).toPandas()
+    if not len(ev):
+        raise ValueError("decontaminate_semantic: eval set is empty")
+    E = np.stack(ev["evec"].to_numpy()).astype(np.float64)
+    if E.nbytes > broadcast_max_bytes:
+        raise ValueError(
+            f"decontaminate_semantic: eval matrix is {E.nbytes} B > "
+            f"broadcast_max_bytes={broadcast_max_bytes} — benchmark "
+            "sets are small by contract; LSH-block a corpus-sized one "
+            "(see docstring)"
+        )
+    en = np.linalg.norm(E, axis=1)
+    keep = en > 0
+    E, en = E[keep], en[keep]
+    if not len(E):
+        raise ValueError("decontaminate_semantic: eval set is all-zero")
+    bc = spark.sparkContext.broadcast((E, en))
+
+    @F.pandas_udf("double")
+    def max_cos(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=np.float64)
+        Em, enm = bc.value
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        sims = (X @ Em.T) / np.maximum(np.outer(xn, enm), 1e-300)
+        out = sims.max(axis=1)
+        return pd.Series(np.where(xn > 0, out, 0.0))
+
+    return train.select(
+        F.col(id_col).alias("id"),
+        F.round(max_cos(F.col(vec_col)), 6).alias("max_eval_cosine"),
+    ).withColumn(
+        "is_contaminated", F.col("max_eval_cosine") >= F.lit(threshold)
+    )
+
+
 def pq_compression_stats(
     dim: int, n_subspaces: int, n_codes: int, raw_bytes_per_dim: int = 4
 ) -> dict:

@@ -1564,6 +1564,44 @@ FROM px GROUP BY doc_id ORDER BY media_id
 MEDIA_DECODE_SQL = _media_decode_oracle_sql()
 
 
+def decontaminate_semantic_flags(spark, sf_dir):
+    """Embedding-space decontamination (round 8): every 10th vector
+    stands in for the benchmark suite; each remaining training vector
+    is scored by its MAX cosine against the whole eval set in ONE
+    Arrow-batched scan over the broadcast eval matrix — no join, no
+    candidate blowup (operators/similarity.decontaminate_semantic;
+    the eval side is small BY CONTRACT, guard-checked). θ=0.38 is
+    this corpus's ~p95, so the flagged slice is realistic. Both sides
+    compare the 6-dp ROUNDED score against θ, so the flag is
+    FP-association-proof."""
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % 10 == 0)
+    tr = e.where(F.col("vec_id") % 10 != 0)
+    return SIM.decontaminate_semantic(tr, ev, threshold=0.38).orderBy("id")
+
+
+DECONTAMINATE_SEMANTIC_SQL = """
+WITH ev AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+tr AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 10 <> 0
+),
+s AS (
+  SELECT tr.vec_id AS id,
+         max(list_dot_product(v, e)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(e, e)))
+         ) AS mc
+  FROM tr, ev GROUP BY 1
+)
+SELECT id, round(mc, 6) AS max_eval_cosine,
+       round(mc, 6) >= 0.38 AS is_contaminated
+FROM s ORDER BY id
+"""
+
+
 def asof_join_events(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent
     prior-or-equal view event (DuckDB oracle: native ASOF JOIN)."""
@@ -2988,6 +3026,7 @@ QUERIES = {
     "ivf_cell_stats": ivf_cell_stats,
     "multimodal_features": multimodal_features,
     "media_decode_roundtrip": media_decode_roundtrip,
+    "decontaminate_semantic_flags": decontaminate_semantic_flags,
     "asof_join_events": asof_join_events,
     "attribution_last_touch": attribution_last_touch,
     "decontaminate_eval": decontaminate_eval,
@@ -3063,6 +3102,7 @@ ORACLES = {
     "ivf_cell_stats": None,
     "multimodal_features": MULTIMODAL_SQL,
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
+    "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
     "asof_join_events": ASOF_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
     "decontaminate_eval": DECONTAMINATE_SQL,

@@ -364,6 +364,48 @@ def test_rolling_hash_matches_python(spark, docs):
         assert got[r.doc_id] == py_rolling(r.text), r.doc_id
 
 
+def test_decontaminate_semantic_matches_numpy_exact(spark):
+    """The broadcast-matrix scan must equal a direct numpy all-pairs
+    max-cosine, flags included (round-8 operator)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    tr = emb.where(F.col("vec_id") % 10 != 0)
+    got = {
+        r.id: (r.max_eval_cosine, r.is_contaminated)
+        for r in SIM.decontaminate_semantic(tr, ev, threshold=0.38).collect()
+    }
+    E = np.stack([r.embedding for r in ev.collect()]).astype(np.float64)
+    for r in tr.collect():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        want = float(
+            np.max((E @ x) / (np.linalg.norm(E, axis=1) * np.linalg.norm(x)))
+        )
+        mc, flag = got[r.vec_id]
+        assert mc == pytest.approx(round(want, 6), abs=1e-6)
+        assert flag == (round(want, 6) >= 0.38)
+    # the ship direction: filtering NOT is_contaminated drops exactly
+    # the flagged slice
+    n_flagged = sum(1 for _, f in got.values() if f)
+    assert 0 < n_flagged < len(got)
+
+
+def test_decontaminate_semantic_guards(spark):
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="eval set is empty"):
+        SIM.decontaminate_semantic(emb, emb.where(F.lit(False)))
+    with _pytest.raises(ValueError, match="broadcast_max_bytes"):
+        SIM.decontaminate_semantic(emb, emb, broadcast_max_bytes=16)
+    zero = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError, match="all-zero"):
+        SIM.decontaminate_semantic(emb, zero)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = M.to_media_table(docs.limit(20), "doc_id", "text", "source")
     feats = {r.media_id: r for r in M.extract_features(media).collect()}
