@@ -390,6 +390,52 @@ def ivf_add_to_index(
     return indexed.unionByName(addition)
 
 
+def ivfpq_add_to_index(
+    codes: DataFrame,
+    centroids: DataFrame,
+    books: "np.ndarray",
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_add_to_index`'s IVF-PQ twin: assign NEW vectors to the
+    existing cells, encode them against the existing codebooks (in the
+    index's own by_residual mode, read from the codes column's schema
+    metadata), and append — no retrain, same maintenance contract.
+    The residual default keeps this cheap: codebooks are SHARED across
+    cells, so an append touches only the new rows. Same drift caveat
+    as the IVF twin: watch cell stats, retrain when max_cell balloons.
+    """
+    spark = codes.sparkSession
+    meta = codes.schema["codes"].metadata or {}
+    by_residual = bool(meta.get("by_residual", False))
+    has_norm = "norm" in codes.columns
+    C = centroid_matrix(centroids)
+    addition = new_corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("cell", _nearest_cell_udf(spark, C)(F.col("cvec")))
+    enc = _pq_encode_udf(spark, books, C if by_residual else None)
+    code_col = (
+        enc(F.col("cvec"), F.col("cell")) if by_residual else enc(F.col("cvec"))
+    )
+    cols = [
+        F.col("neighbor_id"),
+        F.col("cell"),
+        code_col.alias("codes", metadata={"by_residual": by_residual}),
+    ]
+    if has_norm:
+        cols.append(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cvec", lambda x: x.cast("double") * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("norm")
+        )
+    return codes.unionByName(addition.select(*cols))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

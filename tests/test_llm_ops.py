@@ -2095,6 +2095,41 @@ def test_ivfpq_residual_beats_raw_recall(spark):
     assert sorted(map(tuple, res)) != sorted(map(tuple, raw))
 
 
+def test_ivfpq_add_to_index_equals_full_encode(spark):
+    """Incremental maintenance contract (round 8): building on half
+    the corpus and appending the other half must produce EXACTLY the
+    rows a direct encode of the appended vectors against the same
+    quantizers would — same cells, same codes, same norms — and the
+    probe over the extended index must rank appended vectors."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    codes, cents, books = SIM.ivfpq_build_index(
+        old, n_cells=8, n_subspaces=8, n_codes=64
+    )
+    extended = SIM.ivfpq_add_to_index(codes, cents, books, new)
+    # metadata mode survives the union
+    assert (extended.schema["codes"].metadata or {}).get("by_residual")
+    ext_rows = {r.neighbor_id: (r.cell, tuple(r.codes), r.norm)
+                for r in extended.collect()}
+    assert set(ext_rows) == {r.vec_id for r in emb.collect()}
+    # appended rows equal a direct encode: rebuild an index over the
+    # full corpus REUSING the same quantizers via add of everything
+    again = {
+        r.neighbor_id: (r.cell, tuple(r.codes), r.norm)
+        for r in SIM.ivfpq_add_to_index(
+            codes.where(F.lit(False)), cents, books, emb
+        ).collect()
+    }
+    for vid, row in again.items():
+        assert ext_rows[vid] == row, vid
+    # probe sees the appended half
+    queries = emb.where(F.col("vec_id") < 4)
+    got = SIM.ivfpq_probe(extended, cents, books, queries, k=10, nprobe=8)
+    neigh = {r.neighbor_id for r in got.collect()}
+    assert any(v % 2 == 1 for v in neigh)
+
+
 def test_ivfpq_persist_roundtrip(spark, tmp_path):
     """write -> read -> probe must equal the in-memory probe row for
     row (codes partitioned by cell; codebook tensor reassembled
