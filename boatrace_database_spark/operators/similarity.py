@@ -1771,6 +1771,49 @@ def ivfpq_topk(
     )
 
 
+def max_eval_cosine_udf(
+    spark,
+    eval_set: DataFrame,
+    vec_col: str = "embedding",
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
+):
+    """The scorer behind `decontaminate_semantic`, factored so batch
+    and streaming share it byte-for-byte: collects + broadcasts the
+    (guard-checked small) eval matrix once and returns an
+    Arrow-batched pandas UDF computing each row's max cosine against
+    it (one matmul per batch; zero-norm rows score 0.0)."""
+    ev = eval_set.select(F.col(vec_col).alias("evec")).toPandas()
+    if not len(ev):
+        raise ValueError("decontaminate_semantic: eval set is empty")
+    E = np.stack(ev["evec"].to_numpy()).astype(np.float64)
+    if E.nbytes > broadcast_max_bytes:
+        raise ValueError(
+            f"decontaminate_semantic: eval matrix is {E.nbytes} B > "
+            f"broadcast_max_bytes={broadcast_max_bytes} — benchmark "
+            "sets are small by contract; LSH-block a corpus-sized one "
+            "(see docstring)"
+        )
+    en = np.linalg.norm(E, axis=1)
+    keep = en > 0
+    E, en = E[keep], en[keep]
+    if not len(E):
+        raise ValueError("decontaminate_semantic: eval set is all-zero")
+    bc = spark.sparkContext.broadcast((E, en))
+
+    @F.pandas_udf("double")
+    def max_cos(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=np.float64)
+        Em, enm = bc.value
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        sims = (X @ Em.T) / np.maximum(np.outer(xn, enm), 1e-300)
+        out = sims.max(axis=1)
+        return pd.Series(np.where(xn > 0, out, 0.0))
+
+    return max_cos
+
+
 def decontaminate_semantic(
     train: DataFrame,
     eval_set: DataFrame,
@@ -1801,36 +1844,9 @@ def decontaminate_semantic(
     zero-norm vectors score 0.0 (engine-wide policy). Filter
     ``NOT is_contaminated`` for the shippable corpus.
     """
-    spark = train.sparkSession
-    ev = eval_set.select(F.col(vec_col).alias("evec")).toPandas()
-    if not len(ev):
-        raise ValueError("decontaminate_semantic: eval set is empty")
-    E = np.stack(ev["evec"].to_numpy()).astype(np.float64)
-    if E.nbytes > broadcast_max_bytes:
-        raise ValueError(
-            f"decontaminate_semantic: eval matrix is {E.nbytes} B > "
-            f"broadcast_max_bytes={broadcast_max_bytes} — benchmark "
-            "sets are small by contract; LSH-block a corpus-sized one "
-            "(see docstring)"
-        )
-    en = np.linalg.norm(E, axis=1)
-    keep = en > 0
-    E, en = E[keep], en[keep]
-    if not len(E):
-        raise ValueError("decontaminate_semantic: eval set is all-zero")
-    bc = spark.sparkContext.broadcast((E, en))
-
-    @F.pandas_udf("double")
-    def max_cos(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):
-            return pd.Series([], dtype=np.float64)
-        Em, enm = bc.value
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
-        xn = np.linalg.norm(X, axis=1)
-        sims = (X @ Em.T) / np.maximum(np.outer(xn, enm), 1e-300)
-        out = sims.max(axis=1)
-        return pd.Series(np.where(xn > 0, out, 0.0))
-
+    max_cos = max_eval_cosine_udf(
+        train.sparkSession, eval_set, vec_col, broadcast_max_bytes
+    )
     return train.select(
         F.col(id_col).alias("id"),
         F.round(max_cos(F.col(vec_col)), 6).alias("max_eval_cosine"),

@@ -33,6 +33,10 @@ same pipeline incremental:
 - `stream_decontaminate`: per-arriving-doc n-gram contamination rate
   against a STATIC benchmark gram set (broadcast membership — the
   stream-static pattern; no state, no shuffle).
+- `stream_decontaminate_semantic`: the embedding-space twin — max
+  cosine of each arriving vector against the broadcast eval matrix,
+  the SAME Arrow UDF as the batch operator, so parity is exact under
+  any arrival order (stateless stream-static).
 - `stream_quality_gate`: arriving docs kept iff their quality score
   clears their group's STATIC calibrated quantile threshold
   (corpus.quantile_thresholds) — stream-static like the
@@ -1985,6 +1989,56 @@ def stream_dedup_semantic(
     )
     return (
         flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_decontaminate_semantic(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    query_name: str = "decontaminated_semantic",
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
+) -> StreamingQuery:
+    """Online SEMANTIC decontamination gate — the embedding-space twin
+    of `stream_decontaminate`, and the streaming face of
+    `similarity.decontaminate_semantic`: every arriving vector is
+    scored by its max cosine against the STATIC broadcast eval matrix
+    and emitted with (max_eval_cosine, is_contaminated).
+
+    Stream-static and deliberately STATELESS like its n-gram sibling:
+    the eval matrix collects once (guard-checked small — benchmark
+    suites, by contract), the scorer is the SAME Arrow-batched UDF the
+    batch operator uses (`similarity.max_eval_cosine_udf`), so stream
+    and batch scores are byte-identical per row: exact parity under
+    ANY arrival order — no state, no shuffle, no watermark; throughput
+    is scan-bound.
+    """
+    from boatrace_database_spark.operators import similarity as _SIM
+
+    iddl, _ = _id_type(schema, id_col)
+    max_cos = _SIM.max_eval_cosine_udf(
+        spark, eval_df, vec_col, broadcast_max_bytes
+    )
+    scored = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(max_cos(F.col(vec_col)), 6).alias("max_eval_cosine"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("max_eval_cosine") >= F.lit(threshold)
+        )
+    )
+    return (
+        scored.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

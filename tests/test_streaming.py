@@ -898,6 +898,51 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
         assert got[doc_id] == vals, (doc_id, got[doc_id], vals)
 
 
+def test_stream_decontaminate_semantic_matches_batch(spark, tmp_path):
+    """The embedding-space gate (round 8): arriving vectors scored
+    against the static eval matrix across a two-chunk replay must
+    equal the batch `decontaminate_semantic` output row-for-row —
+    stateless stream-static, so parity holds under ANY arrival order
+    (chunks here split mid-corpus, not hash-ordered)."""
+    from boatrace_database_spark.operators import similarity as SIM
+    from boatrace_database_spark.streaming.ingest import (
+        stream_decontaminate_semantic,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % 10 == 0)
+    arriving = emb.where(F.col("vec_id") % 10 != 0)
+
+    src = str(tmp_path / "sdecon_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+
+    q = stream_decontaminate_semantic(
+        spark, src, emb.schema, ev, threshold=0.38, query_name="sdecon_t"
+    )
+    try:
+        mid = 100
+        deliver(arriving.where(F.col("vec_id") < mid), "s1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(arriving.where(F.col("vec_id") >= mid), "s2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            r.id: (r.max_eval_cosine, r.is_contaminated)
+            for r in spark.sql("SELECT * FROM sdecon_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        r.id: (r.max_eval_cosine, r.is_contaminated)
+        for r in SIM.decontaminate_semantic(
+            arriving, ev, threshold=0.38
+        ).collect()
+    }
+    assert got == batch
+    assert any(f for _, f in batch.values()), "fixture must flag some rows"
+
+
 def test_stream_semantic_matches_batch_pairs(spark, tmp_path):
     """Streaming SemDeDup over an id-ordered two-chunk replay equals
     batch semantic_pairs given the SAME prebuilt quantizer (the
