@@ -1771,6 +1771,56 @@ def ivfpq_topk(
     )
 
 
+def rotation_matrix(dim: int, seed: int = 0x0501) -> "np.ndarray":
+    """Deterministic orthonormal rotation: QR of a seeded Gaussian,
+    diagonal-sign-fixed so the factorization is unique — the same
+    matrix on every call, any machine."""
+    G = np.random.default_rng(seed).normal(size=(dim, dim))
+    Q, R = np.linalg.qr(G)
+    return Q * np.sign(np.diag(R))
+
+
+def rotate_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 0x0501,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Random-rotation pre-transform for PQ — FAISS's "RR" / OPQ-lite:
+    real embedding spectra decay, so a CONTIGUOUS subspace split hands
+    nearly all the variance to the first few subspaces and starves the
+    rest of their codebook budget; an orthonormal rotation spreads the
+    variance evenly across subspaces. Measured on a decaying-spectrum
+    corpus (BENCHNOTES §39): residual IVF-PQ recall 0.55 → 0.79 at
+    the same 16 B/vector. On an already-isotropic corpus it is a
+    no-op by construction.
+
+    The rotation is NORM- AND COSINE-PRESERVING (orthonormal), so
+    exact search over rotated vectors returns identical neighbors and
+    scores — only the quantizer's subspace geometry changes. Apply
+    the SAME (dim, seed) rotation to the corpus before `ivfpq_build_
+    index` AND to queries before `ivfpq_probe`; it composes as a
+    plain column transform, so the index API carries no extra state.
+
+    One Arrow-batched matmul per batch against the broadcast (dim ×
+    dim) matrix — at 768-dim that is a 4.7 MB broadcast and a
+    BLAS-bound scan, the same cost class as a projection.
+    """
+    spark = df.sparkSession
+    Q = rotation_matrix(dim, seed)
+    bc = spark.sparkContext.broadcast(Q)
+
+    @F.pandas_udf("array<double>")
+    def _rot(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(X @ bc.value.T))
+
+    return df.withColumn(out_col or vec_col, _rot(F.col(vec_col)))
+
+
 def max_eval_cosine_udf(
     spark,
     eval_set: DataFrame,

@@ -2095,6 +2095,59 @@ def test_ivfpq_residual_beats_raw_recall(spark):
     assert sorted(map(tuple, res)) != sorted(map(tuple, raw))
 
 
+def test_rotation_preserves_exact_search(spark):
+    """rotate_embeddings is orthonormal: exact cosine top-k over the
+    rotated corpus+queries must equal the raw corpus's neighbors and
+    6-dp scores exactly; the matrix itself must be orthonormal and
+    seed-deterministic."""
+    import numpy as np
+
+    Q = SIM.rotation_matrix(64)
+    assert np.allclose(Q @ Q.T, np.eye(64), atol=1e-10)
+    assert np.array_equal(Q, SIM.rotation_matrix(64))
+    assert not np.array_equal(Q, SIM.rotation_matrix(64, seed=99))
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rot = SIM.rotate_embeddings(emb)
+    raw = sorted(map(tuple, SIM.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5).collect()))
+    rr = sorted(map(tuple, SIM.cosine_topk(
+        rot, rot.where(F.col("vec_id") < 5), k=5).collect()))
+    assert raw == rr
+
+
+def test_rotation_lifts_pq_recall_on_decaying_spectrum(spark):
+    """The OPQ-lite claim, in-engine: on a decaying-variance corpus
+    (realistic embedding spectra — contiguous subspaces starve), the
+    SAME IVF-PQ operating point over rotated vectors must beat the
+    unrotated build by a wide margin. Offline replica measured
+    0.55 -> 0.79 (BENCHNOTES §39)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n, dim = 800, 64
+    X = rng.normal(size=(n, dim)) * np.exp(-np.arange(dim) / 8.0)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+
+    def run(df):
+        q = df.where(F.col("vec_id") < 10)
+        return SIM.ivfpq_topk(
+            df, q, k=10, n_cells=16, n_subspaces=16, n_codes=256, nprobe=8
+        ).collect()
+
+    r_raw = _recall_of(exact, run(emb))
+    rot = SIM.rotate_embeddings(emb).localCheckpoint(eager=True)
+    # exact neighbors are rotation-invariant, so the same truth set
+    # scores the rotated run
+    r_rot = _recall_of(exact, run(rot))
+    assert r_rot > r_raw + 0.1, f"rotated {r_rot:.3f} vs raw {r_raw:.3f}"
+
+
 def test_ivfpq_add_to_index_equals_full_encode(spark):
     """Incremental maintenance contract (round 8): building on half
     the corpus and appending the other half must produce EXACTLY the
