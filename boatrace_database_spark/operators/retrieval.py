@@ -690,3 +690,100 @@ def rrf_fuse(
         .where(F.col("rk") <= k)
         .select("query_id", "doc_id", "rrf", "rk")
     )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rk",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Standard IR/ANN evaluation over a ranked run: per query,
+    reciprocal rank (RR), nDCG@k, recall@k, precision@k — the numbers
+    a retrieval pipeline is actually judged by (TREC / BEIR
+    definitions, binary relevance).
+
+    ``run``: (query_col, doc_col, rank_col) with rank 1-based within
+    each query. ``qrels``: (query_col, doc_col, rel_col) with rel > 0
+    marking relevant documents; pairs absent from qrels are
+    non-relevant. Queries present in qrels but retrieving nothing
+    still emit a row (all-zero metrics) — silently dropping failed
+    queries inflates every macro average, the classic eval bug.
+
+    Definitions (binary): RR = 1/rank of the first relevant retrieved
+    doc (0 if none in the run); DCG@k = Σ_{ranked ≤ k, rel}
+    1/log2(rank+1); IDCG@k normalizes by the perfect ordering of
+    min(n_rel, k) relevant docs; recall@k = hits@k / n_rel;
+    precision@k = hits@k / k. Queries with n_rel = 0 emit zeros (no
+    NULL poisoning of downstream averages).
+
+    Scale shape: one broadcast-or-shuffle equi-join of the run against
+    qrels on (query, doc), then a single groupBy(query) aggregation —
+    conditional sums only, no window, no UDF, all codegen. qrels'
+    per-query totals ride a second tiny aggregate joined back by
+    query. Metrics round to 6 dp (oracle-stable).
+    """
+    q = F.col(query_col)
+    # per-query relevant-total (the recall denominator + IDCG length)
+    totals = (
+        qrels.where(F.col(rel_col) > 0)
+        .groupBy(query_col)
+        .agg(F.count("*").alias("n_rel"))
+    )
+    joined = (
+        run.where(F.col(rank_col) <= k)
+        .join(
+            qrels.where(F.col(rel_col) > 0).select(query_col, doc_col)
+            .withColumn("_hit", F.lit(1)),
+            on=[query_col, doc_col],
+            how="left",
+        )
+        .withColumn("_hit", F.coalesce("_hit", F.lit(0)))
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    per_q = joined.groupBy(query_col).agg(
+        F.sum("_hit").alias("hits"),
+        F.max(
+            F.when(F.col("_hit") == 1, 1.0 / F.col(rank_col))
+        ).alias("_rr_raw"),
+        F.sum(
+            F.when(
+                F.col("_hit") == 1,
+                1.0 / log2(F.col(rank_col).cast("double") + 1.0),
+            )
+        ).alias("_dcg"),
+    )
+    # IDCG@k = Σ_{i=1..min(n_rel,k)} 1/log2(i+1): closed-form via a
+    # per-row sequence aggregate over the (tiny) min(n_rel,k) range
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / (F.log(i.cast("double") + 1.0) / F.log(F.lit(2.0))),
+    )
+    return (
+        totals.join(per_q, on=query_col, how="left")
+        .select(
+            q.alias("query_id"),
+            F.col("n_rel"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce("_rr_raw", F.lit(0.0)), 6).alias("rr"),
+            F.round(
+                F.when(F.col("n_rel") > 0,
+                       F.coalesce("_dcg", F.lit(0.0)) / idcg)
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg_at_k"),
+            F.round(
+                F.when(F.col("n_rel") > 0,
+                       F.coalesce("hits", F.lit(0)) / F.col("n_rel"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+        )
+    )

@@ -52,6 +52,7 @@ _ORDER = [
     # plus the round-8 NEW query (real-codec media decode) ----
     "pack_materialize", "embedding_project_jl",
     "media_decode_roundtrip", "decontaminate_semantic_flags",
+    "retrieval_eval_metrics",
     # ---- tier 2: staleness frontier (newest driver row r5) ----
     "null_battery", "union_distinct",
     "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",

@@ -750,6 +750,92 @@ SELECT query_id, neighbor_id, score, rk FROM (
 """
 
 
+def retrieval_eval_metrics(spark, sf_dir):
+    """IR/ANN evaluation as a first-class operator (round 8): the
+    exact cosine top-10 run for the first 20 query vectors is scored
+    against LABEL-based relevance (a neighbor is relevant iff it
+    shares the query's label — the standard ANN ground-truth recipe),
+    producing per-query RR / nDCG@10 / recall@10 / precision@10 via
+    `retrieval.ranking_metrics` — one equi-join + one aggregation,
+    all codegen, no window or UDF. The oracle re-derives the run AND
+    the metrics from scratch (same round-then-rank convention, same
+    binary-relevance formulas)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    run = SIM.cosine_topk(e, queries, k=10).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    qrels = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+        .join(
+            e.select(F.col("vec_id").alias("doc_id"), "label"),
+            F.col("qlabel") == F.col("label"),
+        )
+        .where(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", F.lit(1).alias("rel"))
+    )
+    return R.ranking_metrics(run, qrels, k=10).orderBy("query_id")
+
+
+RETRIEVAL_EVAL_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+           FROM (SELECT unnest(qvec) AS x, unnest(cvec) AS y))
+      / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qvec) AS x)))
+         * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(cvec) AS y)))),
+      6) AS score
+  FROM c, q WHERE neighbor_id != query_id
+),
+run AS (
+  SELECT query_id, neighbor_id AS doc_id, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+qrels AS (
+  SELECT q.query_id, e.vec_id AS doc_id
+  FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.query_id
+),
+tot AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+j AS (
+  SELECT r.query_id, r.rk,
+         CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM run r LEFT JOIN qrels qr
+    ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+),
+per_q AS (
+  SELECT query_id, sum(hit) AS hits,
+         max(CASE WHEN hit = 1 THEN 1.0 / rk END) AS rr_raw,
+         sum(CASE WHEN hit = 1 THEN 1.0 / (ln(rk + 1.0) / ln(2.0)) END) AS dcg
+  FROM j GROUP BY 1
+),
+idcg AS (
+  SELECT m.range AS m, sum(1.0 / (ln(i.range + 1.0) / ln(2.0))) AS v
+  FROM range(1, 11) m JOIN range(1, 11) i ON i.range <= m.range
+  GROUP BY 1
+)
+SELECT t.query_id, t.n_rel,
+  CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+  round(coalesce(p.rr_raw, 0), 6) AS rr,
+  round(CASE WHEN t.n_rel > 0 THEN coalesce(p.dcg, 0) / g.v ELSE 0 END, 6)
+    AS ndcg_at_k,
+  round(CASE WHEN t.n_rel > 0 THEN coalesce(p.hits, 0) / CAST(t.n_rel AS DOUBLE)
+        ELSE 0 END, 6) AS recall_at_k,
+  round(coalesce(p.hits, 0) / 10.0, 6) AS precision_at_k
+FROM tot t
+LEFT JOIN per_q p ON t.query_id = p.query_id
+JOIN idcg g ON g.m = least(t.n_rel, 10)
+ORDER BY t.query_id
+"""
+
+
 def bm25_topk_docs(spark, sf_dir):
     """Keyword retrieval (retrieval.bm25_topk): the first five
     documents play full-text queries against the corpus — BM25 with
@@ -3027,6 +3113,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "media_decode_roundtrip": media_decode_roundtrip,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
+    "retrieval_eval_metrics": retrieval_eval_metrics,
     "asof_join_events": asof_join_events,
     "attribution_last_touch": attribution_last_touch,
     "decontaminate_eval": decontaminate_eval,
@@ -3103,6 +3190,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
+    "retrieval_eval_metrics": RETRIEVAL_EVAL_SQL,
     "asof_join_events": ASOF_SQL,
     "attribution_last_touch": ATTRIBUTION_SQL,
     "decontaminate_eval": DECONTAMINATE_SQL,

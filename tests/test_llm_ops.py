@@ -364,6 +364,47 @@ def test_rolling_hash_matches_python(spark, docs):
         assert got[r.doc_id] == py_rolling(r.text), r.doc_id
 
 
+def test_ranking_metrics_hand_case(spark):
+    """ranking_metrics vs a worked-by-hand example (round 8): covers a
+    mid-run hit pattern, an all-miss query, a zero-qrels-for-retrieved
+    query emitting via the totals side, and a query in qrels that
+    retrieved NOTHING (must still emit all-zero, the classic silently-
+    dropped-query eval bug)."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    # q1: rel docs {a, b, c}; run = [x, a, b] -> hits 2, rr 1/2,
+    #     dcg = 1/log2(3) + 1/log2(4), idcg(3) = 1 + 1/log2(3) + 1/log2(4)
+    # q2: rel docs {z}; run = [p, q] -> all zero except n_rel
+    # q3: rel docs {m}; retrieved nothing -> all-zero row
+    run = spark.createDataFrame(
+        [("q1", "x", 1), ("q1", "a", 2), ("q1", "b", 3),
+         ("q2", "p", 1), ("q2", "q", 2)],
+        "query_id STRING, doc_id STRING, rk INT",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 1), ("q1", "c", 1),
+         ("q2", "z", 1), ("q3", "m", 1)],
+        "query_id STRING, doc_id STRING, rel INT",
+    )
+    got = {r.query_id: r for r in R.ranking_metrics(run, qrels, k=3).collect()}
+    import math
+
+    lg = lambda x: math.log(x) / math.log(2.0)  # noqa: E731
+    dcg = 1 / lg(3) + 1 / lg(4)
+    idcg = 1 + 1 / lg(3) + 1 / lg(4)
+    r1 = got["q1"]
+    assert (r1.n_rel, r1.hits) == (3, 2)
+    assert r1.rr == pytest.approx(0.5)
+    assert r1.ndcg_at_k == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+    assert r1.recall_at_k == pytest.approx(round(2 / 3, 6))
+    assert r1.precision_at_k == pytest.approx(round(2 / 3, 6))
+    r2 = got["q2"]
+    assert (r2.n_rel, r2.hits, r2.rr, r2.ndcg_at_k) == (1, 0, 0.0, 0.0)
+    r3 = got["q3"]
+    assert (r3.n_rel, r3.hits, r3.rr, r3.ndcg_at_k, r3.recall_at_k,
+            r3.precision_at_k) == (1, 0, 0.0, 0.0, 0.0, 0.0)
+
+
 def test_decontaminate_semantic_matches_numpy_exact(spark):
     """The broadcast-matrix scan must equal a direct numpy all-pairs
     max-cosine, flags included (round-8 operator)."""
