@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 7: 138 queries, 124 oracle-backed.
+# lever. Catalog after round 8: 141 queries, 127 oracle-backed.
 #
 # Round-8 rotation. State after r7: every catalog query holds a driver
 # row (the r7 driver cleared the 34-row backlog); 48 rows are r7-green,
@@ -49,7 +49,8 @@ for mod in (relational, analytics, advanced, llm, domain):
 #   tier 4 = the 48 r7-green rows (freshest).
 _ORDER = [
     # ---- tier 1: the 2 r7-red rows, reshaped to scalar output,
-    # plus the round-8 NEW query (real-codec media decode) ----
+    # plus the round-8 NEW queries (real-codec media decode, semantic
+    # decontamination, retrieval evaluation) ----
     "pack_materialize", "embedding_project_jl",
     "media_decode_roundtrip", "decontaminate_semantic_flags",
     "retrieval_eval_metrics",
