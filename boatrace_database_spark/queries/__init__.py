@@ -38,13 +38,14 @@ for mod in (relational, analytics, advanced, llm, domain):
 # pandas canonicalizer cannot sort ArrayType cells; both reshaped to
 # scalar/exploded output this round, see their docstrings), 50 rows are
 # r6-green, and 38 rows' newest record is r5. Tiering:
-#   tier 1 = the 2 reshaped r7-red queries — the only rows without a
-#            green/rows-only record; verifying the fix is the round's
-#            first job;
-#   tier 2 = the 38 r5-stale rows (the staleness frontier) — with the
-#            2 fixes that is exactly 40 <= 50, so after r8 every
-#            catalog row is at most ~1 round old and the rotation
-#            reaches steady state;
+#   tier 1 = the 2 reshaped r7-red queries (verifying the fix is the
+#            round's first job) + the 3 queries NEW in round 8
+#            (media_decode_roundtrip, decontaminate_semantic_flags,
+#            retrieval_eval_metrics);
+#   tier 2 = the 38 r5-stale rows (the staleness frontier) — with
+#            tier 1 that is 43 <= 50, so after r8 every catalog row
+#            is at most ~1 round old and the rotation reaches steady
+#            state;
 #   tier 3 = the 50 r6-green rows (2 rounds old at r8);
 #   tier 4 = the 48 r7-green rows (freshest).
 _ORDER = [
