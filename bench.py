@@ -224,24 +224,28 @@ def main() -> None:
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # every interleaved sample per query (timings = the
-                # min): host drift shows as a min << median spread in
-                # the artifact itself instead of needing a BENCHNOTES
-                # cross-reference (r7 verdict item #8)
-                "queries_runs": runs,
-                "quality": quality,
-                "host": host,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Every interleaved sample per query (timings = the min) goes to
+    # STDERR: r8 put `queries_runs` inside the stdout JSON line and the
+    # +2.5 KB pushed it past the driver's 2000-char tail capture, so
+    # BENCH_r08 recorded `parsed: null` despite rc=0. The stdout line
+    # must stay one compact object well under 2 KB (r7's parsed shape
+    # was 1563 chars against the 2000 budget).
+    print(f"queries_runs: {json.dumps(runs, separators=(',', ':'))}", file=sys.stderr)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "quality": quality,
+        "host": host,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # keep headroom under the 2000-char capture
+        print(f"quality: {json.dumps(quality, separators=(',', ':'))}", file=sys.stderr)
+        payload["quality"] = {"see": "stderr"}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

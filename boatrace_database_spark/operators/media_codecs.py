@@ -1,11 +1,13 @@
-"""Pure-Python media codecs: BMP / PPM-PGM / WAV, no Pillow or ffmpeg.
+"""Pure-Python media codecs: BMP / PPM-PGM / PNG / WAV, no Pillow or
+ffmpeg.
 
-The container ships no media libraries, but these three formats are
-simple enough to decode from their public specs with `struct` alone —
-which makes the multimodal real-decode path REAL (bytes in, pixels /
-samples out) for any payload in one of them, with Pillow reserved for
-formats that genuinely need it (PNG/JPEG). Everything here is
-driver-free: the decoders run inside Arrow batches on executors
+The container ships no media libraries, but these formats are simple
+enough to decode from their public specs with `struct` (+ stdlib
+`zlib` for PNG) alone — which makes the multimodal real-decode path
+REAL (bytes in, pixels / samples out) for any payload in one of them,
+with Pillow reserved for formats that genuinely need it (JPEG;
+palette / 16-bit / interlaced PNG). Everything here is driver-free:
+the decoders run inside Arrow batches on executors
 (`multimodal.extract_features` / `resize_media`), each call touching
 only its own payload bytes.
 
@@ -14,6 +16,10 @@ Formats (public specs):
   24-bit BGR, rows bottom-up and padded to 4-byte multiples.
 - PPM/PGM: P6 (binary RGB) / P5 (binary gray) with ASCII header
   `magic width height maxval` and `#` comments.
+- PNG (RFC 2083 / W3C): critical chunks IHDR/IDAT/IEND, zlib
+  scanlines, per-row filters 0-4, 8-bit gray / gray+alpha / RGB /
+  RGBA, non-interlaced (round-9; closes the last stubbed format that
+  doesn't genuinely need a library).
 - WAV: RIFF container, `fmt ` chunk (PCM, format tag 1) + `data`
   chunk of interleaved little-endian PCM16 samples.
 
@@ -87,6 +93,8 @@ def decode_bmp(payload: bytes) -> dict:
             f"decode_bmp: only 24-bit uncompressed supported "
             f"(bpp={bpp}, compression={compression})"
         )
+    if w <= 0 or h == 0:
+        raise ValueError(f"decode_bmp: bad dimensions {w}x{h}")
     bottom_up = h > 0
     h = abs(h)
     row_stride = (w * 3 + 3) & ~3
@@ -117,12 +125,17 @@ def encode_pgm(pixels: "np.ndarray") -> bytes:
     return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
-def _ppm_header_tokens(b: bytes, n_tokens: int) -> tuple[list[int], int]:
-    """Read n whitespace-separated ASCII integers after the magic,
-    skipping `#` comments; returns (values, offset-just-past-the-single
-    -whitespace-byte that terminates the header)."""
+def _ppm_header_tokens(
+    b: bytes, n_tokens: int, start: int = 0
+) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers after the magic at
+    ``start``, skipping `#` comments; returns (values, offset-just-past
+    -the-single-whitespace-byte that terminates the header). ``start``
+    lets `split_ppm_stream` parse each frame header in place instead of
+    copying the remaining buffer per frame (r8 ADVICE: the b[i:] slice
+    made the split O(n_frames · payload_bytes))."""
     vals: list[int] = []
-    i = 2  # past magic
+    i = start + 2  # past magic
     while len(vals) < n_tokens:
         while i < len(b) and b[i : i + 1].isspace():
             i += 1
@@ -147,6 +160,8 @@ def decode_ppm(payload: bytes) -> dict:
     if magic not in (b"P6", b"P5"):
         raise ValueError("decode_ppm: not a binary PPM/PGM payload")
     (w, h, maxval), off = _ppm_header_tokens(b, 3)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"decode_ppm: bad dimensions {w}x{h}")
     if maxval > 255:
         raise ValueError("decode_ppm: only maxval <= 255 supported")
     ch = 3 if magic == b"P6" else 1
@@ -165,8 +180,12 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
     frames = []
     i = 0
     while i < len(b) and b[i : i + 2] == b"P6":
-        (w, h, _maxval), off = _ppm_header_tokens(b[i:], 3)
-        end = i + off + w * h * 3
+        # header parsed in place (start offset) — no per-frame copy of
+        # the remaining buffer
+        (w, h, _maxval), off = _ppm_header_tokens(b, 3, start=i)
+        if w <= 0 or h <= 0:
+            raise ValueError(f"split_ppm_stream: bad dimensions {w}x{h}")
+        end = off + w * h * 3
         if end > len(b):
             raise ValueError("split_ppm_stream: truncated final frame")
         frames.append(b[i:end])
@@ -174,6 +193,158 @@ def split_ppm_stream(payload: bytes) -> list[bytes]:
     if i != len(b):
         raise ValueError("split_ppm_stream: trailing non-P6 bytes")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# PNG (critical-chunk subset, stdlib zlib — no Pillow)
+#
+# Implemented from the public spec (RFC 2083 / W3C PNG): signature,
+# IHDR/IDAT/IEND critical chunks, zlib-inflated scanlines with per-row
+# filters 0-4 (None/Sub/Up/Average/Paeth), bit depth 8, color types
+# 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. Palette
+# (PLTE/color type 3), 16-bit depth, and Adam7 interlace raise
+# ValueError — the caller's Pillow-fallback seam handles those if the
+# library exists. Ancillary chunks are skipped by the chunk walk.
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """uint8 array -> PNG bytes: (h, w) gray, (h, w, 2) gray+alpha,
+    (h, w, 3) RGB or (h, w, 4) RGBA; filter 0 rows, one IDAT."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, ch = 0, 1
+        h, w = px.shape
+    else:
+        h, w, ch = px.shape
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    flat = px.reshape(h, w * ch)
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None)
+        raw += flat[y].tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(
+    raw: bytes, w: int, h: int, ch: int
+) -> "np.ndarray":
+    """Reverse PNG per-row filters 0-4. Filters are defined on BYTES
+    with `bpp` = bytes per pixel as the left-neighbor stride (spec
+    §6); rows are processed top-down since Up/Average/Paeth reference
+    the already-reconstructed prior row."""
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"decode_png: inflated data is {len(raw)} B, expected "
+            f"{(stride + 1) * h} (w={w}, h={h}, channels={ch})"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        cur = arr[y, 1:].astype(np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub — per-lane prefix sum mod 256 (vectorized)
+            rec = cur.astype(np.int64)
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(rec[lane::ch]) & 0xFF
+            rec = rec.astype(np.int32)
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b_ = prev[x]
+                c_ = prev[x - ch] if x >= ch else 0
+                p = a + b_ - c_
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"decode_png: unknown filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced) ->
+    {width, height, channels, pixels}. Critical-chunk walk: IHDR
+    first, IDAT parts concatenated in order, IEND terminates;
+    ancillary chunks skipped; CRCs verified (a flipped bit in IHDR
+    silently corrupts everything downstream otherwise)."""
+    import zlib
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("decode_png: not a PNG payload")
+    i, ihdr, idat, ended = 8, None, bytearray(), False
+    while i + 8 <= len(b):
+        (size,) = struct.unpack_from(">I", b, i)
+        ctype = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError("decode_png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", b, i + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        i += 12 + size
+    if ihdr is None or not idat or not ended:
+        raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"decode_png: bad dimensions {w}x{h}")
+    if depth != 8:
+        raise ValueError(f"decode_png: only bit depth 8 supported (got {depth})")
+    if color_type not in (0, 2, 4, 6):
+        raise ValueError(
+            f"decode_png: color type {color_type} unsupported "
+            "(palette needs PLTE — Pillow fallback territory)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("decode_png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("decode_png: Adam7 interlace unsupported")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    out = _unfilter_scanlines(raw, w, h, ch)
+    pixels = out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w)
+    return {"width": w, "height": h, "channels": ch, "pixels": pixels}
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +395,20 @@ def decode_wav(payload: bytes) -> dict:
         raise ValueError(
             f"decode_wav: only PCM16 supported (tag={tag}, bits={bits})"
         )
+    # malformed-payload contract (r8 ADVICE): callers catch ValueError
+    # to fall back / fail loudly — a ZeroDivisionError from
+    # sample_rate=0 or a numpy reshape error from n_channels=0 / an
+    # odd data chunk would bypass that seam and kill the Arrow task
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError(
+            f"decode_wav: bad fmt chunk (channels={n_channels}, "
+            f"rate={sample_rate})"
+        )
+    if len(data) % (2 * n_channels) != 0:
+        raise ValueError(
+            f"decode_wav: data chunk ({len(data)} B) is not a whole "
+            f"number of {n_channels}-channel PCM16 frames"
+        )
     samples = np.frombuffer(
         data, dtype="<i2", count=len(data) // 2
     ).reshape(-1, n_channels)
@@ -263,6 +448,17 @@ def decode_features(payload: bytes) -> dict:
         d = decode_bmp(payload)
     elif mime.startswith("image/x-portable"):
         d = decode_ppm(payload)
+    elif mime == "image/png":
+        p = decode_png(payload)
+        px = p["pixels"]
+        return {
+            "mime": mime,
+            "width": p["width"],
+            "height": p["height"],
+            "channels": p["channels"],
+            "duration_ms": None,
+            "content_mean": float(px.mean()) if px.size else 0.0,
+        }
     elif mime == "audio/wav":
         d = decode_wav(payload)
         return {

@@ -709,16 +709,26 @@ def ranking_metrics(
     ``run``: (query_col, doc_col, rank_col) with rank 1-based within
     each query. ``qrels``: (query_col, doc_col, rel_col) with rel > 0
     marking relevant documents; pairs absent from qrels are
-    non-relevant. Queries present in qrels but retrieving nothing
-    still emit a row (all-zero metrics) — silently dropping failed
-    queries inflates every macro average, the classic eval bug.
+    non-relevant. Queries present in qrels (with ≥ 1 positive) but
+    retrieving nothing still emit a row (all-zero metrics) — silently
+    dropping failed queries inflates every macro average, the classic
+    eval bug. Queries with NO positive qrels row, and queries present
+    only in the run, emit no row: their metrics are undefined without
+    positives (the denominators n_rel and IDCG are 0), and averaging
+    in fabricated zeros would bias the macro numbers the other way.
 
-    Definitions (binary): RR = 1/rank of the first relevant retrieved
-    doc (0 if none in the run); DCG@k = Σ_{ranked ≤ k, rel}
+    Definitions (binary): RR = 1/rank of the first relevant doc
+    ANYWHERE in the run — the full-run TREC definition, NOT capped at
+    k (0 only if no relevant doc is retrieved at any rank; r8 verdict
+    finding #4 — the previous implementation filtered to rank ≤ k
+    first, silently computing RR@k); DCG@k = Σ_{ranked ≤ k, rel}
     1/log2(rank+1); IDCG@k normalizes by the perfect ordering of
     min(n_rel, k) relevant docs; recall@k = hits@k / n_rel;
-    precision@k = hits@k / k. Queries with n_rel = 0 emit zeros (no
-    NULL poisoning of downstream averages).
+    precision@k = hits@k / k.
+
+    Robustness: qrels are deduplicated on (query, doc) and the run on
+    (query, doc) keeping the best (minimum) rank, so non-unique inputs
+    cannot double-count hits, DCG, or n_rel (r8 ADVICE).
 
     Scale shape: one broadcast-or-shuffle equi-join of the run against
     qrels on (query, doc), then a single groupBy(query) aggregation —
@@ -727,31 +737,36 @@ def ranking_metrics(
     query. Metrics round to 6 dp (oracle-stable).
     """
     q = F.col(query_col)
-    # per-query relevant-total (the recall denominator + IDCG length)
-    totals = (
+    # dedup both inputs: duplicate qrels rows fan out the join and
+    # double-count hits/DCG/n_rel; duplicate run rows double-count the
+    # same retrieval — keep the best rank per (query, doc)
+    qrels_pos = (
         qrels.where(F.col(rel_col) > 0)
-        .groupBy(query_col)
-        .agg(F.count("*").alias("n_rel"))
+        .select(query_col, doc_col)
+        .dropDuplicates([query_col, doc_col])
     )
-    joined = (
-        run.where(F.col(rank_col) <= k)
-        .join(
-            qrels.where(F.col(rel_col) > 0).select(query_col, doc_col)
-            .withColumn("_hit", F.lit(1)),
-            on=[query_col, doc_col],
-            how="left",
-        )
-        .withColumn("_hit", F.coalesce("_hit", F.lit(0)))
+    run_d = run.groupBy(query_col, doc_col).agg(
+        F.min(rank_col).alias(rank_col)
     )
+    # per-query relevant-total (the recall denominator + IDCG length)
+    totals = qrels_pos.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    # the UNFILTERED run joins qrels (full-run RR needs every rank);
+    # the @k metrics gate on rank inside the aggregate instead
+    joined = run_d.join(
+        qrels_pos.withColumn("_hit", F.lit(1)),
+        on=[query_col, doc_col],
+        how="left",
+    ).withColumn("_hit", F.coalesce("_hit", F.lit(0)))
     log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    at_k = F.col(rank_col) <= k
     per_q = joined.groupBy(query_col).agg(
-        F.sum("_hit").alias("hits"),
+        F.sum(F.when((F.col("_hit") == 1) & at_k, 1).otherwise(0)).alias("hits"),
         F.max(
             F.when(F.col("_hit") == 1, 1.0 / F.col(rank_col))
         ).alias("_rr_raw"),
         F.sum(
             F.when(
-                F.col("_hit") == 1,
+                (F.col("_hit") == 1) & at_k,
                 1.0 / log2(F.col(rank_col).cast("double") + 1.0),
             )
         ).alias("_dcg"),

@@ -19,6 +19,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -633,13 +635,104 @@ def _broadcast_pair_scores(
     ).where(F.col("score") >= threshold)
 
 
+def lsh_band_geometry(
+    threshold: float,
+    n: int,
+    anchor_n: int = 2048,
+    base_bands: int = 8,
+    base_rows: int = 2,
+    max_rows: int = 24,
+    max_bands: int = 32,
+    target_recall: float = 0.9,
+    cand_per_row: int = 2048,
+) -> tuple[int, int]:
+    """Derive (bands, rows_per_band) from (threshold, corpus size) so
+    the banded self-join's candidate count stays ~linear in n at ANY
+    scale — the r8 verdict's fix for the measured quadratic regime:
+    fixed shallow geometry (8 bands × 2 rows) kept candidate pairs
+    ∝ n² and BENCHNOTES §38 clocked `dedup_embedding_cosine` at 84×
+    cost for 10× data.
+
+    Derivation (pure function of (threshold, n) — deterministic, so a
+    SQL oracle can inline the identical plane literals for any corpus
+    whose size is known):
+
+    - rows_per_band deepens by 1 per doubling of n beyond ``anchor_n``.
+      For uncorrelated directions a random pair agrees with a ±1
+      hyperplane's sign with probability 1/2 (the isotropic prior —
+      measured on this corpus: 4M raw collisions at sf0.1 = 0.25
+      per-band rate at r=2, exactly 0.5²), so per-band collisions
+      ≈ C(n,2)·2⁻ʳ and each extra row cancels one doubling of n:
+      b·C(n,2)·2⁻ʳ stays O(n).
+    - bands then buy recall back at the derived depth via the standard
+      LSH union bound recall(θ) = 1-(1-p^r)^b, p = 1-arccos(θ)/π —
+      capped BOTH by ``max_bands`` and by the work budget
+      (``cand_per_row`` expected candidates per corpus row, the sf0.1
+      demo's observed rate), floored at ``base_bands``.
+
+    At the catalog's corpora this yields (8, 2) for n ≤ 2048 (sf0.01's
+    500 and sf0.1's 2000 vectors — the committed oracle geometry,
+    unchanged) and (12, 6) at the sf1 decade-up's 20k vectors, whose
+    expected candidate count is ~9× sf0.1's (vs the measured 84× at
+    pinned geometry). The honest LSH tradeoff stands: at mid-range
+    thresholds (θ≈0.45) deep bands cost recall (the union bound cannot
+    reach ``target_recall`` under the caps); the derivation maximizes
+    recall SUBJECT TO linear work, which is the only pick that
+    survives 100 TB. For moderate-similarity dedup at scale prefer
+    the cluster-scoped `semantic_pairs` (whose candidate work is
+    threshold-independent).
+    """
+    if n <= 0:
+        return base_bands, base_rows
+    extra = 0
+    if n > anchor_n:
+        extra = math.ceil(math.log2(n / anchor_n))
+    r = min(max_rows, base_rows + extra)
+    p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    pr = p**r
+    if 0.0 < pr < 1.0:
+        b_recall = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    else:
+        b_recall = base_bands
+    # expected random-pair collisions per band under the isotropic
+    # prior; bands the work budget can afford at ~cand_per_row·n total
+    exp_band = n * (n - 1) / 2.0 * 0.5**r
+    b_work = max(1, math.floor(cand_per_row * n / exp_band)) if exp_band >= 1 else max_bands
+    return max(base_bands, min(b_recall, b_work, max_bands)), r
+
+
+def semantic_cells(n: int, target_cell: int = 125, floor: int = 16) -> int:
+    """Derive the SemDeDup cell count from the corpus size: n_cells =
+    max(floor, ceil(n / target_cell)) keeps E[cell size] CONSTANT, so
+    within-cell exact-pair work Σ sz² ≈ n·target_cell grows linearly
+    with the corpus — the r8 verdict's fix for the pinned n_cells=16,
+    which BENCHNOTES §38 measured at 42× cost for 10× data (within-cell
+    pairs ∝ (n/cells)² when cells don't grow).
+
+    Cells ∝ n — not FAISS's ~√n rule — because that rule balances a
+    probe's two ANN cost terms (centroid ranking vs cell scan), while
+    SemDeDup's cost is the all-pairs scan WITHIN cells: only linear
+    cell growth keeps the pair count linear. ``target_cell`` = 125
+    reproduces the §38-measured linear dial exactly: 16 cells at
+    sf0.1's 2000 vectors (the committed demo operating point,
+    unchanged) and 160 cells at the sf1 decade-up's 20k (measured
+    33 s ≈ 9.5× ≈ linear vs 146 s at the pin). Recall behavior is
+    scale-stable by construction: constant cell size means the
+    fraction of true pairs split across cells doesn't drift with n
+    (the n_assign dial still buys it back).
+    """
+    if n <= 0:
+        return floor
+    return max(floor, math.ceil(n / target_cell))
+
+
 def cosine_pairs_lsh(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    bands: int = 8,
-    rows_per_band: int = 2,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     dim: int = 64,
     seed: int = 0x5EED,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
@@ -683,8 +776,13 @@ def cosine_pairs_lsh(
     on any sane profile. Set it to 0 to force the vector-join path
     (tests do exactly this to pin the strategy), or higher only after
     redoing that multiplication against the executor profile.
+
+    ``bands``/``rows_per_band`` default to None = DERIVED from
+    (threshold, corpus size) by `lsh_band_geometry`, the scale-safe
+    default (fixed shallow geometry measured quadratic at 10× data,
+    BENCHNOTES §38). Pass both explicitly to pin a regime (oracles and
+    regime tests do).
     """
-    planes = rademacher_planes(bands * rows_per_band, dim, seed)
     spark = corpus.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     base = corpus.repartition(parallelism).select(
@@ -694,6 +792,15 @@ def cosine_pairs_lsh(
         # candidate pair instead of three
         l2_norm(F.col(vec_col)).alias("norm"),
     ).localCheckpoint(eager=False)
+    # one count serves the geometry derivation AND the broadcast gate
+    # below (the checkpoint materializes once; re-counting is a cached
+    # scan)
+    n_vectors = base.count()
+    if bands is None or rows_per_band is None:
+        d_bands, d_rows = lsh_band_geometry(threshold, n_vectors)
+        bands = d_bands if bands is None else bands
+        rows_per_band = d_rows if rows_per_band is None else rows_per_band
+    planes = rademacher_planes(bands * rows_per_band, dim, seed)
 
     # candidate generation moves only (id, band, key) ints. All
     # bands·rows_per_band plane dots come from one Arrow-batched numpy
@@ -714,7 +821,6 @@ def cosine_pairs_lsh(
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
 
-    n_vectors = base.count()  # base is checkpointed: count is a cached scan
     if n_vectors * dim * 8 <= broadcast_max_bytes:
         # ---- broadcast-matrix scoring (small/medium corpus) ----------
         # Scoring is one gather+einsum per Arrow batch — cheaper than a
@@ -1086,7 +1192,7 @@ def semantic_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     sample_per_cell: int = 256,
     n_assign: int = 1,
@@ -1125,8 +1231,12 @@ def semantic_pairs(
     the ``broadcast_max_bytes`` memory math): corpora under the gate
     score by broadcast matrix + einsum with only pair ids shuffling,
     larger corpora hash-join vectors onto the distinct pair list.
-    `ivf_cell_stats` is the pre-flight dial: size n_cells ≈
-    n/target_cell before committing to a 100 TB pass.
+    ``n_cells=None`` (the default) derives exactly that dial from the
+    corpus: `semantic_cells` keeps E[cell size] constant (cells ∝ n),
+    so the pair count is linear at any scale — the fix for the pinned
+    n_cells=16 that BENCHNOTES §38 measured 42× at 10× data.
+    `ivf_cell_stats` remains the pre-flight audit before committing to
+    a 100 TB pass.
 
     ``index``: a prebuilt ``ivf_build_index`` / ``ivf_read_index``
     (inverted file, centroids) pair for the same corpus — pass it to
@@ -1141,7 +1251,21 @@ def semantic_pairs(
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
     if index is None:
-        index = ivf_build_index(corpus, id_col, vec_col, n_cells, sample_per_cell)
+        # n_cells=None derives the cell count from the corpus size
+        # (`semantic_cells`: cells ∝ n keeps within-cell pair work
+        # linear — the scale-safe default per BENCHNOTES §38). The one
+        # count is threaded into the build so the corpus isn't scanned
+        # twice.
+        if n_cells is None:
+            n = corpus.count()
+            index = ivf_build_index(
+                corpus, id_col, vec_col, semantic_cells(n), sample_per_cell,
+                _n=n,
+            )
+        else:
+            index = ivf_build_index(
+                corpus, id_col, vec_col, n_cells, sample_per_cell
+            )
     indexed, centroids = index
     spark = indexed.sparkSession
 
@@ -1233,7 +1357,7 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     threshold: float = 0.95,
     sample_per_cell: int = 256,
     n_assign: int = 1,

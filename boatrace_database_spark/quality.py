@@ -93,17 +93,91 @@ def ann_recalls(
     }
 
 
-def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    """Recall of the hash-blocked near-dup paths against exact n-gram
-    Jaccard (threshold 0.8 — the planted near-dup regime the pytest
-    suite asserts on)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    exact = {
+def _anchored_jaccard_truth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    n_anchors: int = 512,
+) -> tuple[set, set[tuple]]:
+    """Anchored exact n-gram-Jaccard ground truth (the document-side
+    twin of `_anchored_cosine_truth`): exact Jaccard of a deterministic
+    hash-picked anchor set vs EVERY document, via the same inverted
+    index `ngram_jaccard_pairs` uses but with one side filtered to
+    anchors — candidate work ∝ anchor shingles × document frequency,
+    linear in the corpus instead of all-pairs quadratic."""
+    anchor_ids = {
+        r.aid
+        for r in docs.select(
+            F.col(id_col).alias("aid"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit("recall-anchor")).alias("h"),
+        )
+        .orderBy("h", "aid")
+        .limit(n_anchors)
+        .collect()
+    }
+    sh = D.shingle_table(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    shs = sh.join(sizes, "id").withColumn(
+        "is_anchor", F.col("id").isin(*anchor_ids)
+    )
+    a = shs.where(F.col("is_anchor")).alias("a")
+    b = shs.alias("b")
+    eps = 1e-9
+    # each unordered pair counted exactly once: anchor-anchor pairs only
+    # on the a.id < b.id side; anchor-nonanchor pairs always with the
+    # anchor on the a side (same length-filter pruning as the full op)
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (
+                (F.col("a.id") < F.col("b.id"))
+                | ((F.col("a.id") > F.col("b.id")) & ~F.col("b.is_anchor"))
+            )
+            & (F.col("a.set_size") >= threshold * F.col("b.set_size") - eps)
+            & (F.col("b.set_size") >= threshold * F.col("a.set_size") - eps),
+        )
+        .groupBy(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = {
         (r.id_a, r.id_b)
-        for r in D.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.8
+        for r in inter.where(
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+            >= threshold - eps
         ).collect()
     }
+    return anchor_ids, truth
+
+
+def dedup_recalls(
+    spark: SparkSession, sf_dir: str, max_docs: int = 8192
+) -> dict[str, float]:
+    """Recall of the hash-blocked near-dup paths against exact n-gram
+    Jaccard (threshold 0.8 — the planted near-dup regime the pytest
+    suite asserts on). Under ``max_docs`` the truth is the full
+    all-pairs exact op; above it (sf1's 50k docs, where the exact
+    baseline's candidate joins exhausted workers — BENCHNOTES §38) an
+    anchored-sample truth, linear in corpus size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    anchored = docs.count() > max_docs
+    if anchored:
+        anchor_ids, exact = _anchored_jaccard_truth(docs)
+    else:
+        exact = {
+            (r.id_a, r.id_b)
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8
+            ).collect()
+        }
     if not exact:
         return {"minhash_lsh_recall": None, "simhash_recall": None}
     mh = {
@@ -116,6 +190,9 @@ def dedup_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         (r.id_a, r.id_b)
         for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()
     }
+    if anchored:
+        mh = {p for p in mh if p[0] in anchor_ids or p[1] in anchor_ids}
+        sh = {p for p in sh if p[0] in anchor_ids or p[1] in anchor_ids}
     return {
         "minhash_lsh_recall": round(len(exact & mh) / len(exact), 4),
         "simhash_recall": round(len(exact & sh) / len(exact), 4),
@@ -142,6 +219,100 @@ def _corpus_fingerprint(path: str):
         return (stt.st_mtime_ns, stt.st_size)
     except OSError:
         return None
+
+
+def _anchored_cosine_truth(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    n_anchors: int = 512,
+) -> tuple[set, set[tuple[int, int]]]:
+    """SAMPLED exact ground truth that survives any scale (r8 verdict
+    #3: the all-pairs baselines OOM'd at sf1 and the recall gate went
+    dark above the demo sf). A deterministic hash-picked anchor set
+    (smallest xxhash64(id, salt) — replayable, corpus-order-free) is
+    exact-scored against the WHOLE corpus in one distributed Arrow
+    pass: an (n_anchors × n) problem, linear in n, vs the n² matrix.
+
+    Returns (anchor_ids, truth_pairs) where truth_pairs is every
+    canonical (min, max) pair with cosine ≥ threshold touching ≥ 1
+    anchor — recall of any pair operator is then measured on the
+    anchor-touching subset of its output, an unbiased estimate of full
+    recall (anchors are hash-uniform, independent of the geometry any
+    operator buckets by)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors_pdf = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.xxhash64(F.col("vec_id").cast("string"), F.lit("recall-anchor")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_anchors)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    a_ids = anchors_pdf["vec_id"].to_numpy()
+    A = np.stack(anchors_pdf["embedding"].to_numpy()).astype(np.float64)
+    a_norm = np.linalg.norm(A, axis=1)
+    ok = a_norm != 0  # zero-norm policy: such vectors pair with nothing
+    a_ids, A, a_norm = a_ids[ok], A[ok], a_norm[ok]
+    An = A / a_norm[:, None]
+    bc = spark.sparkContext.broadcast((a_ids, An))
+
+    def score(batches):
+        import pandas as pd
+
+        ids_, An_ = bc.value
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            Mn = np.divide(M, nrm[:, None], out=np.zeros_like(M), where=nrm[:, None] != 0)
+            S = np.round(Mn @ An_.T, 4)  # same rounding as the exact path
+            ii, jj = np.nonzero(S >= threshold)
+            cid = pdf["vec_id"].to_numpy()[ii]
+            aid = ids_[jj]
+            keep = cid != aid
+            yield pd.DataFrame(
+                {
+                    "id_a": np.minimum(cid[keep], aid[keep]),
+                    "id_b": np.maximum(cid[keep], aid[keep]),
+                }
+            )
+
+    id_t = emb.schema["vec_id"].dataType.simpleString()
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in emb.select("vec_id", "embedding")
+        .mapInPandas(score, f"id_a {id_t}, id_b {id_t}")
+        .dropDuplicates()
+        .collect()
+    }
+    return set(a_ids.tolist()), pairs
+
+
+def _pair_recall_vs_truth(
+    approx: set[tuple], spark, sf_dir: str, threshold: float, max_vectors: int
+) -> tuple[float | None, str]:
+    """Recall of an approx pair set against exact truth, picking the
+    baseline by corpus size: full all-pairs truth under the gate (the
+    byte-comparable demo number), anchored-sample truth above it
+    (linear in n, so the quality dict survives ANY sf). Returns
+    (recall, baseline_tag)."""
+    exact = _exact_cosine_pairs(spark, sf_dir, threshold, max_vectors)
+    if exact is not None:
+        if not exact:
+            return None, "exact"
+        return round(len(exact & approx) / len(exact), 4), "exact"
+    anchor_ids, truth = _anchored_cosine_truth(spark, sf_dir, threshold)
+    if not truth:
+        return None, "anchored"
+    touching = {
+        p for p in approx if p[0] in anchor_ids or p[1] in anchor_ids
+    }
+    return round(len(truth & touching) / len(truth), 4), "anchored"
 
 
 def _exact_cosine_pairs(
@@ -186,39 +357,35 @@ def lsh_cosine_pairs_recall(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.45,
-    max_vectors: int = 20_000,
+    max_vectors: int = 4096,
 ) -> dict[str, float]:
-    """Recall of the banded `cosine_pairs_lsh` path against the shared
-    `_exact_cosine_pairs` ground truth."""
-    exact = _exact_cosine_pairs(spark, sf_dir, threshold, max_vectors)
-    if not exact:
-        return {"lsh_cosine_pairs_recall": None}
+    """Recall of the banded `cosine_pairs_lsh` path (derived geometry —
+    the catalog operating point) against exact truth: full all-pairs
+    under the size gate, anchored-sample above it (so the number exists
+    at any sf — r8 verdict #3)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     lsh = {
         (r.id_a, r.id_b)
         for r in SIM.cosine_pairs_lsh(emb, threshold=threshold).collect()
     }
-    return {
-        "lsh_cosine_pairs_recall": round(len(exact & lsh) / len(exact), 4)
-    }
+    recall, mode = _pair_recall_vs_truth(lsh, spark, sf_dir, threshold, max_vectors)
+    return {"lsh_cosine_pairs_recall": recall, "pair_recall_baseline": mode}
 
 
 def semantic_dedup_recall(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_assign: int = 3,
-    max_vectors: int = 20_000,
+    max_vectors: int = 4096,
 ) -> dict[str, float]:
     """Pair recall of cluster-scoped `semantic_pairs` (the catalog's
     semantic_dedup_assign operating point) vs the shared
     `_exact_cosine_pairs` ground truth. Precision is 1.0 by
     construction (within-cell scoring is exact), so recall is the one
-    number that moves with n_assign/n_cells."""
-    exact = _exact_cosine_pairs(spark, sf_dir, threshold, max_vectors)
-    if not exact:
-        return {"semantic_dedup_recall": None}
+    number that moves with n_assign/n_cells. Truth is full all-pairs
+    under the size gate, anchored-sample above it (r8 verdict #3)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     sem = {
         (r.id_a, r.id_b)
@@ -226,7 +393,8 @@ def semantic_dedup_recall(
             emb, threshold=threshold, n_cells=n_cells, n_assign=n_assign
         ).collect()
     }
-    return {"semantic_dedup_recall": round(len(exact & sem) / len(exact), 4)}
+    recall, _ = _pair_recall_vs_truth(sem, spark, sf_dir, threshold, max_vectors)
+    return {"semantic_dedup_recall": recall}
 
 
 def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:

@@ -30,49 +30,30 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 8: 141 queries, 127 oracle-backed.
+# lever. Catalog after round 9: 142 queries, 129 oracle-backed.
 #
-# Round-8 rotation. State after r7: every catalog query holds a driver
-# row (the r7 driver cleared the 34-row backlog); 48 rows are r7-green,
-# 2 are r7-RED (pack_materialize / embedding_project_jl — the driver's
-# pandas canonicalizer cannot sort ArrayType cells; both reshaped to
-# scalar/exploded output this round, see their docstrings), 50 rows are
-# r6-green, and 38 rows' newest record is r5. Tiering:
-#   tier 1 = the 2 reshaped r7-red queries (verifying the fix is the
-#            round's first job) + the 3 queries NEW in round 8
-#            (media_decode_roundtrip, decontaminate_semantic_flags,
-#            retrieval_eval_metrics);
-#   tier 2 = the 38 r5-stale rows (the staleness frontier) — with
-#            tier 1 that is 43 <= 50, so after r8 every catalog row
-#            is at most ~1 round old and the rotation reaches steady
-#            state;
-#   tier 3 = the 50 r6-green rows (2 rounds old at r8);
-#   tier 4 = the 48 r7-green rows (freshest).
+# Round-9 rotation. State after r8: nothing is red (41 green + 9
+# rows-only of the 50 checked; union across rounds 127 oracle-PASS +
+# 14 rows-only). Tiering:
+#   tier 1 = the round-9 NEW/CHANGED entries: media_decode_png (new
+#            query + oracle), ann_lsh_topk (rows-only → oracle-backed
+#            this round), dedup_embedding_cosine + semantic_dedup_assign
+#            (size-derived dials — identical results at sf0.01 by
+#            construction, but the driver must re-witness), and
+#            retrieval_eval_metrics (full-run RR + input dedup inside
+#            ranking_metrics; identical on this k-capped run);
+#   tier 2 = the 50 r6-green rows (3 rounds stale — the staleness
+#            frontier the r8 verdict's item #4 names);
+#   tier 3 = the r7-green rows (2 rounds old);
+#   tier 4 = the r8-refreshed rows (freshest).
+# tier 1 (5) + tier 2 (50) = 55 slightly exceeds the ~50-row budget;
+# the tail of tier 2 tops next round's frontier.
 _ORDER = [
-    # ---- tier 1: the 2 r7-red rows, reshaped to scalar output,
-    # plus the round-8 NEW queries (real-codec media decode, semantic
-    # decontamination, retrieval evaluation) ----
-    "pack_materialize", "embedding_project_jl",
-    "media_decode_roundtrip", "decontaminate_semantic_flags",
+    # ---- tier 1: round-9 new/changed ----
+    "media_decode_png", "ann_lsh_topk",
+    "dedup_embedding_cosine", "semantic_dedup_assign",
     "retrieval_eval_metrics",
-    # ---- tier 2: staleness frontier (newest driver row r5) ----
-    "null_battery", "union_distinct",
-    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
-    "token_count_battery", "dedup_cluster_assign",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
-    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
-    "mixture_resample_recipe", "pack_sequences_windows",
-    "training_data_pipeline", "split_train_eval",
-    "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
-    "dedup_embedding_cosine", "append_union", "sentinel_fill",
-    "regex_gate", "regex_extract", "concat_key",
-    # r5 rows-only ops (weakest driver record, refreshed last in tier)
-    "semantic_dedup_assign", "ann_lsh_topk", "ann_ivf_topk",
-    "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
-    "text_rolling_hash", "approx_distinct_quantile",
-    "freq_items_heavy_hitters",
-    # ---- tier 3: the 50 r6-green rows (2 rounds old) ----
+    # ---- tier 2: the 50 r6-green rows (3 rounds stale) ----
     "running_counter", "last_value_propagation", "stanza_lookahead",
     "date_range_explode", "full_select", "agg_features",
     "feature_assembly", "roi_simulation", "accuracy_metrics",
@@ -91,7 +72,7 @@ _ORDER = [
     "quality_topk_per_source", "dedup_fuzzy_edit",
     "dedup_incremental_batch", "scd2_user_state", "bm25_topk_docs",
     "repeated_substring_spans",
-    # ---- tier 4: the 48 r7-green rows (freshest) ----
+    # ---- tier 3: the r7-green rows (2 rounds old) ----
     "funnel_conversion", "funnel_windowed", "cohort_retention",
     "event_transitions", "attribution_last_touch", "pmi_collocations",
     "sample_group_reservoir", "sample_group_weighted",
@@ -119,6 +100,24 @@ _ORDER = [
     "multimodal_features", "asof_join_events", "flag_timing_features",
     "sessionize_gaps",
     "salted_skew_agg", "date_battery",
+    # ---- tier 4: the r8-refreshed rows (freshest) ----
+    "pack_materialize", "embedding_project_jl",
+    "media_decode_roundtrip", "decontaminate_semantic_flags",
+    "null_battery", "union_distinct",
+    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
+    "token_count_battery", "dedup_cluster_assign",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
+    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
+    "mixture_resample_recipe", "pack_sequences_windows",
+    "training_data_pipeline", "split_train_eval",
+    "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
+    "append_union", "sentinel_fill",
+    "regex_gate", "regex_extract", "concat_key",
+    "ann_ivf_topk",
+    "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
+    "text_rolling_hash", "approx_distinct_quantile",
+    "freq_items_heavy_hitters",
 ]
 
 if set(_ORDER) != set(_ALL_QUERIES):

@@ -1312,12 +1312,98 @@ FROM embeddings GROUP BY label ORDER BY label
 
 
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate NN via multi-table hyperplane LSH (no oracle;
-    recall vs brute force asserted in tests + surfaced in bench
-    quality — 0.96 at sf0.1 with the r5 multi-table/H2 defaults)."""
+    """Approximate NN via multi-table hyperplane LSH. Oracle-backed
+    since round 9 (r8 verdict #5 — previously rows-only): the ±1
+    Rademacher plane literals for all 4 tables are inlined into DuckDB
+    SQL (the ann_bucket_stats / dedup_embedding_cosine technique), the
+    Hamming-≤2 multiprobe masks are a VALUES list XOR'd against each
+    query's bucket key, and candidate-dedup + exact-cosine +
+    row_number ranking replicate the engine plan term by term — so the
+    driver hash now witnesses the FULL approximate search, not just a
+    row count. Recall vs brute force stays asserted in tests +
+    surfaced in bench quality (0.96 at sf0.1 with the r5
+    multi-table/H2 defaults)."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
     return SIM.lsh_ann_topk(e, queries, k=5, n_planes=6).orderBy("query_id", "rk")
+
+
+def _ann_lsh_topk_oracle_sql(
+    n_planes: int = 6,
+    n_tables: int = 4,
+    probe_hamming: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB twin of `lsh_ann_topk` at the catalog operating point:
+    identical plane stream (ANN_PLANE_SEED), identical table slicing,
+    identical multiprobe mask set, exact cosine on distinct candidate
+    pairs, same (score DESC, neighbor_id) tie-break."""
+    planes = SIM.rademacher_planes(
+        n_tables * n_planes, dim, SIM.ANN_PLANE_SEED
+    )
+
+    def lit_list(plane):
+        return "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
+
+    sels = []
+    for t in range(n_tables):
+        key = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {lit_list(planes[t * n_planes + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        sels.append(f"SELECT id, vec, {t} AS tbl, {key} AS bucket FROM c")
+    sig = "\nUNION ALL\n".join(sels)
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return f"""
+WITH c AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+sig AS (
+{sig}
+),
+masks(m) AS (VALUES {mask_rows}),
+probes AS (
+  SELECT id AS query_id, tbl, xor(bucket, m) AS bucket
+  FROM sig CROSS JOIN masks WHERE id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, s.id AS neighbor_id
+  FROM sig s JOIN probes p ON s.tbl = p.tbl AND s.bucket = p.bucket
+  WHERE s.id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(qc.vec, nc.vec)
+               / (sqrt(list_dot_product(qc.vec, qc.vec))
+                  * sqrt(list_dot_product(nc.vec, nc.vec))), 6) AS score
+  FROM cand
+  JOIN c qc ON qc.id = cand.query_id
+  JOIN c nc ON nc.id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= {k}
+ORDER BY query_id, rk
+"""
+
+
+ANN_LSH_TOPK_SQL = _ann_lsh_topk_oracle_sql()
 
 
 def ann_bucket_stats(spark, sf_dir):
@@ -1648,6 +1734,99 @@ FROM px GROUP BY doc_id ORDER BY media_id
 
 # --------------------------------------------------------------------------
 MEDIA_DECODE_SQL = _media_decode_oracle_sql()
+
+
+def media_decode_png(spark, sf_dir):
+    """REAL PNG decode, driver-checked (round 9 — closes r8 verdict
+    #6's last stubbed format): each document gets a deterministic 4x3
+    RGB PNG whose 36 pixel bytes are the closed form
+    ``(doc_id*11 + p*17) mod 256``, zlib-compressed by the native
+    pure-Python encoder inside an Arrow batch. The standard feature
+    columns come from the production path
+    (`multimodal.extract_features(use_stub=False)` → sniff → IHDR/IDAT
+    walk → filter reconstruction → pixel mean); a second Arrow pass
+    re-decodes the payload and emits a POSITION-WEIGHTED pixel sum
+    ``Σ (p+1)·v_p mod 2^31`` — order-sensitive, so a transposed,
+    flipped, or channel-swapped reconstruction breaks the hash even
+    when the plain mean survives. n_bytes/checksum are omitted by
+    design: they'd pin zlib's compressed byte stream, which no SQL
+    oracle can re-derive (the BMP twin `media_decode_roundtrip` covers
+    payload-byte checksumming; filters 1-4 and the chunk-walk edge
+    cases are pinned in tests/test_media_codecs.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                bytes(
+                    MC.encode_png(
+                        (
+                            (int(did) * 11 + np.arange(36) * 17) % 256
+                        ).astype(np.uint8).reshape(3, 4, 3)
+                    )
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/png", "source": s, "n_bytes": len(p)}
+                        for s, p in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA).localCheckpoint(
+        eager=False
+    )
+
+    def weighted(batches):
+        w = np.arange(36, dtype=np.int64) + 1
+        for pdf in batches:
+            sums = [
+                int(
+                    (w * MC.decode_png(bytes(p))["pixels"]
+                        .reshape(-1).astype(np.int64)).sum() % 2**31
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "weighted_sum": sums})
+
+    wdf = media.mapInPandas(weighted, "media_id long, weighted_sum long")
+    return (
+        M.extract_features(media, use_stub=False)
+        .select(
+            "media_id",
+            "mime",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("channels").cast("int").alias("channels"),
+            F.round("content_mean", 6).alias("content_mean"),
+        )
+        .join(wdf, on="media_id")
+        .orderBy("media_id")
+    )
+
+
+MEDIA_DECODE_PNG_SQL = """
+WITH px AS (
+  SELECT d.doc_id, p.p AS p, (d.doc_id * 11 + p.p * 17) % 256 AS v
+  FROM documents d, range(36) p(p)
+)
+SELECT doc_id AS media_id,
+       'image/png' AS mime,
+       4 AS width, 3 AS height, 3 AS channels,
+       round(sum(v) / 36.0, 6) AS content_mean,
+       CAST(sum((p + 1) * v) % 2147483648 AS BIGINT) AS weighted_sum
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
 
 
 def decontaminate_semantic_flags(spark, sf_dir):
@@ -2963,33 +3142,54 @@ def semantic_dedup_assign(spark, sf_dir):
     'moderate similarity' regime (its cosine mass tops out ~0.6 — same
     reason dedup_embedding_cosine demos at 0.45); n_assign=3
     multi-assignment buys recall ~0.9 vs exact ground truth on a
-    corpus with no real cluster structure (the hard case). No oracle —
-    the quantizer is a numpy Lloyd fit (rows-only driver check);
-    pytest measures pair recall, precision-1.0, and determinism
+    corpus with no real cluster structure (the hard case).
+
+    n_cells is DERIVED from the corpus size (`semantic_cells`: cells
+    ∝ n, constant E[cell size]) — the r8 verdict's fix for the pinned
+    n_cells=16 that BENCHNOTES §38 measured 42× at 10× data. The
+    derivation reproduces the demo dial exactly at sf≤0.1 (500 and
+    2000 vectors → 16 cells) and the §38-measured linear dial at the
+    sf1 decade-up (20k → 160 cells, 33 s ≈ 9.5×). No oracle — the
+    quantizer is a numpy Lloyd fit (rows-only driver check); pytest
+    measures pair recall, precision-1.0, and determinism
     (tests/test_llm_ops.py), quality.py surfaces the recall in
     BENCH."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(
-        e, n_cells=16, threshold=0.4, n_assign=3
-    ).orderBy("id")
+    return SIM.semantic_dedup(e, threshold=0.4, n_assign=3).orderBy("id")
 
 
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fourth dedup modality):
     hyperplane-LSH blocking + exact cosine on bucket collisions only —
     the self-join is a hash equi-join on (band, key), never a cartesian
-    product. The oracle replicates the identical ±1 plane literals and
-    banding, so both engines compute the same candidate set
-    deterministically. `cosine_pairs` (exact all-pairs) remains the
-    in-repo test baseline (tests/test_llm_ops.py measures recall)."""
+    product.
+
+    Band geometry is DERIVED from (threshold, corpus size) by
+    `lsh_band_geometry` — the r8 verdict's fix for the pinned shallow
+    8×2 banding that BENCHNOTES §38 measured 84× at 10× data. The
+    derivation is a pure function of a count, so it reproduces the
+    committed oracle geometry exactly at the oracle's scale (≤2048
+    vectors → 8 bands × 2 rows; `EMB_DEDUP_SQL` below inlines that
+    pair, and tests/test_llm_ops.py pins the equality against the real
+    sf0.01 corpus count) while the sf1 decade-up derives the deep-band
+    pruning regime (20k → 12 bands × 6 rows, expected candidates ~9×
+    sf0.1 instead of the measured 84×). The oracle replicates the
+    identical ±1 plane literals and banding, so both engines compute
+    the same candidate set deterministically. `cosine_pairs` (exact
+    all-pairs) remains the in-repo test baseline (tests/test_llm_ops.py
+    measures recall)."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs_lsh(
-        e, threshold=0.45, bands=8, rows_per_band=2, dim=64
-    ).orderBy("id_a", "id_b")
+    return SIM.cosine_pairs_lsh(e, threshold=0.45, dim=64).orderBy(
+        "id_a", "id_b"
+    )
 
 
+# the driver's oracle gate runs at sf0.01 (500 embedding rows);
+# lsh_band_geometry(0.45, 500) == (8, 2) == the committed literals
+# (equality pinned by tests/test_llm_ops.py against the live count)
+_EMB_B, _EMB_R = SIM.lsh_band_geometry(0.45, 500)
 EMB_DEDUP_SQL = SIM.cosine_pairs_lsh_oracle_sql(
-    threshold=0.45, bands=8, rows_per_band=2, dim=64
+    threshold=0.45, bands=_EMB_B, rows_per_band=_EMB_R, dim=64
 )
 
 
@@ -3112,6 +3312,7 @@ QUERIES = {
     "ivf_cell_stats": ivf_cell_stats,
     "multimodal_features": multimodal_features,
     "media_decode_roundtrip": media_decode_roundtrip,
+    "media_decode_png": media_decode_png,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "asof_join_events": asof_join_events,
@@ -3181,7 +3382,7 @@ ORACLES = {
     "sketch_price_quantiles": SKETCH_QUANTILE_SQL,
     "tfidf_related_docs": TFIDF_RELATED_SQL,
     "tfidf_top_terms_per_doc": TFIDF_TOP_TERMS_SQL,
-    "ann_lsh_topk": None,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": None,
     "ann_ivfpq_topk": None,
     "ann_bucket_stats": ANN_BUCKET_STATS_SQL,
@@ -3189,6 +3390,7 @@ ORACLES = {
     "ivf_cell_stats": None,
     "multimodal_features": MULTIMODAL_SQL,
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
+    "media_decode_png": MEDIA_DECODE_PNG_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
     "retrieval_eval_metrics": RETRIEVAL_EVAL_SQL,
     "asof_join_events": ASOF_SQL,

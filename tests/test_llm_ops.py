@@ -405,6 +405,46 @@ def test_ranking_metrics_hand_case(spark):
             r3.precision_at_k) == (1, 0, 0.0, 0.0, 0.0, 0.0)
 
 
+def test_ranking_metrics_full_run_rr_and_input_dedup(spark):
+    """Round-9 contract fixes (r8 verdict #7 / ADVICE): RR is the
+    full-run TREC definition — a relevant doc first appearing at rank
+    k+1 yields rr = 1/(k+1) while every @k metric excludes it; and
+    duplicate qrels / run rows cannot double-count."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    # q1: rel {a}; run ranks a at 4 with k=3 -> rr = 1/4, hits/dcg 0
+    # q2: rel {b} DUPLICATED in qrels; run holds b twice (ranks 2, 3)
+    #     -> n_rel 1, hits 1 (not 2/4), rr 1/2, dcg = 1/log2(3) once
+    # q3: qrels rows all rel=0 -> NO output row (undefined metrics)
+    # q4: present only in the run -> NO output row
+    run = spark.createDataFrame(
+        [("q1", "x", 1), ("q1", "y", 2), ("q1", "z", 3), ("q1", "a", 4),
+         ("q2", "p", 1), ("q2", "b", 2), ("q2", "b", 3),
+         ("q4", "w", 1)],
+        "query_id STRING, doc_id STRING, rk INT",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a", 1),
+         ("q2", "b", 1), ("q2", "b", 1),
+         ("q3", "n", 0)],
+        "query_id STRING, doc_id STRING, rel INT",
+    )
+    got = {r.query_id: r for r in R.ranking_metrics(run, qrels, k=3).collect()}
+    assert set(got) == {"q1", "q2"}
+    import math
+
+    r1 = got["q1"]
+    assert (r1.n_rel, r1.hits) == (1, 0)
+    assert r1.rr == pytest.approx(0.25)  # full-run RR, not RR@k's 0
+    assert (r1.ndcg_at_k, r1.recall_at_k, r1.precision_at_k) == (0.0, 0.0, 0.0)
+    r2 = got["q2"]
+    assert (r2.n_rel, r2.hits) == (1, 1)
+    assert r2.rr == pytest.approx(0.5)
+    dcg = 1 / (math.log(3) / math.log(2))
+    assert r2.ndcg_at_k == pytest.approx(round(dcg / 1.0, 6), abs=1e-6)
+    assert r2.recall_at_k == pytest.approx(1.0)
+
+
 def test_decontaminate_semantic_matches_numpy_exact(spark):
     """The broadcast-matrix scan must equal a direct numpy all-pairs
     max-cosine, flags included (round-8 operator)."""
@@ -2502,3 +2542,135 @@ def test_edit_distance_bucket_cap_is_lossy_and_documented(spark):
     capped = D.edit_distance_pairs(df, "id", "s", k=1, max_bucket=5).count()
     assert full == 45
     assert capped == 0
+
+
+# --------------------------------------------------------------------------
+# round-9: size-derived dials for the two r8-measured quadratic entries
+# (BENCHNOTES §38: pinned 8×2 banding 84×, pinned n_cells=16 42× at 10×
+# data). Both derivations are pure functions of a count, so the pins
+# below are exact.
+def test_lsh_band_geometry_anchors_and_linearity():
+    # the committed oracle geometry is preserved at every catalog scale
+    # the DuckDB gate runs (sf0.01: 500 vectors) and at the sf0.1 bench
+    # corpus (2000) — EMB_DEDUP_SQL's literals stay valid
+    assert SIM.lsh_band_geometry(0.45, 500) == (8, 2)
+    assert SIM.lsh_band_geometry(0.45, 2000) == (8, 2)
+    # the sf1 decade-up (20k) derives the deep-band pruning regime
+    b1, r1 = SIM.lsh_band_geometry(0.45, 20000)
+    assert r1 >= 5 and b1 <= 32
+    # rows deepen monotonically with n; expected random-pair candidate
+    # work stays ~linear (the §38 contract): per-row candidates under
+    # the isotropic prior never exceed the budget once past the anchor
+    prev_r = 0
+    for n in (2048, 10_000, 100_000, 1_000_000, 100_000_000):
+        b, r = SIM.lsh_band_geometry(0.45, n)
+        assert r >= prev_r
+        prev_r = r
+        exp_cand = b * n * (n - 1) / 2 * 0.5**r
+        assert exp_cand <= 2048 * n * 1.01, (n, b, r, exp_cand / n)
+    # determinism: same inputs, same output
+    assert SIM.lsh_band_geometry(0.45, 20000) == SIM.lsh_band_geometry(0.45, 20000)
+    # degenerate corpora fall back to the base geometry
+    assert SIM.lsh_band_geometry(0.45, 0) == (8, 2)
+    assert SIM.lsh_band_geometry(1.0, 100) == (8, 2)
+
+
+def test_lsh_band_geometry_matches_committed_oracle(spark):
+    """The catalog's EMB_DEDUP_SQL inlines plane literals for
+    lsh_band_geometry(0.45, 500); the driver's oracle gate runs at
+    sf0.01 — this pins the derived geometry against the LIVE corpus
+    count so the pairing cannot silently drift if testdata changes."""
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    from boatrace_database_spark.queries.llm import _EMB_B, _EMB_R
+
+    assert SIM.lsh_band_geometry(0.45, n) == (_EMB_B, _EMB_R)
+
+
+def test_cosine_pairs_lsh_derived_default_matches_explicit(spark):
+    """bands/rows_per_band = None derives (8, 2) at this corpus size,
+    so the derived-default call is row-identical to the pinned one."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    derived = {
+        (r.id_a, r.id_b, r.score)
+        for r in SIM.cosine_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    pinned = {
+        (r.id_a, r.id_b, r.score)
+        for r in SIM.cosine_pairs_lsh(
+            emb, threshold=0.45, bands=8, rows_per_band=2
+        ).collect()
+    }
+    assert derived == pinned
+
+
+def test_semantic_cells_anchors():
+    # demo scales keep the committed dial; the sf1 decade-up derives
+    # the §38-measured linear dial (160 cells at 20k → 33 s ≈ 9.5×)
+    assert SIM.semantic_cells(500) == 16
+    assert SIM.semantic_cells(2000) == 16
+    assert SIM.semantic_cells(20000) == 160
+    assert SIM.semantic_cells(0) == 16
+    # cells ∝ n: E[cell size] is constant, so Σ sz² (the within-cell
+    # pair work) grows linearly
+    for n in (10_000, 100_000, 10_000_000):
+        cells = SIM.semantic_cells(n)
+        assert abs(n / cells - 125) <= 125, (n, cells)
+    assert SIM.semantic_cells(10_000) <= SIM.semantic_cells(100_000)
+
+
+def test_semantic_pairs_derived_cells_match_explicit(spark):
+    """n_cells=None derives 16 at this corpus (2000-vector sf0.01 ...
+    500 vectors → floor 16), so the derived call reproduces the pinned
+    demo result exactly."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(
+        (r.id_a, r.id_b, r.cell, r.score)
+        for r in SIM.semantic_pairs(emb, threshold=0.4, n_assign=2).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cell, r.score)
+        for r in SIM.semantic_pairs(
+            emb, threshold=0.4, n_cells=16, n_assign=2
+        ).collect()
+    )
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# round-9: anchored (sampled) recall baselines — the quality gate's
+# scale path (r8 verdict #3: the all-pairs ground truths OOM'd at sf1
+# and BENCH_sf1_r08 carried no quality dict). The anchored truth must
+# be EXACTLY the full truth restricted to anchor-touching pairs, so the
+# sampled recall is an unbiased estimate of full recall.
+def test_anchored_cosine_truth_matches_restricted_full(spark):
+    from boatrace_database_spark import quality as Q
+
+    full = Q._exact_cosine_pairs(spark, SF, 0.45, 4096)
+    assert full, "demo corpus must contain pairs at the demo threshold"
+    # anchors ⊇ corpus -> anchored truth IS the full truth
+    _, t_all = Q._anchored_cosine_truth(spark, SF, 0.45, n_anchors=1000)
+    assert t_all == full
+    # a strict sample restricts exactly (deterministic hash pick)
+    aid, t = Q._anchored_cosine_truth(spark, SF, 0.45, n_anchors=64)
+    assert len(aid) == 64
+    assert t == {p for p in full if p[0] in aid or p[1] in aid}
+    aid2, t2 = Q._anchored_cosine_truth(spark, SF, 0.45, n_anchors=64)
+    assert (aid2, t2) == (aid, t)  # replayable
+
+
+def test_anchored_jaccard_truth_matches_restricted_full(spark):
+    from boatrace_database_spark import quality as Q
+    from boatrace_database_spark.operators import dedup as D2
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = {
+        (r.id_a, r.id_b)
+        for r in D2.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert full, "demo corpus must contain planted near-dups"
+    _, t_all = Q._anchored_jaccard_truth(docs, n_anchors=1000)
+    assert t_all == full
+    aid, t = Q._anchored_jaccard_truth(docs, n_anchors=64)
+    assert t == {p for p in full if p[0] in aid or p[1] in aid}

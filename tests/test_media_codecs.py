@@ -323,3 +323,220 @@ def test_sample_frames_real_wav_windows(spark):
     assert np.array_equal(got0, want[:32])
     got2 = np.frombuffer(bytes(frames[1].frame), dtype="<i2")
     assert np.array_equal(got2, want[64:96])
+
+
+# ---------------------------------------------------------------------------
+# round-9: PNG (critical-chunk subset, stdlib zlib — r8 verdict #6).
+# Decode is pinned three ways like the other codecs: a spec-literal
+# payload hand-assembled chunk by chunk, forward-filtered scanlines
+# built from the spec's filter definitions (covering all five filter
+# types against an independently-known image), and encode->decode
+# round-trips for all four supported color types.
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def test_decode_png_spec_literal_gray():
+    """2x2 8-bit grayscale, filter 0 rows, assembled by hand from the
+    spec (signature, IHDR fields big-endian, zlib IDAT, IEND)."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 10, 20]) + bytes([0, 30, 40])  # filter byte + row
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = mc.decode_png(payload)
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 1)
+    assert d["pixels"].tolist() == [[10, 20], [30, 40]]
+    # an ancillary chunk between IHDR and IDAT is skipped
+    payload2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"k\x00v")
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert mc.decode_png(payload2)["pixels"].tolist() == [[10, 20], [30, 40]]
+    # multiple IDAT chunks concatenate
+    z = zlib.compress(raw)
+    payload3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:5])
+        + _png_chunk(b"IDAT", z[5:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert mc.decode_png(payload3)["pixels"].tolist() == [[10, 20], [30, 40]]
+
+
+def _png_forward_filter(px: np.ndarray, ftypes: list[int]) -> bytes:
+    """FORWARD-filter scanlines per the spec's §6 definitions —
+    written independently of the decoder (subtraction direction, int
+    math from the spec text), so agreement is not circular."""
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        cur = flat[y]
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                filt[x] = cur[x]
+            elif f == 1:
+                filt[x] = cur[x] - a
+            elif f == 2:
+                filt[x] = cur[x] - b
+            elif f == 3:
+                filt[x] = cur[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = cur[x] - pred
+        out.append(f)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(out)
+
+
+def test_decode_png_all_filter_types():
+    """An RGB image whose five rows use filters 0,1,2,3,4 (forward-
+    filtered by the independent helper above) reconstructs exactly."""
+    import zlib
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    raw = _png_forward_filter(px, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = mc.decode_png(payload)
+    assert (d["pixels"] == px).all()
+
+
+@pytest.mark.parametrize("shape", [(3, 4), (3, 4, 2), (3, 4, 3), (3, 4, 4)])
+def test_png_roundtrip_all_color_types(shape):
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    d = mc.decode_png(mc.encode_png(px))
+    assert (d["pixels"] == px).all()
+    assert d["channels"] == (1 if len(shape) == 2 else shape[2])
+
+
+def test_png_golden_fixture():
+    png = _fixture("tiny.png")
+    assert hashlib.sha256(png).hexdigest()[:16] == "bebdd26c71debc0c"
+    d = mc.decode_png(png)
+    assert (d["pixels"] == _golden_pixels()).all()
+    assert mc.sniff_mime(png) == "image/png"
+    f = mc.decode_features(png)
+    assert (f["mime"], f["width"], f["height"], f["channels"]) == (
+        "image/png", 4, 3, 3,
+    )
+
+
+def test_decode_png_errors_are_loud():
+    import zlib
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        mc.decode_png(b"nope")
+    ihdr8 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 1, 2, 0, 3, 4])
+    # CRC flip
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr8)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # corrupt inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mc.decode_png(bytes(bad))
+    # unsupported variants name the limitation
+    for ihdr, msg in [
+        (struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0), "bit depth"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "color type"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1), "interlace"),
+    ]:
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match=msg):
+            mc.decode_png(payload)
+    # wrong inflated size (w*h mismatch)
+    ihdr_big = struct.pack(">IIBBBBB", 9, 9, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_big)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflated data"):
+        mc.decode_png(payload)
+    # missing IEND
+    with pytest.raises(ValueError, match="missing IHDR/IDAT/IEND"):
+        mc.decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr8)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+        )
+
+
+def test_decode_wav_malformed_payloads_raise_valueerror():
+    """r8 ADVICE: malformed fmt/data must hit the ValueError contract
+    the Pillow-fallback seam catches — not ZeroDivisionError or a raw
+    numpy reshape error."""
+    def wav(fmt_body: bytes, data: bytes) -> bytes:
+        return (
+            b"RIFF\x00\x00\x00\x00WAVE"
+            + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+
+    zero_rate = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    with pytest.raises(ValueError, match="bad fmt chunk"):
+        mc.decode_wav(wav(zero_rate, b"\x00\x00"))
+    zero_ch = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    with pytest.raises(ValueError, match="bad fmt chunk"):
+        mc.decode_wav(wav(zero_ch, b"\x00\x00"))
+    stereo = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    with pytest.raises(ValueError, match="whole number"):
+        mc.decode_wav(wav(stereo, b"\x00\x00"))  # 1 sample, 2 channels
+
+
+def test_split_ppm_stream_linear_offsets():
+    """The in-place header parse (r8 ADVICE: no b[i:] copy per frame)
+    still splits correctly, including frames with comments."""
+    f1 = b"P6\n2 1\n255\n" + bytes(6)
+    f2 = b"P6\n# note\n1 2\n255\n" + bytes(6)
+    frames = mc.split_ppm_stream(f1 + f2 + f1)
+    assert frames == [f1, f2, f1]
+    with pytest.raises(ValueError, match="truncated final frame"):
+        mc.split_ppm_stream(f1 + b"P6\n5 5\n255\n\x00")
