@@ -1904,12 +1904,78 @@ def rotation_matrix(dim: int, seed: int = 0x0501) -> "np.ndarray":
     return Q * np.sign(np.diag(R))
 
 
+def opq_train_rotation(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 256,
+    n_iters: int = 10,
+    train_n: int = 65536,
+    seed: int = 0x0501,
+    pq_iters: int = 8,
+) -> "np.ndarray":
+    """LEARNED rotation for PQ — OPQ non-parametric (Ge et al. 2013,
+    "Optimized Product Quantization", §4; FAISS's OPQMatrix), the
+    round-9 upgrade over `rotation_matrix`'s random draw (r8 verdict
+    #8): alternate (a) PQ codebook fit on the rotated sample with
+    (b) the orthogonal-Procrustes solve
+    ``min_R ||X·R − Ŷ||_F  s.t. RᵀR = I  ⇒  R = U·Vᵀ of svd(Xᵀ·Ŷ)``,
+    starting FROM the seeded random rotation — so the learned matrix
+    can only improve the quantization objective it descends, and on a
+    decaying-spectrum corpus it buys a further recall step over the
+    random rotation at identical probe cost (pinned by pytest:
+    ~0.69 → ~0.82 ADC recall at S=8/K=64 on the §39 fixture).
+
+    Deterministic end to end: the bounded xxhash64-ordered training
+    sample, the seeded QR init, and the seeded per-subspace Lloyd fits
+    make the returned (dim × dim) orthonormal matrix a pure function
+    of (corpus bytes, params). Training is driver-side numpy on
+    ≤ ``train_n`` rows — the `pq_train` scale argument: codebooks (and
+    the rotation aligning them) need the broad distribution, not a
+    full-corpus fit. Apply via ``rotate_embeddings(df, matrix=R)`` to
+    corpus AND queries; composes with `ivfpq_build_index`/`ivfpq_probe`
+    exactly like the random rotation (no index-state change).
+    """
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("opq_train_rotation: corpus is empty")
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    pdf = _bounded_training_sample(base, n, train_n)
+    X = np.stack(pdf["cvec"].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"opq_train_rotation: dim {dim} not divisible by "
+            f"n_subspaces {n_subspaces}"
+        )
+    dsub = dim // n_subspaces
+    R = rotation_matrix(dim, seed)
+    for _ in range(n_iters):
+        Y = X @ R
+        # (a) PQ fit + reconstruct on the current rotation (same
+        # seeded Lloyd as pq_train, modest per-iter budget)
+        Yhat = np.empty_like(Y)
+        for s in range(n_subspaces):
+            Ys = Y[:, s * dsub : (s + 1) * dsub]
+            Cs = _lloyd_kmeans(Ys, min(n_codes, len(Ys)), iters=pq_iters, seed=7 + s)
+            d = -2.0 * (Ys @ Cs.T) + np.einsum("ij,ij->i", Cs, Cs)
+            Yhat[:, s * dsub : (s + 1) * dsub] = Cs[d.argmin(axis=1)]
+        # (b) orthogonal Procrustes toward the reconstruction
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+    return R
+
+
 def rotate_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 0x0501,
     out_col: str | None = None,
+    matrix: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Random-rotation pre-transform for PQ — FAISS's "RR" / OPQ-lite:
     real embedding spectra decay, so a CONTIGUOUS subspace split hands
@@ -1930,9 +1996,21 @@ def rotate_embeddings(
     One Arrow-batched matmul per batch against the broadcast (dim ×
     dim) matrix — at 768-dim that is a 4.7 MB broadcast and a
     BLAS-bound scan, the same cost class as a projection.
+
+    ``matrix``: an explicit orthonormal rotation to apply instead of
+    the seeded random draw — the seam `opq_train_rotation`'s LEARNED
+    matrix plugs into (round 9), keeping the composable contract
+    identical for random and optimized rotations.
     """
     spark = df.sparkSession
-    Q = rotation_matrix(dim, seed)
+    if matrix is not None:
+        Q = np.asarray(matrix, dtype=np.float64)
+        if Q.ndim != 2 or Q.shape[0] != Q.shape[1]:
+            raise ValueError(
+                f"rotate_embeddings: matrix must be square, got {Q.shape}"
+            )
+    else:
+        Q = rotation_matrix(dim, seed)
     bc = spark.sparkContext.broadcast(Q)
 
     @F.pandas_udf("array<double>")

@@ -1730,7 +1730,12 @@ def stream_token_budget(
     (``corpus._hash32``'s docstring names that pattern), so the parity
     contract extends to string ids: stream(string id) ==
     batch(surrogate id) under hash-ordered arrival. The emitted ``id``
-    column keeps the caller's type either way.
+    column keeps the caller's type either way. Collision caveat: two
+    string ids sharing an xxhash64 value are indistinguishable to the
+    surrogate-key batch twin (one surrogate, two rows), so exact
+    parity is undefined there; the stream itself stays deterministic —
+    the raw id is the final ordering tie-break (astronomically rare:
+    ~n²/2⁶⁵ expected collisions).
     """
     import re
 
@@ -1781,8 +1786,20 @@ def stream_token_budget(
         consumed = state.get[0] if state.exists else 0
         budget = budgets.get(key[0], default_budget)
         batch = pd.concat(list(pdfs))
+        # final tie-break = the RAW id (string-safe), so two string ids
+        # colliding on xxhash64 still get a deterministic relative
+        # admission order instead of falling back to arrival order
+        # (r8 ADVICE). Integral ids never reach it (ord_id == id); a
+        # batch twin run on the surrogate key cannot distinguish such
+        # a collision at all (two rows, one surrogate), so this makes
+        # the stream strictly MORE deterministic than the parity
+        # baseline, never different from it.
         order = np.lexsort(
-            (batch["ord_id"].to_numpy(), _h32(batch["ord_id"].to_numpy()))
+            (
+                batch["id"].astype(str).to_numpy(),
+                batch["ord_id"].to_numpy(),
+                _h32(batch["ord_id"].to_numpy()),
+            )
         )
         out = []
         for idx in order:

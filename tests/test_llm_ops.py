@@ -2229,6 +2229,60 @@ def test_rotation_lifts_pq_recall_on_decaying_spectrum(spark):
     assert r_rot > r_raw + 0.1, f"rotated {r_rot:.3f} vs raw {r_raw:.3f}"
 
 
+def test_opq_learned_rotation_beats_random(spark):
+    """Round-9 OPQ proper (r8 verdict #8): the learned rotation
+    (alternating PQ-fit / orthogonal Procrustes, seeded random init)
+    must beat the RANDOM rotation on the same decaying-spectrum corpus
+    at the same harsh PQ operating point — plus the contracts: the
+    matrix is orthonormal, deterministic, and descends the
+    quantization objective it optimizes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n, dim = 800, 64
+    X = rng.normal(size=(n, dim)) * np.exp(-np.arange(dim) / 8.0)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    R = SIM.opq_train_rotation(emb, n_subspaces=8, n_codes=64)
+    # orthonormal + deterministic
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-8)
+    assert np.array_equal(R, SIM.opq_train_rotation(emb, n_subspaces=8, n_codes=64))
+    R0 = SIM.rotation_matrix(dim)
+
+    # quantization MSE: learned must descend below the random init it
+    # started from (measured ~2x lower on this fixture)
+    def mse(Rm):
+        Y = X @ Rm
+        dsub = dim // 8
+        err = 0.0
+        for s in range(8):
+            Ys = Y[:, s * dsub : (s + 1) * dsub]
+            Cs = SIM._lloyd_kmeans(Ys, 64, iters=8, seed=7 + s)
+            d = -2.0 * (Ys @ Cs.T) + np.einsum("ij,ij->i", Cs, Cs)
+            err += ((Ys - Cs[d.argmin(axis=1)]) ** 2).sum()
+        return err / Y.size
+
+    assert mse(R) < mse(R0) * 0.8, (mse(R), mse(R0))
+
+    # engine-path recall at the same 8-byte/vector budget: rotate ->
+    # ivfpq -> probe; exact truth is rotation-invariant
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+
+    def run(Rm):
+        rot = SIM.rotate_embeddings(emb, matrix=Rm).localCheckpoint(eager=True)
+        q = rot.where(F.col("vec_id") < 10)
+        return SIM.ivfpq_topk(
+            rot, q, k=10, n_cells=16, n_subspaces=8, n_codes=64, nprobe=8
+        ).collect()
+
+    r_rand = _recall_of(exact, run(R0))
+    r_opq = _recall_of(exact, run(R))
+    assert r_opq > r_rand + 0.03, f"opq {r_opq:.3f} vs random {r_rand:.3f}"
+
+
 def test_ivfpq_add_to_index_equals_full_encode(spark):
     """Incremental maintenance contract (round 8): building on half
     the corpus and appending the other half must produce EXACTLY the
