@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 9: 142 queries, 129 oracle-backed.
+# lever. Catalog after round 9: 142 queries, 130 oracle-backed.
 #
 # Round-9 rotation. State after r8: nothing is red (41 green + 9
 # rows-only of the 50 checked; union across rounds 127 oracle-PASS +
@@ -50,7 +50,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 # the tail of tier 2 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-9 new/changed ----
-    "media_decode_png", "ann_lsh_topk",
+    "media_decode_png", "ann_lsh_topk", "text_rolling_hash",
     "dedup_embedding_cosine", "semantic_dedup_assign",
     "retrieval_eval_metrics",
     # ---- tier 2: the 50 r6-green rows (3 rounds stale) ----
@@ -116,7 +116,7 @@ _ORDER = [
     "regex_gate", "regex_extract", "concat_key",
     "ann_ivf_topk",
     "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
-    "text_rolling_hash", "approx_distinct_quantile",
+    "approx_distinct_quantile",
     "freq_items_heavy_hitters",
 ]
 

@@ -715,12 +715,27 @@ LIMIT 25
 
 def text_rolling_hash(spark, sf_dir):
     """Character-level polynomial rolling hash (document fingerprinting
-    via higher-order fold — no oracle; validated in unit tests against
-    a Python reimplementation)."""
+    via higher-order fold). Oracle-backed since round 9: the hash is
+    pure BIGINT arithmetic (h = Σ ascii(c_i)·31^i mod 1e9+7), so DuckDB
+    recomputes it exactly via a reversed-Horner list_reduce —
+    fold(reverse(codes), (a, c) → a·31 + c mod M) ≡ Σ c_i·31^i. Also
+    validated in unit tests against a Python reimplementation."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", TX.rolling_hash(F.col("text")).alias("rhash")
     ).orderBy("doc_id")
+
+
+ROLLING_HASH_SQL = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_reverse(list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)))),
+    (a, b) -> (a * 31 + b) % 1000000007
+  ) AS rhash
+FROM documents ORDER BY doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3367,7 +3382,7 @@ ORACLES = {
     "lm_quality_score": LM_QUALITY_SQL,
     "ngram_topk": NGRAM_TOPK_SQL,
     "pmi_collocations": PMI_SQL,
-    "text_rolling_hash": None,
+    "text_rolling_hash": ROLLING_HASH_SQL,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
