@@ -8,6 +8,14 @@ counterpart — lived only in pytest. This module computes the same
 numbers (same parameters as tests/test_llm_ops.py) so bench.py can
 emit them in its JSON line and the driver's artifacts show what pytest
 asserts.
+
+Scale path (round 9): above a size gate the exact all-pairs ground
+truths switch to ANCHORED truths — a deterministic hash-picked anchor
+set exact-scored against the whole corpus (linear in n), with recall
+measured on the anchor-touching subset of the operator's output. The
+quality dict reports which baseline ran (`pair_recall_baseline`).
+pytest pins anchored == full truth restricted to anchors, so the
+sampled recall is an unbiased estimate of the full one.
 """
 
 from __future__ import annotations
@@ -203,7 +211,9 @@ def dedup_recalls(
 #: SAME n² matmul instead of each re-reading, re-collecting, and
 #: re-multiplying the corpus (the most expensive driver-side step of
 #: quality_metrics, done once not twice). Single-entry by design: the
-#: matrix can reach ~3.2 GB at the 20k gate, so a per-key dict would
+#: matrix reaches ~134 MB at the 4096-vector gate (round 9 lowered it
+#: from 20k — the 3.2 GB matrix there is what §38 OOM'd on; larger
+#: corpora take the anchored path), so a per-key dict would
 #: pin one per (sf_dir, max_vectors) forever. The key includes the
 #: parquet's (mtime, size) fingerprint so a regenerated
 #: embeddings.parquet in the same process can never serve a stale
