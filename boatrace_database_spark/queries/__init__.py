@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 9: 142 queries, 130 oracle-backed.
+# lever. Catalog after round 9: 143 queries, 131 oracle-backed.
 #
 # Round-9 rotation. State after r8: nothing is red (41 green + 9
 # rows-only of the 50 checked; union across rounds 127 oracle-PASS +
@@ -51,6 +51,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 _ORDER = [
     # ---- tier 1: round-9 new/changed ----
     "media_decode_png", "ann_lsh_topk", "text_rolling_hash",
+    "rotation_invariant_topk",
     "dedup_embedding_cosine", "semantic_dedup_assign",
     "retrieval_eval_metrics",
     # ---- tier 2: the 50 r6-green rows (3 rounds stale) ----

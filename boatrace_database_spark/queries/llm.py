@@ -765,6 +765,25 @@ SELECT query_id, neighbor_id, score, rk FROM (
 """
 
 
+def rotation_invariant_topk(spark, sf_dir):
+    """Driver-checked witness of the rotation contract (round 9): the
+    exact cosine top-5 computed over ROTATED embeddings — the seeded
+    orthonormal rotation (`rotate_embeddings`) applied to corpus and
+    queries inside the plan — with the RAW-space SQL as its oracle
+    (same statement as `embedding_cosine_topk`). A hash match proves
+    the rotation preserves norms, cosines, rankings, and 6-dp scores
+    end-to-end through the Arrow matmul: the invariance the PQ
+    pre-transform (random or learned OPQ) relies on, witnessed by the
+    driver instead of only pytest. Rotation FP noise is ~1e-13
+    relative; scores round at 6 dp before ranking on both sides, so
+    the comparison is exact on this corpus (pytest asserts the
+    rotated == raw equality row-for-row as well)."""
+    e = _t(spark, sf_dir, "embeddings")
+    rot = SIM.rotate_embeddings(e)
+    queries = rot.where(F.col("vec_id") < 5)
+    return SIM.cosine_topk(rot, queries, k=5).orderBy("query_id", "rk")
+
+
 def retrieval_eval_metrics(spark, sf_dir):
     """IR/ANN evaluation as a first-class operator (round 8): the
     exact cosine top-10 run for the first 20 query vectors is scored
@@ -3306,6 +3325,7 @@ QUERIES = {
     "pmi_collocations": pmi_collocations,
     "text_rolling_hash": text_rolling_hash,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "rotation_invariant_topk": rotation_invariant_topk,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_norm_stats": embedding_norm_stats,
     "bm25_topk_docs": bm25_topk_docs,
@@ -3384,6 +3404,9 @@ ORACLES = {
     "pmi_collocations": PMI_SQL,
     "text_rolling_hash": ROLLING_HASH_SQL,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
+    # rotation witness: the oracle IS the raw-space search — hash match
+    # proves the orthonormal pre-transform changes nothing
+    "rotation_invariant_topk": COSINE_TOPK_SQL,
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,
