@@ -35,19 +35,21 @@ for mod in (relational, analytics, advanced, llm, domain):
 # Round-9 rotation. State after r8: nothing is red (41 green + 9
 # rows-only of the 50 checked; union across rounds 127 oracle-PASS +
 # 14 rows-only). Tiering:
-#   tier 1 = the round-9 NEW/CHANGED entries: media_decode_png (new
-#            query + oracle), ann_lsh_topk (rows-only → oracle-backed
-#            this round), dedup_embedding_cosine + semantic_dedup_assign
-#            (size-derived dials — identical results at sf0.01 by
-#            construction, but the driver must re-witness), and
-#            retrieval_eval_metrics (full-run RR + input dedup inside
-#            ranking_metrics; identical on this k-capped run);
+#   tier 1 = the round-9 NEW/CHANGED entries: media_decode_png and
+#            rotation_invariant_topk (new queries + oracles),
+#            ann_lsh_topk + text_rolling_hash (rows-only →
+#            oracle-backed this round), dedup_embedding_cosine +
+#            semantic_dedup_assign (size-derived dials — identical
+#            results at sf0.01 by construction, but the driver must
+#            re-witness), and retrieval_eval_metrics (full-run RR +
+#            input dedup inside ranking_metrics; identical on this
+#            k-capped run);
 #   tier 2 = the 50 r6-green rows (3 rounds stale — the staleness
 #            frontier the r8 verdict's item #4 names);
 #   tier 3 = the r7-green rows (2 rounds old);
 #   tier 4 = the r8-refreshed rows (freshest).
-# tier 1 (5) + tier 2 (50) = 55 slightly exceeds the ~50-row budget;
-# the tail of tier 2 tops next round's frontier.
+# tier 1 (7) + tier 2 (50) = 57 exceeds the ~50-row budget;
+# the ~7-row tail of tier 2 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-9 new/changed ----
     "media_decode_png", "ann_lsh_topk", "text_rolling_hash",
