@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 9: 143 queries, 131 oracle-backed.
+# lever. Catalog after round 9: 143 queries, 132 oracle-backed.
 #
 # Round-9 rotation. State after r8: nothing is red (41 green + 9
 # rows-only of the 50 checked; union across rounds 127 oracle-PASS +
@@ -48,12 +48,12 @@ for mod in (relational, analytics, advanced, llm, domain):
 #            frontier the r8 verdict's item #4 names);
 #   tier 3 = the r7-green rows (2 rounds old);
 #   tier 4 = the r8-refreshed rows (freshest).
-# tier 1 (7) + tier 2 (50) = 57 exceeds the ~50-row budget;
-# the ~7-row tail of tier 2 tops next round's frontier.
+# tier 1 (8) + tier 2 (50) = 58 exceeds the ~50-row budget;
+# the ~8-row tail of tier 2 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-9 new/changed ----
     "media_decode_png", "ann_lsh_topk", "text_rolling_hash",
-    "rotation_invariant_topk",
+    "rotation_invariant_topk", "retrieval_mmr_diversified",
     "dedup_embedding_cosine", "semantic_dedup_assign",
     "retrieval_eval_metrics",
     # ---- tier 2: the 50 r6-green rows (3 rounds stale) ----
@@ -82,7 +82,6 @@ _ORDER = [
     "tfidf_related_docs", "tfidf_top_terms_per_doc",
     "retrieval_rrf_fusion", "retrieval_hard_negatives",
     "bm25_index_stats",
-    "retrieval_mmr_diversified",
     "sketch_freq_sources", "sketch_price_quantiles",
     "strip_repeated_spans", "dedup_incremental_bloom",
     "dedup_best_quality",

@@ -1171,9 +1171,18 @@ def retrieval_mmr_diversified(spark, sf_dir):
     top-10 re-ranked by Maximal Marginal Relevance at lam=0.7, with
     doc-doc redundancy from ALL-PAIRS tf-idf cosine among just the
     ≤50 candidate docs (a broadcast semi-join subcorpus — the sims
-    cost lives where the candidates are, never corpus-wide). No SQL
-    oracle: greedy MMR is inherently iterative; the objective
-    arithmetic and lam endpoints are pytest-pinned instead."""
+    cost lives where the candidates are, never corpus-wide).
+
+    Oracle-backed since round 9 via the UNROLLED greedy
+    (`_mmr_oracle_sql`: k static argmax steps over the proven BM25 +
+    subcorpus-tf-idf CTEs) — the driver hash witnesses the full greedy
+    SELECTION (query_id, doc_id, rk). The `mmr` objective value is
+    deliberately NOT in the compared output: obj = 0.7·rel with rel a
+    6-dp decimal lands on EXACT decimal halves at the 7th digit for
+    ~10% of rows, where numpy's and DuckDB's round() take
+    implementation-defined tie sides (observed: 6.4471805 → 6.44718
+    vs 6.447181) — the objective arithmetic and lam endpoints stay
+    pytest-pinned (test_llm_ops), the selection is the contract."""
     d = _t(spark, sf_dir, "documents")
     q = d.where(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
@@ -1186,9 +1195,127 @@ def retrieval_mmr_diversified(spark, sf_dir):
         F.col("other_id").alias("id_b"),
         F.col("cosine").alias("sim"),
     )
-    return R.mmr_rerank(ranked, sims, k=5, lam=0.7).orderBy(
-        "query_id", "rk"
+    return (
+        R.mmr_rerank(ranked, sims, k=5, lam=0.7)
+        .select("query_id", "doc_id", "rk")
+        .orderBy("query_id", "rk")
     )
+
+
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7) -> str:
+    """DuckDB twin of `retrieval_mmr_diversified` — the greedy MMR
+    loop UNROLLED into k static steps (round 9: promotes the last
+    'inherently iterative, no oracle' retrieval entry to
+    oracle-backed). Construction:
+
+    - relevance = the proven `_BM25_CTE` top-10 (identical tokenizer,
+      idf, rounding — hash-matched since r6 via bm25_topk_docs);
+    - redundancy = tf-idf bigram cosine computed over the CANDIDATE
+      SUBCORPUS exactly like the engine (n_docs/df from the ≤50
+      candidate docs, ubiquitous-term drop, L2-normalized weights,
+      6-dp rounding — the TFIDF_RELATED_SQL conventions);
+    - step t: among unpicked candidates, argmax of
+      lam·rel − (1−lam)·max(sim to picked), ties to low doc_id —
+      float64 arithmetic on identically-rounded inputs is
+      IEEE-deterministic, so DuckDB's argmax equals numpy's. The
+      (1−lam) coefficient is emitted at FULL float64 repr
+      (0.30000000000000004, not 0.3): the engine computes it in
+      Python floats, and the last-ulp difference flipped two 6-dp
+      roundings at sf0.001 before this was pinned.
+
+    k is tiny by construction (the searches capped the candidates),
+    so unrolling is exact, not an approximation."""
+    steps = []
+    prev_picked = None
+    for t in range(1, k + 1):
+        if t == 1:
+            steps.append(f"""
+s1 AS MATERIALIZED (
+  SELECT query_id, doc_id, {lam} * score AS obj FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * score DESC, doc_id) AS rn
+    FROM ranked
+  ) WHERE rn = 1
+),
+p1 AS MATERIALIZED (SELECT query_id, doc_id FROM s1)""")
+            prev_picked = "p1"
+            continue
+        steps.append(f"""
+s{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, obj FROM (
+    SELECT r.query_id, r.doc_id,
+           {lam} * r.score - {1 - lam!r} * COALESCE(mx.red, 0) AS obj,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY {lam} * r.score - {1 - lam!r} * COALESCE(mx.red, 0) DESC,
+                      r.doc_id) AS rn
+    FROM ranked r
+    LEFT JOIN (
+      SELECT r2.query_id, r2.doc_id, max(ss.sim) AS red
+      FROM ranked r2
+      JOIN {prev_picked} p ON p.query_id = r2.query_id
+      JOIN ssym ss ON ss.id_a = r2.doc_id AND ss.id_b = p.doc_id
+      GROUP BY 1, 2
+    ) mx ON mx.query_id = r.query_id AND mx.doc_id = r.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev_picked} p
+                      WHERE p.query_id = r.query_id
+                        AND p.doc_id = r.doc_id)
+  ) WHERE rn = 1
+),
+p{t} AS MATERIALIZED (SELECT query_id, doc_id FROM {prev_picked}
+         UNION ALL SELECT query_id, doc_id FROM s{t})""")
+        prev_picked = f"p{t}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, {t} AS rk FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return (
+        "WITH " + _BM25_CTE + f""",
+ranked AS MATERIALIZED (SELECT query_id, doc_id, score FROM bm25_rk WHERE rk <= 10),
+cand_ids AS (SELECT DISTINCT doc_id FROM ranked),
+stoks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+           t -> t <> ''
+         ) AS toks
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM cand_ids)
+),
+sgrams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS term
+  FROM stoks, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+),
+stf AS (SELECT doc_id, term, count(*) AS tf FROM sgrams GROUP BY 1, 2),
+sn AS (SELECT count(*) AS n_docs FROM cand_ids),
+sdft AS (SELECT term, count(*) AS df FROM stf GROUP BY 1),
+sw AS (
+  SELECT stf.doc_id, stf.term, stf.tf * ln(sn.n_docs / sdft.df) AS w
+  FROM stf JOIN sdft USING (term) CROSS JOIN sn
+  WHERE sdft.df < sn.n_docs
+),
+snrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM sw GROUP BY 1),
+swn AS (SELECT sw.doc_id, sw.term, sw.w / snrm.nrm AS wn
+        FROM sw JOIN snrm USING (doc_id)),
+spairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(sum(a.wn * b.wn), 6) AS sim
+  FROM swn a JOIN swn b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ssym AS MATERIALIZED (
+  SELECT id_a, id_b, sim FROM spairs
+  UNION ALL
+  SELECT id_b, id_a, sim FROM spairs
+),{",".join(steps)}
+SELECT query_id, doc_id, rk FROM (
+{union}
+) ORDER BY query_id, rk
+"""
+    )
+
+
+MMR_DIVERSIFIED_SQL = _mmr_oracle_sql()
 
 
 def tfidf_top_terms_per_doc(spark, sf_dir):
@@ -3413,7 +3540,7 @@ ORACLES = {
     "bm25_index_stats": BM25_INDEX_STATS_SQL,
     "retrieval_rrf_fusion": RRF_FUSION_SQL,
     "retrieval_hard_negatives": HARD_NEGATIVES_SQL,
-    "retrieval_mmr_diversified": None,
+    "retrieval_mmr_diversified": MMR_DIVERSIFIED_SQL,
     "bpe_token_count": None,
     "sketch_distinct_users": SKETCH_DISTINCT_SQL,
     "sketch_freq_sources": SKETCH_FREQ_SQL,
