@@ -770,10 +770,35 @@ def simhash_pairs(
     grows with per-bucket occupancy squared — in check, trading away
     the pigeonhole guarantee for distances >= 4.
     """
+    sig = simhash_table(df, id_col, text_col, shingle_n, bits)
+    return hamming_pairs_banded(
+        sig, "id", "sim", max_hamming, max_bucket, bits, chunk_bits
+    )
+
+
+def hamming_pairs_banded(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sim",
+    max_hamming: int = 8,
+    max_bucket: int = 256,
+    bits: int = 64,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Generic banded Hamming join over any integer-signature table —
+    the blocking core of `simhash_pairs`, factored out (round 9) so
+    other fixed-width fingerprints (perceptual image dHash in
+    `multimodal.dhash_media`) reuse the identical scale shape:
+    bits/chunk_bits exploded chunk keys, capped buckets, equi-join on
+    (chunk, key), exact bit_count(xor) filter BEFORE the pair-dedup
+    shuffle. Pigeonhole completeness: a pair within Hamming distance
+    < n_chunks shares at least one chunk exactly, so results with
+    ``max_hamming < bits/chunk_bits`` EQUAL the all-pairs brute force
+    (what lets a SQL oracle verify the banded plan)."""
     n_chunks = bits // chunk_bits
     chunk_mask = (1 << chunk_bits) - 1
-    sig = simhash_table(df, id_col, text_col, shingle_n, bits)
-    chunked = sig.select(
+    base = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
+    chunked = base.select(
         "id",
         "sim",
         F.explode(

@@ -436,6 +436,22 @@ def resize_nearest(pixels: "np.ndarray", width: int, height: int) -> "np.ndarray
     return src[ys][:, xs]
 
 
+def decode_pixels(payload: bytes) -> "np.ndarray":
+    """Sniff + decode an IMAGE payload to its pixel array ((h, w) gray
+    or (h, w, ch)) via the native decoders — the raw-pixel face of
+    `decode_features`, for consumers that transform pixels (perceptual
+    hashing, resizing) rather than summarize them. Audio and unknown
+    formats raise ValueError (the callers' fallback seam)."""
+    mime = sniff_mime(payload)
+    if mime == "image/bmp":
+        return decode_bmp(payload)["pixels"]
+    if mime.startswith("image/x-portable"):
+        return decode_ppm(payload)["pixels"]
+    if mime == "image/png":
+        return decode_png(payload)["pixels"]
+    raise ValueError(f"decode_pixels: no native pixel decoder for {mime}")
+
+
 def decode_features(payload: bytes) -> dict:
     """Sniff + decode a payload into the engine's media feature dict:
     mime, width, height, channels, duration_ms (audio), plus a

@@ -351,3 +351,55 @@ def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def dhash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image payload — the
+    standard near-duplicate fingerprint for IMAGE corpora (crops,
+    re-encodes, brightness shifts hash close; unrelated images hash
+    ~bits/2 apart): decode natively (`media_codecs.decode_pixels` —
+    BMP/PPM-PGM/PNG, real bytes→pixels), integer-mean grayscale,
+    nearest-neighbor resample to (hash_size+1) × hash_size, then bit
+    k = r·hash_size + c set iff g[r,c] > g[r,c+1]. Returns
+    (media_id, dhash LONG) with hash_size² bits.
+
+    Every step is integer arithmetic on deterministic indices, so for
+    closed-form pixel content the hash is SQL-re-derivable — the
+    `media_dedup_dhash` catalog entry exploits exactly that. Pair
+    generation composes with `dedup.hamming_pairs_banded` (the
+    simhash blocking, reused verbatim): banded equi-join, never
+    all-pairs, with the pigeonhole completeness guarantee when
+    max_hamming < n_chunks.
+
+    Scale shape: one Arrow-batched decode+hash pass, no shuffle; the
+    resample is index arithmetic (`media_codecs.resize_nearest`), the
+    comparisons one vectorized numpy expression per image.
+    """
+    import numpy as np
+
+    def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            hashes = []
+            for payload in pdf["payload"]:
+                px = media_codecs.decode_pixels(bytes(payload))
+                if px.ndim == 3:
+                    # integer-mean grayscale (floor), SQL-replicable
+                    g = px.astype(np.int64).sum(axis=2) // px.shape[2]
+                else:
+                    g = px.astype(np.int64)
+                want = (hash_size, hash_size + 1)
+                if g.shape != want:
+                    g = media_codecs.resize_nearest(
+                        g, width=hash_size + 1, height=hash_size
+                    )
+                bits = g[:, :-1] > g[:, 1:]
+                k = np.arange(hash_size * hash_size, dtype=np.uint64)
+                h = int((bits.reshape(-1).astype(np.uint64) << k).sum())
+                # two's-complement into LONG for hash_size=8's bit 63
+                hashes.append(h - (1 << 64) if h >= 1 << 63 else h)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "dhash": pd.Series(hashes, dtype="int64")}
+            )
+
+    id_type = media.schema["media_id"].dataType.simpleString()
+    return media.mapInPandas(batches, f"media_id {id_type}, dhash LONG")

@@ -1990,6 +1990,84 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def media_dedup_dhash(spark, sf_dir):
+    """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
+    (round 9 — the image face of the dedup family): each document gets
+    a deterministic 7×8 grayscale PGM whose pixels are the closed form
+    ``v(d, p) = ((d//5·131 + 17)·(p+1) + 29·p² + [p = d%5]·101) mod
+    256`` — groups of five documents share a base pattern and differ
+    in ONE perturbed cell each, so within-group images are perceptual
+    near-dups (dHash Hamming ≤ 4) while cross-group gradients scramble
+    the comparisons (~mean 24/49 bits apart). The pipeline is the real
+    one at every step: native PGM encode → `decode_pixels` →
+    `dhash_media` (hash_size=7: 49 bits, sign-safe in BIGINT for the
+    SQL twin) → `dedup.hamming_pairs_banded` (7 chunks × 7 bits;
+    max_hamming=4 < 7 chunks ⇒ pigeonhole-COMPLETE, so the banded plan
+    equals brute force and the oracle can verify it by brute force).
+    The oracle re-derives pixels, hash bits, and bit_count(xor)
+    distances from the closed form — a drift anywhere in the encoder,
+    decoder, grayscale/resize conventions, bit order, or blocking
+    breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import dedup as DD
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                g, m = int(did) // 5, int(did) % 5
+                p = np.arange(56)
+                v = ((g * 131 + 17) * (p + 1) + 29 * p * p
+                     + np.where(p == m, 101, 0)) % 256
+                payloads.append(bytes(MC.encode_pgm(v.astype(np.uint8).reshape(7, 8))))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/x-portable-graymap", "source": s,
+                         "n_bytes": len(pl)}
+                        for s, pl in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    hashes = M.dhash_media(media, hash_size=7)
+    return DD.hamming_pairs_banded(
+        hashes, "media_id", "dhash", max_hamming=4, bits=49, chunk_bits=7
+    ).orderBy("id_a", "id_b")
+
+
+MEDIA_DEDUP_DHASH_SQL = """
+WITH px AS (
+  SELECT d.doc_id, p.p AS p,
+         (((d.doc_id // 5) * 131 + 17) * (p.p + 1) + 29 * p.p * p.p
+          + CASE WHEN p.p = d.doc_id % 5 THEN 101 ELSE 0 END) % 256 AS v
+  FROM documents d, range(56) p(p)
+),
+h AS (
+  SELECT a.doc_id,
+         SUM(CASE WHEN a.v > b.v
+             THEN (CAST(1 AS BIGINT) << ((a.p // 8) * 7 + (a.p % 8)))
+             ELSE 0 END) AS dhash
+  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.p % 8 <> 7
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 def decontaminate_semantic_flags(spark, sf_dir):
     """Embedding-space decontamination (round 8): every 10th vector
     stands in for the benchmark suite; each remaining training vector
@@ -3475,6 +3553,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_decode_png": media_decode_png,
+    "media_dedup_dhash": media_dedup_dhash,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "asof_join_events": asof_join_events,
@@ -3556,6 +3635,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "media_decode_png": MEDIA_DECODE_PNG_SQL,
+    "media_dedup_dhash": MEDIA_DEDUP_DHASH_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
     "retrieval_eval_metrics": RETRIEVAL_EVAL_SQL,
     "asof_join_events": ASOF_SQL,

@@ -540,3 +540,98 @@ def test_split_ppm_stream_linear_offsets():
     assert frames == [f1, f2, f1]
     with pytest.raises(ValueError, match="truncated final frame"):
         mc.split_ppm_stream(f1 + b"P6\n5 5\n255\n\x00")
+
+
+# ---------------------------------------------------------------------------
+# round-9: perceptual image dHash + the generic banded Hamming join
+
+
+def test_decode_pixels_dispatch():
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert (mc.decode_pixels(mc.encode_bmp(px)) == px).all()
+    assert (mc.decode_pixels(mc.encode_ppm(px)) == px).all()
+    assert (mc.decode_pixels(mc.encode_png(px)) == px).all()
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    assert (mc.decode_pixels(mc.encode_pgm(g)) == g).all()
+    with pytest.raises(ValueError, match="no native pixel decoder"):
+        mc.decode_pixels(mc.encode_wav(np.zeros(4, dtype=np.int16)))
+
+
+def test_dhash_media_hand_case(spark):
+    """dHash of a hand-built 2x3 gray image at hash_size=2 (resample is
+    identity: grid is already (2, 3)): bit k = r*2+c set iff
+    g[r,c] > g[r,c+1]."""
+    g = np.array([[5, 3, 9], [1, 8, 8]], dtype=np.uint8)
+    # row 0: 5>3 -> bit 0, 3>9 no; row 1: 1>8 no, 8>8 no -> dhash = 1
+    media = spark.createDataFrame(
+        [(1, bytearray(mc.encode_pgm(g)), {"mime": "image/x-portable-graymap"})],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.dhash_media(media, hash_size=2).collect()
+    assert rows[0].dhash == 1
+    # RGB integer-mean grayscale: a 3-channel image whose channel mean
+    # reproduces g must hash identically
+    rgb = np.stack([g, g + 1, g + 2], axis=2).astype(np.uint8)  # mean = g+1
+    media_rgb = spark.createDataFrame(
+        [(2, bytearray(mc.encode_ppm(rgb)), {"mime": "image/x-portable-pixmap"})],
+        M.MEDIA_SCHEMA,
+    )
+    assert M.dhash_media(media_rgb, hash_size=2).collect()[0].dhash == 1
+
+
+def test_dhash_media_resize_and_stability(spark):
+    """An image upscaled by nearest-neighbor (the hash's own resampler)
+    keeps its dHash — the perceptual-stability property the fingerprint
+    exists for; bit 63 of hash_size=8 survives the LONG round-trip."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    big = mc.resize_nearest(g, width=36, height=32)  # 4x upscale
+    media = spark.createDataFrame(
+        [(1, bytearray(mc.encode_pgm(g)), {"m": "x"}),
+         (2, bytearray(mc.encode_pgm(big)), {"m": "x"})],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r.dhash for r in M.dhash_media(media, hash_size=8).collect()}
+    assert rows[1] == rows[2]
+    # force the sign bit: a gradient row makes the top-left comparison
+    # of every row true, including bit positions >= 56
+    desc = np.tile(np.arange(9, 0, -1, dtype=np.uint8) * 25, (8, 1))
+    m2 = spark.createDataFrame(
+        [(3, bytearray(mc.encode_pgm(desc)), {"m": "x"})], M.MEDIA_SCHEMA
+    )
+    h = M.dhash_media(m2, hash_size=8).collect()[0].dhash
+    assert h == -1  # all 64 comparison bits set -> two's-complement -1
+
+
+def test_hamming_pairs_banded_equals_brute_force(spark):
+    """Pigeonhole completeness of the generic banded join: at
+    max_hamming < n_chunks the banded candidate set provably covers
+    every qualifying pair, so the result EQUALS all-pairs brute force."""
+    import itertools
+
+    from boatrace_database_spark.operators import dedup as D2
+
+    rng = np.random.default_rng(11)
+    base = int(rng.integers(0, 1 << 48))
+    sigs = [base]
+    for i in range(1, 60):
+        flip = rng.choice(49, size=rng.integers(0, 8), replace=False)
+        s = base
+        for f in flip:
+            s ^= 1 << int(f)
+        sigs.append(int(s))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id LONG, sim LONG"
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D2.hamming_pairs_banded(
+            df, "id", "sim", max_hamming=4, bits=49, chunk_bits=7
+        ).collect()
+    }
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(range(60), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    assert got == want and want, f"{len(got)} vs {len(want)}"
