@@ -1291,13 +1291,8 @@ def stream_dedup_simhash(
     ``max_hamming``; under id-ordered replay the distinct pair set
     equals batch ``simhash_pairs`` (tested).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     from boatrace_database_spark.operators.dedup import word_shingles
 
-    n_chunks = bits // chunk_bits
-    chunk_mask = (1 << chunk_bits) - 1
     iddl, _cid = _id_type(schema, id_col)
     docs = spark.readStream.schema(schema).parquet(source_dir)
     shingled = docs.select(
@@ -1329,7 +1324,40 @@ def stream_dedup_simhash(
         )
     sim = sum(sig_bits[1:], start=sig_bits[0])
     sig = hashed.select("id", sim.alias("sim"))
+    return _hamming_dedup_stream(
+        sig, iddl, _cid,
+        max_hamming=max_hamming, bits=bits, chunk_bits=chunk_bits,
+        max_members=max_members, query_name=query_name,
+        state_ttl_ms=state_ttl_ms,
+    )
 
+
+def _hamming_dedup_stream(
+    sig,
+    iddl: str,
+    _cid,
+    *,
+    max_hamming: int,
+    bits: int,
+    chunk_bits: int,
+    max_members: int,
+    query_name: str,
+    state_ttl_ms: int | None,
+) -> StreamingQuery:
+    """Signature-generic stateful Hamming dedup core — the streaming
+    twin of batch `dedup.hamming_pairs_banded`, factored out of
+    `stream_dedup_simhash` (round 9) so any fixed-width fingerprint
+    stream (text SimHash, image dHash) shares the identical state
+    machinery: state shards by (chunk, key) over bits/chunk_bits
+    signature chunks, holding capped first-seen (id, sim) members;
+    arriving rows emit (id_a=member, id_b=doc, hamming) for members
+    within ``max_hamming``. ``sig``: streaming (id, sim LONG) frame.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_chunks = bits // chunk_bits
+    chunk_mask = (1 << chunk_bits) - 1
     chunked = sig.select(
         "id",
         "sim",
@@ -1389,6 +1417,52 @@ def stream_dedup_simhash(
         .format("memory")
         .queryName(query_name)
         .start()
+    )
+
+
+def stream_dedup_dhash(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    id_col: str = "media_id",
+    hash_size: int = 8,
+    max_hamming: int = 8,
+    chunk_bits: int = 8,
+    max_members: int = 256,
+    query_name: str = "stream_dhash",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming perceptual IMAGE dedup (round 9): arriving media rows
+    (the `multimodal.MEDIA_SCHEMA` layout — binary payload + meta) are
+    decoded natively and difference-hashed by the SAME
+    `multimodal.dhash_media` Arrow transform the batch path uses
+    (mapInPandas composes onto streaming frames unchanged), then flow
+    through the signature-generic `_hamming_dedup_stream` state core —
+    so the batch/stream twins share BOTH the fingerprint arithmetic
+    and the blocking geometry, and under id-ordered replay the
+    distinct emitted pair set equals batch
+    ``hamming_pairs_banded(dhash_media(...))`` exactly (tested).
+    ``chunk_bits`` must divide hash_size² (64/8 and 49/7 are the two
+    tested operating points)."""
+    from boatrace_database_spark.operators import multimodal as _M
+
+    bits = hash_size * hash_size
+    if bits % chunk_bits:
+        raise ValueError(
+            f"chunk_bits {chunk_bits} must divide hash_size² ({bits})"
+        )
+    iddl, _cid = _id_type(schema, id_col)
+    media = spark.readStream.schema(schema).parquet(source_dir)
+    if id_col != "media_id":
+        media = media.withColumnRenamed(id_col, "media_id")
+    sig = _M.dhash_media(media, hash_size=hash_size).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("sim")
+    )
+    return _hamming_dedup_stream(
+        sig, iddl, _cid,
+        max_hamming=max_hamming, bits=bits, chunk_bits=chunk_bits,
+        max_members=max_members, query_name=query_name,
+        state_ttl_ms=state_ttl_ms,
     )
 
 

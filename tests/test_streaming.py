@@ -2792,3 +2792,62 @@ def test_stream_event_edges_ordered_replay_matches_batch_pairs(spark, tmp_path):
     )
     want = Counter((r.user_id, r.from_type, r.to_type) for r in batch_pairs)
     assert got == want
+
+
+def test_stream_dedup_dhash_matches_batch(spark, tmp_path):
+    """Round-9 image-dedup twin: streaming dHash over arriving media
+    payloads (decoded by the SAME dhash_media transform) must emit
+    exactly the batch hamming_pairs_banded pair set under id-ordered
+    replay, hamming values included; cross-batch state finds pairs
+    whose members arrived in different micro-batches."""
+    import numpy as np
+
+    from boatrace_database_spark.operators import dedup as D
+    from boatrace_database_spark.operators import media_codecs as mc
+    from boatrace_database_spark.operators import multimodal as M
+    from boatrace_database_spark.streaming.ingest import stream_dedup_dhash
+
+    def img(seed: int, perturb: int | None = None) -> bytes:
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 256, (7, 8), dtype=np.uint8)
+        if perturb is not None:
+            g[perturb // 8, perturb % 8] = 255
+        return bytes(mc.encode_pgm(g))
+
+    # ids 1/2 near-dups (one perturbed cell), 3 unrelated; 4 a copy of
+    # 1 arriving in a LATER micro-batch (cross-batch pair)
+    rows1 = [(1, bytearray(img(7)), {"m": "pgm"}),
+             (2, bytearray(img(7, perturb=11)), {"m": "pgm"}),
+             (3, bytearray(img(99)), {"m": "pgm"})]
+    rows2 = [(4, bytearray(img(7)), {"m": "pgm"})]
+    b1 = spark.createDataFrame(rows1, M.MEDIA_SCHEMA)
+    b2 = spark.createDataFrame(rows2, M.MEDIA_SCHEMA)
+    src = str(tmp_path / "dh_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_dedup_dhash(
+        spark, src, b1.schema, hash_size=7, max_hamming=4, chunk_bits=7,
+        query_name="sdhash",
+    )
+    try:
+        deliver(b1, "dh1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(b2, "dh2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in spark.sql("SELECT * FROM sdhash").collect()
+        }
+    finally:
+        q.stop()
+    both = b1.unionByName(b2)
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.hamming_pairs_banded(
+            M.dhash_media(both, hash_size=7), "media_id", "dhash",
+            max_hamming=4, bits=49, chunk_bits=7,
+        ).collect()
+    }
+    assert (1, 2, 2) in batch or any(a == 1 and b == 2 for a, b, _ in batch)
+    assert any(a == 1 and b == 4 for a, b, _ in batch), "exact copy pair"
+    assert got == batch
