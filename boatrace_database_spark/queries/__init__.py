@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 9: 144 queries, 133 oracle-backed.
+# lever. Catalog after round 9: 145 queries, 134 oracle-backed.
 #
 # Round-9 rotation. State after r8: nothing is red (41 green + 9
 # rows-only of the 50 checked; union across rounds 127 oracle-PASS +
@@ -49,11 +49,11 @@ for mod in (relational, analytics, advanced, llm, domain):
 #            frontier the r8 verdict's item #4 names);
 #   tier 3 = the r7-green rows (2 rounds old);
 #   tier 4 = the r8-refreshed rows (freshest).
-# tier 1 (9) + tier 2 (50) = 59 exceeds the ~50-row budget;
-# the ~9-row tail of tier 2 tops next round's frontier.
+# tier 1 (10) + tier 2 (50) = 60 exceeds the ~50-row budget;
+# the ~10-row tail of tier 2 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-9 new/changed ----
-    "media_decode_png", "media_dedup_dhash",
+    "media_decode_png", "media_dedup_dhash", "media_frame_sample",
     "ann_lsh_topk", "text_rolling_hash",
     "rotation_invariant_topk", "retrieval_mmr_diversified",
     "dedup_embedding_cosine", "semantic_dedup_assign",

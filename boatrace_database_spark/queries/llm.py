@@ -1990,6 +1990,101 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def media_frame_sample(spark, sf_dir):
+    """Video-style frame sampling, driver-checked end-to-end (round 9
+    — the third real-decode media face beside BMP/PNG decode and dHash
+    dedup): each document gets a concatenated-P6 ANIMATION of
+    ``(doc_id mod 4) + 3`` frames (the classic raw container: frames
+    simply appended), every 2×2 RGB frame's 12 pixel bytes the closed
+    form ``(doc_id·13 + frame·31 + p·7) mod 256``. The real pipeline:
+    native P6 encode per frame → concatenate →
+    `multimodal.sample_frames(use_stub=False)` (header-splitting every
+    2nd frame as a standalone payload, clip partitioning preserved) →
+    native re-decode of each sampled frame → per-frame content mean +
+    position-weighted pixel sum. The oracle re-derives frame counts,
+    the every-2nd sampling grid, and both per-frame statistics from
+    the closed form — a drift in the splitter (offsets, trailing-byte
+    handling), the sampler stride, or the decoder breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n_frames = int(did) % 4 + 3
+                clip = b"".join(
+                    bytes(
+                        MC.encode_ppm(
+                            (
+                                (int(did) * 13 + f * 31 + np.arange(12) * 7) % 256
+                            ).astype(np.uint8).reshape(2, 2, 3)
+                        )
+                    )
+                    for f in range(n_frames)
+                )
+                payloads.append(clip)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/x-portable-pixmap", "source": s,
+                         "n_bytes": len(pl)}
+                        for s, pl in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    frames = M.sample_frames(media, every_n=2, use_stub=False)
+
+    def stats(batches):
+        w = np.arange(12, dtype=np.int64) + 1
+        for pdf in batches:
+            means, wsums = [], []
+            for fr in pdf["frame"]:
+                px = MC.decode_ppm(bytes(fr))["pixels"].reshape(-1).astype(np.int64)
+                means.append(round(float(px.mean()), 6))
+                wsums.append(int((w * px).sum() % 2**31))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_no": pdf["frame_no"].astype("int32"),
+                    "content_mean": pd.Series(means, dtype="float64"),
+                    "weighted_sum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        stats,
+        "media_id LONG, frame_no INT, content_mean DOUBLE, weighted_sum LONG",
+    ).orderBy("media_id", "frame_no")
+
+
+MEDIA_FRAME_SAMPLE_SQL = """
+WITH fr AS (
+  SELECT d.doc_id, f.f AS frame_no
+  FROM documents d, range(6) f(f)
+  WHERE f.f < d.doc_id % 4 + 3 AND f.f % 2 = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_no, p.p AS p,
+         (fr.doc_id * 13 + fr.frame_no * 31 + p.p * 7) % 256 AS v
+  FROM fr, range(12) p(p)
+)
+SELECT doc_id AS media_id,
+       CAST(frame_no AS INT) AS frame_no,
+       round(sum(v) / 12.0, 6) AS content_mean,
+       CAST(sum((p + 1) * v) % 2147483648 AS BIGINT) AS weighted_sum
+FROM px GROUP BY doc_id, frame_no ORDER BY media_id, frame_no
+"""
+
+
 def media_dedup_dhash(spark, sf_dir):
     """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
     (round 9 — the image face of the dedup family): each document gets
@@ -3554,6 +3649,7 @@ QUERIES = {
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_decode_png": media_decode_png,
     "media_dedup_dhash": media_dedup_dhash,
+    "media_frame_sample": media_frame_sample,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
     "retrieval_eval_metrics": retrieval_eval_metrics,
     "asof_join_events": asof_join_events,
@@ -3636,6 +3732,7 @@ ORACLES = {
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "media_decode_png": MEDIA_DECODE_PNG_SQL,
     "media_dedup_dhash": MEDIA_DEDUP_DHASH_SQL,
+    "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
     "retrieval_eval_metrics": RETRIEVAL_EVAL_SQL,
     "asof_join_events": ASOF_SQL,
