@@ -216,9 +216,14 @@ def encode_png(pixels: "np.ndarray") -> bytes:
     if px.ndim == 2:
         color_type, ch = 0, 1
         h, w = px.shape
-    else:
+    elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
         h, w, ch = px.shape
         color_type = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(
+            "encode_png: expected (h, w) gray, (h, w, 2) gray+alpha, "
+            f"(h, w, 3) RGB or (h, w, 4) RGBA — got shape {px.shape}"
+        )
     raw = bytearray()
     flat = px.reshape(h, w * ch)
     for y in range(h):
@@ -308,9 +313,12 @@ def decode_png(payload: bytes) -> dict:
     while i + 8 <= len(b):
         (size,) = struct.unpack_from(">I", b, i)
         ctype = b[i + 4 : i + 8]
-        body = b[i + 8 : i + 8 + size]
-        if len(body) != size:
+        if i + 12 + size > len(b):
+            # covers a payload truncated inside the body OR the 4-byte
+            # CRC — must stay ValueError so the decode-fallback seam
+            # (catch-ValueError) sees it, not struct.error
             raise ValueError("decode_png: truncated chunk")
+        body = b[i + 8 : i + 8 + size]
         (crc,) = struct.unpack_from(">I", b, i + 8 + size)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
@@ -324,6 +332,8 @@ def decode_png(payload: bytes) -> dict:
         i += 12 + size
     if ihdr is None or not idat or not ended:
         raise ValueError("decode_png: missing IHDR/IDAT/IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"decode_png: IHDR must be 13 bytes (got {len(ihdr)})")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )

@@ -377,6 +377,15 @@ def dhash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """
     import numpy as np
 
+    if hash_size * hash_size > 64:
+        # mirrors stream_dedup_dhash's chunk_bits validation: bit index
+        # k = hash_size²-1 must fit a 64-bit lane (uint64 shifts beyond
+        # 63 are undefined in numpy) and the declared LONG column
+        raise ValueError(
+            f"dhash_media: hash_size={hash_size} needs {hash_size * hash_size} "
+            "bits; the dhash LONG column holds at most 64 (hash_size <= 8)"
+        )
+
     def batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             hashes = []

@@ -58,10 +58,13 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self), deterministic
     tie-break on neighbor id. Rounded score so downstream comparisons
-    are engine-portable."""
+    are engine-portable (``round_to`` loosens the rounding for
+    witnesses whose inputs carry extra FP noise, e.g. a rotation's
+    ~1e-13 — see rotation_invariant_topk)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -77,7 +80,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("score"),
+            F.round(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")

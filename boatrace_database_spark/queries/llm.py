@@ -770,18 +770,23 @@ def rotation_invariant_topk(spark, sf_dir):
     exact cosine top-5 computed over ROTATED embeddings — the seeded
     orthonormal rotation (`rotate_embeddings`) applied to corpus and
     queries inside the plan — with the RAW-space SQL as its oracle
-    (same statement as `embedding_cosine_topk`). A hash match proves
-    the rotation preserves norms, cosines, rankings, and 6-dp scores
-    end-to-end through the Arrow matmul: the invariance the PQ
-    pre-transform (random or learned OPQ) relies on, witnessed by the
-    driver instead of only pytest. Rotation FP noise is ~1e-13
-    relative; scores round at 6 dp before ranking on both sides, so
-    the comparison is exact on this corpus (pytest asserts the
-    rotated == raw equality row-for-row as well)."""
+    (the `embedding_cosine_topk` statement at 4-dp rounding). A hash
+    match proves the rotation preserves norms, cosines, rankings, and
+    rounded scores end-to-end through the Arrow matmul: the invariance
+    the PQ pre-transform (random or learned OPQ) relies on, witnessed
+    by the driver instead of only pytest. Rotation FP noise is ~1e-13
+    relative but BLAS summation order varies across hosts, so this
+    witness rounds at 4 dp (~1e-5 headroom) on BOTH sides instead of
+    the raw query's 6 dp — the ranking is computed from the SAME
+    rounded score with a neighbor_id tie-break on both engines, so
+    coarser rounding cannot desynchronize rk (pytest still asserts
+    rotated == raw row-for-row at full precision on this corpus)."""
     e = _t(spark, sf_dir, "embeddings")
     rot = SIM.rotate_embeddings(e)
     queries = rot.where(F.col("vec_id") < 5)
-    return SIM.cosine_topk(rot, queries, k=5).orderBy("query_id", "rk")
+    return SIM.cosine_topk(rot, queries, k=5, round_to=4).orderBy(
+        "query_id", "rk"
+    )
 
 
 def retrieval_eval_metrics(spark, sf_dir):
@@ -3708,7 +3713,11 @@ ORACLES = {
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     # rotation witness: the oracle IS the raw-space search — hash match
     # proves the orthonormal pre-transform changes nothing
-    "rotation_invariant_topk": COSINE_TOPK_SQL,
+    # raw-space top-k at the witness's coarser 4-dp rounding (ADVICE
+    # r9: 6 dp left ~1e-13 headroom for cross-host BLAS noise)
+    "rotation_invariant_topk": COSINE_TOPK_SQL.replace(
+        "6) AS score", "4) AS score"
+    ),
     "dedup_embedding_cosine": EMB_DEDUP_SQL,
     "embedding_norm_stats": NORM_STATS_SQL,
     "bm25_topk_docs": BM25_TOPK_SQL,

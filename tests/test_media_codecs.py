@@ -507,6 +507,24 @@ def test_decode_png_errors_are_loud():
             + _png_chunk(b"IHDR", ihdr8)
             + _png_chunk(b"IDAT", zlib.compress(raw))
         )
+    # truncation inside a chunk's 4-byte CRC must be ValueError (the
+    # decode-fallback seam catches ValueError, not struct.error)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        mc.decode_png(good[:-2])
+    # non-13-byte IHDR body likewise
+    with pytest.raises(ValueError, match="IHDR must be 13 bytes"):
+        mc.decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr8[:10])
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+
+def test_encode_png_rejects_unsupported_shapes():
+    for shape in [(2, 2, 1), (2, 2, 5), (2,)]:
+        with pytest.raises(ValueError, match="encode_png"):
+            mc.encode_png(np.zeros(shape, dtype=np.uint8))
 
 
 def test_decode_wav_malformed_payloads_raise_valueerror():
@@ -577,6 +595,11 @@ def test_dhash_media_hand_case(spark):
         M.MEDIA_SCHEMA,
     )
     assert M.dhash_media(media_rgb, hash_size=2).collect()[0].dhash == 1
+    # hash_size^2 must fit the 64-bit LONG lane (uint64 shift past 63
+    # is undefined) — rejected loudly, like stream_dedup_dhash's
+    # chunk_bits guard
+    with pytest.raises(ValueError, match="hash_size"):
+        M.dhash_media(media, hash_size=9)
 
 
 def test_dhash_media_resize_and_stability(spark):
