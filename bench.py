@@ -235,6 +235,14 @@ def main() -> None:
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     total = round(sum(timings.values()), 3)
+    # one-time index builds get their own lines (§40a) so probes measure
+    # steady state — but that makes `value` grow whenever a build line is
+    # added/split. `comparable_total` excludes them: the probe/query-only
+    # sum the driver can compare round-over-round without footnotes.
+    ONE_TIME = {"ann_ivf_build", "ann_ivfpq_build"}
+    comparable = round(
+        sum(v for k, v in timings.items() if k not in ONE_TIME), 3
+    )
     # Every interleaved sample per query (timings = the min) goes to
     # STDERR: r8 put `queries_runs` inside the stdout JSON line and the
     # +2.5 KB pushed it past the driver's 2000-char tail capture, so
@@ -245,6 +253,7 @@ def main() -> None:
     payload = {
         "metric": "headline_queries_total",
         "value": total,
+        "comparable_total": comparable,
         "unit": "sec",
         "queries": timings,
         "quality": quality,

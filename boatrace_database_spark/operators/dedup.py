@@ -601,10 +601,16 @@ def connected_components(
       driver-side but touches only a scalar per round. Set
       ``collect_max_edges=0`` to force this path (tests do).
     """
+    # materialize the (possibly expensive) upstream pair plan ONCE
+    # before symmetrizing: the two union branches otherwise re-execute
+    # the whole pair pipeline each (measured: +27 s on sf1's
+    # semantic_dedup, whose scoring pass alone is the query's cost)
+    directed = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)

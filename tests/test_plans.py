@@ -280,17 +280,26 @@ def test_split_exact_keeps_bucketed_window_and_broadcast_count(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_semantic_pairs_join_is_cell_equi_join(spark):
-    """Cluster scoping must compile to a hash equi-join on cell — no
-    cartesian product at any n_assign — and the multi-assign path's
-    pair collapse must group before the vector joins."""
+def test_semantic_pairs_plan_shapes(spark):
+    """Cluster scoping must never compile to a cartesian product. The
+    default strategy is the per-cell Gram kernel (one
+    FlatMapGroupsInPandas over a single exchange on cell — no join at
+    all); forcing ``gram_max_cell=0`` exercises the fallback, which
+    must be a hash equi-join on cell."""
     from boatrace_database_spark.operators import similarity as SIM
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     for na in (1, 2):
         plan = _plan(spark, SIM.semantic_pairs(emb, n_assign=na, n_cells=8))
         assert "CartesianProduct" not in plan
+        assert "FlatMapGroupsInPandas" in plan
         assert "cell" in plan
+        fallback = _plan(
+            spark,
+            SIM.semantic_pairs(emb, n_assign=na, n_cells=8, gram_max_cell=0),
+        )
+        assert "CartesianProduct" not in fallback
+        assert "cell" in fallback
 
 
 def test_dsir_model_broadcasts_and_topk_is_take_ordered(spark):
