@@ -1460,9 +1460,9 @@ def semantic_pairs(
     # score every within-cell pair with ONE BLAS matmul per cell —
     # never a per-pair vector gather, never a candidate-pair shuffle.
     # At sf1's derived dials (160 cells × n_assign 8) the candidate
-    # join materialized 8.0e7 collisions and the per-pair einsum
-    # scoring took 41 s; the Gram blocks compute the identical scores
-    # in ~one task wave (measured in BENCHNOTES §41). Per-task memory
+    # join materialized ~8e7 collision rows and took 61.0 s end-to-end;
+    # the Gram blocks compute the identical 83,955 pairs in 10.6 s
+    # (measured in BENCHNOTES §41, 5.8×). Per-task memory
     # is max_cell²·8 bytes, so the strategy gates on the observed max
     # cell size and falls back to the join path beyond it (a collapsed
     # quantizer is the pathological case — `ivf_cell_stats` is the
