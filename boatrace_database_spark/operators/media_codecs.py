@@ -1,13 +1,13 @@
-"""Pure-Python media codecs: BMP / PPM-PGM / PNG / WAV, no Pillow or
-ffmpeg.
+"""Pure-Python media codecs: BMP / PPM-PGM / PNG / JPEG / WAV, no
+Pillow or ffmpeg.
 
-The container ships no media libraries, but these formats are simple
-enough to decode from their public specs with `struct` (+ stdlib
+The container ships no media libraries, but these formats are
+decodable from their public specs with numpy + `struct` (+ stdlib
 `zlib` for PNG) alone — which makes the multimodal real-decode path
 REAL (bytes in, pixels / samples out) for any payload in one of them,
-with Pillow reserved for formats that genuinely need it (JPEG;
-palette / 16-bit / interlaced PNG). Everything here is driver-free:
-the decoders run inside Arrow batches on executors
+with Pillow reserved for the exotic corners (palette / 16-bit /
+interlaced PNG; progressive / CMYK JPEG). Everything here is
+driver-free: the decoders run inside Arrow batches on executors
 (`multimodal.extract_features` / `resize_media`), each call touching
 only its own payload bytes.
 
@@ -20,6 +20,9 @@ Formats (public specs):
   scanlines, per-row filters 0-4, 8-bit gray / gray+alpha / RGB /
   RGBA, non-interlaced (round-9; closes the last stubbed format that
   doesn't genuinely need a library).
+- JPEG (ITU-T T.81): baseline sequential DCT, Huffman, 1/3
+  components, sampling factors 1-2 — full codec in the sibling
+  `jpeg` module (round-10; closes the last stubbed image format).
 - WAV: RIFF container, `fmt ` chunk (PCM, format tag 1) + `data`
   chunk of interleaved little-endian PCM16 samples.
 
@@ -459,6 +462,10 @@ def decode_pixels(payload: bytes) -> "np.ndarray":
         return decode_ppm(payload)["pixels"]
     if mime == "image/png":
         return decode_png(payload)["pixels"]
+    if mime == "image/jpeg":
+        from boatrace_database_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)["pixels"]
     raise ValueError(f"decode_pixels: no native pixel decoder for {mime}")
 
 
@@ -474,8 +481,13 @@ def decode_features(payload: bytes) -> dict:
         d = decode_bmp(payload)
     elif mime.startswith("image/x-portable"):
         d = decode_ppm(payload)
-    elif mime == "image/png":
-        p = decode_png(payload)
+    elif mime in ("image/png", "image/jpeg"):
+        if mime == "image/png":
+            p = decode_png(payload)
+        else:
+            from boatrace_database_spark.operators.jpeg import decode_jpeg
+
+            p = decode_jpeg(payload)
         px = p["pixels"]
         return {
             "mime": mime,

@@ -658,3 +658,186 @@ def test_hamming_pairs_banded_equals_brute_force(spark):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 4
     }
     assert got == want and want, f"{len(got)} vs {len(want)}"
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 10 — baseline sequential DCT from ITU-T T.81, closing
+# the last stubbed image format; see operators/jpeg.py)
+
+from boatrace_database_spark.operators import jpeg as J  # noqa: E402
+
+
+def test_jpeg_flat_gray_closed_form():
+    """Determinism contract driving the media_decode_jpeg oracle: a
+    flat 8x8 gray block is DC-only, so decode(encode(v)) equals the
+    closed form clip(floor(floor(8(v-128)/Q00 + .5)·Q00/8 + 128.5))
+    EXACTLY — across values that hit both signs, the clip rails and
+    the floor(+0.5) half-boundaries (qDC·Q00 ≡ 4 mod 8)."""
+    for quality in (50, 75, 90, 95):
+        q00 = int(J.quality_tables(quality)[0][0])
+        for v in (0, 1, 63, 77, 127, 128, 129, 200, 254, 255):
+            d = J.decode_jpeg(
+                J.encode_jpeg(np.full((8, 8), v, np.uint8), quality=quality)
+            )
+            qdc = np.floor(8 * (v - 128) / q00 + 0.5)
+            want = min(255, max(0, int(np.floor(qdc * q00 / 8 + 128.5))))
+            assert d["channels"] == 1 and d["pixels"].shape == (8, 8)
+            got = np.unique(d["pixels"])
+            assert got.tolist() == [want], (quality, v, got, want)
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Two flat blocks exercise DC difference coding (the second
+    block's DC is coded relative to the first): each must reconstruct
+    to ITS OWN closed form, in the right half of the image."""
+    q00 = int(J.quality_tables(90)[0][0])
+    img = np.zeros((8, 16), np.uint8)
+    img[:, :8], img[:, 8:] = 50, 200
+
+    def closed(v):
+        qdc = np.floor(8 * (v - 128) / q00 + 0.5)
+        return int(np.floor(qdc * q00 / 8 + 128.5))
+
+    px = J.decode_jpeg(J.encode_jpeg(img, quality=90))["pixels"]
+    assert np.unique(px[:, :8]).tolist() == [closed(50)]
+    assert np.unique(px[:, 8:]).tolist() == [closed(200)]
+
+
+def test_jpeg_gray_gradient_roundtrip():
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert d["pixels"].shape == img.shape
+    assert np.abs(d["pixels"].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rgb_444_and_420_roundtrip_odd_dims():
+    """Color, odd (non-multiple-of-8/16) dims: shape preserved, smooth
+    content reconstructs tightly at 4:4:4 and within the documented
+    subsample loss at 4:2:0; flat color near-exact at both."""
+    yy, xx = np.mgrid[0:23, 0:37]
+    img = np.clip(np.stack([yy * 4, (yy + xx) * 2, xx * 3], -1), 0, 255).astype(
+        np.uint8
+    )
+    for sub, tol in [((1, 1), 4), ((2, 2), 8)]:
+        d = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsample=sub))
+        assert d["pixels"].shape == (23, 37, 3) and d["channels"] == 3
+        assert np.abs(d["pixels"].astype(int) - img.astype(int)).max() <= tol
+    flat = np.zeros((10, 11, 3), np.uint8)
+    flat[...] = (90, 160, 40)
+    for sub in [(1, 1), (2, 2)]:
+        d = J.decode_jpeg(J.encode_jpeg(flat, quality=90, subsample=sub))
+        assert np.abs(d["pixels"].astype(int) - flat.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_interval():
+    """DRI + RSTn: the marker is written, restarts are consumed, DC
+    predictors reset — decode equals the no-restart encode exactly."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 40), np.uint8)
+    with_rst = J.encode_jpeg(img, quality=80, restart_interval=2)
+    without = J.encode_jpeg(img, quality=80)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert b"\xff\xdd" not in without
+    a = J.decode_jpeg(with_rst)["pixels"]
+    b = J.decode_jpeg(without)["pixels"]
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_byte_stuffing_exercised():
+    """An entropy stream containing raw 0xFF bytes must be stuffed
+    (0xFF 0x00) and un-stuffed transparently. Scan a batch of seeds so
+    the property is exercised, not assumed."""
+    rng = np.random.default_rng(0)
+    stuffed = 0
+    for _ in range(20):
+        img = rng.integers(0, 256, (8, 8), np.uint8)
+        pay = J.encode_jpeg(img, quality=95)
+        scan = pay[pay.find(b"\xff\xda") :]
+        stuffed += scan.count(b"\xff\x00")
+        J.decode_jpeg(pay)  # must not raise
+    assert stuffed > 0
+
+
+def test_jpeg_errors_are_loud():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="no SOS"):
+        J.decode_jpeg(b"\xff\xd8\xff\xe0")
+    pay = J.encode_jpeg(np.full((8, 8), 7, np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(pay[: len(pay) - 6])
+    big = J.encode_jpeg(
+        np.random.default_rng(1).integers(0, 256, (32, 32), np.uint8),
+        quality=95,
+    )
+    with pytest.raises(ValueError, match="truncated entropy"):
+        J.decode_jpeg(big[: len(big) // 2])
+    # flip SOF0 -> SOF2 (progressive): loud, names the marker
+    prog = pay.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="SOF marker 0xc2"):
+        J.decode_jpeg(prog)
+    with pytest.raises(ValueError, match="quality"):
+        J.encode_jpeg(np.zeros((8, 8), np.uint8), quality=0)
+    with pytest.raises(ValueError, match="uint8"):
+        J.encode_jpeg(np.zeros((8, 8), np.float64))
+    with pytest.raises(ValueError, match="expected .h, w."):
+        J.encode_jpeg(np.zeros((8, 8, 4), np.uint8))
+    with pytest.raises(ValueError, match="subsample"):
+        J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=(2, 1))
+
+
+def test_jpeg_golden_fixture():
+    """Committed-fixture pin: the golden JPEG's bytes and its decoded
+    pixels are both frozen, so a drift anywhere in the codec (tables,
+    zigzag, Huffman, rounding) breaks this test."""
+    pay = _fixture("tiny.jpg")
+    assert hashlib.sha256(pay).hexdigest()[:16] == "c045a7298b825a86"
+    assert mc.sniff_mime(pay) == "image/jpeg"
+    d = J.decode_jpeg(pay)
+    want = np.array(
+        [
+            [[2, 12, 22], [39, 49, 59], [82, 92, 102], [120, 130, 140]],
+            [[26, 36, 46], [64, 74, 84], [106, 116, 126], [144, 154, 164]],
+            [[51, 61, 71], [88, 98, 108], [131, 141, 151], [169, 179, 189]],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(d["pixels"], want)
+    # within 3/255 of the lossless golden — the committed quality-90 loss
+    assert np.abs(d["pixels"].astype(int) - _golden_pixels().astype(int)).max() <= 3
+    pay2 = _fixture("grad420.jpg")
+    assert hashlib.sha256(pay2).hexdigest()[:16] == "d0a173693596650d"
+    d2 = J.decode_jpeg(pay2)  # 4:2:0 + restart_interval=1
+    assert d2["pixels"].shape == (16, 24, 3)
+    w = np.arange(d2["pixels"].size, dtype=np.int64) + 1
+    assert int(w @ d2["pixels"].reshape(-1).astype(np.int64)) % 2**31 == 62720817
+
+
+def test_jpeg_native_dispatch():
+    """sniff -> decode_pixels / decode_features route image/jpeg to the
+    native codec (no Pillow seam hit)."""
+    img = np.full((8, 8), 100, np.uint8)
+    pay = J.encode_jpeg(img, quality=90)
+    px = mc.decode_pixels(pay)
+    assert px.shape == (8, 8)
+    f = mc.decode_features(pay)
+    assert f["mime"] == "image/jpeg"
+    assert (f["width"], f["height"], f["channels"]) == (8, 8, 1)
+    assert f["content_mean"] == pytest.approx(float(px.mean()))
+
+
+def test_jpeg_extract_features_spark(spark):
+    """bytes -> features on executors for JPEG payloads, no Pillow."""
+    gray = J.encode_jpeg(np.full((8, 16), 50, np.uint8), quality=90)
+    color = J.encode_jpeg(
+        np.full((16, 8, 3), 200, np.uint8), quality=85, subsample=(2, 2)
+    )
+    media = _media_df(spark, [(1, gray), (2, color)])
+    feats = {
+        r.media_id: r
+        for r in M.extract_features(media, use_stub=False).collect()
+    }
+    assert feats[1].mime == "image/jpeg"
+    assert (feats[1].width, feats[1].height, feats[1].channels) == (16, 8, 1)
+    assert (feats[2].width, feats[2].height, feats[2].channels) == (8, 16, 3)
