@@ -30,99 +30,86 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 9: 145 queries, 134 oracle-backed.
+# lever. Catalog after round 10: 146 queries, 135 oracle-backed.
 #
-# Round-9 rotation. State after r8: nothing is red (41 green + 9
-# rows-only of the 50 checked; union across rounds 127 oracle-PASS +
-# 14 rows-only). Tiering:
-#   tier 1 = the round-9 NEW/CHANGED entries: media_decode_png,
-#            media_dedup_dhash, and rotation_invariant_topk (new
-#            queries + oracles), ann_lsh_topk + text_rolling_hash +
-#            retrieval_mmr_diversified (rows-only →
-#            oracle-backed this round), dedup_embedding_cosine +
-#            semantic_dedup_assign (size-derived dials — identical
-#            results at sf0.01 by construction, but the driver must
-#            re-witness), and retrieval_eval_metrics (full-run RR +
-#            input dedup inside ranking_metrics; identical on this
-#            k-capped run);
-#   tier 2 = the 50 r6-green rows (3 rounds stale — the staleness
-#            frontier the r8 verdict's item #4 names);
-#   tier 3 = the r7-green rows (2 rounds old);
-#   tier 4 = the r8-refreshed rows (freshest).
-# tier 1 (10) + tier 2 (50) = 60 exceeds the ~50-row budget;
-# the ~10-row tail of tier 2 tops next round's frontier.
+# Round-10 rotation. State after r9: nothing is red (49 green + 1
+# rows-only of the 50 checked; union across rounds 134 oracle-PASS +
+# 11 rows-only). Tiering:
+#   tier 1 = the round-10 NEW/CHANGED entries: media_decode_jpeg (new
+#            native baseline-JPEG codec + oracle), semantic_dedup_assign
+#            (derived n_assign + per-cell Gram scoring default),
+#            ann_ivf_topk / ann_ivfpq_topk / ivf_cell_stats
+#            (size-derived quantizer dials — identical results at
+#            sf0.01 by construction, but the driver must re-witness),
+#            rotation_invariant_topk (4-dp witness rounding), and
+#            media_decode_png (chunk-walk bounds hardening);
+#   tier 2 = the ~10-row r6-green tail the r9 budget cut (4 rounds
+#            stale — the frontier the r9 verdict's item #4 leads with);
+#   tier 3 = the r7-green rows (3 rounds stale);
+#   tier 4 = the r8-refreshed rows;
+#   tier 5 = the r9-refreshed rows (freshest).
+# tier 1 (7) + tier 2 (10) + tier 3 (46) = 63 exceeds the ~50-row
+# budget; the ~13-row tail of tier 3 tops next round's frontier.
 _ORDER = [
-    # ---- tier 1: round-9 new/changed ----
-    "media_decode_png", "media_dedup_dhash", "media_frame_sample",
-    "ann_lsh_topk", "text_rolling_hash",
-    "rotation_invariant_topk", "retrieval_mmr_diversified",
-    "dedup_embedding_cosine", "semantic_dedup_assign",
-    "retrieval_eval_metrics",
-    # ---- tier 2: the 50 r6-green rows (3 rounds stale) ----
-    "running_counter", "last_value_propagation", "stanza_lookahead",
-    "date_range_explode", "full_select", "agg_features",
-    "feature_assembly", "roi_simulation", "accuracy_metrics",
-    "topk_orders", "window_rank_per_group", "window_lag_lead",
-    "rollup_agg", "cube_agg", "grouping_sets", "distinct_pairs",
-    "count_distinct_agg", "semi_join", "anti_join",
-    "join_composite_key", "outer_join", "range_join",
-    "intersect_setop", "except_setop", "scalar_battery",
-    "json_extract", "pivot_wide", "unpivot_stack",
-    "sample_systematic", "percentile_quantile", "time_tumble",
-    "correlated_scalar_subquery", "having_filter", "min_max_by",
-    "string_agg_sorted", "window_range_frame", "moving_avg_rows",
-    "ntile_cume",
-    "ann_bucket_stats", "table_audit_orders", "chunk_dedup_pipeline",
-    "sketch_distinct_users", "token_budget_head", "dsir_select_corpus",
-    "quality_topk_per_source", "dedup_fuzzy_edit",
+    # ---- tier 1: round-10 new/changed ----
+    "media_decode_jpeg", "semantic_dedup_assign", "ann_ivf_topk",
+    "ann_ivfpq_topk", "ivf_cell_stats", "rotation_invariant_topk",
+    "media_decode_png",
+    # ---- tier 2: the r6-green tail (4 rounds stale) ----
+    "chunk_dedup_pipeline", "sketch_distinct_users", "token_budget_head",
+    "dsir_select_corpus", "quality_topk_per_source", "dedup_fuzzy_edit",
     "dedup_incremental_batch", "scd2_user_state", "bm25_topk_docs",
     "repeated_substring_spans",
-    # ---- tier 3: the r7-green rows (2 rounds old) ----
+    # ---- tier 3: the r7-green rows (3 rounds stale) ----
     "funnel_conversion", "funnel_windowed", "cohort_retention",
     "event_transitions", "attribution_last_touch", "pmi_collocations",
     "sample_group_reservoir", "sample_group_weighted",
     "tfidf_related_docs", "tfidf_top_terms_per_doc",
-    "retrieval_rrf_fusion", "retrieval_hard_negatives",
-    "bm25_index_stats",
+    "retrieval_rrf_fusion", "retrieval_hard_negatives", "bm25_index_stats",
     "sketch_freq_sources", "sketch_price_quantiles",
     "strip_repeated_spans", "dedup_incremental_bloom",
-    "dedup_best_quality",
-    "dedup_minhash_incremental", "bpe_token_count",
-    "compression_quality",
-    "quality_quantile_gate", "lm_quality_score",
-    "width_normalize_battery",
-    "split_exact_assign", "split_stratified_assign",
-    "token_budget_mixture",
-    "decontaminate_drop_train",
-    "time_hopping", "time_session",
-    "ann_ivfpq_topk",
+    "dedup_best_quality", "dedup_minhash_incremental", "bpe_token_count",
+    "compression_quality", "quality_quantile_gate", "lm_quality_score",
+    "width_normalize_battery", "split_exact_assign",
+    "split_stratified_assign", "token_budget_mixture",
+    "decontaminate_drop_train", "time_hopping", "time_session",
     "career_class_transitions", "racer_podium_funnel",
     "racer_first_win_cohort", "packed_split_pipeline",
-    "mixture_temperature_resample",
-    "dedup_exact", "dedup_ngram_jaccard", "text_profile",
-    "embedding_cosine_topk", "embedding_norm_stats",
+    "mixture_temperature_resample", "dedup_exact", "dedup_ngram_jaccard",
+    "text_profile", "embedding_cosine_topk", "embedding_norm_stats",
     "multimodal_features", "asof_join_events", "flag_timing_features",
-    "sessionize_gaps",
-    "salted_skew_agg", "date_battery",
-    # ---- tier 4: the r8-refreshed rows (freshest) ----
-    "pack_materialize", "embedding_project_jl",
-    "media_decode_roundtrip", "decontaminate_semantic_flags",
-    "null_battery", "union_distinct",
+    "sessionize_gaps", "salted_skew_agg", "date_battery",
+    # ---- tier 4: the r8-refreshed rows ----
+    "pack_materialize", "embedding_project_jl", "media_decode_roundtrip",
+    "decontaminate_semantic_flags", "null_battery", "union_distinct",
     "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
-    "token_count_battery", "dedup_cluster_assign",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "join_single_key", "prefix_filter", "prefix_filter_disjunction",
-    "decontaminate_eval", "repetition_profile", "pii_redact_scrub",
-    "mixture_resample_recipe", "pack_sequences_windows",
-    "training_data_pipeline", "split_train_eval",
+    "token_count_battery", "dedup_cluster_assign", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_region_revenue", "join_single_key",
+    "prefix_filter", "prefix_filter_disjunction", "decontaminate_eval",
+    "repetition_profile", "pii_redact_scrub", "mixture_resample_recipe",
+    "pack_sequences_windows", "training_data_pipeline", "split_train_eval",
     "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
-    "append_union", "sentinel_fill",
-    "regex_gate", "regex_extract", "concat_key",
-    "ann_ivf_topk",
-    "ivf_cell_stats", "dedup_minhash_lsh", "dedup_simhash",
-    "approx_distinct_quantile",
-    "freq_items_heavy_hitters",
+    "append_union", "sentinel_fill", "regex_gate", "regex_extract",
+    "concat_key", "dedup_minhash_lsh", "dedup_simhash",
+    "approx_distinct_quantile", "freq_items_heavy_hitters",
+    # ---- tier 5: the r9-refreshed rows (freshest) ----
+    "media_dedup_dhash", "media_frame_sample", "ann_lsh_topk",
+    "text_rolling_hash", "retrieval_mmr_diversified",
+    "dedup_embedding_cosine", "retrieval_eval_metrics", "running_counter",
+    "last_value_propagation", "stanza_lookahead", "date_range_explode",
+    "full_select", "agg_features", "feature_assembly", "roi_simulation",
+    "accuracy_metrics", "topk_orders", "window_rank_per_group",
+    "window_lag_lead", "rollup_agg", "cube_agg", "grouping_sets",
+    "distinct_pairs", "count_distinct_agg", "semi_join", "anti_join",
+    "join_composite_key", "outer_join", "range_join", "intersect_setop",
+    "except_setop", "scalar_battery", "json_extract", "pivot_wide",
+    "unpivot_stack", "sample_systematic", "percentile_quantile",
+    "time_tumble", "correlated_scalar_subquery", "having_filter",
+    "min_max_by", "string_agg_sorted", "window_range_frame",
+    "moving_avg_rows", "ntile_cume", "ann_bucket_stats",
+    "table_audit_orders",
 ]
+
 
 if set(_ORDER) != set(_ALL_QUERIES):
     raise RuntimeError(

@@ -2102,6 +2102,115 @@ FROM px GROUP BY doc_id, frame_no ORDER BY media_id, frame_no
 """
 
 
+def media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, driver-checked (round 10 — closes the
+    r9 verdict's last stubbed media format, multimodal's old Pillow-only
+    seam): each document gets a deterministic 16×8 grayscale JPEG of
+    two flat 8×8 blocks, ``v0 = (doc_id·23) mod 256`` and ``v1 =
+    (v0 + 101) mod 256``, encoded at quality 90 (Q00 = 3) by the native
+    pure-Python encoder (operators/jpeg.py) inside an Arrow batch. Flat
+    blocks are DC-only, so the full lossy pipeline — level shift, DCT,
+    quantize floor(DC/Q + ½), Huffman + DC-difference coding across the
+    two blocks, dequantize, IDCT, clip(floor(+128.5)) — has the closed
+    form ``r(v) = clip(floor(floor(8(v-128)/3 + ½)·3/8 + 128½))`` the
+    SQL oracle computes in exact arithmetic (the codec's 4-dp
+    noise-collapse contract makes the float path land on the same
+    integers; see jpeg.py docstring). Standard feature columns come
+    from the production path (`extract_features(use_stub=False)` →
+    sniff → marker walk → entropy decode → pixel mean); a second Arrow
+    pass re-decodes and emits the POSITION-WEIGHTED pixel sum
+    ``Σ (p+1)·v_p mod 2^31`` over row-major positions — block order,
+    geometry, or value drift breaks the hash even when the plain mean
+    survives. Entropy-byte checksums are omitted by design (no SQL
+    oracle can re-derive a Huffman bitstream; the committed golden
+    fixtures in tests/test_media_codecs.py pin the bytes)."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import jpeg as JC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                v0 = int(did) * 23 % 256
+                img = np.empty((8, 16), dtype=np.uint8)
+                img[:, :8] = v0
+                img[:, 8:] = (v0 + 101) % 256
+                payloads.append(bytes(JC.encode_jpeg(img, quality=90)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/jpeg", "source": s, "n_bytes": len(p)}
+                        for s, p in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA).localCheckpoint(
+        eager=False
+    )
+
+    def weighted(batches):
+        w = np.arange(128, dtype=np.int64) + 1
+        for pdf in batches:
+            sums = [
+                int(
+                    (w * JC.decode_jpeg(bytes(p))["pixels"]
+                        .reshape(-1).astype(np.int64)).sum() % 2**31
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "weighted_sum": sums})
+
+    wdf = media.mapInPandas(weighted, "media_id long, weighted_sum long")
+    return (
+        M.extract_features(media, use_stub=False)
+        .select(
+            "media_id",
+            "mime",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("channels").cast("int").alias("channels"),
+            F.round("content_mean", 6).alias("content_mean"),
+        )
+        .join(wdf, on="media_id")
+        .orderBy("media_id")
+    )
+
+
+# The reconstruction closed form r(v), inlined twice (once per block
+# value): Q00 = 3 at the encoder's quality 90.
+_JPEG_R = (
+    "GREATEST(0.0, LEAST(255.0, "
+    "floor(floor(8 * ({v} - 128) / 3.0 + 0.5) * 3 / 8.0 + 128.5)))"
+)
+MEDIA_DECODE_JPEG_SQL = f"""
+WITH rec AS (
+  SELECT doc_id,
+         {_JPEG_R.format(v="doc_id * 23 % 256")} AS r0,
+         {_JPEG_R.format(v="(doc_id * 23 % 256 + 101) % 256")} AS r1
+  FROM documents
+),
+px AS (
+  SELECT rec.doc_id, p.p AS p,
+         CASE WHEN p.p % 16 < 8 THEN rec.r0 ELSE rec.r1 END AS v
+  FROM rec, range(128) p(p)
+)
+SELECT doc_id AS media_id,
+       'image/jpeg' AS mime,
+       16 AS width, 8 AS height, 1 AS channels,
+       round(sum(v) / 128.0, 6) AS content_mean,
+       CAST(CAST(sum((p + 1) * v) AS BIGINT) % 2147483648 AS BIGINT)
+         AS weighted_sum
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def media_dedup_dhash(spark, sf_dir):
     """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
     (round 9 — the image face of the dedup family): each document gets
@@ -3666,6 +3775,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_decode_png": media_decode_png,
+    "media_decode_jpeg": media_decode_jpeg,
     "media_dedup_dhash": media_dedup_dhash,
     "media_frame_sample": media_frame_sample,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
@@ -3753,6 +3863,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "media_decode_png": MEDIA_DECODE_PNG_SQL,
+    "media_decode_jpeg": MEDIA_DECODE_JPEG_SQL,
     "media_dedup_dhash": MEDIA_DEDUP_DHASH_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
