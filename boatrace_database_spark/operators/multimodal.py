@@ -359,7 +359,8 @@ def dhash_media(media: DataFrame, hash_size: int = 8) -> DataFrame:
     standard near-duplicate fingerprint for IMAGE corpora (crops,
     re-encodes, brightness shifts hash close; unrelated images hash
     ~bits/2 apart): decode natively (`media_codecs.decode_pixels` —
-    BMP/PPM-PGM/PNG, real bytes→pixels), integer-mean grayscale,
+    BMP/PPM-PGM/PNG/baseline JPEG, real bytes→pixels), integer-mean
+    grayscale,
     nearest-neighbor resample to (hash_size+1) × hash_size, then bit
     k = r·hash_size + c set iff g[r,c] > g[r,c+1]. Returns
     (media_id, dhash LONG) with hash_size² bits.

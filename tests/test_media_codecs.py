@@ -841,3 +841,37 @@ def test_jpeg_extract_features_spark(spark):
     assert feats[1].mime == "image/jpeg"
     assert (feats[1].width, feats[1].height, feats[1].channels) == (16, 8, 1)
     assert (feats[2].width, feats[2].height, feats[2].channels) == (8, 16, 3)
+
+
+def test_jpeg_dhash_near_dup(spark):
+    """The dispatch seam makes perceptual dedup JPEG-capable with no
+    operator change: two JPEG re-encodes of the same scene (different
+    quality, one brightness-shifted) dHash within a few bits; an
+    unrelated gradient lands ~bits/2 away."""
+    yy, xx = np.mgrid[0:32, 0:32]
+    scene = np.clip((np.sin(yy / 5.0) * 60 + xx * 4 + 80), 0, 255).astype(
+        np.uint8
+    )
+    shifted = np.clip(scene.astype(int) + 6, 0, 255).astype(np.uint8)
+    # unrelated content with ALTERNATING horizontal gradient signs —
+    # dHash encodes exactly those signs, so a same-sign gradient would
+    # (correctly) hash identical to `scene`
+    other = np.clip(np.sin(xx / 2.5) * 100 + np.cos(yy / 3.0) * 60 + 128,
+                    0, 255).astype(np.uint8)
+    media = _media_df(
+        spark,
+        [
+            (1, J.encode_jpeg(scene, quality=90)),
+            (2, J.encode_jpeg(scene, quality=60)),
+            (3, J.encode_jpeg(shifted, quality=85)),
+            (4, J.encode_jpeg(other, quality=90)),
+        ],
+    )
+    hashes = {
+        r.media_id: r.dhash for r in M.dhash_media(media, hash_size=8).collect()
+    }
+    def ham(a, b):
+        return bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 2) <= 6, ham(1, 2)
+    assert ham(1, 3) <= 6, ham(1, 3)
+    assert ham(1, 4) >= 16, ham(1, 4)
