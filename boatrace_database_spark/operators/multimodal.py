@@ -127,11 +127,11 @@ def resize_media(
 ) -> DataFrame:
     """Resize transform: binary in -> binary out, same media layout.
 
-    Real resample (``use_stub=False``): native decode (BMP/PPM/PGM) ->
-    nearest-neighbor resample -> re-encode in the SAME format, pure
-    Python; Pillow fallback for other image formats; audio payloads
-    raise ValueError (resize of PCM is not defined — use
-    `sample_frames` to window audio).
+    Real resample (``use_stub=False``): native decode
+    (BMP/PPM-PGM/PNG/baseline JPEG) -> nearest-neighbor resample ->
+    re-encode in the SAME format, pure Python; Pillow fallback for
+    other image formats; audio payloads raise ValueError (resize of
+    PCM is not defined — use `sample_frames` to window audio).
 
     STUB resample: the payload is truncated/cycled to exactly
     width*height bytes. Either way the plumbing is the real pattern:
@@ -165,6 +165,21 @@ def resize_media(
                     if mime == "image/x-portable-graymap":
                         px = media_codecs.decode_ppm(b)["pixels"]
                         return media_codecs.encode_pgm(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
+                    if mime == "image/png":
+                        px = media_codecs.decode_png(b)["pixels"]
+                        return media_codecs.encode_png(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
+                    if mime == "image/jpeg":
+                        from boatrace_database_spark.operators.jpeg import (
+                            decode_jpeg,
+                            encode_jpeg,
+                        )
+
+                        px = decode_jpeg(b)["pixels"]
+                        return encode_jpeg(
                             media_codecs.resize_nearest(px, width, height)
                         )
                     if mime == "audio/wav":

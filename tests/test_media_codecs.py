@@ -875,3 +875,28 @@ def test_jpeg_dhash_near_dup(spark):
     assert ham(1, 2) <= 6, ham(1, 2)
     assert ham(1, 3) <= 6, ham(1, 3)
     assert ham(1, 4) >= 16, ham(1, 4)
+
+
+def test_resize_media_real_png_jpeg(spark):
+    """Round-10: resize_media's native path covers PNG and baseline
+    JPEG (decode -> nearest resample -> re-encode SAME format)."""
+    rgb = _golden_pixels()
+    media = _media_df(
+        spark,
+        [
+            (1, mc.encode_png(rgb)),
+            (2, J.encode_jpeg(np.repeat(np.repeat(rgb, 4, 0), 4, 1), 95)),
+        ],
+    )
+    out = {
+        r.media_id: bytes(r.payload)
+        for r in M.resize_media(media, 6, 9, use_stub=False).collect()
+    }
+    d1 = mc.decode_png(out[1])
+    assert (d1["width"], d1["height"]) == (6, 9)
+    assert np.array_equal(
+        d1["pixels"], mc.resize_nearest(rgb, 6, 9)
+    )  # PNG is lossless: exact
+    assert mc.sniff_mime(out[2]) == "image/jpeg"
+    d2 = J.decode_jpeg(out[2])
+    assert (d2["width"], d2["height"], d2["channels"]) == (6, 9, 3)
