@@ -900,3 +900,63 @@ def test_resize_media_real_png_jpeg(spark):
     assert mc.sniff_mime(out[2]) == "image/jpeg"
     d2 = J.decode_jpeg(out[2])
     assert (d2["width"], d2["height"], d2["channels"]) == (6, 9, 3)
+
+
+def test_decode_jpeg_spec_literal():
+    """Non-circularity guard (the suite's pattern for every codec): a
+    baseline JPEG assembled BY HAND from ITU-T T.81 — custom canonical
+    Huffman tables (Annex C construction), identity quantization, one
+    8x8 gray block with DC=24 and one AC coefficient (-3 at zigzag 1)
+    hand-coded into the bitstream — decoded by our decoder and checked
+    against an INDEPENDENT textbook IDCT written here with math.cos,
+    plus the documented reconstruction rounding. No codec code on the
+    encode side anywhere."""
+    import math
+
+    # canonical tables (spec Annex C): DC BITS=[1,1] -> symbol 5 = "0",
+    # symbol 0 = "10"; AC BITS=[1,1,1] -> 0x02="0", 0x00(EOB)="10",
+    # 0x01="110" (terminal all-ones left unused per the spec note)
+    dc_bits = [1, 1] + [0] * 14
+    dc_vals = [5, 0]
+    ac_bits = [1, 1, 1] + [0] * 13
+    ac_vals = [0x02, 0x00, 0x01]
+    payload = (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)  # DQT: Q=1
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])  # SOF0: 8x8, 1 comp, 1x1, Tq=0
+        + b"\xff\xc4" + struct.pack(">HB", 19 + 2, 0x00)
+        + bytes(dc_bits) + bytes(dc_vals)
+        + b"\xff\xc4" + struct.pack(">HB", 19 + 3, 0x10)
+        + bytes(ac_bits) + bytes(ac_vals)
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + b"\x00\x3f\x00"
+        # entropy, hand-coded MSB-first:
+        #   DC: "0" (symbol 5) + 11000 (diff 24, 5 magnitude bits)
+        #   AC: "0" (symbol 0x02: run 0, size 2) + 00 (-3 -> -3+3=0)
+        #   EOB: "10"; pad with 1s
+        # bits: 0 11000 | 0 00 10 | 11111 -> 0x60 0x5F
+        + bytes([0x60, 0x5F])
+        + b"\xff\xd9"  # EOI
+    )
+    d = J.decode_jpeg(payload)
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+
+    # independent IDCT (T.81 textbook form), Q=1 so S(0,0)=24, S(0,1)=-3
+    def c(u):
+        return 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+
+    want = np.zeros((8, 8), dtype=np.uint8)
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for (u, v, coef) in [(0, 0, 24.0), (0, 1, -3.0)]:
+                s += (
+                    0.25 * c(u) * c(v) * coef
+                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                )
+            want[x, y] = min(255, max(0, math.floor(round(s, 4) + 128.5)))
+    assert np.array_equal(d["pixels"], want), (d["pixels"], want)
+    # the AC term varies along y only; sanity that it's not flat
+    assert len(np.unique(want)) > 1 and np.all(want[0] == want)

@@ -646,3 +646,42 @@ def test_dsir_empty_and_null_text_score_neutral(spark):
     assert set(w) == {0, 1, 2, 3}
     assert w[2] == (0, 0.0) and w[3] == (0, 0.0)
     assert w[0][1] > 0 > w[1][1]
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec properties (round 10): no Spark, pure codec invariants
+
+
+@st.composite
+def jpeg_case(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    gray = draw(st.booleans())
+    quality = draw(st.sampled_from([50, 75, 90, 95]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return h, w, gray, quality, seed
+
+
+@given(jpeg_case())
+@settings(**_SETTINGS)
+def test_jpeg_roundtrip_invariants(case):
+    """decode(encode(img)) preserves shape/channels for ANY dims (incl.
+    non-multiples of 8), never raises, and flat images reconstruct to
+    within the DC quantization bound |err| <= ceil(Q00/16) + 1."""
+    import numpy as np
+
+    from boatrace_database_spark.operators import jpeg as J
+
+    h, w, gray, quality, seed = case
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(img, quality=quality))
+    assert d["pixels"].shape == shape
+    assert d["channels"] == (1 if gray else 3)
+    flat = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+    df = J.decode_jpeg(J.encode_jpeg(flat, quality=quality))
+    q00 = int(J.quality_tables(quality)[0][0])
+    bound = q00 // 16 + 2  # DC quant step /16 per sample, color adds ~1
+    err = np.abs(df["pixels"].astype(int) - flat.astype(int)).max()
+    assert err <= bound, (case, err, bound)
