@@ -9,19 +9,26 @@ format. Like the other codecs it is driver-free: calls run inside
 Arrow batches on executors, each touching only its own payload bytes.
 
 Scope (public spec, ITU-T T.81 / JFIF):
-- decode: baseline DCT (SOF0), 8-bit, 1 or 3 components, any sampling
-  factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 via nearest-neighbor chroma
-  upsample), Huffman tables from DHT (the file's own tables — baseline
-  JPEGs always carry them), restart intervals (DRI + RSTn), APPn/COM
-  skipped by the marker walk. Progressive (SOF2), arithmetic coding,
-  12-bit precision, and 4-component (CMYK) files raise ValueError —
-  the callers' fallback seam.
-- encode: baseline JFIF with the Annex-K example Huffman tables and
-  Annex-K quantization tables scaled by the public libjpeg quality
-  convention; grayscale or YCbCr at 4:4:4 (subsample=(1, 1)) or 4:2:0
-  (subsample=(2, 2)); optional restart interval. Exists so tests can
-  commit fixtures and property-check encode→decode round-trips — not
-  a general imaging library.
+- decode: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2:
+  spectral selection, successive approximation, DC/AC first and
+  refinement scans, EOB runs) — 8-bit, 1 or 3 components, any
+  sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 via nearest-neighbor
+  chroma upsample), Huffman tables from DHT (the file's own tables —
+  DCT JPEGs always carry them), restart intervals (DRI + RSTn),
+  APPn/COM skipped by the marker walk. Lossless/hierarchical SOFs,
+  arithmetic coding, 12-bit precision, and 4-component (CMYK) files
+  raise ValueError — the callers' fallback seam.
+- encode: JFIF with the Annex-K example Huffman tables (a flat custom
+  AC table for progressive scans — Annex-K defines no EOBn symbols)
+  and Annex-K quantization tables scaled by the public libjpeg
+  quality convention; grayscale or YCbCr at 4:4:4 (subsample=(1, 1))
+  or 4:2:0 (subsample=(2, 2)); optional restart interval (baseline);
+  progressive spectral-selection script with optional successive
+  approximation. Exists so tests can commit fixtures and
+  property-check encode→decode round-trips — not a general imaging
+  library. Progressive is an entropy REORDERING of the identical
+  quantized coefficients, so progressive-decode == baseline-decode
+  EXACTLY — the self-verifying invariant the tests pin.
 
 Determinism contract (drives the `media_decode_jpeg` oracle in
 queries/llm.py): quantization is floor(round(coef/Q + 0.5, 4)) and
@@ -133,6 +140,19 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# Progressive AC Huffman table (encoder-side): the Annex-K baseline AC
+# tables define no EOBn symbols (r<<4, r=1..14 — progressive-only), so
+# progressive scans need their own table. A flat 8-bit canonical code
+# over every symbol a progressive AC scan can emit (runs 0-15 × sizes
+# 1-10, EOB0-EOB14, ZRL = 176 symbols < 255, so no all-ones code) —
+# deliberately simple; the decoder reads whatever DHT the file carries.
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]
+    + [0xF0]
+)
 
 # orthonormal 8x8 DCT-II basis: T[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
 _T = np.zeros((8, 8))
@@ -307,12 +327,25 @@ def encode_jpeg(
     quality: int = 90,
     subsample: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
-    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes.
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> JFIF bytes.
 
     subsample=(1, 1) is 4:4:4; (2, 2) is 4:2:0 (chroma averaged over
     2x2, luma MCUs of 16x16). Gray input ignores subsample. A nonzero
-    restart_interval writes DRI and emits RSTn every that-many MCUs.
+    restart_interval writes DRI and emits RSTn every that-many MCUs
+    (baseline only).
+
+    progressive=True writes SOF2 with a spectral-selection script
+    (interleaved DC scan, then one full 1-63 AC scan per component);
+    successive=True additionally splits every scan into a first pass
+    at Al=1 plus a refinement pass (Ah=1, Al=0), exercising the full
+    successive-approximation surface (EOB runs, correction bits, new
+    ±1 coefficients). Either way the QUANTIZED COEFFICIENTS are
+    identical to the baseline encoding at the same quality/subsample —
+    progressive is an entropy reordering, so decode must reproduce
+    baseline-decode pixels EXACTLY (pinned in tests).
     """
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
@@ -361,6 +394,12 @@ def encode_jpeg(
     zz = [_fdct_quant(pl, qt) for pl, qt in zip(planes, qtabs)]
     bw = [pl.shape[1] // 8 for pl in planes]  # blocks per row
 
+    if progressive and restart_interval:
+        raise ValueError(
+            "encode_jpeg: restart_interval is supported for baseline "
+            "encodes only (the decoder accepts both)"
+        )
+
     # --- header segments
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
@@ -368,34 +407,52 @@ def encode_jpeg(
     for tid, qt in ((0, qluma),) + (((1, qchroma),) if ncomp == 3 else ()):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + bytes(int(v) for v in qt[ZIGZAG])
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for i in range(ncomp):
         ch, cv = samps[i]
         out += bytes([i + 1, (ch << 4) | cv, qids[i]])
+    ac_bits_l, ac_vals_l = (
+        (AC_PROG_BITS, AC_PROG_VALS) if progressive
+        else (AC_LUMA_BITS, AC_LUMA_VALS)
+    )
+    ac_bits_c, ac_vals_c = (
+        (AC_PROG_BITS, AC_PROG_VALS) if progressive
+        else (AC_CHROMA_BITS, AC_CHROMA_VALS)
+    )
     huff = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS),
-            (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+            (0x10, ac_bits_l, ac_vals_l)]
     if ncomp == 3:
         huff += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-                 (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+                 (0x11, ac_bits_c, ac_vals_c)]
     for tc_th, bits, vals in huff:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th) \
             + bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(ac_bits_l, ac_vals_l)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(ac_bits_c, ac_vals_c)
+    ctabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    mcux = planes[0].shape[1] // (8 * hs)
+    mcuy = planes[0].shape[0] // (8 * vs)
+
+    if progressive:
+        _write_progressive_scans(
+            out, zz, bw, samps, ncomp, (h, w), (mcux, mcuy),
+            ctabs, successive,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- baseline: ONE entropy-coded scan, MCU-interleaved
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for i in range(ncomp):
         td_ta = 0x00 if i == 0 else 0x11
         out += bytes([i + 1, td_ta])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
-
-    # --- entropy-coded scan, MCU-interleaved
-    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    ctabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
-    mcux = planes[0].shape[1] // (8 * hs)
-    mcuy = planes[0].shape[0] // (8 * vs)
     writer = _BitWriter()
     preds = [0] * ncomp
     rst = 0
@@ -420,6 +477,186 @@ def encode_jpeg(
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (spectral selection + optional successive
+# approximation) — the entropy REORDERING of the identical quantized
+# coefficients; decode must equal baseline decode exactly
+
+
+def _sos_header(comp_specs: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+    seg = bytearray(
+        b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_specs),
+                                  len(comp_specs))
+    )
+    for cid, td_ta in comp_specs:
+        seg += bytes([cid, td_ta])
+    seg += bytes([ss, se, (ah << 4) | al])
+    return bytes(seg)
+
+
+def _used_blocks(ci, samps, hs, vs, dims, grid):
+    """Yield the non-interleaved (used) block indices of component ci,
+    raster order — ceil(comp_dim/8) per axis, NOT the MCU-padded grid."""
+    h, w = dims
+    hmax, vmax = hs, vs  # frame maxima
+    ch_, cv_ = samps[ci]
+    cw = -(-w * ch_ // hmax)
+    chh = -(-h * cv_ // vmax)
+    bwu, bhu = -(-cw // 8), -(-chh // 8)
+    gw = grid  # padded blocks per row for this component
+    for by in range(bhu):
+        for bx in range(bwu):
+            yield by * gw + bx
+
+
+class _ProgACWriter:
+    """EOB-run-accumulating AC writer for progressive scans (the
+    encode twin of `_ac_first`/`_ac_refine`, mirroring the public
+    libjpeg structure so the bit order matches the spec decoder)."""
+
+    def __init__(self, writer: _BitWriter, codes: dict):
+        self.w = writer
+        self.codes = codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.codes[r << 4]
+            self.w.write(code, length)
+            if r:
+                self.w.write(self.eobrun, r)  # low r bits (top implied)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.pending = []
+
+    def first_block(self, zz, al: int) -> None:
+        r = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            self.flush_eob()
+            while r > 15:
+                code, length = self.codes[0xF0]
+                self.w.write(code, length)
+                r -= 16
+            s = t.bit_length()
+            code, length = self.codes[(r << 4) | s]
+            self.w.write(code, length)
+            tv = t if v > 0 else -t
+            self.w.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+    def refine_block(self, zz, al: int) -> None:
+        ab = [abs(int(zz[k])) >> al for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if ab[k] == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(1, 64):
+            t = ab[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self.flush_eob()
+                code, length = self.codes[0xF0]
+                self.w.write(code, length)
+                r -= 16
+                for bit in br:
+                    self.w.write(bit, 1)
+                br = []
+            if t > 1:  # already significant: correction bit
+                br.append(t & 1)
+                continue
+            self.flush_eob()
+            code, length = self.codes[(r << 4) | 1]
+            self.w.write(code, length)
+            self.w.write(1 if int(zz[k]) > 0 else 0, 1)
+            for bit in br:
+                self.w.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+def _write_progressive_scans(
+    out, zz, bw, samps, ncomp, dims, mcu_dims, ctabs, successive
+):
+    mcux, mcuy = mcu_dims
+    hs = max(s[0] for s in samps)
+    vs = max(s[1] for s in samps)
+    al1 = 1 if successive else 0
+    comp_specs = [(i + 1, 0x00 if i == 0 else 0x10) for i in range(ncomp)]
+
+    def dc_scan(ah, al):
+        out.extend(_sos_header(comp_specs, 0, 0, ah, al))
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    ch_, cv_ = samps[ci]
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            bidx = (my * cv_ + by) * bw[ci] + (mx * ch_ + bx)
+                            dc = int(zz[ci][bidx][0])
+                            if ah == 0:  # first pass, point-transformed
+                                val = dc >> al
+                                diff = val - preds[ci]
+                                preds[ci] = val
+                                s = _bit_size(diff)
+                                code, length = ctabs[ci][0][s]
+                                writer.write(code, length)
+                                if s:
+                                    writer.write(
+                                        diff if diff > 0
+                                        else diff + (1 << s) - 1, s,
+                                    )
+                            else:  # refinement: one magnitude bit
+                                writer.write((dc >> al) & 1, 1)
+        writer.flush()
+        out.extend(writer.out)
+
+    def ac_scan(ci, ah, al):
+        cid = ci + 1
+        out.extend(_sos_header([(cid, 0x00 if ci == 0 else 0x01)],
+                               1, 63, ah, al))
+        writer = _BitWriter()
+        prog = _ProgACWriter(writer, ctabs[ci][1])
+        for bidx in _used_blocks(ci, samps, hs, vs, dims, bw[ci]):
+            if ah == 0:
+                prog.first_block(zz[ci][bidx], al)
+            else:
+                prog.refine_block(zz[ci][bidx], al)
+        prog.flush_eob()
+        writer.flush()
+        out.extend(writer.out)
+
+    dc_scan(0, al1)
+    for ci in range(ncomp):
+        ac_scan(ci, 0, al1)
+    if successive:
+        dc_scan(1, 0)
+        for ci in range(ncomp):
+            ac_scan(ci, 1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -524,22 +761,28 @@ def _decode_block(r: _BitReader, dc_tab: dict, ac_tab: dict,
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JPEG bytes -> {width, height, channels, pixels}.
+    """JPEG bytes -> {width, height, channels, pixels}.
 
-    pixels is (h, w) uint8 for 1-component files, (h, w, 3) uint8 RGB
-    for 3-component YCbCr. Raises ValueError for anything outside the
-    baseline scope (progressive, 12-bit, CMYK, arithmetic coding) or
-    for malformed/truncated payloads — the callers' fallback seam.
+    Decodes baseline sequential DCT (SOF0/1) and progressive DCT
+    (SOF2: spectral selection + successive approximation, DC and AC
+    first/refinement scans, EOB runs) — together the overwhelming
+    majority of real-corpus JPEGs. pixels is (h, w) uint8 for
+    1-component files, (h, w, 3) uint8 RGB for 3-component YCbCr.
+    Raises ValueError for anything outside that scope (lossless /
+    hierarchical SOFs, arithmetic coding, 12-bit, CMYK) or for
+    malformed/truncated payloads — the callers' fallback seam.
     """
     b = bytes(payload)
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError("decode_jpeg: not a JPEG payload")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
-    frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+    frame = None  # dict once SOF parsed
+    grids: list[np.ndarray] = []  # per component, (gh*gw, 64) zigzag coefs
     restart_interval = 0
+    scans_done = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at {i}")
         marker = b[i + 1]
@@ -548,6 +791,8 @@ def decode_jpeg(payload: bytes) -> dict:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
             i += 2
             continue
+        if i + 4 > len(b):
+            raise ValueError("decode_jpeg: truncated segment header")
         (seg_len,) = struct.unpack_from(">H", b, i + 2)
         seg_end = i + 2 + seg_len
         if seg_len < 2 or seg_end > len(b):
@@ -576,12 +821,16 @@ def decode_jpeg(payload: bytes) -> dict:
                     raise ValueError("decode_jpeg: truncated DHT")
                 htabs[(tc, th)] = _build_decode_table(bits, vals)
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (prog)
+            if frame is not None:
+                raise ValueError("decode_jpeg: duplicate SOF")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("decode_jpeg: only 8-bit precision")
             if nc not in (1, 3):
                 raise ValueError(f"decode_jpeg: {nc}-component unsupported")
+            if fh == 0 or fw == 0:
+                raise ValueError("decode_jpeg: empty frame")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
@@ -591,82 +840,246 @@ def decode_jpeg(payload: bytes) -> dict:
                         f"decode_jpeg: sampling {hs}x{vs} unsupported"
                     )
                 comps.append((cid, hs, vs, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            frame = {
+                "h": fh, "w": fw, "comps": comps,
+                "progressive": marker == 0xC2,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            }
+            for cid, hs, vs, tq in comps:
+                grids.append(
+                    np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int64)
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "decode_jpeg: only baseline sequential DCT (SOF0/1) "
-                f"supported, got SOF marker 0x{marker:02x}"
+                "decode_jpeg: only baseline (SOF0/1) and progressive "
+                f"(SOF2) DCT supported, got SOF marker 0x{marker:02x}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("decode_jpeg: SOS before SOF")
             ns = seg[0]
             scan = []
             for c in range(ns):
-                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                b, seg_end, frame, scan, qtabs, htabs, restart_interval
+                scan.append((seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                             seg[2 + 2 * c] & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            i = _decode_scan(
+                b, seg_end, frame, scan, (ss, se, ah, al),
+                htabs, restart_interval, grids,
             )
+            scans_done += 1
+            continue
         # APPn / COM / anything else: skipped
         i = seg_end
-    raise ValueError("decode_jpeg: no SOS marker found")
+    if frame is None or scans_done == 0:
+        raise ValueError("decode_jpeg: no SOS marker found")
+    return _finalize(frame, grids, qtabs)
 
 
-def _decode_scan(b, pos, frame, scan, qtabs, htabs, restart_interval):
-    fh, fw, comps = frame
-    if fh == 0 or fw == 0:
-        raise ValueError("decode_jpeg: empty frame")
-    nc = len(comps)
-    if len(scan) != nc:
-        raise ValueError("decode_jpeg: partial scans unsupported")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-fw // (8 * hmax))
-    mcuy = -(-fh // (8 * vmax))
-    # per component: block grid dims and coefficient store
-    grids = []
-    for cid, hs, vs, tq in comps:
-        if tq not in qtabs:
-            raise ValueError(f"decode_jpeg: missing DQT {tq}")
-        gw, gh = mcux * hs, mcuy * vs
-        grids.append(np.zeros((gh * gw, 64), dtype=np.int64))
-    dc_ac = []
-    for (cs, td, ta), (cid, hs, vs, tq) in zip(scan, comps):
-        if cs != cid:
-            raise ValueError("decode_jpeg: scan/frame component mismatch")
-        if (0, td) not in htabs or (1, ta) not in htabs:
-            raise ValueError("decode_jpeg: missing DHT for scan")
-        dc_ac.append((htabs[(0, td)], htabs[(1, ta)]))
+def _comp_geometry(frame, ci):
+    """(grid_width, used_block_cols, used_block_rows) for component ci:
+    the coefficient store is MCU-padded (grid_width blocks per row);
+    non-interleaved scans cover only the ceil(comp_dim/8) used blocks."""
+    _, hs, vs, _ = frame["comps"][ci]
+    gw = frame["mcux"] * hs
+    cw = -(-frame["w"] * hs // frame["hmax"])
+    ch = -(-frame["h"] * vs // frame["vmax"])
+    return gw, -(-cw // 8), -(-ch // 8)
+
+
+def _decode_scan(b, pos, frame, scan, band, htabs, restart_interval, grids):
+    """Entropy-decode one scan into the coefficient grids; returns the
+    byte offset just past the scan's entropy data."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
+    cidx = []
+    for cs, td, ta in scan:
+        matches = [k for k, c in enumerate(comps) if c[0] == cs]
+        if not matches:
+            raise ValueError("decode_jpeg: scan names unknown component")
+        cidx.append(matches[0])
+    progressive = frame["progressive"]
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("decode_jpeg: baseline scan must cover band 0-63")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("decode_jpeg: progressive DC scan needs Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError(
+                "decode_jpeg: progressive AC scans are single-component"
+            )
+        if not (ss <= se <= 63):
+            raise ValueError("decode_jpeg: bad spectral band")
+    # table lookups (only the tables this scan actually needs)
+    dc_tabs, ac_tabs = [], []
+    for (cs, td, ta), k in zip(scan, cidx):
+        need_dc = ss == 0 and ah == 0
+        need_ac = se > 0
+        if need_dc and (0, td) not in htabs:
+            raise ValueError("decode_jpeg: missing DC DHT for scan")
+        if need_ac and (1, ta) not in htabs:
+            raise ValueError("decode_jpeg: missing AC DHT for scan")
+        dc_tabs.append(htabs.get((0, td)))
+        ac_tabs.append(htabs.get((1, ta)))
 
     reader = _BitReader(b, pos)
-    preds = [0] * nc
-    mcu_done = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_done \
-                    and mcu_done % restart_interval == 0:
-                reader.sync_restart()
-                preds = [0] * nc
-            for ci in range(nc):
+    preds = [0] * len(scan)
+    eobrun = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = frame["mcux"] * frame["mcuy"]
+    else:
+        _, bwu, bhu = _comp_geometry(frame, cidx[0])
+        units = bwu * bhu
+    done = 0
+    for u in range(units):
+        if restart_interval and done and done % restart_interval == 0:
+            reader.sync_restart()
+            preds = [0] * len(scan)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, frame["mcux"])
+            for si, ci in enumerate(cidx):
                 _, hs, vs, _ = comps[ci]
+                gw = frame["mcux"] * hs
                 for by in range(vs):
                     for bx in range(hs):
-                        zz, preds[ci] = _decode_block(
-                            reader, *dc_ac[ci], preds[ci]
-                        )
-                        gw = mcux * hs
-                        bidx = (my * vs + by) * gw + (mx * hs + bx)
-                        grids[ci][bidx] = zz
-            mcu_done += 1
+                        zz = grids[ci][(my * vs + by) * gw + (mx * hs + bx)]
+                        preds[si] = _decode_unit(
+                            reader, zz, frame, band, dc_tabs[si],
+                            ac_tabs[si], preds[si], 0,
+                        )[0]
+        else:
+            ci = cidx[0]
+            gw, bwu, _ = _comp_geometry(frame, ci)
+            by, bx = divmod(u, bwu)
+            zz = grids[ci][by * gw + bx]
+            preds[0], eobrun = _decode_unit(
+                reader, zz, frame, band, dc_tabs[0], ac_tabs[0],
+                preds[0], eobrun,
+            )
+        done += 1
+    return reader.pos
 
-    # --- batched dequant + IDCT + reassembly per component
+
+def _decode_unit(reader, zz, frame, band, dc_tab, ac_tab, pred, eobrun):
+    """Decode one block's portion of the current scan. Returns
+    (new_dc_pred, new_eobrun)."""
+    ss, se, ah, al = band
+    if not frame["progressive"]:
+        new_zz, pred = _decode_block(reader, dc_tab, ac_tab, pred)
+        zz[:] = new_zz
+        return pred, 0
+    if ss == 0:
+        if ah == 0:  # DC first: diffs in the scan (>>Al) domain
+            s = _decode_huffman(reader, dc_tab)
+            diff = _extend(reader.receive(s), s) if s else 0
+            pred += diff
+            zz[0] = pred << al
+        else:  # DC refinement: one appended magnitude bit
+            if reader.read_bit():
+                zz[0] |= 1 << al
+        return pred, eobrun
+    if ah == 0:
+        return pred, _ac_first(reader, zz, ss, se, al, ac_tab, eobrun)
+    return pred, _ac_refine(reader, zz, ss, se, al, ac_tab, eobrun)
+
+
+def _ac_first(reader, zz, ss, se, al, ac_tab, eobrun):
+    """Progressive AC, first pass for this band (T.81 G.1.2.2): values
+    arrive point-transformed (<< Al on decode); EOBn codes declare runs
+    of all-zero-band blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, ac_tab)
+        run, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += reader.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("decode_jpeg: AC index overflow")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, zz, ss, se, al, ac_tab, eobrun):
+    """Progressive AC refinement (T.81 G.1.2.3): one correction bit per
+    already-nonzero coefficient, new coefficients enter as ±(1<<Al);
+    runs count only zero-history positions; blocks inside an EOB run
+    still consume their correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if reader.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, ac_tab)
+            run, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError(
+                        "decode_jpeg: invalid AC refinement magnitude"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            else:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.receive(run)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finalize(frame, grids, qtabs):
+    """Dequantize + batched IDCT + upsample + color transform."""
+    fh, fw = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        gw, gh = mcux * hs, mcuy * vs
+        if tq not in qtabs:
+            raise ValueError(f"decode_jpeg: missing DQT {tq}")
+        gw = frame["mcux"] * hs
+        gh = frame["mcuy"] * vs
         deq = (grids[ci] * qtabs[tq][ZIGZAG]).astype(np.float64)
         coefs = deq[:, UNZIGZAG].reshape(-1, 8, 8)
         blocks = np.einsum("xu,nuv,yv->nxy", _T.T, coefs, _T.T, optimize=True)
@@ -682,8 +1095,7 @@ def _decode_scan(b, pos, frame, scan, qtabs, htabs, restart_interval):
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
             )
         planes.append(plane[:fh, :fw])
-
-    if nc == 1:
+    if len(planes) == 1:
         px = planes[0].astype(np.uint8)
         return {"width": fw, "height": fh, "channels": 1, "pixels": px}
     ycc = np.stack(planes, axis=-1)

@@ -6,7 +6,7 @@ decodable from their public specs with numpy + `struct` (+ stdlib
 `zlib` for PNG) alone — which makes the multimodal real-decode path
 REAL (bytes in, pixels / samples out) for any payload in one of them,
 with Pillow reserved for the exotic corners (palette / 16-bit /
-interlaced PNG; progressive / CMYK JPEG). Everything here is
+interlaced PNG; lossless / CMYK JPEG). Everything here is
 driver-free: the decoders run inside Arrow batches on executors
 (`multimodal.extract_features` / `resize_media`), each call touching
 only its own payload bytes.
@@ -20,9 +20,9 @@ Formats (public specs):
   scanlines, per-row filters 0-4, 8-bit gray / gray+alpha / RGB /
   RGBA, non-interlaced (round-9; closes the last stubbed format that
   doesn't genuinely need a library).
-- JPEG (ITU-T T.81): baseline sequential DCT, Huffman, 1/3
-  components, sampling factors 1-2 — full codec in the sibling
-  `jpeg` module (round-10; closes the last stubbed image format).
+- JPEG (ITU-T T.81): baseline sequential + progressive DCT,
+  Huffman, 1/3 components, sampling factors 1-2 — full codec in the
+  sibling `jpeg` module (round-10; closes the last stubbed format).
 - WAV: RIFF container, `fmt ` chunk (PCM, format tag 1) + `data`
   chunk of interleaved little-endian PCM16 samples.
 

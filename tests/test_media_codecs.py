@@ -762,7 +762,7 @@ def test_jpeg_byte_stuffing_exercised():
 def test_jpeg_errors_are_loud():
     with pytest.raises(ValueError, match="not a JPEG"):
         J.decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    with pytest.raises(ValueError, match="no SOS"):
+    with pytest.raises(ValueError, match="no SOS|truncated segment"):
         J.decode_jpeg(b"\xff\xd8\xff\xe0")
     pay = J.encode_jpeg(np.full((8, 8), 7, np.uint8))
     with pytest.raises(ValueError, match="truncated"):
@@ -773,10 +773,13 @@ def test_jpeg_errors_are_loud():
     )
     with pytest.raises(ValueError, match="truncated entropy"):
         J.decode_jpeg(big[: len(big) // 2])
-    # flip SOF0 -> SOF2 (progressive): loud, names the marker
-    prog = pay.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="SOF marker 0xc2"):
-        J.decode_jpeg(prog)
+    # flip SOF0 -> SOF3 (lossless): loud, names the marker
+    with pytest.raises(ValueError, match="SOF marker 0xc3"):
+        J.decode_jpeg(pay.replace(b"\xff\xc0", b"\xff\xc3"))
+    # SOF0 -> SOF2 alone yields an INVALID progressive file (a 0-63
+    # band in one scan is baseline-only); the validator says why
+    with pytest.raises(ValueError, match="DC scan needs Se=0"):
+        J.decode_jpeg(pay.replace(b"\xff\xc0", b"\xff\xc2"))
     with pytest.raises(ValueError, match="quality"):
         J.encode_jpeg(np.zeros((8, 8), np.uint8), quality=0)
     with pytest.raises(ValueError, match="uint8"):
@@ -960,3 +963,133 @@ def test_decode_jpeg_spec_literal():
     assert np.array_equal(d["pixels"], want), (d["pixels"], want)
     # the AC term varies along y only; sanity that it's not flat
     assert len(np.unique(want)) > 1 and np.all(want[0] == want)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (round 10, second pass: SOF2 — spectral selection +
+# successive approximation). The load-bearing invariant: progressive is
+# an entropy REORDERING of the identical quantized coefficients, so
+# progressive decode must equal baseline decode EXACTLY.
+
+
+def test_jpeg_progressive_equals_baseline_exactly():
+    rng = np.random.default_rng(17)
+    cases = []
+    for trial in range(8):
+        gray = trial % 2 == 0
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        shape = (h, w) if gray else (h, w, 3)
+        sub = (2, 2) if (not gray and trial % 4 == 1) else (1, 1)
+        cases.append((rng.integers(0, 256, shape, np.uint8), sub))
+    # EOB-run / ZRL / sparse-band shapes the random cases may miss:
+    flat = np.full((64, 64), 130, np.uint8)  # EOBn runs (64-block run)
+    hot = np.full((32, 48), 128, np.uint8)
+    hot[7::8, 7::8] = 255  # energy at the band tail -> long runs + ZRL
+    sparse = np.full((33, 31, 3), 90, np.uint8)
+    sparse[::9, ::7] = (255, 0, 255)
+    yy, xx = np.mgrid[0:24, 0:24]
+    checker = ((yy + xx) % 2 * 255).astype(np.uint8)  # dense AC
+    cases += [(flat, (1, 1)), (hot, (1, 1)), (sparse, (2, 2)),
+              (checker, (1, 1))]
+    for img, sub in cases:
+        for q in (50, 90):
+            base = J.decode_jpeg(
+                J.encode_jpeg(img, quality=q, subsample=sub)
+            )["pixels"]
+            for succ in (False, True):
+                prog = J.decode_jpeg(
+                    J.encode_jpeg(img, quality=q, subsample=sub,
+                                  progressive=True, successive=succ)
+                )["pixels"]
+                assert np.array_equal(base, prog), (img.shape, sub, q, succ)
+
+
+def test_jpeg_progressive_structure():
+    """The progressive stream really is SOF2 + multiple scans (not a
+    baseline file in disguise), and EOBn codes appear for flat input."""
+    pay = J.encode_jpeg(np.full((64, 64), 130, np.uint8), quality=90,
+                        progressive=True)
+    assert b"\xff\xc2" in pay and b"\xff\xc0" not in pay
+    assert pay.count(b"\xff\xda") == 2  # DC scan + one AC scan (gray)
+    color = J.encode_jpeg(np.full((16, 16, 3), 99, np.uint8),
+                          progressive=True, successive=True)
+    assert color.count(b"\xff\xda") == 8  # (DC + 3 AC) x first+refine
+    with pytest.raises(ValueError, match="baseline encodes only"):
+        J.encode_jpeg(np.zeros((8, 8), np.uint8), progressive=True,
+                      restart_interval=2)
+
+
+def test_decode_jpeg_progressive_spec_literal():
+    """Hand-built SOF2 file (no encoder involvement): three scans — DC
+    first at Al=1 (diff 24>>1=12), AC first for band 1-63 (one -3 at
+    zigzag 1, then EOB0), DC refinement appending bit 0 — with custom
+    canonical tables, must reconstruct the SAME pixels as the baseline
+    spec-literal test's independent textbook IDCT (DC=24, AC1=-3)."""
+    import math
+
+    dc_bits = [1, 1] + [0] * 14
+    dc_vals = [4, 0]  # diff 12 -> category 4 = code "0"
+    ac_bits = [1, 1, 1] + [0] * 13
+    ac_vals = [0x02, 0x00, 0x01]
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])  # SOF2: 8x8 gray
+        + b"\xff\xc4" + struct.pack(">HB", 21, 0x00)
+        + bytes(dc_bits) + bytes(dc_vals)
+        + b"\xff\xc4" + struct.pack(">HB", 22, 0x10)
+        + bytes(ac_bits) + bytes(ac_vals)
+        # scan 1: DC first, Al=1: "0" (cat 4) + 1100 (12) -> 01100 111
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + b"\x00\x00\x01" + bytes([0x67])
+        # scan 2: AC first 1-63, Al=0: "0" (0x02) + 00 (-3) + "10" (EOB0)
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + b"\x01\x3f\x00" + bytes([0x17])
+        # scan 3: DC refinement Ah=1,Al=0: bit 0 (24 & 1) -> 0 1111111
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + b"\x00\x00\x10" + bytes([0x7F])
+        + b"\xff\xd9"
+    )
+    d = J.decode_jpeg(payload)
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+
+    def c(u):
+        return 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+
+    want = np.zeros((8, 8), dtype=np.uint8)
+    for x in range(8):
+        for y in range(8):
+            s = sum(
+                0.25 * c(u) * c(v) * coef
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for (u, v, coef) in [(0, 0, 24.0), (0, 1, -3.0)]
+            )
+            want[x, y] = min(255, max(0, math.floor(round(s, 4) + 128.5)))
+    assert np.array_equal(d["pixels"], want), (d["pixels"], want)
+
+
+def test_jpeg_progressive_golden_fixture():
+    """Committed progressive fixture: bytes sha-pinned; decodes
+    IDENTICALLY to the committed baseline fixture of the same image
+    (grad420.jpg) — the coefficient-identity invariant on disk."""
+    pay = _fixture("grad420_prog.jpg")
+    assert hashlib.sha256(pay).hexdigest()[:16] == "e085579b700b8bce"
+    assert mc.sniff_mime(pay) == "image/jpeg"
+    d = J.decode_jpeg(pay)
+    base = J.decode_jpeg(_fixture("grad420.jpg"))
+    assert np.array_equal(d["pixels"], base["pixels"])
+    w = np.arange(d["pixels"].size, dtype=np.int64) + 1
+    assert int(w @ d["pixels"].reshape(-1).astype(np.int64)) % 2**31 \
+        == 62720817
+
+
+def test_jpeg_progressive_errors_are_loud():
+    pay = J.encode_jpeg(np.full((8, 8), 7, np.uint8), progressive=True)
+    # truncate inside the LAST scan's entropy data
+    with pytest.raises(ValueError, match="truncated|starvation"):
+        J.decode_jpeg(pay[: len(pay) - 4])
+    # progressive decode via the dispatch seam too
+    px = mc.decode_pixels(pay)
+    assert px.shape == (8, 8)
