@@ -2123,7 +2123,13 @@ def media_decode_jpeg(spark, sf_dir):
     geometry, or value drift breaks the hash even when the plain mean
     survives. Entropy-byte checksums are omitted by design (no SQL
     oracle can re-derive a Huffman bitstream; the committed golden
-    fixtures in tests/test_media_codecs.py pin the bytes)."""
+    fixtures in tests/test_media_codecs.py pin the bytes).
+
+    Every third document is encoded PROGRESSIVE (SOF2, successive
+    approximation) instead of baseline: progressive is an entropy
+    reordering of the identical quantized coefficients, so the SAME
+    closed-form oracle covers both decode paths — the driver gate
+    exercises multi-scan/refinement decoding at zero oracle cost."""
     import numpy as np
     import pandas as pd
 
@@ -2139,7 +2145,15 @@ def media_decode_jpeg(spark, sf_dir):
                 img = np.empty((8, 16), dtype=np.uint8)
                 img[:, :8] = v0
                 img[:, 8:] = (v0 + 101) % 256
-                payloads.append(bytes(JC.encode_jpeg(img, quality=90)))
+                prog = int(did) % 3 == 0
+                payloads.append(
+                    bytes(
+                        JC.encode_jpeg(
+                            img, quality=90,
+                            progressive=prog, successive=prog,
+                        )
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
