@@ -194,18 +194,25 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Canonical Huffman for decoding: (length, code) -> symbol."""
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman for decoding: a (length, code) -> symbol map
+    plus a 256-entry fast table resolving every code of <= 8 bits (the
+    overwhelming majority in real tables) from one 8-bit peek."""
     table: dict[tuple[int, int], int] = {}
+    fast: list = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             table[(length, code)] = vals[k]
+            if length <= 8:
+                base = code << (8 - length)
+                for suffix in range(1 << (8 - length)):
+                    fast[base | suffix] = (vals[k], length)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return {"map": table, "fast": fast}
 
 
 def _bit_size(v: int) -> int:
@@ -675,6 +682,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # trim consumed high bits so acc stays bounded (an unmasked
+        # accumulator grows into an arbitrarily large int over a long
+        # scan — quadratic shifts)
+        self.acc &= (1 << self.nbits) - 1
         d = self.d
         while self.nbits <= 24:
             if self.pos >= len(d):
@@ -705,10 +716,15 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            before = self.nbits
+            self._fill()
+            if self.nbits == before:
+                raise ValueError("decode_jpeg: bit starvation at marker")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self) -> None:
         """Byte-align and consume the expected RSTn marker."""
@@ -726,11 +742,29 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-def _decode_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _decode_huffman(r: _BitReader, table: dict) -> int:
+    if r.nbits < 8:
+        try:
+            r._fill()
+        except ValueError:
+            pass  # stream tail: the bit-by-bit path raises if starved
+    length = 0
     code = 0
-    for length in range(1, 17):
+    if r.nbits >= 8:
+        entry = table["fast"][(r.acc >> (r.nbits - 8)) & 0xFF]
+        if entry is not None:
+            sym, ln = entry
+            r.nbits -= ln
+            return sym
+        # no code of <= 8 bits matches: consume 8 and extend below
+        length = 8
+        code = (r.acc >> (r.nbits - 8)) & 0xFF
+        r.nbits -= 8
+    mp = table["map"]
+    while length < 16:
         code = (code << 1) | r.read_bit()
-        sym = table.get((length, code))
+        length += 1
+        sym = mp.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("decode_jpeg: invalid Huffman code")
