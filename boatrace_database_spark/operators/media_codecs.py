@@ -251,22 +251,22 @@ def encode_png(pixels: "np.ndarray") -> bytes:
 
 
 def _unfilter_scanlines(
-    raw: bytes, w: int, h: int, ch: int
+    raw: bytes, h: int, row_bytes: int, bpp: int, what: str = "image"
 ) -> "np.ndarray":
-    """Reverse PNG per-row filters 0-4. Filters are defined on BYTES
-    with `bpp` = bytes per pixel as the left-neighbor stride (spec
+    """Reverse PNG per-row filters 0-4 over ``h`` rows of
+    ``row_bytes`` filtered bytes each. Filters are defined on BYTES
+    with `bpp` = FILTER-stride bytes per pixel (max(1, bits//8), spec
     §6); rows are processed top-down since Up/Average/Paeth reference
-    the already-reconstructed prior row."""
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
+    the already-reconstructed prior row. Returns (h, row_bytes)."""
+    if len(raw) != (row_bytes + 1) * h:
         raise ValueError(
-            f"decode_png: inflated data is {len(raw)} B, expected "
-            f"{(stride + 1) * h} (w={w}, h={h}, channels={ch})"
+            f"decode_png: inflated {what} is {len(raw)} B, expected "
+            f"{(row_bytes + 1) * h} ({h} rows x {row_bytes} B)"
         )
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_bytes + 1)
     filters = arr[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int32)
     for y in range(h):
         f = int(filters[y])
         cur = arr[y, 1:].astype(np.int32)
@@ -274,22 +274,22 @@ def _unfilter_scanlines(
             rec = cur
         elif f == 1:  # Sub — per-lane prefix sum mod 256 (vectorized)
             rec = cur.astype(np.int64)
-            for lane in range(ch):
-                rec[lane::ch] = np.cumsum(rec[lane::ch]) & 0xFF
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) & 0xFF
             rec = rec.astype(np.int32)
         elif f == 2:  # Up
             rec = (cur + prev) & 0xFF
         elif f == 3:  # Average
             rec = cur.copy()
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                a = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             rec = cur.copy()
-            for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                a = rec[x - bpp] if x >= bpp else 0
                 b_ = prev[x]
-                c_ = prev[x - ch] if x >= ch else 0
+                c_ = prev[x - bpp] if x >= bpp else 0
                 p = a + b_ - c_
                 pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
                 pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c_)
@@ -301,18 +301,49 @@ def _unfilter_scanlines(
     return out
 
 
+def _png_samples(
+    rows: "np.ndarray", pw: int, depth: int, spp: int
+) -> "np.ndarray":
+    """(h, row_bytes) unfiltered bytes -> (h, pw*spp) uint8 samples.
+    depth 16 keeps the high byte (the engine's pixel lanes are uint8 —
+    documented precision fold, matching the 16->8 convention of
+    thumbnailing decoders); depths 1/2/4 unpack MSB-first per spec."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * spp]
+    if depth == 16:
+        wide = rows[:, : pw * spp * 2].reshape(h, pw * spp, 2)
+        return wide[:, :, 0].copy()  # big-endian high byte
+    bits = np.unpackbits(rows, axis=1)  # MSB-first per byte, per spec
+    vals = np.zeros((h, pw), dtype=np.uint8)
+    for bit in range(depth):
+        vals = (vals << 1) | bits[:, bit::depth][:, :pw]
+    return vals  # spp == 1 for sub-byte depths (gray / palette index)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(payload: bytes) -> dict:
-    """PNG (8-bit gray/gray+alpha/RGB/RGBA, non-interlaced) ->
-    {width, height, channels, pixels}. Critical-chunk walk: IHDR
-    first, IDAT parts concatenated in order, IEND terminates;
-    ancillary chunks skipped; CRCs verified (a flipped bit in IHDR
-    silently corrupts everything downstream otherwise)."""
+    """PNG -> {width, height, channels, pixels}: gray / gray+alpha /
+    RGB / RGBA at depths 8 and 16 (16-bit folds to the high byte),
+    sub-byte grayscale (1/2/4), palette (PLTE, + tRNS -> RGBA), and
+    Adam7 interlace — the full spec surface short of private chunks.
+    Critical-chunk walk: IHDR first, IDAT parts concatenated in order,
+    IEND terminates; ancillary chunks skipped; CRCs verified (a
+    flipped bit in IHDR silently corrupts everything downstream
+    otherwise)."""
     import zlib
 
     b = bytes(payload)
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("decode_png: not a PNG payload")
     i, ihdr, idat, ended = 8, None, bytearray(), False
+    plte, trns = None, None
     while i + 8 <= len(b):
         (size,) = struct.unpack_from(">I", b, i)
         ctype = b[i + 4 : i + 8]
@@ -327,6 +358,10 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -342,22 +377,71 @@ def decode_png(payload: bytes) -> dict:
     )
     if w <= 0 or h <= 0:
         raise ValueError(f"decode_png: bad dimensions {w}x{h}")
-    if depth != 8:
-        raise ValueError(f"decode_png: only bit depth 8 supported (got {depth})")
-    if color_type not in (0, 2, 4, 6):
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+    if color_type not in allowed:
+        raise ValueError(f"decode_png: color type {color_type} unsupported")
+    if depth not in allowed[color_type]:
         raise ValueError(
-            f"decode_png: color type {color_type} unsupported "
-            "(palette needs PLTE — Pillow fallback territory)"
+            f"decode_png: depth {depth} invalid for color type {color_type}"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("decode_png: palette image missing PLTE")
     if comp != 0 or filt != 0:
         raise ValueError("decode_png: nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("decode_png: Adam7 interlace unsupported")
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    if interlace not in (0, 1):
+        raise ValueError(f"decode_png: unknown interlace method {interlace}")
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bits_pp = spp * depth
+    bpp = max(1, bits_pp // 8)  # filter stride, spec §6
     raw = zlib.decompress(bytes(idat))
-    out = _unfilter_scanlines(raw, w, h, ch)
-    pixels = out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w)
-    return {"width": w, "height": h, "channels": ch, "pixels": pixels}
+
+    def row_bytes(width):
+        return (width * bits_pp + 7) // 8
+
+    if interlace == 0:
+        rows = _unfilter_scanlines(raw, h, row_bytes(w), bpp)
+        flat = _png_samples(rows, w, depth, spp)
+        plane = flat.reshape(h, w, spp) if spp > 1 else flat.reshape(h, w)
+    else:  # Adam7: 7 independently-filtered sub-images, re-woven
+        plane = np.zeros((h, w, spp) if spp > 1 else (h, w), dtype=np.uint8)
+        off = 0
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = row_bytes(pw)
+            need = (rb + 1) * ph
+            part = raw[off : off + need]
+            off += need
+            rows = _unfilter_scanlines(part, ph, rb, bpp, f"pass {pi + 1}")
+            flat = _png_samples(rows, pw, depth, spp)
+            sub = flat.reshape(ph, pw, spp) if spp > 1 else flat.reshape(ph, pw)
+            plane[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError(
+                f"decode_png: {len(raw) - off} trailing bytes after Adam7"
+            )
+
+    if color_type == 3:
+        n = len(plte) // 3
+        pal = np.frombuffer(plte[: n * 3], dtype=np.uint8).reshape(n, 3)
+        if int(plane.max(initial=0)) >= n:
+            raise ValueError("decode_png: palette index out of range")
+        if trns is not None:
+            alpha = np.full(n, 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            pal = np.concatenate([pal, alpha[:, None]], axis=1)
+        pixels = pal[plane]
+        return {
+            "width": w, "height": h, "channels": pixels.shape[2],
+            "pixels": pixels,
+        }
+    if depth in (1, 2, 4):  # sub-byte gray: expand to full 0-255 range
+        scale = 255 // ((1 << depth) - 1)
+        plane = (plane * scale).astype(np.uint8)
+    return {"width": w, "height": h, "channels": spp, "pixels": plane}
 
 
 # ---------------------------------------------------------------------------

@@ -476,11 +476,19 @@ def test_decode_png_errors_are_loud():
     bad[20] ^= 0xFF  # corrupt inside IHDR body -> CRC mismatch
     with pytest.raises(ValueError, match="CRC mismatch"):
         mc.decode_png(bytes(bad))
-    # unsupported variants name the limitation
+    # invalid variants name the problem (16-bit/palette/interlace are
+    # SUPPORTED since round 10 — these payloads are wrong in new ways)
     for ihdr, msg in [
-        (struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0), "bit depth"),
-        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "color type"),
-        (struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1), "interlace"),
+        # 16-bit gray needs 2 B/sample: 6 raw bytes can't fill 2x2
+        (struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0), "inflated image"),
+        # palette image without a PLTE chunk
+        (struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0), "missing PLTE"),
+        # Adam7 stream sized for a sequential image
+        (struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1), "pass"),
+        # genuinely invalid combos still refuse up front
+        (struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0), "depth 16 invalid"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0), "color type 5"),
+        (struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2), "interlace method 2"),
     ]:
         payload = (
             b"\x89PNG\r\n\x1a\n"
@@ -498,7 +506,7 @@ def test_decode_png_errors_are_loud():
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="inflated data"):
+    with pytest.raises(ValueError, match="inflated image"):
         mc.decode_png(payload)
     # missing IEND
     with pytest.raises(ValueError, match="missing IHDR/IDAT/IEND"):
@@ -1093,3 +1101,136 @@ def test_jpeg_progressive_errors_are_loud():
     # progressive decode via the dispatch seam too
     px = mc.decode_pixels(pay)
     assert px.shape == (8, 8)
+
+
+# ---------------------------------------------------------------------------
+# PNG full-surface decode (round 10): palette / tRNS / 16-bit /
+# sub-byte depths / Adam7 — spec-literal payloads assembled by hand
+
+
+def _png_payload(ihdr_fields, chunks):
+    import zlib as _z  # noqa: F401 (chunks pre-compressed by caller)
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields)
+    )
+    for ctype, body in chunks:
+        out += _png_chunk(ctype, body)
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_palette_and_trns():
+    import zlib
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    raw = bytes([0, 0, 1, 0, 2, 3])  # 2x2 indices, filter 0 rows
+    pay = _png_payload(
+        (2, 2, 8, 3, 0, 0, 0),
+        [(b"PLTE", plte), (b"IDAT", zlib.compress(raw))],
+    )
+    d = mc.decode_png(pay)
+    assert d["channels"] == 3
+    assert d["pixels"].tolist() == [
+        [[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [7, 8, 9]]
+    ]
+    # tRNS: alpha per index (short table -> 255 for the rest)
+    pay = _png_payload(
+        (2, 2, 8, 3, 0, 0, 0),
+        [(b"PLTE", plte), (b"tRNS", bytes([10, 20])),
+         (b"IDAT", zlib.compress(raw))],
+    )
+    d = mc.decode_png(pay)
+    assert d["channels"] == 4
+    assert d["pixels"][:, :, 3].tolist() == [[10, 20], [255, 255]]
+    # out-of-range index is loud
+    bad = _png_payload(
+        (2, 2, 8, 3, 0, 0, 0),
+        [(b"PLTE", plte[:6]), (b"IDAT", zlib.compress(raw))],
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mc.decode_png(bad)
+
+
+def test_decode_png_16bit_high_byte():
+    import zlib
+
+    # 1x2 RGB, 16-bit big-endian: (0x1234, 0xFF00, 0x0001)(...)
+    row = b"\x00" + struct.pack(
+        ">6H", 0x1234, 0xFF00, 0x0001, 0x8000, 0x00FF, 0xABCD
+    )
+    pay = _png_payload((2, 1, 16, 2, 0, 0, 0),
+                       [(b"IDAT", zlib.compress(row))])
+    d = mc.decode_png(pay)
+    assert d["pixels"].tolist() == [[[0x12, 0xFF, 0x00], [0x80, 0x00, 0xAB]]]
+
+
+def test_decode_png_sub_byte_gray():
+    import zlib
+
+    # 1-bit: 10 pixels of alternating bits over 2 rows (4+6 -> w=5)
+    # w=5 -> row = ceil(5/8) = 1 byte; bits MSB-first: 10110|xxx
+    raw = bytes([0, 0b10110000, 0, 0b01001000])
+    pay = _png_payload((5, 2, 1, 0, 0, 0, 0),
+                       [(b"IDAT", zlib.compress(raw))])
+    d = mc.decode_png(pay)
+    assert d["pixels"].tolist() == [
+        [255, 0, 255, 255, 0], [0, 255, 0, 0, 255]
+    ]
+    # 4-bit: scale 17 (0xF -> 255)
+    raw4 = bytes([0, 0x0F, 0xA0])  # pixels 0x0, 0xF, 0xA (w=3)
+    pay = _png_payload((3, 1, 4, 0, 0, 0, 0),
+                       [(b"IDAT", zlib.compress(raw4))])
+    assert mc.decode_png(pay)["pixels"].tolist() == [[0, 255, 170]]
+
+
+def test_decode_png_adam7_interlaced():
+    import zlib
+
+    # 5x5 gray 8-bit: full image v(y, x) = 10*y + x; the seven passes
+    # assembled by hand from the spec's pass grid (each row filter 0)
+    img = np.add.outer(np.arange(5) * 10, np.arange(5)).astype(np.uint8)
+    grid = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    stream = bytearray()
+    for x0, y0, dx, dy in grid:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            stream += b"\x00" + row.tobytes()
+    pay = _png_payload((5, 5, 8, 0, 0, 0, 1),
+                       [(b"IDAT", zlib.compress(bytes(stream)))])
+    d = mc.decode_png(pay)
+    assert np.array_equal(d["pixels"], img)
+    # interlaced + filtered: filter 2 (Up) within a pass references the
+    # PASS's previous row, not the image's — pin that with pass 7
+    # (rows y=1,3: Up row encodes difference from y-coords 1 -> 3)
+    stream2 = bytearray(stream)
+    # locate pass 7's second row (last 6 bytes: filter + 5 px)
+    base = len(stream2) - 6
+    stream2[base] = 2  # Up
+    prev = img[1, :]
+    cur = img[3, :]
+    stream2[base + 1 :] = ((cur.astype(int) - prev.astype(int)) % 256).astype(
+        np.uint8
+    ).tobytes()
+    pay2 = _png_payload((5, 5, 8, 0, 0, 0, 1),
+                        [(b"IDAT", zlib.compress(bytes(stream2)))])
+    assert np.array_equal(mc.decode_png(pay2)["pixels"], img)
+
+
+def test_decode_png_16bit_adam7_palette_via_dispatch(spark):
+    """The widened PNG surface flows through the executor feature path
+    untouched: a palette PNG's content_mean comes from its RGB pixels."""
+    import zlib
+
+    plte = bytes([100, 110, 120, 200, 210, 220])
+    raw = bytes([0, 0, 1, 0, 1, 0])
+    pay = _png_payload(
+        (2, 2, 8, 3, 0, 0, 0),
+        [(b"PLTE", plte), (b"IDAT", zlib.compress(raw))],
+    )
+    media = _media_df(spark, [(1, pay)])
+    f = M.extract_features(media, use_stub=False).collect()[0]
+    want = (100 + 110 + 120 + 200 + 210 + 220) * 2 / 12.0
+    assert f.channels == 3 and f.content_mean == pytest.approx(want)
