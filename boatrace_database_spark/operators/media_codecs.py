@@ -5,9 +5,8 @@ The container ships no media libraries, but these formats are
 decodable from their public specs with numpy + `struct` (+ stdlib
 `zlib` for PNG) alone — which makes the multimodal real-decode path
 REAL (bytes in, pixels / samples out) for any payload in one of them,
-with Pillow reserved for the exotic corners (palette / 16-bit /
-interlaced PNG; lossless / CMYK JPEG). Everything here is
-driver-free: the decoders run inside Arrow batches on executors
+with Pillow reserved for the last exotic corners (lossless / CMYK
+JPEG). Everything here is driver-free: the decoders run inside Arrow batches on executors
 (`multimodal.extract_features` / `resize_media`), each call touching
 only its own payload bytes.
 
@@ -16,10 +15,10 @@ Formats (public specs):
   24-bit BGR, rows bottom-up and padded to 4-byte multiples.
 - PPM/PGM: P6 (binary RGB) / P5 (binary gray) with ASCII header
   `magic width height maxval` and `#` comments.
-- PNG (RFC 2083 / W3C): critical chunks IHDR/IDAT/IEND, zlib
-  scanlines, per-row filters 0-4, 8-bit gray / gray+alpha / RGB /
-  RGBA, non-interlaced (round-9; closes the last stubbed format that
-  doesn't genuinely need a library).
+- PNG (RFC 2083 / W3C): critical chunks IHDR/PLTE/IDAT/IEND (+tRNS),
+  zlib scanlines, per-row filters 0-4, gray / gray+alpha / RGB / RGBA
+  / palette at depths 1-16, sequential and Adam7 interlaced (round-9
+  base; round-10 completes the spec surface).
 - JPEG (ITU-T T.81): baseline sequential + progressive DCT,
   Huffman, 1/3 components, sampling factors 1-2 — full codec in the
   sibling `jpeg` module (round-10; closes the last stubbed format).

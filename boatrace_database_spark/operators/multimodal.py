@@ -3,8 +3,9 @@
 The real-decode path (`use_stub=False`) is NATIVE for BMP / PPM-PGM /
 PNG / JPEG (baseline + progressive) / WAV via the pure-Python codecs
 in `media_codecs` (no Pillow/ffmpeg needed — bytes in, pixels/samples
-out, golden-tested), with Pillow as an optional fallback for the
-exotic corners (lossless/CMYK JPEG; palette/16-bit/interlaced PNG).
+out, golden-tested — PNG covers palette/16-bit/Adam7 too), with
+Pillow as an optional fallback for the last corners (lossless/CMYK
+JPEG).
 `use_stub=True` keeps the deterministic fake for corpora whose
 payloads aren't media at all (e.g. the test tables' utf-8 text). The
 Spark-side contract is identical either way: binary columns travel as
