@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 10: 146 queries, 135 oracle-backed.
+# lever. Catalog after round 10: 147 queries, 136 oracle-backed.
 #
 # Round-10 rotation. State after r9: nothing is red (49 green + 1
 # rows-only of the 50 checked; union across rounds 134 oracle-PASS +
@@ -52,7 +52,8 @@ for mod in (relational, analytics, advanced, llm, domain):
 # budget; the ~13-row tail of tier 3 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-10 new/changed ----
-    "media_decode_jpeg", "semantic_dedup_assign", "ann_ivf_topk",
+    "media_decode_jpeg", "media_gif_animation",
+    "semantic_dedup_assign", "ann_ivf_topk",
     "ann_ivfpq_topk", "ivf_cell_stats", "rotation_invariant_topk",
     "media_decode_png",
     # ---- tier 2: the r6-green tail (4 rounds stale) ----

@@ -2225,6 +2225,107 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def media_gif_animation(spark, sf_dir):
+    """REAL animated-GIF pipeline, driver-checked (round 10 — the GIF
+    face of the media family, LOSSLESS so the oracle is exact): each
+    document gets an animated GIF of ``(doc_id mod 3) + 2`` frames,
+    every 4×3 frame's pixel j drawn from an 8-color palette with the
+    closed form ``k(doc, f, j) = (doc_id + 5f + 3j) mod 8`` and
+    palette ``p_k = (37k, 59k, 83k) mod 256``. The real pipeline end
+    to end: `encode_gif` (LZW compress, global palette — the encoder
+    re-orders palette indices internally, which the RGB-level oracle
+    is invariant to) → `multimodal.sample_frames(use_stub=False)`
+    (native decode, frame compositing, every-2nd re-encoded as a
+    standalone single-frame GIF) → native re-decode of each sampled
+    frame → per-frame content mean + position-weighted pixel sum over
+    the 36 RGB values. A drift in LZW (either direction), palette
+    handling, compositing, or the sampler stride breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pal = (np.arange(8)[:, None] * np.array([37, 59, 83])) % 256
+
+    def synth(batches):
+        p = pal.astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n_frames = int(did) % 3 + 2
+                frames = [
+                    p[(int(did) + 5 * f + 3 * np.arange(12)) % 8]
+                    .reshape(3, 4, 3)
+                    for f in range(n_frames)
+                ]
+                payloads.append(bytes(MC.encode_gif(frames)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/gif", "source": s, "n_bytes": len(pl)}
+                        for s, pl in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    frames = M.sample_frames(media, every_n=2, use_stub=False)
+
+    def stats(batches):
+        w = np.arange(36, dtype=np.int64) + 1
+        for pdf in batches:
+            means, wsums = [], []
+            for fr in pdf["frame"]:
+                px = MC.decode_gif(bytes(fr))["pixels"].reshape(-1).astype(
+                    np.int64
+                )
+                means.append(round(float(px.mean()), 6))
+                wsums.append(int((w * px).sum() % 2**31))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_no": pdf["frame_no"].astype("int32"),
+                    "content_mean": pd.Series(means, dtype="float64"),
+                    "weighted_sum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        stats,
+        "media_id LONG, frame_no INT, content_mean DOUBLE, weighted_sum LONG",
+    ).orderBy("media_id", "frame_no")
+
+
+MEDIA_GIF_ANIMATION_SQL = """
+WITH fr AS (
+  SELECT d.doc_id, f.f AS frame_no
+  FROM documents d, range(5) f(f)
+  WHERE f.f < d.doc_id % 3 + 2 AND f.f % 2 = 0
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_no, p.p AS p,
+         (fr.doc_id + 5 * fr.frame_no + 3 * (p.p // 3)) % 8 AS k,
+         p.p % 3 AS c
+  FROM fr, range(36) p(p)
+),
+v AS (
+  SELECT doc_id, frame_no, p,
+         CASE c WHEN 0 THEN k * 37 % 256
+                WHEN 1 THEN k * 59 % 256
+                ELSE k * 83 % 256 END AS v
+  FROM px
+)
+SELECT doc_id AS media_id,
+       CAST(frame_no AS INT) AS frame_no,
+       round(sum(v) / 36.0, 6) AS content_mean,
+       CAST(sum((p + 1) * v) % 2147483648 AS BIGINT) AS weighted_sum
+FROM v GROUP BY doc_id, frame_no ORDER BY media_id, frame_no
+"""
+
+
 def media_dedup_dhash(spark, sf_dir):
     """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
     (round 9 — the image face of the dedup family): each document gets
@@ -3790,6 +3891,7 @@ QUERIES = {
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_decode_png": media_decode_png,
     "media_decode_jpeg": media_decode_jpeg,
+    "media_gif_animation": media_gif_animation,
     "media_dedup_dhash": media_dedup_dhash,
     "media_frame_sample": media_frame_sample,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
@@ -3878,6 +3980,7 @@ ORACLES = {
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "media_decode_png": MEDIA_DECODE_PNG_SQL,
     "media_decode_jpeg": MEDIA_DECODE_JPEG_SQL,
+    "media_gif_animation": MEDIA_GIF_ANIMATION_SQL,
     "media_dedup_dhash": MEDIA_DEDUP_DHASH_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
