@@ -36,7 +36,9 @@ for mod in (relational, analytics, advanced, llm, domain):
 # rows-only of the 50 checked; union across rounds 134 oracle-PASS +
 # 11 rows-only). Tiering:
 #   tier 1 = the round-10 NEW/CHANGED entries: media_decode_jpeg (new
-#            native baseline-JPEG codec + oracle), semantic_dedup_assign
+#            native baseline+progressive JPEG codec + oracle),
+#            media_gif_animation (new native GIF codec + animation
+#            pipeline + oracle), semantic_dedup_assign
 #            (derived n_assign + per-cell Gram scoring default),
 #            ann_ivf_topk / ann_ivfpq_topk / ivf_cell_stats
 #            (size-derived quantizer dials — identical results at
@@ -48,8 +50,8 @@ for mod in (relational, analytics, advanced, llm, domain):
 #   tier 3 = the r7-green rows (3 rounds stale);
 #   tier 4 = the r8-refreshed rows;
 #   tier 5 = the r9-refreshed rows (freshest).
-# tier 1 (7) + tier 2 (10) + tier 3 (46) = 63 exceeds the ~50-row
-# budget; the ~13-row tail of tier 3 tops next round's frontier.
+# tier 1 (8) + tier 2 (10) + tier 3 (46) = 64 exceeds the ~50-row
+# budget; the ~14-row tail of tier 3 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-10 new/changed ----
     "media_decode_jpeg", "media_gif_animation",
