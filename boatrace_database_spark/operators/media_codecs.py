@@ -25,8 +25,9 @@ Formats (public specs):
 - GIF (87a/89a): LZW with variable code widths, global/local
   palettes, interlace, animation frames with disposal/transparency
   compositing (round-10).
-- WAV: RIFF container, `fmt ` chunk (PCM, format tag 1) + `data`
-  chunk of interleaved little-endian PCM16 samples.
+- WAV: RIFF container — PCM16, unsigned PCM8, IEEE float32 (tag 3),
+  and WAVE_FORMAT_EXTENSIBLE wrappers; all fold to one int16 sample
+  lane (round-10 widened from PCM16-only).
 
 The matching tiny encoders exist so tests can commit golden fixtures
 and property-check encode→decode round-trips; they are NOT a general
@@ -775,9 +776,13 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE PCM16 -> {n_channels, sample_rate, n_samples,
-    duration_ms, samples (frames, channels) int16}. Walks the chunk
-    list, so extra chunks (LIST/INFO) between fmt and data are fine."""
+    """RIFF/WAVE -> {n_channels, sample_rate, n_samples, duration_ms,
+    samples (frames, channels) int16}. Accepts PCM16, unsigned PCM8,
+    and IEEE float32 (format tag 3) — 8-bit and float samples fold to
+    the int16 lane (<<8 / x32767 clip) so downstream consumers see ONE
+    dtype. Walks the chunk list, so extra chunks (LIST/INFO) between
+    fmt and data are fine; WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves
+    through its fmt extension's sub-format GUID head."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("decode_wav: not a RIFF/WAVE payload")
@@ -795,9 +800,12 @@ def decode_wav(payload: bytes) -> dict:
     tag, n_channels, sample_rate, _br, _ba, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if tag != 1 or bits != 16:
+    if tag == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: first GUID u16
+        (tag,) = struct.unpack_from("<H", fmt, 24)
+    if (tag, bits) not in ((1, 16), (1, 8), (3, 32)):
         raise ValueError(
-            f"decode_wav: only PCM16 supported (tag={tag}, bits={bits})"
+            "decode_wav: only PCM16/PCM8/float32 supported "
+            f"(tag={tag}, bits={bits})"
         )
     # malformed-payload contract (r8 ADVICE): callers catch ValueError
     # to fall back / fail loudly — a ZeroDivisionError from
@@ -808,14 +816,24 @@ def decode_wav(payload: bytes) -> dict:
             f"decode_wav: bad fmt chunk (channels={n_channels}, "
             f"rate={sample_rate})"
         )
-    if len(data) % (2 * n_channels) != 0:
+    frame_bytes = (bits // 8) * n_channels
+    if len(data) % frame_bytes != 0:
         raise ValueError(
             f"decode_wav: data chunk ({len(data)} B) is not a whole "
-            f"number of {n_channels}-channel PCM16 frames"
+            f"number of {n_channels}-channel {bits}-bit frames"
         )
-    samples = np.frombuffer(
-        data, dtype="<i2", count=len(data) // 2
-    ).reshape(-1, n_channels)
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    elif bits == 8:  # unsigned, 128-centered per spec -> int16 lane
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+        ) << 8
+    else:  # float32 in [-1, 1] -> int16 lane
+        f = np.frombuffer(data, dtype="<f4", count=len(data) // 4)
+        samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(
+            np.int16
+        )
+    samples = samples.reshape(-1, n_channels)
     n_samples = samples.shape[0]
     return {
         "n_channels": int(n_channels),

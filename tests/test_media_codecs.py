@@ -1399,3 +1399,47 @@ def test_gif_spark_features_frames_resize(spark):
     rz = mc.decode_gif(bytes(out.payload))
     assert (rz["width"], rz["height"]) == (3, 4)
     assert np.array_equal(rz["pixels"], mc.resize_nearest(frames[0], 3, 4))
+
+
+def test_decode_wav_pcm8_and_float32_spec_literals():
+    """Round-10: 8-bit (unsigned, 128-centered) and IEEE-float32 WAVs
+    fold into the int16 sample lane; EXTENSIBLE wrappers resolve via
+    the sub-format GUID head."""
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    pay = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 16) + fmt8
+        + struct.pack("<4sI", b"data", 4) + bytes([0, 128, 255, 200])
+    )
+    d = mc.decode_wav(pay)
+    assert d["samples"][:, 0].tolist() == [-32768, 0, 32512, 18432]
+    f = np.array([0.0, 1.0, -1.0, 0.5], "<f4")
+    fmtf = struct.pack("<HHIIHH", 3, 1, 44100, 44100 * 4, 4, 32)
+    pay = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 16) + fmtf
+        + struct.pack("<4sI", b"data", 16) + f.tobytes()
+    )
+    d = mc.decode_wav(pay)
+    assert d["samples"][:, 0].tolist() == [0, 32767, -32767, 16384]
+    # EXTENSIBLE wrapper around float32: tag 0xFFFE + GUID head 3
+    fmtx = struct.pack(
+        "<HHIIHHH", 0xFFFE, 1, 8000, 32000, 4, 32, 22
+    ) + struct.pack("<HIH", 32, 0x0008, 3) + b"\x00" * 14
+    pay = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", len(fmtx)) + fmtx
+        + struct.pack("<4sI", b"data", 8)
+        + np.array([0.25, -0.5], "<f4").tobytes()
+    )
+    d = mc.decode_wav(pay)
+    assert d["samples"][:, 0].tolist() == [8192, -16384]
+    # unsupported depth still loud
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    pay = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 16) + fmt24
+        + struct.pack("<4sI", b"data", 3) + b"\x00\x00\x00"
+    )
+    with pytest.raises(ValueError, match="only PCM16/PCM8/float32"):
+        mc.decode_wav(pay)
