@@ -2326,6 +2326,63 @@ FROM v GROUP BY doc_id, frame_no ORDER BY media_id, frame_no
 """
 
 
+def media_audio_dedup(spark, sf_dir):
+    """Audio near-dup dedup over synthetic WAV 'recordings' (round 10
+    — the audio face of the perceptual dedup family, rows-only by
+    nature: the fingerprint is FFT-band energy structure, which no SQL
+    oracle can re-derive; correctness is pinned by the planted-pairs
+    pytest in tests/test_media_codecs.py). Groups of three documents
+    share a recording (broadband content drawn from rng(doc_id // 3)),
+    each doc a distorted take (per-doc noise + gain from
+    rng(doc_id)); the real pipeline end to end: PCM16 WAV encode →
+    native decode → Haitsma–Kalker sub-fingerprints (Hann window, FFT,
+    33 log bands, derivative signs) → exact-sub-fingerprint equi-join
+    candidates → frame-aligned bit-error-rate verify ≤ 0.25. Output:
+    one row per within-recording pair (id_a, id_b, ber rounded) —
+    deterministic, so the driver's rows-only hash is stable."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                content = np.random.default_rng(
+                    1000 + did // 3
+                ).standard_normal(12288)
+                take = np.random.default_rng(did)
+                x = (1.0 - 0.1 * (did % 3)) * content
+                x = x + (0.02 + 0.01 * (did % 3)) * take.standard_normal(
+                    12288
+                )
+                s = np.clip(np.round(x * 8000), -32768, 32767).astype(
+                    np.int16
+                )
+                payloads.append(bytes(MC.encode_wav(s, 8000, 1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "audio/wav", "source": s, "n_bytes": len(p)}
+                        for s, p in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    return (
+        M.audio_dedup_pairs(media, max_ber=0.25)
+        .select("id_a", "id_b", F.round("ber", 6).alias("ber"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def media_dedup_dhash(spark, sf_dir):
     """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
     (round 9 — the image face of the dedup family): each document gets
@@ -3892,6 +3949,7 @@ QUERIES = {
     "media_decode_png": media_decode_png,
     "media_decode_jpeg": media_decode_jpeg,
     "media_gif_animation": media_gif_animation,
+    "media_audio_dedup": media_audio_dedup,
     "media_dedup_dhash": media_dedup_dhash,
     "media_frame_sample": media_frame_sample,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,

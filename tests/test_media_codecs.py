@@ -1443,3 +1443,81 @@ def test_decode_wav_pcm8_and_float32_spec_literals():
     )
     with pytest.raises(ValueError, match="only PCM16/PCM8/float32"):
         mc.decode_wav(pay)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (round 10): Haitsma–Kalker sub-fingerprints +
+# exact-match candidate / BER-verify near-dup pairs
+
+
+def _audio_clip(base: int, seed: int, noise=0.05, gain=1.0, n=12288):
+    """Deterministic 'recording': broadband content drawn from rng(base)
+    (same base = same recording), perturbed per-take by rng(seed) noise
+    and a gain change — the distortion class the published fingerprint
+    is designed to survive."""
+    content = np.random.default_rng(base).standard_normal(n)
+    take = np.random.default_rng(seed)
+    x = gain * content + noise * take.standard_normal(n)
+    s = np.clip(np.round(x * 8000), -32768, 32767).astype(np.int16)
+    return mc.encode_wav(s, 8000, 1)
+
+
+def test_hk_subfingerprints_properties():
+    d1 = mc.decode_wav(_audio_clip(1, 101))
+    bits1 = M._hk_subfingerprints(d1["samples"])
+    assert bits1.shape == (22, 32)  # (12288-1024)/512+1 = 23 frames
+    # same recording, noisier take + gain cut: bits mostly agree
+    bits2 = M._hk_subfingerprints(
+        mc.decode_wav(_audio_clip(1, 202, noise=0.1, gain=0.6))["samples"]
+    )
+    assert (bits1 == bits2).mean() > 0.85
+    # different recording: agreement ~ coin flip
+    bits3 = M._hk_subfingerprints(
+        mc.decode_wav(_audio_clip(2, 303))["samples"]
+    )
+    assert 0.35 < (bits1 == bits3).mean() < 0.65
+    # gain alone changes nothing (energy-difference signs)
+    bits4 = M._hk_subfingerprints(
+        mc.decode_wav(_audio_clip(1, 101, noise=0.0, gain=0.3))["samples"]
+    )
+    bits5 = M._hk_subfingerprints(
+        mc.decode_wav(_audio_clip(1, 101, noise=0.0, gain=1.0))["samples"]
+    )
+    assert (bits4 == bits5).mean() > 0.98
+
+
+def test_audio_dedup_pairs_planted(spark):
+    """12 clips = 4 recordings x 3 takes: the candidate equi-join +
+    BER verify must find exactly the 12 within-recording pairs."""
+    rows = []
+    mid = 0
+    for base in range(4):
+        for take in range(3):
+            rows.append(
+                (mid, _audio_clip(100 + base, base * 10 + take,
+                                  noise=0.04 + 0.02 * take,
+                                  gain=1.0 - 0.15 * take))
+            )
+            mid += 1
+    media = _media_df(spark, rows)
+    got = {
+        (r.id_a, r.id_b): r.ber
+        for r in M.audio_dedup_pairs(media, max_ber=0.25).collect()
+    }
+    want = {
+        (a, b)
+        for g in range(4)
+        for a in range(3 * g, 3 * g + 3)
+        for b in range(a + 1, 3 * g + 3)
+    }
+    assert set(got) == want, (sorted(got), sorted(want))
+    assert all(v <= 0.25 for v in got.values())
+
+
+def test_audio_fingerprints_spark_schema(spark):
+    media = _media_df(spark, [(7, _audio_clip(5, 55))])
+    fps = M.audio_fingerprints(media).collect()
+    assert [r.frame_no for r in fps] == list(range(22))
+    # unsigned 32-bit word in the LONG lane: a negative INT would gain
+    # 32 phantom bits under Spark's sign-extending bit_count
+    assert all(0 <= r.fp < 2**32 for r in fps)
