@@ -1,5 +1,5 @@
-"""Native media codecs (BMP / PPM-PGM / WAV) + the real multimodal
-decode path they unlock.
+"""Native media codecs (BMP / PPM-PGM / PNG / JPEG / GIF / WAV) + the
+real multimodal decode path they unlock.
 
 Reference parity note: the reference engine has no media surface at
 all — this family is part of the brief's training-data-pipeline
