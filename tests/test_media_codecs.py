@@ -1521,3 +1521,23 @@ def test_audio_fingerprints_spark_schema(spark):
     # unsigned 32-bit word in the LONG lane: a negative INT would gain
     # 32 phantom bits under Spark's sign-extending bit_count
     assert all(0 <= r.fp < 2**32 for r in fps)
+
+
+def test_dhash_format_invariant_across_lossless_codecs(spark):
+    """dHash is pixel-determined, so the SAME pixels encoded as BMP,
+    PPM, PNG, and GIF must produce IDENTICAL hashes — the dispatch
+    seam guarantee that makes perceptual dedup format-agnostic."""
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    px = pal[rng.integers(0, 16, (24, 24))]
+    media = _media_df(
+        spark,
+        [
+            (1, mc.encode_bmp(px)),
+            (2, mc.encode_ppm(px)),
+            (3, mc.encode_png(px)),
+            (4, mc.encode_gif(px)),
+        ],
+    )
+    hashes = {r.media_id: r.dhash for r in M.dhash_media(media).collect()}
+    assert len(set(hashes.values())) == 1, hashes
