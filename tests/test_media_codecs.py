@@ -204,8 +204,9 @@ def test_decode_errors_are_loud():
         mc.decode_bmp(b"nope")
     with pytest.raises(ValueError, match="truncated pixel data"):
         mc.decode_ppm(b"P6\n9 9\n255\n" + b"\x00" * 5)
-    with pytest.raises(ValueError, match="only PCM16"):
-        bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    with pytest.raises(ValueError, match="only PCM16/PCM8/float32"):
+        # A-law (tag 6) — still outside the supported fold
+        bad_fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
         mc.decode_wav(
             b"RIFF\x00\x00\x00\x00WAVE"
             + struct.pack("<4sI", b"fmt ", 16) + bad_fmt
