@@ -599,3 +599,38 @@ def audio_dedup_pairs(
         )
         .where(F.col("ber") <= max_ber)
     )
+
+
+def audio_fingerprint_arrays(
+    media: DataFrame,
+    frame_len: int = 1024,
+    hop: int = 512,
+) -> DataFrame:
+    """One row per clip carrying its WHOLE fingerprint stream:
+    (media_id, fps ARRAY<LONG>). The long-format `audio_fingerprints`
+    is the join-friendly batch face; this array face is what the
+    STREAMING twin needs — a clip's stream must travel with the row so
+    a stateful exact-fp bucket can verify bit-error rates without a
+    second lookup."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in it:
+            arrs = []
+            for payload in pdf["payload"]:
+                d = media_codecs.decode_wav(bytes(payload))
+                bits = _hk_subfingerprints(d["samples"], frame_len, hop)
+                words = _np.packbits(
+                    bits.astype(_np.uint8), axis=1
+                ).view(">u4")[:, 0]
+                arrs.append([int(w) for w in words])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fps": pd.Series(arrs, dtype="object"),
+                }
+            )
+
+    id_type = media.schema["media_id"].dataType.simpleString()
+    return media.mapInPandas(batches, f"media_id {id_type}, fps ARRAY<LONG>")

@@ -1466,6 +1466,106 @@ def stream_dedup_dhash(
     )
 
 
+def stream_dedup_audio(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    id_col: str = "media_id",
+    max_ber: float = 0.25,
+    frame_len: int = 1024,
+    hop: int = 512,
+    max_members: int = 256,
+    query_name: str = "stream_audio",
+    state_ttl_ms: int | None = None,
+) -> StreamingQuery:
+    """Streaming AUDIO near-dup dedup (round 10) — the stream twin of
+    batch `multimodal.audio_dedup_pairs`, sharing its two-stage shape:
+    clips sharing at least one EXACT Haitsma–Kalker sub-fingerprint
+    meet in a state bucket keyed by that fp value (the streaming form
+    of the candidate equi-join — never all-pairs), and the bucket
+    verifies the frame-aligned bit-error rate against its capped
+    first-seen members. Each arriving clip carries its WHOLE
+    fingerprint stream (`audio_fingerprint_arrays`), so verification
+    needs no second lookup; members store theirs flattened
+    (cat + lens) because the state encoder takes flat arrays.
+
+    A pair sharing k distinct fp values meets in k buckets and emits k
+    identical rows — consumers take DISTINCT, and the batch-parity
+    test compares distinct sets. Under id-ordered replay the distinct
+    emitted (id_a, id_b, ber) set equals batch
+    ``audio_dedup_pairs(...)`` exactly (same fingerprints, same
+    candidate condition, same BER arithmetic)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from boatrace_database_spark.operators import multimodal as _M
+
+    iddl, _cid = _id_type(schema, id_col)
+    media = spark.readStream.schema(schema).parquet(source_dir)
+    if id_col != "media_id":
+        media = media.withColumnRenamed(id_col, "media_id")
+    arr = _M.audio_fingerprint_arrays(media, frame_len, hop)
+    keyed = arr.select(
+        F.col("media_id").alias("id"),
+        "fps",
+        F.explode(F.array_distinct("fps")).alias("fp"),
+    )
+
+    def flag(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, cat, lens = state.get
+            ids, cat, lens = list(ids), list(cat), list(lens)
+        else:
+            ids, cat, lens = [], [], []
+        out = []
+        batch = pd.concat(list(pdfs)).sort_values("id")
+        for row in batch.itertuples():
+            fps = [int(v) for v in row.fps]
+            off = 0
+            for mid, mlen in zip(ids, lens):
+                mfps = cat[off : off + mlen]
+                off += mlen
+                n = min(len(fps), mlen)
+                if n == 0:
+                    continue
+                err = sum(
+                    bin(a ^ b).count("1")
+                    for a, b in zip(fps[:n], mfps[:n])
+                )
+                ber = err / (n * 32)
+                if ber <= max_ber:
+                    out.append((_cid(mid), _cid(row.id), round(ber, 6)))
+            if len(ids) < max_members:
+                ids.append(_cid(row.id))
+                cat.extend(fps)
+                lens.append(len(fps))
+        state.update((ids, cat, lens))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out, columns=["id_a", "id_b", "ber"])
+
+    flagged = keyed.groupBy("fp").applyInPandasWithState(
+        flag,
+        outputStructType=f"id_a {iddl}, id_b {iddl}, ber DOUBLE",
+        stateStructType=f"ids ARRAY<{iddl}>, cat ARRAY<LONG>, lens ARRAY<INT>",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )
+    return (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def stream_decontaminate(
     spark: SparkSession,
     source_dir: str,

@@ -2851,3 +2851,59 @@ def test_stream_dedup_dhash_matches_batch(spark, tmp_path):
     assert (1, 2, 2) in batch or any(a == 1 and b == 2 for a, b, _ in batch)
     assert any(a == 1 and b == 4 for a, b, _ in batch), "exact copy pair"
     assert got == batch
+
+
+def test_stream_dedup_audio_matches_batch(spark, tmp_path):
+    """Round-10 audio-dedup twin: arriving WAV clips fingerprint with
+    the SAME Haitsma-Kalker transform, meet in exact-fp state buckets
+    (the streaming candidate equi-join), and BER-verify against capped
+    members — the distinct emitted pair set must equal batch
+    audio_dedup_pairs exactly, ber values included; a re-take arriving
+    in a LATER micro-batch still pairs (cross-batch state)."""
+    import numpy as np
+
+    from boatrace_database_spark.operators import media_codecs as mc
+    from boatrace_database_spark.operators import multimodal as M
+    from boatrace_database_spark.streaming.ingest import stream_dedup_audio
+
+    def clip(base: int, seed: int, noise=0.03, gain=1.0) -> bytes:
+        content = np.random.default_rng(base).standard_normal(12288)
+        take = np.random.default_rng(seed)
+        x = gain * content + noise * take.standard_normal(12288)
+        s = np.clip(np.round(x * 8000), -32768, 32767).astype(np.int16)
+        return bytes(mc.encode_wav(s, 8000, 1))
+
+    # 1/2 takes of recording A, 3 unrelated, 4 a third take of A
+    # arriving in a later micro-batch
+    rows1 = [(1, bytearray(clip(70, 1))),
+             (2, bytearray(clip(70, 2, noise=0.05, gain=0.8))),
+             (3, bytearray(clip(71, 3)))]
+    rows2 = [(4, bytearray(clip(70, 4, noise=0.04)))]
+    b1 = spark.createDataFrame(
+        [(i, p, {"m": "wav"}) for i, p in rows1], M.MEDIA_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(i, p, {"m": "wav"}) for i, p in rows2], M.MEDIA_SCHEMA
+    )
+    src = str(tmp_path / "au_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_dedup_audio(spark, src, b1.schema, query_name="saudio")
+    try:
+        deliver(b1, "au1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(b2, "au2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.id_a, r.id_b, r.ber)
+            for r in spark.sql("SELECT * FROM saudio").collect()
+        }
+    finally:
+        q.stop()
+    both = b1.unionByName(b2)
+    batch = {
+        (r.id_a, r.id_b, round(r.ber, 6))
+        for r in M.audio_dedup_pairs(both).collect()
+    }
+    assert {(a, b) for a, b, _ in batch} == {(1, 2), (1, 4), (2, 4)}
+    assert got == batch
