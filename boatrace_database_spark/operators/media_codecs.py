@@ -1,5 +1,5 @@
-"""Pure-Python media codecs: BMP / PPM-PGM / PNG / JPEG / GIF / WAV,
-no Pillow or ffmpeg.
+"""Pure-Python media codecs: BMP / PPM-PGM / PNG / JPEG / GIF / TIFF
+/ WAV, no Pillow or ffmpeg.
 
 The container ships no media libraries, but these formats are
 decodable from their public specs with numpy + `struct` (+ stdlib
@@ -25,6 +25,9 @@ Formats (public specs):
 - GIF (87a/89a): LZW with variable code widths, global/local
   palettes, interlace, animation frames with disposal/transparency
   compositing (round-10).
+- TIFF (6.0): IFD walk, both byte orders, 8-bit gray/RGB/RGBA
+  strips, none/PackBits/LZW (early-change, late-change fallback),
+  horizontal predictor (round-10).
 - WAV: RIFF container — PCM16, unsigned PCM8, IEEE float32 (tag 3),
   and WAVE_FORMAT_EXTENSIBLE wrappers; all fold to one int16 sample
   lane (round-10 widened from PCM16-only).
@@ -62,6 +65,8 @@ def sniff_mime(payload: bytes) -> str:
         return "image/jpeg"
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
     return "application/octet-stream"
 
 
@@ -753,6 +758,277 @@ def encode_gif(
 
 
 # ---------------------------------------------------------------------------
+# TIFF (6.0 baseline subset — round 10)
+#
+# Implemented from the public TIFF 6.0 specification: both byte
+# orders, IFD tag walk, strip layout, 8-bit gray (either photometric
+# polarity) / RGB / RGBA, compression none / PackBits / LZW (TIFF
+# flavor: MSB-first packing, 9-bit start, EARLY-CHANGE width bump —
+# with a late-change fallback, since both conventions exist in the
+# wild), horizontal-differencing predictor. Tiled TIFFs, sub-8-bit
+# and 16-bit samples raise ValueError (the fallback seam).
+
+
+def _tiff_lzw_decode(data: bytes, early_change: bool = True) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first, Clear=256 EOI=257.
+    ``early_change``: width bumps one entry before the table fills the
+    current code space (the spec's documented off-by-one); False
+    decodes streams from late-change encoders."""
+    CLEAR, EOI = 256, 257
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    delta = 2 if early_change else 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI tolerated
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(
+                f"decode_tiff: LZW code {code} out of range "
+                f"(table {len(table)}, width {width})"
+            )
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - delta and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Mirror encoder, spec early-change convention (width bumps when
+    the table reaches 2^w - 1 entries in encoder counting)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR, width)
+    seq = b""
+    for byte in data:
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4094:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        seq = bytes([byte])
+    if seq:
+        emit(table[seq], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (spec §9): n<128 -> n+1 literals; n>128 ->
+    byte repeated 257-n times; n==128 no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("decode_tiff: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) < expected:
+        raise ValueError("decode_tiff: PackBits underrun")
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Baseline TIFF -> {width, height, channels, pixels}: 8-bit
+    gray/RGB/RGBA strips, none/LZW/PackBits, predictor 1/2, either
+    byte order. Raises ValueError outside that scope."""
+    b = bytes(payload)
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("decode_tiff: not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    if ifd_off + 2 > len(b):
+        raise ValueError("decode_tiff: truncated IFD offset")
+    (n_tags,) = struct.unpack_from(e + "H", b, ifd_off)
+    tags: dict[int, list] = {}
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for k in range(n_tags):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(b):
+            raise ValueError("decode_tiff: truncated IFD")
+        tag, typ, count = struct.unpack_from(e + "HHI", b, off)
+        size = TYPE_SIZE.get(typ, 0) * count
+        if size == 0:
+            continue  # unknown type: skip the tag
+        if size <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", b, off + 8)
+        if voff + size > len(b):
+            raise ValueError("decode_tiff: tag value out of bounds")
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt:
+            tags[tag] = list(struct.unpack_from(e + fmt * count, b, voff))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    if 322 in tags or 323 in tags:
+        raise ValueError("decode_tiff: tiled TIFFs unsupported")
+    w = one(256)
+    h = one(257)
+    if not w or not h:
+        raise ValueError("decode_tiff: missing dimensions")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(x != 8 for x in bits):
+        raise ValueError(f"decode_tiff: only 8-bit samples (got {bits})")
+    comp = one(259, 1)
+    if comp not in (1, 5, 32773):
+        raise ValueError(
+            f"decode_tiff: compression {comp} unsupported "
+            "(none/LZW/PackBits only)"
+        )
+    photometric = one(262, 1)
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"decode_tiff: predictor {predictor} unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("decode_tiff: missing strip layout")
+    rows_per_strip = min(one(278, h), h)
+    row_bytes = w * spp
+    rows = []
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(b):
+            raise ValueError("decode_tiff: truncated strip")
+        strip = b[so : so + sc]
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = n_rows * row_bytes
+        if comp == 1:
+            raw = strip[:expected]
+        elif comp == 5:
+            raw = _tiff_lzw_decode(strip)
+            if len(raw) < expected:  # late-change stream fallback
+                raw = _tiff_lzw_decode(strip, early_change=False)
+            raw = raw[:expected]
+        else:
+            raw = _packbits_decode(strip, expected)
+        if len(raw) < expected:
+            raise ValueError("decode_tiff: strip underrun")
+        arr = np.frombuffer(raw, np.uint8, expected).reshape(n_rows, w, spp)
+        if predictor == 2:  # undo per-channel horizontal differencing
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+        rows.append(arr)
+    px = np.concatenate(rows)[:h]
+    if spp == 1:
+        px = px.reshape(h, w)
+        if photometric == 0:  # WhiteIsZero
+            px = (255 - px).astype(np.uint8)
+        return {"width": w, "height": h, "channels": 1, "pixels": px}
+    return {"width": w, "height": h, "channels": spp, "pixels": px.copy()}
+
+
+def encode_tiff(pixels: "np.ndarray", compression: int = 1) -> bytes:
+    """(h, w[, ch]) uint8 -> minimal little-endian single-strip TIFF
+    (compression 1 = none, 5 = LZW); fixtures/round-trips only."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+    elif px.ndim == 3 and px.shape[2] in (3, 4):
+        h, w, spp = px.shape
+    else:
+        raise ValueError(
+            f"encode_tiff: expected (h, w[, 3|4]) uint8, got {px.shape}"
+        )
+    data = px.tobytes()
+    if compression == 5:
+        data = _tiff_lzw_encode(data)
+    elif compression != 1:
+        raise ValueError("encode_tiff: compression must be 1 (none) or 5 (LZW)")
+    data_off = 8
+    ifd_off = data_off + len(data) + (len(data) & 1)
+    fixed = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, compression),
+        (262, 3, 1, 1 if spp == 1 else 2),
+        (273, 4, 1, data_off), (277, 3, 1, spp),
+        (278, 3, 1, h), (279, 4, 1, len(data)),
+    ]
+    ext = b""
+    if spp <= 2:  # SHORT values fit inline (left-justified low shorts)
+        entries = sorted(fixed + [
+            (258, 3, spp, sum(8 << (16 * i) for i in range(spp)))
+        ])
+    else:
+        ext_off = ifd_off + 2 + 12 * (len(fixed) + 1) + 4
+        entries = sorted(fixed + [(258, 3, spp, ext_off)])
+        ext = struct.pack("<" + "H" * spp, *([8] * spp))
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += data + b"\x00" * (len(data) & 1)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, val in entries:
+        out += struct.pack("<HHII", tag, typ, count, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += ext
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF, PCM16)
 
 
@@ -877,6 +1153,8 @@ def decode_pixels(payload: bytes) -> "np.ndarray":
         return decode_jpeg(payload)["pixels"]
     if mime == "image/gif":
         return decode_gif(payload)["pixels"]
+    if mime == "image/tiff":
+        return decode_tiff(payload)["pixels"]
     raise ValueError(f"decode_pixels: no native pixel decoder for {mime}")
 
 
@@ -892,11 +1170,13 @@ def decode_features(payload: bytes) -> dict:
         d = decode_bmp(payload)
     elif mime.startswith("image/x-portable"):
         d = decode_ppm(payload)
-    elif mime in ("image/png", "image/jpeg", "image/gif"):
+    elif mime in ("image/png", "image/jpeg", "image/gif", "image/tiff"):
         if mime == "image/png":
             p = decode_png(payload)
         elif mime == "image/gif":
             p = decode_gif(payload)
+        elif mime == "image/tiff":
+            p = decode_tiff(payload)
         else:
             from boatrace_database_spark.operators.jpeg import decode_jpeg
 

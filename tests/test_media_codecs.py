@@ -1542,3 +1542,120 @@ def test_dhash_format_invariant_across_lossless_codecs(spark):
     )
     hashes = {r.media_id: r.dhash for r in M.dhash_media(media).collect()}
     assert len(set(hashes.values())) == 1, hashes
+
+
+# ---------------------------------------------------------------------------
+# TIFF (round 10): IFD walk, strips, LZW/PackBits, predictor
+
+
+def test_tiff_roundtrip_exact():
+    rng = np.random.default_rng(12)
+    for shape in [(1, 1), (5, 7), (9, 4, 3), (16, 16, 4)]:
+        px = rng.integers(0, 256, shape, np.uint8)
+        for comp in (1, 5):
+            d = mc.decode_tiff(mc.encode_tiff(px, comp))
+            assert d["pixels"].shape == shape
+            assert np.array_equal(d["pixels"], px), (shape, comp)
+    # big image crosses every LZW width and the dictionary reset
+    big = rng.integers(0, 256, (200, 300, 3), np.uint8)
+    assert np.array_equal(
+        mc.decode_tiff(mc.encode_tiff(big, 5))["pixels"], big
+    )
+    # compressible content actually compresses
+    yy, xx = np.mgrid[0:64, 0:64]
+    sm = ((yy + xx) // 2).astype(np.uint8)
+    pay = mc.encode_tiff(sm, 5)
+    assert len(pay) < sm.size // 2
+    assert np.array_equal(mc.decode_tiff(pay)["pixels"], sm)
+
+
+def _tiff_hand(entries, data, big_endian=False, ifd_pad=0):
+    e = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    ifd_off = 8 + len(data) + ifd_pad
+    out = bytearray(magic + struct.pack(e + "I", ifd_off))
+    out += data + b"\x00" * ifd_pad
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, count, val in sorted(entries):
+        out += struct.pack(e + "HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            # SHORT value lives in the FIRST two bytes of the field
+            out += struct.pack(e + "HH", val, 0)
+        else:
+            out += struct.pack(e + "I", val)
+    out += struct.pack(e + "I", 0)
+    return bytes(out)
+
+
+def test_decode_tiff_spec_literals():
+    """Hand-built payloads (no encoder): PackBits runs + literals,
+    big-endian byte order, WhiteIsZero inversion, predictor 2."""
+    base = [(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8),
+            (277, 3, 1, 1), (278, 3, 1, 2)]
+    # PackBits: run of 2 x 10, then literals 20 30
+    pb = bytes([0xFF, 10, 0x01, 20, 30]) + b"\x00"  # word-pad
+    pay = _tiff_hand(
+        base + [(259, 3, 1, 32773), (262, 3, 1, 1),
+                (273, 4, 1, 8), (279, 4, 1, 5)], pb)
+    assert mc.decode_tiff(pay)["pixels"].tolist() == [[10, 10], [20, 30]]
+    # big-endian uncompressed + WhiteIsZero
+    raw = bytes([0, 100, 200, 255])
+    pay = _tiff_hand(
+        base + [(259, 3, 1, 1), (262, 3, 1, 0),
+                (273, 4, 1, 8), (279, 4, 1, 4)], raw, big_endian=True)
+    assert mc.decode_tiff(pay)["pixels"].tolist() == [[255, 155], [55, 0]]
+    # predictor 2: stored row deltas [10, +5], [200, -50]
+    raw = bytes([10, 5, 200, 206])  # -50 mod 256 = 206
+    pay = _tiff_hand(
+        base + [(259, 3, 1, 1), (262, 3, 1, 1), (317, 3, 1, 2),
+                (273, 4, 1, 8), (279, 4, 1, 4)], raw)
+    assert mc.decode_tiff(pay)["pixels"].tolist() == [[10, 15], [200, 150]]
+
+
+def test_tiff_multi_strip():
+    """Two strips (rows_per_strip=1), LZW each — strip math + concat."""
+    px = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    s0 = mc._tiff_lzw_encode(px[0].tobytes())
+    s1 = mc._tiff_lzw_encode(px[1].tobytes())
+    data = s0 + s1
+    pad = len(data) % 2
+    n_entries = 9
+    ext = 8 + len(data) + pad + 2 + 12 * n_entries + 4
+    pay = _tiff_hand(
+        [(256, 3, 1, 3), (257, 3, 1, 2), (258, 3, 1, 8),
+         (277, 3, 1, 1), (278, 3, 1, 1), (259, 3, 1, 5), (262, 3, 1, 1),
+         (273, 4, 2, ext), (279, 4, 2, ext + 8)],
+        data, ifd_pad=pad)
+    # append the external offset/count arrays the entries point at
+    pay = pay + struct.pack("<II", 8, 8 + len(s0)) \
+        + struct.pack("<II", len(s0), len(s1))
+    assert np.array_equal(mc.decode_tiff(pay)["pixels"], px)
+
+
+def test_tiff_errors_are_loud():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        mc.decode_tiff(b"XX\x00\x00")
+    ok = mc.encode_tiff(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="truncated|out of bounds"):
+        mc.decode_tiff(ok[: len(ok) - 8])
+    with pytest.raises(ValueError, match="compression 7"):
+        # flip compression tag value to 7 (JPEG-in-TIFF)
+        bad = bytearray(ok)
+        i = bad.find(struct.pack("<HHII", 259, 3, 1, 1))
+        bad[i + 8] = 7
+        mc.decode_tiff(bytes(bad))
+    with pytest.raises(ValueError, match="expected .h, w"):
+        mc.encode_tiff(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_tiff_native_dispatch(spark):
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (6, 9, 3), np.uint8)
+    pay = mc.encode_tiff(px, 5)
+    assert mc.sniff_mime(pay) == "image/tiff"
+    assert np.array_equal(mc.decode_pixels(pay), px)
+    media = _media_df(spark, [(1, pay)])
+    f = M.extract_features(media, use_stub=False).collect()[0]
+    assert f.mime == "image/tiff"
+    assert (f.width, f.height, f.channels) == (9, 6, 3)
+    assert f.content_mean == pytest.approx(float(px.mean()))
