@@ -1,7 +1,8 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The real-decode path (`use_stub=False`) is NATIVE for BMP / PPM-PGM /
-PNG / JPEG (baseline + progressive) / WAV via the pure-Python codecs
+PNG / JPEG (baseline + progressive) / GIF / TIFF / WAV via the
+pure-Python codecs
 in `media_codecs` (no Pillow/ffmpeg needed — bytes in, pixels/samples
 out, golden-tested — PNG covers palette/16-bit/Adam7 too), with
 Pillow as an optional fallback for the last corners (lossless/CMYK
@@ -189,6 +190,12 @@ def resize_media(
                         px = media_codecs.decode_gif(b)["pixels"]
                         return media_codecs.encode_gif(
                             media_codecs.resize_nearest(px, width, height)
+                        )
+                    if mime == "image/tiff":
+                        px = media_codecs.decode_tiff(b)["pixels"]
+                        return media_codecs.encode_tiff(
+                            media_codecs.resize_nearest(px, width, height),
+                            compression=5,
                         )
                     if mime == "audio/wav":
                         raise ValueError(

@@ -1659,3 +1659,14 @@ def test_tiff_native_dispatch(spark):
     assert f.mime == "image/tiff"
     assert (f.width, f.height, f.channels) == (9, 6, 3)
     assert f.content_mean == pytest.approx(float(px.mean()))
+
+
+def test_resize_media_real_tiff(spark):
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (12, 10, 3), np.uint8)
+    media = _media_df(spark, [(1, mc.encode_tiff(px))])
+    out = M.resize_media(media, 5, 6, use_stub=False).collect()[0]
+    pay = bytes(out.payload)
+    assert mc.sniff_mime(pay) == "image/tiff"
+    d = mc.decode_tiff(pay)
+    assert np.array_equal(d["pixels"], mc.resize_nearest(px, 5, 6))
