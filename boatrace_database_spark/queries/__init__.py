@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 10: 148 queries, 136 oracle-backed.
+# lever. Catalog after round 10: 149 queries, 137 oracle-backed.
 #
 # Round-10 rotation. State after r9: nothing is red (49 green + 1
 # rows-only of the 50 checked; union across rounds 134 oracle-PASS +
@@ -50,11 +50,12 @@ for mod in (relational, analytics, advanced, llm, domain):
 #   tier 3 = the r7-green rows (3 rounds stale);
 #   tier 4 = the r8-refreshed rows;
 #   tier 5 = the r9-refreshed rows (freshest).
-# tier 1 (9) + tier 2 (10) + tier 3 (46) = 64 exceeds the ~50-row
+# tier 1 (10) + tier 2 (10) + tier 3 (46) = 64 exceeds the ~50-row
 # budget; the ~14-row tail of tier 3 tops next round's frontier.
 _ORDER = [
     # ---- tier 1: round-10 new/changed ----
-    "media_decode_jpeg", "media_gif_animation", "media_audio_dedup",
+    "media_decode_jpeg", "media_gif_animation", "media_decode_tiff",
+    "media_audio_dedup",
     "semantic_dedup_assign", "ann_ivf_topk",
     "ann_ivfpq_topk", "ivf_cell_stats", "rotation_invariant_topk",
     "media_decode_png",

@@ -2326,6 +2326,94 @@ FROM v GROUP BY doc_id, frame_no ORDER BY media_id, frame_no
 """
 
 
+def media_decode_tiff(spark, sf_dir):
+    """REAL TIFF decode, driver-checked (round 10 — the TIFF face):
+    each document gets a 4×3 RGB TIFF whose 36 pixel bytes are the
+    closed form ``(doc_id*19 + p*29) mod 256``, LZW-COMPRESSED by the
+    native encoder (the driver run therefore exercises the TIFF-LZW
+    early-change bitstream in both directions). Standard feature
+    columns come from the production path
+    (`extract_features(use_stub=False)` → sniff → IFD walk → strip
+    LZW decode); a second Arrow pass re-decodes and emits the
+    position-weighted pixel sum — lossless format, so the SQL oracle
+    is exact, like the PNG/GIF twins."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                bytes(
+                    MC.encode_tiff(
+                        (
+                            (int(did) * 19 + np.arange(36) * 29) % 256
+                        ).astype(np.uint8).reshape(3, 4, 3),
+                        compression=5,
+                    )
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/tiff", "source": s, "n_bytes": len(p)}
+                        for s, p in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA).localCheckpoint(
+        eager=False
+    )
+
+    def weighted(batches):
+        w = np.arange(36, dtype=np.int64) + 1
+        for pdf in batches:
+            sums = [
+                int(
+                    (w * MC.decode_tiff(bytes(p))["pixels"]
+                        .reshape(-1).astype(np.int64)).sum() % 2**31
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "weighted_sum": sums})
+
+    wdf = media.mapInPandas(weighted, "media_id long, weighted_sum long")
+    return (
+        M.extract_features(media, use_stub=False)
+        .select(
+            "media_id",
+            "mime",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("channels").cast("int").alias("channels"),
+            F.round("content_mean", 6).alias("content_mean"),
+        )
+        .join(wdf, on="media_id")
+        .orderBy("media_id")
+    )
+
+
+MEDIA_DECODE_TIFF_SQL = """
+WITH px AS (
+  SELECT d.doc_id, p.p AS p, (d.doc_id * 19 + p.p * 29) % 256 AS v
+  FROM documents d, range(36) p(p)
+)
+SELECT doc_id AS media_id,
+       'image/tiff' AS mime,
+       4 AS width, 3 AS height, 3 AS channels,
+       round(sum(v) / 36.0, 6) AS content_mean,
+       CAST(sum((p + 1) * v) % 2147483648 AS BIGINT) AS weighted_sum
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def media_audio_dedup(spark, sf_dir):
     """Audio near-dup dedup over synthetic WAV 'recordings' (round 10
     — the audio face of the perceptual dedup family, rows-only by
@@ -3949,6 +4037,7 @@ QUERIES = {
     "media_decode_png": media_decode_png,
     "media_decode_jpeg": media_decode_jpeg,
     "media_gif_animation": media_gif_animation,
+    "media_decode_tiff": media_decode_tiff,
     "media_audio_dedup": media_audio_dedup,
     "media_dedup_dhash": media_dedup_dhash,
     "media_frame_sample": media_frame_sample,
@@ -4039,6 +4128,7 @@ ORACLES = {
     "media_decode_png": MEDIA_DECODE_PNG_SQL,
     "media_decode_jpeg": MEDIA_DECODE_JPEG_SQL,
     "media_gif_animation": MEDIA_GIF_ANIMATION_SQL,
+    "media_decode_tiff": MEDIA_DECODE_TIFF_SQL,
     "media_dedup_dhash": MEDIA_DEDUP_DHASH_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
