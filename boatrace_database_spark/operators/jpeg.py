@@ -21,8 +21,9 @@ Scope (public spec, ITU-T T.81 / JFIF):
 - encode: JFIF with the Annex-K example Huffman tables (a flat custom
   AC table for progressive scans — Annex-K defines no EOBn symbols)
   and Annex-K quantization tables scaled by the public libjpeg
-  quality convention; grayscale or YCbCr at 4:4:4 (subsample=(1, 1))
-  or 4:2:0 (subsample=(2, 2)); optional restart interval (baseline);
+  quality convention; grayscale or YCbCr at 4:4:4 (subsample=(1, 1)),
+  4:2:0 (subsample=(2, 2)) or 4:2:2 (subsample=(2, 1)); optional
+  restart interval (baseline);
   progressive spectral-selection script with optional successive
   approximation. Exists so tests can commit fixtures and
   property-check encode→decode round-trips — not a general imaging
@@ -340,7 +341,8 @@ def encode_jpeg(
     """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> JFIF bytes.
 
     subsample=(1, 1) is 4:4:4; (2, 2) is 4:2:0 (chroma averaged over
-    2x2, luma MCUs of 16x16). Gray input ignores subsample. A nonzero
+    2x2, luma MCUs of 16x16); (2, 1) is 4:2:2. Gray input ignores
+    subsample. A nonzero
     restart_interval writes DRI and emits RSTn every that-many MCUs
     (baseline only).
 
@@ -367,8 +369,10 @@ def encode_jpeg(
             f"shape {px.shape}"
         )
     hs, vs = subsample
-    if (hs, vs) not in ((1, 1), (2, 2)):
-        raise ValueError("encode_jpeg: subsample must be (1,1) or (2,2)")
+    if (hs, vs) not in ((1, 1), (2, 2), (2, 1)):
+        raise ValueError(
+            "encode_jpeg: subsample must be (1,1), (2,2) or (2,1)"
+        )
     if ncomp == 1:
         hs = vs = 1
     h, w = px.shape[:2]
@@ -388,8 +392,12 @@ def encode_jpeg(
         cbs, crs = [], []
         for c in (1, 2):
             pl = _pad_to(ycc[..., c], vs, hs)
-            if hs == 2:  # 2x2 box average, then pad to the 8-grid
-                pl = pl.reshape(pl.shape[0] // 2, 2, pl.shape[1] // 2, 2)
+            # box-average by the sampling factors, then pad to the
+            # 8-grid (2x2 for 4:2:0; 1x2 for 4:2:2)
+            if hs == 2 or vs == 2:
+                pl = pl.reshape(
+                    pl.shape[0] // vs, vs, pl.shape[1] // hs, hs
+                )
                 pl = pl.mean(axis=(1, 3))
             (cbs if c == 1 else crs).append(_pad_to(pl - 128.0, 8, 8))
         planes = [ypl, cbs[0], crs[0]]

@@ -1670,3 +1670,23 @@ def test_resize_media_real_tiff(spark):
     assert mc.sniff_mime(pay) == "image/tiff"
     d = mc.decode_tiff(pay)
     assert np.array_equal(d["pixels"], mc.resize_nearest(px, 5, 6))
+
+
+def test_jpeg_422_roundtrip():
+    """4:2:2 (hs=2, vs=1): the decoder's ASYMMETRIC sampling path —
+    horizontal-only chroma subsample/upsample — and its progressive
+    twin, which must still equal baseline exactly."""
+    yy, xx = np.mgrid[0:23, 0:37]
+    img = np.clip(np.stack([yy * 4, (yy + xx) * 2, xx * 3], -1),
+                  0, 255).astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=95, subsample=(2, 1)))
+    assert base["pixels"].shape == (23, 37, 3)
+    assert np.abs(base["pixels"].astype(int) - img.astype(int)).max() <= 6
+    for succ in (False, True):
+        prog = J.decode_jpeg(
+            J.encode_jpeg(img, quality=95, subsample=(2, 1),
+                          progressive=True, successive=succ)
+        )
+        assert np.array_equal(base["pixels"], prog["pixels"])
+    with pytest.raises(ValueError, match="subsample"):
+        J.encode_jpeg(img, subsample=(1, 2))
