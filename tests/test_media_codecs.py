@@ -796,7 +796,7 @@ def test_jpeg_errors_are_loud():
     with pytest.raises(ValueError, match="expected .h, w."):
         J.encode_jpeg(np.zeros((8, 8, 4), np.uint8))
     with pytest.raises(ValueError, match="subsample"):
-        J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=(2, 1))
+        J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=(1, 2))
 
 
 def test_jpeg_golden_fixture():
