@@ -866,6 +866,17 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_last_ifd(b: bytes) -> int:
+    e = _tiff_byte_order(b)
+    (off,) = struct.unpack_from(e + "I", b, 4)
+    while True:
+        (n,) = struct.unpack_from(e + "H", b, off)
+        (nxt,) = struct.unpack_from(e + "I", b, off + 2 + 12 * n)
+        if nxt == 0:
+            return off
+        off = nxt
+
+
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """TIFF PackBits (spec §9): n<128 -> n+1 literals; n>128 ->
     byte repeated 257-n times; n==128 no-op."""
@@ -887,18 +898,57 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def decode_tiff(payload: bytes) -> dict:
-    """Baseline TIFF -> {width, height, channels, pixels}: 8-bit
-    gray/RGB/RGBA strips, none/LZW/PackBits, predictor 1/2, either
-    byte order. Raises ValueError outside that scope."""
-    b = bytes(payload)
+def _tiff_byte_order(b: bytes) -> str:
     if b[:4] == b"II*\x00":
-        e = "<"
-    elif b[:4] == b"MM\x00*":
-        e = ">"
-    else:
-        raise ValueError("decode_tiff: not a TIFF payload")
+        return "<"
+    if b[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("decode_tiff: not a TIFF payload")
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Baseline TIFF -> {width, height, channels, pixels, n_pages}:
+    8-bit gray/RGB/RGBA strips, none/LZW/PackBits, predictor 1/2,
+    either byte order; multi-page files decode as their FIRST page
+    (`decode_tiff_pages` walks the whole IFD chain). Raises ValueError
+    outside that scope."""
+    b = bytes(payload)
+    e = _tiff_byte_order(b)
     (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    d, nxt = _decode_tiff_ifd(b, e, ifd_off)
+    n = 1
+    while nxt:
+        (_, nxt) = _ifd_skip(b, e, nxt)
+        n += 1
+    d["n_pages"] = n
+    return d
+
+
+def decode_tiff_pages(payload: bytes) -> list:
+    """Every page of a multi-page TIFF (the scanned-document /
+    fax-style animation container), in IFD-chain order."""
+    b = bytes(payload)
+    e = _tiff_byte_order(b)
+    (ifd_off,) = struct.unpack_from(e + "I", b, 4)
+    pages = []
+    while ifd_off:
+        d, ifd_off = _decode_tiff_ifd(b, e, ifd_off)
+        pages.append(d)
+    return pages
+
+
+def _ifd_skip(b: bytes, e: str, ifd_off: int):
+    """Next-IFD pointer without decoding the page (page counting)."""
+    if ifd_off + 2 > len(b):
+        raise ValueError("decode_tiff: truncated IFD offset")
+    (n_tags,) = struct.unpack_from(e + "H", b, ifd_off)
+    tail = ifd_off + 2 + 12 * n_tags
+    if tail + 4 > len(b):
+        raise ValueError("decode_tiff: truncated IFD")
+    return None, struct.unpack_from(e + "I", b, tail)[0]
+
+
+def _decode_tiff_ifd(b: bytes, e: str, ifd_off: int):
     if ifd_off + 2 > len(b):
         raise ValueError("decode_tiff: truncated IFD offset")
     (n_tags,) = struct.unpack_from(e + "H", b, ifd_off)
@@ -975,17 +1025,51 @@ def decode_tiff(payload: bytes) -> dict:
             arr = np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
         rows.append(arr)
     px = np.concatenate(rows)[:h]
+    tail = ifd_off + 2 + 12 * n_tags
+    nxt = struct.unpack_from(e + "I", b, tail)[0] if tail + 4 <= len(b) else 0
     if spp == 1:
         px = px.reshape(h, w)
         if photometric == 0:  # WhiteIsZero
             px = (255 - px).astype(np.uint8)
-        return {"width": w, "height": h, "channels": 1, "pixels": px}
-    return {"width": w, "height": h, "channels": spp, "pixels": px.copy()}
+        return (
+            {"width": w, "height": h, "channels": 1, "pixels": px},
+            nxt,
+        )
+    return (
+        {"width": w, "height": h, "channels": spp, "pixels": px.copy()},
+        nxt,
+    )
 
 
-def encode_tiff(pixels: "np.ndarray", compression: int = 1) -> bytes:
-    """(h, w[, ch]) uint8 -> minimal little-endian single-strip TIFF
+def encode_tiff(pixels, compression: int = 1) -> bytes:
+    """(h, w[, ch]) uint8 — or a LIST of such frames (multi-page IFD
+    chain) -> minimal little-endian single-strip-per-page TIFF
     (compression 1 = none, 5 = LZW); fixtures/round-trips only."""
+    if isinstance(pixels, (list, tuple)):
+        pages = [np.asarray(f, dtype=np.uint8) for f in pixels]
+        out = bytearray(encode_tiff(pages[0], compression))
+        for frame in pages[1:]:
+            nxt = encode_tiff(frame, compression)
+            base = len(out)
+            # splice: rewrite the appended page's internal offsets
+            (ifd_off,) = struct.unpack_from("<I", nxt, 4)
+            body = bytearray(nxt[8:])  # strip its header
+            shift = base - 8
+            (n_tags,) = struct.unpack_from("<H", body, ifd_off - 8)
+            for k in range(n_tags):
+                off = ifd_off - 8 + 2 + 12 * k
+                tag, typ, count = struct.unpack_from("<HHI", body, off)
+                if tag in (273,) or (tag == 258 and count > 2):
+                    (v,) = struct.unpack_from("<I", body, off + 8)
+                    struct.pack_into("<I", body, off + 8, v + shift)
+            # link the PREVIOUS page's next-IFD pointer to this IFD
+            prev_ifd = _tiff_last_ifd(bytes(out))
+            (pn,) = struct.unpack_from("<H", out, prev_ifd)
+            struct.pack_into(
+                "<I", out, prev_ifd + 2 + 12 * pn, ifd_off + shift
+            )
+            out += body
+        return bytes(out)
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         h, w = px.shape

@@ -250,6 +250,8 @@ def sample_frames(
       frame is emitted as a standalone P6 payload;
     - animated GIF: frames composited (disposal + transparency), every
       n-th emitted re-encoded as a standalone single-frame GIF;
+    - multi-page TIFF: IFD-chain pages, every n-th re-encoded as a
+      standalone single-page TIFF;
     - WAV: the PCM data chunk windows into ``frame_bytes``-sized
       sample blocks (block-align rounded) — audio chunking for
       feature pipelines;
@@ -280,6 +282,13 @@ def sample_frames(
             return [
                 (fno, media_codecs.encode_gif(d["frames"][fno]))
                 for fno in range(0, len(d["frames"]), every_n)
+            ]
+        if mime == "image/tiff":
+            pages = media_codecs.decode_tiff_pages(b)
+            return [
+                (fno, media_codecs.encode_tiff(pages[fno]["pixels"],
+                                               compression=5))
+                for fno in range(0, len(pages), every_n)
             ]
         if mime == "audio/wav":
             d = media_codecs.decode_wav(b)

@@ -1690,3 +1690,27 @@ def test_jpeg_422_roundtrip():
         assert np.array_equal(base["pixels"], prog["pixels"])
     with pytest.raises(ValueError, match="subsample"):
         J.encode_jpeg(img, subsample=(1, 2))
+
+
+def test_tiff_multi_page_and_frames(spark):
+    """Multi-page TIFFs: IFD-chain decode, first-page features, and
+    sample_frames emitting every n-th page as a standalone TIFF."""
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (6, 9), np.uint8) for _ in range(5)]
+    pay = mc.encode_tiff(frames, 5)
+    pages = mc.decode_tiff_pages(pay)
+    assert len(pages) == 5
+    for f, p in zip(frames, pages):
+        assert np.array_equal(p["pixels"], f)
+    d = mc.decode_tiff(pay)
+    assert d["n_pages"] == 5 and np.array_equal(d["pixels"], frames[0])
+    media = _media_df(spark, [(1, pay)])
+    feats = M.extract_features(media, use_stub=False).collect()[0]
+    assert feats.mime == "image/tiff"
+    assert feats.content_mean == pytest.approx(float(frames[0].mean()))
+    sampled = M.sample_frames(media, every_n=2, use_stub=False).collect()
+    assert [r.frame_no for r in sampled] == [0, 2, 4]
+    for r in sampled:
+        got = mc.decode_tiff(bytes(r.frame))
+        assert got["n_pages"] == 1
+        assert np.array_equal(got["pixels"], frames[r.frame_no])
