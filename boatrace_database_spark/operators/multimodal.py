@@ -650,3 +650,75 @@ def audio_fingerprint_arrays(
 
     id_type = media.schema["media_id"].dataType.simpleString()
     return media.mapInPandas(batches, f"media_id {id_type}, fps ARRAY<LONG>")
+
+
+def audio_features(
+    media: DataFrame,
+    frame_len: int = 1024,
+    hop: int = 512,
+    rolloff_frac: float = 0.85,
+) -> DataFrame:
+    """Per-clip audio descriptors for WAV payloads — the audio analog
+    of image `extract_features`: (media_id, duration_ms, rms, zcr,
+    centroid_hz, rolloff_hz). rms is in full-scale units (int16 /
+    32768); zcr is the sign-change fraction; centroid and rolloff are
+    the standard power-spectrum statistics (mean over Hann frames),
+    in Hz via the clip's own sample rate. One Arrow batch per task,
+    deterministic numpy — no librosa needed for the classic
+    descriptors."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = media_codecs.decode_wav(bytes(payload))
+                x = d["samples"].astype(_np.float64).mean(axis=1) / 32768.0
+                n = len(x)
+                rms = float(_np.sqrt((x**2).mean())) if n else 0.0
+                zcr = (
+                    float((_np.diff(_np.signbit(x)) != 0).mean())
+                    if n > 1
+                    else 0.0
+                )
+                if n >= frame_len:
+                    nf = (n - frame_len) // hop + 1
+                    idx = (
+                        _np.arange(frame_len)[None, :]
+                        + hop * _np.arange(nf)[:, None]
+                    )
+                    spec = (
+                        _np.abs(
+                            _np.fft.rfft(x[idx] * _np.hanning(frame_len),
+                                         axis=1)
+                        )
+                        ** 2
+                    ).mean(axis=0)
+                else:
+                    spec = _np.abs(_np.fft.rfft(x, n=frame_len)) ** 2
+                freqs = _np.fft.rfftfreq(frame_len, 1.0 / d["sample_rate"])
+                total = spec.sum()
+                if total > 0:
+                    centroid = float((freqs * spec).sum() / total)
+                    cum = _np.cumsum(spec)
+                    k = int(_np.searchsorted(cum, rolloff_frac * total))
+                    rolloff = float(freqs[min(k, len(freqs) - 1)])
+                else:
+                    centroid = rolloff = 0.0
+                rows.append(
+                    (mid, d["duration_ms"], round(rms, 6), round(zcr, 6),
+                     round(centroid, 3), round(rolloff, 3))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_ms", "rms", "zcr",
+                         "centroid_hz", "rolloff_hz"],
+            )
+
+    id_type = media.schema["media_id"].dataType.simpleString()
+    return media.mapInPandas(
+        batches,
+        f"media_id {id_type}, duration_ms LONG, rms DOUBLE, zcr DOUBLE, "
+        "centroid_hz DOUBLE, rolloff_hz DOUBLE",
+    )

@@ -1714,3 +1714,31 @@ def test_tiff_multi_page_and_frames(spark):
         got = mc.decode_tiff(bytes(r.frame))
         assert got["n_pages"] == 1
         assert np.array_equal(got["pixels"], frames[r.frame_no])
+
+
+def test_audio_features_descriptors(spark):
+    """Classic audio descriptors behave physically: a pure tone's
+    centroid/rolloff sit at its frequency and its zcr at 2f/sr; white
+    noise centers high with zcr ~0.5; silence is all zeros."""
+    sr = 8000
+    t = np.arange(16384) / sr
+    tone = np.clip(np.round(np.sin(2 * np.pi * 440 * t) * 20000),
+                   -32768, 32767).astype(np.int16)
+    rng = np.random.default_rng(0)
+    noise = np.clip(np.round(rng.standard_normal(16384) * 8000),
+                    -32768, 32767).astype(np.int16)
+    silence = np.zeros(16384, np.int16)
+    media = _media_df(
+        spark,
+        [(1, mc.encode_wav(tone, sr, 1)),
+         (2, mc.encode_wav(noise, sr, 1)),
+         (3, mc.encode_wav(silence, sr, 1))],
+    )
+    f = {r.media_id: r for r in M.audio_features(media).collect()}
+    assert f[1].duration_ms == round(16384 * 1000 / sr)
+    assert abs(f[1].centroid_hz - 440) < 25
+    assert abs(f[1].rolloff_hz - 440) < 25
+    assert abs(f[1].zcr - 2 * 440 / sr) < 0.01
+    assert f[1].rms == pytest.approx(20000 / 32768 / np.sqrt(2), rel=0.01)
+    assert f[2].centroid_hz > 1500 and 0.4 < f[2].zcr < 0.6
+    assert f[3].rms == 0 and f[3].centroid_hz == 0 and f[3].rolloff_hz == 0
