@@ -93,7 +93,10 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 
 
 def decode_bmp(payload: bytes) -> dict:
-    """24-bit uncompressed BMP -> {width, height, pixels (h,w,3 RGB)}."""
+    """24-bit truecolor or 8-bit PALETTE uncompressed BMP ->
+    {width, height, pixels (h,w,3 RGB)}. Palette entries live after
+    the info header as BGRA quads (round-10 widened from 24-bit
+    only — 8-bit palette BMPs are the screenshot-era norm)."""
     b = bytes(payload)
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError("decode_bmp: not a BMP payload")
@@ -101,20 +104,38 @@ def decode_bmp(payload: bytes) -> dict:
     hdr_size, w, h, _planes, bpp, compression = struct.unpack_from(
         "<IiiHHI", b, 14
     )
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24) or compression != 0:
         raise ValueError(
-            f"decode_bmp: only 24-bit uncompressed supported "
-            f"(bpp={bpp}, compression={compression})"
+            f"decode_bmp: only 8-bit palette / 24-bit uncompressed "
+            f"supported (bpp={bpp}, compression={compression})"
         )
     if w <= 0 or h == 0:
         raise ValueError(f"decode_bmp: bad dimensions {w}x{h}")
     bottom_up = h > 0
     h = abs(h)
-    row_stride = (w * 3 + 3) & ~3
+    bytes_pp = bpp // 8
+    row_stride = (w * bytes_pp + 3) & ~3
     if len(b) < data_off + row_stride * h:
         raise ValueError("decode_bmp: truncated pixel data")
     raw = np.frombuffer(b, dtype=np.uint8, count=row_stride * h, offset=data_off)
-    rows = raw.reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+    rows = raw.reshape(h, row_stride)[:, : w * bytes_pp]
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", b, 46)
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > data_off:
+            raise ValueError("decode_bmp: palette overruns pixel data")
+        quads = np.frombuffer(
+            b, np.uint8, 4 * n_colors, pal_off
+        ).reshape(n_colors, 4)
+        idx = rows.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("decode_bmp: palette index out of range")
+        rows = quads[idx][:, :, 2::-1]  # BGRA quads -> RGB
+        if bottom_up:
+            rows = rows[::-1]
+        return {"width": w, "height": h, "pixels": rows.copy()}
+    rows = rows.reshape(h, w, 3)
     if bottom_up:
         rows = rows[::-1]
     return {"width": w, "height": h, "pixels": rows[:, :, ::-1].copy()}

@@ -1742,3 +1742,21 @@ def test_audio_features_descriptors(spark):
     assert f[1].rms == pytest.approx(20000 / 32768 / np.sqrt(2), rel=0.01)
     assert f[2].centroid_hz > 1500 and 0.4 < f[2].zcr < 0.6
     assert f[3].rms == 0 and f[3].centroid_hz == 0 and f[3].rolloff_hz == 0
+
+
+def test_decode_bmp_8bit_palette_spec_literal():
+    """Hand-built 8-bit palette BMP (BGRA color quads after the info
+    header, bottom-up rows, 4-aligned strides): 2x2 over 3 colors."""
+    quads = bytes([10, 20, 30, 0, 200, 150, 100, 0, 0, 0, 255, 0])
+    data_off = 14 + 40 + len(quads)
+    # bottom-up: file rows are image rows reversed; stride pads 2->4
+    pixel_data = bytes([2, 1, 0, 0]) + bytes([0, 1, 0, 0])
+    header = struct.pack("<2sIHHI", b"BM", data_off + 8, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 8, 0, 0, 3, 0)
+    d = mc.decode_bmp(header + info + quads + pixel_data)
+    assert d["pixels"].tolist() == [
+        [[30, 20, 10], [100, 150, 200]],   # top row (file row 2)
+        [[255, 0, 0], [100, 150, 200]],    # bottom row (file row 1)
+    ]
+    with pytest.raises(ValueError, match="palette index out of range"):
+        mc.decode_bmp(header + info + quads + bytes([5, 1, 0, 0, 0, 1, 0, 0]))
