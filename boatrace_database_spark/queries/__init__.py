@@ -30,88 +30,95 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 10: 149 queries, 137 oracle-backed.
+# lever. Catalog after round 11: 150 queries, 138 oracle-backed.
 #
-# Round-10 rotation. State after r9: nothing is red (49 green + 1
-# rows-only of the 50 checked; union across rounds 134 oracle-PASS +
-# 11 rows-only). Tiering:
-#   tier 1 = the round-10 NEW/CHANGED entries: media_decode_jpeg (new
-#            native baseline+progressive JPEG codec + oracle),
-#            media_gif_animation (new native GIF codec + animation
-#            pipeline + oracle), semantic_dedup_assign
-#            (derived n_assign + per-cell Gram scoring default),
-#            ann_ivf_topk / ann_ivfpq_topk / ivf_cell_stats
-#            (size-derived quantizer dials — identical results at
-#            sf0.01 by construction, but the driver must re-witness),
-#            rotation_invariant_topk (4-dp witness rounding), and
-#            media_decode_png (chunk-walk bounds hardening);
-#   tier 2 = the ~10-row r6-green tail the r9 budget cut (4 rounds
-#            stale — the frontier the r9 verdict's item #4 leads with);
-#   tier 3 = the r7-green rows (3 rounds stale);
-#   tier 4 = the r8-refreshed rows;
-#   tier 5 = the r9-refreshed rows (freshest).
-# tier 1 (10) + tier 2 (10) + tier 3 (46) = 64 exceeds the ~50-row
-# budget; the ~14-row tail of tier 3 tops next round's frontier.
+# Round-11 rotation. State after r10: nothing is red (42 oracle-green
+# + 8 rows-only of the 50 checked; union across rounds 137 oracle-PASS
+# + 12 rows-only = 149/149). Tiering:
+#   tier 1 = the round-11 NEW/CHANGED entries: audio_features (NEW —
+#            oracle-backed promotion of the late-r10 audio
+#            descriptors, verdict item #1), media_audio_dedup (the
+#            streaming twin's batch face; H-K band-edge fix),
+#            media_frame_sample (multi-page-TIFF branch landed after
+#            the r10 driver run; GIF >256-color composite fallback),
+#            media_decode_jpeg (0xFF fill-byte marker-walk fix),
+#            media_decode_tiff (IFD cycle guard);
+#   tier 2 = the r7-green rows (4 rounds stale — the frontier);
+#   tier 3 = the r8-green rows (3 rounds stale), the nine SURVEY-§2
+#            reference-parity entries first (verdict item #2);
+#   tier 3 tail = 7-row least-loss overflow past the ~50 budget:
+#            dedup_minhash_lsh / dedup_simhash (rows-only by nature —
+#            a re-check re-witnesses determinism, not values),
+#            approx_distinct_quantile / freq_items_heavy_hitters
+#            (sketch family re-witnessed this round via the three r7
+#            sketch_* rows), media_decode_roundtrip (media family has
+#            5 fresher faces in tier 1), embedding_project_jl
+#            (embedding family covered by tier 2's cosine/norm rows),
+#            global_shuffle_order (corpus family covered by tier 2's
+#            packed_split_pipeline). These 7 top the r12 frontier.
+#   tier 4 = the r9-refreshed rows; tier 5 = the r10 rows (freshest).
 _ORDER = [
-    # ---- tier 1: round-10 new/changed ----
-    "media_decode_jpeg", "media_gif_animation", "media_decode_tiff",
-    "media_audio_dedup",
-    "semantic_dedup_assign", "ann_ivf_topk",
-    "ann_ivfpq_topk", "ivf_cell_stats", "rotation_invariant_topk",
-    "media_decode_png",
-    # ---- tier 2: the r6-green tail (4 rounds stale) ----
-    "chunk_dedup_pipeline", "sketch_distinct_users", "token_budget_head",
-    "dsir_select_corpus", "quality_topk_per_source", "dedup_fuzzy_edit",
-    "dedup_incremental_batch", "scd2_user_state", "bm25_topk_docs",
-    "repeated_substring_spans",
-    # ---- tier 3: the r7-green rows (3 rounds stale) ----
-    "funnel_conversion", "funnel_windowed", "cohort_retention",
-    "event_transitions", "attribution_last_touch", "pmi_collocations",
-    "sample_group_reservoir", "sample_group_weighted",
-    "tfidf_related_docs", "tfidf_top_terms_per_doc",
-    "retrieval_rrf_fusion", "retrieval_hard_negatives", "bm25_index_stats",
-    "sketch_freq_sources", "sketch_price_quantiles",
-    "strip_repeated_spans", "dedup_incremental_bloom",
-    "dedup_best_quality", "dedup_minhash_incremental", "bpe_token_count",
-    "compression_quality", "quality_quantile_gate", "lm_quality_score",
-    "width_normalize_battery", "split_exact_assign",
-    "split_stratified_assign", "token_budget_mixture",
-    "decontaminate_drop_train", "time_hopping", "time_session",
-    "career_class_transitions", "racer_podium_funnel",
-    "racer_first_win_cohort", "packed_split_pipeline",
-    "mixture_temperature_resample", "dedup_exact", "dedup_ngram_jaccard",
-    "text_profile", "embedding_cosine_topk", "embedding_norm_stats",
-    "multimodal_features", "asof_join_events", "flag_timing_features",
-    "sessionize_gaps", "salted_skew_agg", "date_battery",
-    # ---- tier 4: the r8-refreshed rows ----
-    "pack_materialize", "embedding_project_jl", "media_decode_roundtrip",
-    "decontaminate_semantic_flags", "null_battery", "union_distinct",
-    "window_value_funcs", "udtf_tokenize", "corpus_clean_pipeline",
-    "token_count_battery", "dedup_cluster_assign", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "join_single_key",
-    "prefix_filter", "prefix_filter_disjunction", "decontaminate_eval",
-    "repetition_profile", "pii_redact_scrub", "mixture_resample_recipe",
-    "pack_sequences_windows", "training_data_pipeline", "split_train_eval",
-    "global_shuffle_order", "chunk_documents_windows", "ngram_topk",
-    "append_union", "sentinel_fill", "regex_gate", "regex_extract",
-    "concat_key", "dedup_minhash_lsh", "dedup_simhash",
-    "approx_distinct_quantile", "freq_items_heavy_hitters",
-    # ---- tier 5: the r9-refreshed rows (freshest) ----
-    "media_dedup_dhash", "media_frame_sample", "ann_lsh_topk",
-    "text_rolling_hash", "retrieval_mmr_diversified",
-    "dedup_embedding_cosine", "retrieval_eval_metrics", "running_counter",
-    "last_value_propagation", "stanza_lookahead", "date_range_explode",
-    "full_select", "agg_features", "feature_assembly", "roi_simulation",
-    "accuracy_metrics", "topk_orders", "window_rank_per_group",
-    "window_lag_lead", "rollup_agg", "cube_agg", "grouping_sets",
-    "distinct_pairs", "count_distinct_agg", "semi_join", "anti_join",
-    "join_composite_key", "outer_join", "range_join", "intersect_setop",
-    "except_setop", "scalar_battery", "json_extract", "pivot_wide",
-    "unpivot_stack", "sample_systematic", "percentile_quantile",
-    "time_tumble", "correlated_scalar_subquery", "having_filter",
-    "min_max_by", "string_agg_sorted", "window_range_frame",
-    "moving_avg_rows", "ntile_cume", "ann_bucket_stats",
-    "table_audit_orders",
+    # ---- tier 1: round-11 new/changed ----
+    "audio_features", "media_audio_dedup", "media_frame_sample",
+    "media_decode_jpeg", "media_decode_tiff",
+    # ---- tier 2: the r7-green rows (4 rounds stale) ----
+    "asof_join_events", "career_class_transitions", "date_battery",
+    "dedup_exact", "dedup_ngram_jaccard", "embedding_cosine_topk",
+    "embedding_norm_stats", "flag_timing_features",
+    "mixture_temperature_resample", "multimodal_features",
+    "packed_split_pipeline", "racer_first_win_cohort",
+    "racer_podium_funnel", "salted_skew_agg", "sessionize_gaps",
+    "text_profile",
+    # ---- tier 3: the r8-green rows (3 rounds stale; parity block first) ----
+    "regex_gate", "regex_extract", "concat_key", "sentinel_fill",
+    "append_union", "join_single_key", "prefix_filter",
+    "prefix_filter_disjunction", "udtf_tokenize",
+    "chunk_documents_windows", "corpus_clean_pipeline",
+    "decontaminate_eval", "decontaminate_semantic_flags",
+    "dedup_cluster_assign", "mixture_resample_recipe", "ngram_topk",
+    "null_battery", "pack_materialize", "pack_sequences_windows",
+    "pii_redact_scrub", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "repetition_profile", "split_train_eval",
+    "token_count_battery", "training_data_pipeline", "union_distinct",
+    "window_value_funcs",
+    # ---- tier 3 tail: the 7-row least-loss overflow (see note) ----
+    "dedup_minhash_lsh", "dedup_simhash", "approx_distinct_quantile",
+    "freq_items_heavy_hitters", "media_decode_roundtrip",
+    "embedding_project_jl", "global_shuffle_order",
+    # ---- tier 4: the r9-refreshed rows ----
+    "accuracy_metrics", "agg_features", "ann_bucket_stats", "ann_lsh_topk",
+    "anti_join", "correlated_scalar_subquery", "count_distinct_agg",
+    "cube_agg", "date_range_explode", "dedup_embedding_cosine",
+    "distinct_pairs", "except_setop", "feature_assembly", "full_select",
+    "grouping_sets", "having_filter", "intersect_setop",
+    "join_composite_key", "json_extract", "last_value_propagation",
+    "media_dedup_dhash", "min_max_by", "moving_avg_rows", "ntile_cume",
+    "outer_join", "percentile_quantile", "pivot_wide", "range_join",
+    "retrieval_eval_metrics", "retrieval_mmr_diversified",
+    "roi_simulation", "rollup_agg", "running_counter", "sample_systematic",
+    "scalar_battery", "semi_join", "stanza_lookahead", "string_agg_sorted",
+    "table_audit_orders", "text_rolling_hash", "time_tumble",
+    "topk_orders", "unpivot_stack", "window_lag_lead",
+    "window_range_frame", "window_rank_per_group",
+    # ---- tier 5: the r10-refreshed rows (freshest) ----
+    "ann_ivf_topk", "ann_ivfpq_topk", "attribution_last_touch",
+    "bm25_index_stats", "bm25_topk_docs", "bpe_token_count",
+    "chunk_dedup_pipeline", "cohort_retention", "compression_quality",
+    "decontaminate_drop_train", "dedup_best_quality", "dedup_fuzzy_edit",
+    "dedup_incremental_batch", "dedup_incremental_bloom",
+    "dedup_minhash_incremental", "dsir_select_corpus", "event_transitions",
+    "funnel_conversion", "funnel_windowed", "ivf_cell_stats",
+    "lm_quality_score", "media_decode_png", "media_gif_animation",
+    "pmi_collocations", "quality_quantile_gate", "quality_topk_per_source",
+    "repeated_substring_spans", "retrieval_hard_negatives",
+    "retrieval_rrf_fusion", "rotation_invariant_topk",
+    "sample_group_reservoir", "sample_group_weighted", "scd2_user_state",
+    "semantic_dedup_assign", "sketch_distinct_users",
+    "sketch_freq_sources", "sketch_price_quantiles", "split_exact_assign",
+    "split_stratified_assign", "strip_repeated_spans",
+    "tfidf_related_docs", "tfidf_top_terms_per_doc", "time_hopping",
+    "time_session", "token_budget_head", "token_budget_mixture",
+    "width_normalize_battery",
 ]
 
 

@@ -2471,6 +2471,117 @@ def media_audio_dedup(spark, sf_dir):
     )
 
 
+def audio_features(spark, sf_dir):
+    """Per-clip audio descriptors, driver-checked with an EXACT oracle
+    (round 11 — promotes multimodal.audio_features from pytest-only to
+    the catalog, the r10 verdict's item #1). Each document gets a
+    deterministic PCM16 WAV whose waveform is one of three types with
+    integer-exact samples, ``t = doc_id % 3``:
+
+      t=0  cosine at fs/4   — samples c·[1,0,−1,0]  (tone bin 64/256)
+      t=1  cosine at fs/2   — samples c·(−1)^i      (Nyquist, bin 128)
+      t=2  DC               — samples c             (bin 0)
+
+    amplitude ``c = 1001 + 2·(37·doc_id mod 14000)`` — int16-safe and
+    ODD, because an even amplitude can land c/32768 on an exact
+    half at the 6th decimal (c·5⁶ ≡ 256 mod 512 has only even
+    solutions; e.g. 19712/32768 = 0.6015625) where Python's banker
+    rounding and the oracle's half-away rounding disagree — length
+    ``n = 256·(1 + (doc_id mod 7) mod 3)`` at fs = 8000 Hz, so
+    duration/rms/zcr have closed forms the oracle computes exactly:
+    duration_ms = n/8; rms = c/32768 (·1/√2 for the half-zero t=0
+    pattern — the frame mean is exact in float64 because the partial
+    sums stay below 2^53); zcr = (n/2)/(n−1), 1, 0 by sign-pattern
+    counting (np.signbit(0.0) is False). The spectral columns are
+    quantized to the FFT bin (width fs/frame_len = 31.25 Hz) because
+    no SQL oracle can re-run a Hann-windowed FFT: for t=0 the Hann
+    leakage is symmetric (amplitude ¼,½,¼ at bins 63/64/65) so the
+    centroid sits at bin 64.000 exactly; at the spectrum edges (t=1,
+    t=2) the one-sided leak biases the centroid by 0.202 bins — both
+    margins are ≥0.298 bins from the rounding boundary, so the bin is
+    a physical invariant, not a tuned constant. rolloff_frac = 0.5
+    lands strictly inside the tone bin (cumulative power crosses 0.5
+    between the 0.168 shoulder and the 0.832 peak), giving rolloff_bin
+    = tone bin with ~0.33 margin on both sides. Clip lengths are
+    multiples of the frame (hop 128 | period), so every Hann frame is
+    identical and the frame mean adds nothing — the oracle's
+    single-frame physics is the whole spectrum."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import media_codecs as MC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                t = did % 3
+                c = 1001 + 2 * (did * 37 % 14000)
+                n = 256 * (1 + did % 7 % 3)
+                i = np.arange(n)
+                if t == 0:
+                    s = c * np.array([1, 0, -1, 0])[i % 4]
+                elif t == 1:
+                    s = c * (1 - 2 * (i % 2))
+                else:
+                    s = np.full(n, c)
+                payloads.append(bytes(MC.encode_wav(s.astype(np.int16), 8000, 1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "audio/wav", "source": s, "n_bytes": len(p)}
+                        for s, p in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    bin_hz = 8000.0 / 256  # 31.25 Hz per FFT bin
+    return (
+        M.audio_features(media, frame_len=256, hop=128, rolloff_frac=0.5)
+        .select(
+            "media_id",
+            "duration_ms",
+            "rms",
+            "zcr",
+            F.round(F.col("centroid_hz") / F.lit(bin_hz))
+            .cast("int")
+            .alias("centroid_bin"),
+            F.round(F.col("rolloff_hz") / F.lit(bin_hz))
+            .cast("int")
+            .alias("rolloff_bin"),
+        )
+        .orderBy("media_id")
+    )
+
+
+AUDIO_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 AS t,
+         1001 + 2 * (doc_id * 37 % 14000) AS c,
+         256 * (1 + doc_id % 7 % 3) AS n
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(n / 8 AS BIGINT) AS duration_ms,
+       round(CASE WHEN t = 0
+                  THEN sqrt((c / 32768.0) * (c / 32768.0) / 2)
+                  ELSE c / 32768.0 END, 6) AS rms,
+       round(CASE WHEN t = 0 THEN (n / 2.0) / (n - 1)
+                  WHEN t = 1 THEN 1.0 ELSE 0.0 END, 6) AS zcr,
+       CAST(CASE t WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 0 END AS INT)
+         AS centroid_bin,
+       CAST(CASE t WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 0 END AS INT)
+         AS rolloff_bin
+FROM p ORDER BY media_id
+"""
+
+
 def media_dedup_dhash(spark, sf_dir):
     """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
     (round 9 — the image face of the dedup family): each document gets
@@ -4039,6 +4150,7 @@ QUERIES = {
     "media_gif_animation": media_gif_animation,
     "media_decode_tiff": media_decode_tiff,
     "media_audio_dedup": media_audio_dedup,
+    "audio_features": audio_features,
     "media_dedup_dhash": media_dedup_dhash,
     "media_frame_sample": media_frame_sample,
     "decontaminate_semantic_flags": decontaminate_semantic_flags,
@@ -4129,6 +4241,7 @@ ORACLES = {
     "media_decode_jpeg": MEDIA_DECODE_JPEG_SQL,
     "media_gif_animation": MEDIA_GIF_ANIMATION_SQL,
     "media_decode_tiff": MEDIA_DECODE_TIFF_SQL,
+    "audio_features": AUDIO_FEATURES_SQL,
     "media_dedup_dhash": MEDIA_DEDUP_DHASH_SQL,
     "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
     "decontaminate_semantic_flags": DECONTAMINATE_SEMANTIC_SQL,
