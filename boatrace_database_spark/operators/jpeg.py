@@ -827,6 +827,13 @@ def decode_jpeg(payload: bytes) -> dict:
     while i + 2 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — skip them instead of misreading 0xFF as the
+        # code and the real code as the length high byte (r10 ADVICE #3)
+        while i + 2 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(b):
+            raise ValueError("decode_jpeg: truncated marker")
         marker = b[i + 1]
         if marker == 0xD9:  # EOI
             break

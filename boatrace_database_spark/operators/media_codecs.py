@@ -890,7 +890,11 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 def _tiff_last_ifd(b: bytes) -> int:
     e = _tiff_byte_order(b)
     (off,) = struct.unpack_from(e + "I", b, 4)
+    seen = set()
     while True:
+        if off in seen:  # see decode_tiff: cycle -> ValueError
+            raise ValueError("decode_tiff: IFD chain cycle")
+        seen.add(off)
         (n,) = struct.unpack_from(e + "H", b, off)
         (nxt,) = struct.unpack_from(e + "I", b, off + 2 + 12 * n)
         if nxt == 0:
@@ -938,7 +942,14 @@ def decode_tiff(payload: bytes) -> dict:
     (ifd_off,) = struct.unpack_from(e + "I", b, 4)
     d, nxt = _decode_tiff_ifd(b, e, ifd_off)
     n = 1
+    seen = {ifd_off}
     while nxt:
+        # a crafted next-IFD pointer looping back to an earlier IFD
+        # would otherwise hang the executor (r10 ADVICE #2) — the
+        # malformed-payload contract is ValueError, not an infinite walk
+        if nxt in seen:
+            raise ValueError("decode_tiff: IFD chain cycle")
+        seen.add(nxt)
         (_, nxt) = _ifd_skip(b, e, nxt)
         n += 1
     d["n_pages"] = n
@@ -952,7 +963,11 @@ def decode_tiff_pages(payload: bytes) -> list:
     e = _tiff_byte_order(b)
     (ifd_off,) = struct.unpack_from(e + "I", b, 4)
     pages = []
+    seen = set()
     while ifd_off:
+        if ifd_off in seen:  # see decode_tiff: cycle -> ValueError
+            raise ValueError("decode_tiff: IFD chain cycle")
+        seen.add(ifd_off)
         d, ifd_off = _decode_tiff_ifd(b, e, ifd_off)
         pages.append(d)
     return pages

@@ -279,10 +279,21 @@ def sample_frames(
             ]
         if mime == "image/gif":
             d = media_codecs.decode_gif_frames(b)
-            return [
-                (fno, media_codecs.encode_gif(d["frames"][fno]))
-                for fno in range(0, len(d["frames"]), every_n)
-            ]
+            out = []
+            for fno in range(0, len(d["frames"]), every_n):
+                frame = d["frames"][fno]
+                try:
+                    enc = media_codecs.encode_gif(frame)
+                except ValueError:
+                    # an animation mixing global/local palettes (plus
+                    # background fill) can legitimately composite to
+                    # >256 colors on one canvas (r10 ADVICE #4) —
+                    # emit the frame lossless as PNG instead of
+                    # failing the sampler (downstream consumers
+                    # sniff per-frame payloads anyway)
+                    enc = media_codecs.encode_png(frame)
+                out.append((fno, enc))
+            return out
         if mime == "image/tiff":
             pages = media_codecs.decode_tiff_pages(b)
             return [
@@ -481,11 +492,27 @@ def _hk_subfingerprints(
     (n_frames−1, 32) bool — one 32-bit fingerprint per frame
     transition, robust to gain, mild noise, and re-encoding, which is
     exactly what audio near-dup needs. Band edges are log-spaced over
-    FFT bins 2..frame_len/4 (sample-rate independent by construction;
-    documented deviation from the paper's absolute 300–2000 Hz band,
-    which would make the hash depend on the clip's sr metadata)."""
+    FFT bins frame_len/32..frame_len/4 (sample-rate independent by
+    construction; the relative analog of the paper's absolute
+    300–2000 Hz band, whose absolute form would make the hash depend
+    on the clip's sr metadata). Starting at frame_len/32 rather than
+    bin 2 keeps the geometric step above one bin for every practical
+    frame_len, so the bands really ARE log-spaced (r10 ADVICE #1: a
+    bin-2 start always collided after integer rounding and silently
+    fell back to linear spacing) and the noise-dominated 1-bin bottom
+    bands that broke exact-word candidate lookup are excluded — the
+    same reason the paper cuts below 300 Hz. Residual rounding
+    collisions (small frame_len) push each edge one past its
+    predecessor, keeping the edges strictly increasing with the last
+    edge exactly frame_len/4."""
     import numpy as _np
 
+    if frame_len // 4 - frame_len // 32 < n_bands + 1:
+        raise ValueError(
+            f"_hk_subfingerprints: frame_len={frame_len} cannot fit "
+            f"{n_bands} strictly increasing bands in bins "
+            "frame_len/32..frame_len/4"
+        )
     x = _np.asarray(samples, dtype=_np.float64)
     if x.ndim == 2:
         x = x.mean(axis=1)
@@ -495,10 +522,13 @@ def _hk_subfingerprints(
     idx = _np.arange(frame_len)[None, :] + hop * _np.arange(n_frames)[:, None]
     win = _np.hanning(frame_len)
     spec = _np.abs(_np.fft.rfft(x[idx] * win, axis=1)) ** 2
-    edges = _np.geomspace(2, frame_len // 4, n_bands + 1)
-    edges = _np.unique(_np.round(edges).astype(int))
-    if len(edges) < n_bands + 1:  # tiny frame_len: pad linearly
-        edges = _np.linspace(2, frame_len // 4, n_bands + 1).astype(int)
+    edges = _np.empty(n_bands + 1, dtype=_np.int64)
+    prev = frame_len // 32 - 1
+    for j, v in enumerate(
+        _np.geomspace(frame_len // 32, frame_len // 4, n_bands + 1)
+    ):
+        prev = max(prev + 1, int(round(v)))
+        edges[j] = prev
     energies = _np.add.reduceat(spec, edges[:-1], axis=1)
     diff = energies[:, :-1] - energies[:, 1:]  # (n_frames, n_bands-1)
     return (diff[1:] - diff[:-1]) > 0

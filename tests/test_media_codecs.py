@@ -1094,6 +1094,32 @@ def test_jpeg_progressive_golden_fixture():
         == 62720817
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code (r10 ADVICE #3) — padding every marker boundary must
+    not change the decode."""
+    img = (np.arange(128, dtype=np.uint8) * 5 % 251).reshape(8, 16)
+    for prog in (False, True):
+        pay = J.encode_jpeg(img, quality=85, progressive=prog)
+        want = J.decode_jpeg(pay)["pixels"]
+        # insert fill bytes before every marker after SOI (a 0xFF
+        # followed by a non-stuffing, non-RST code byte)
+        padded = bytearray(pay[:2])
+        i = 2
+        while i < len(pay):
+            if (
+                pay[i] == 0xFF
+                and i + 1 < len(pay)
+                and pay[i + 1] != 0x00
+                and not (0xD0 <= pay[i + 1] <= 0xD7)
+            ):
+                padded += b"\xff\xff\xff"
+            padded.append(pay[i])
+            i += 1
+        got = J.decode_jpeg(bytes(padded))["pixels"]
+        assert np.array_equal(got, want), f"progressive={prog}"
+
+
 def test_jpeg_progressive_errors_are_loud():
     pay = J.encode_jpeg(np.full((8, 8), 7, np.uint8), progressive=True)
     # truncate inside the LAST scan's entropy data
@@ -1344,6 +1370,56 @@ def test_gif_animation_and_disposal():
     outside = np.ones((6, 8), bool)
     outside[1:3, 1:3] = False
     assert np.array_equal(got[outside], f0[outside])
+
+
+def test_sample_frames_gif_over_256_color_composite(spark):
+    """An animation mixing a full 256-color global palette with a
+    local-palette patch legitimately composites to >256 colors on one
+    canvas (r10 ADVICE #4): the sampler must fall back to a lossless
+    PNG for that frame instead of failing on encode_gif's palette
+    cap."""
+    gpal = np.stack(
+        [np.arange(256), np.arange(256) * 7 % 256, 255 - np.arange(256)],
+        axis=1,
+    ).astype(np.uint8)
+    idx = (np.arange(272) % 256).astype(np.uint8).reshape(17, 16)
+    lpal = np.array(
+        [[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]], np.uint8
+    )
+    patch = np.array([[0, 1], [2, 3]], np.uint8)
+
+    def blocks(data):
+        out = b""
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        return out + b"\x00"
+
+    pay = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 16, 17, 0x87, 0, 0)
+        + gpal.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 16, 17, 0)
+        + bytes([8]) + blocks(mc._lzw_encode(idx.reshape(-1), 8))
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x81)
+        + lpal.tobytes()
+        + bytes([2]) + blocks(mc._lzw_encode(patch.reshape(-1), 2))
+        + b"\x3b"
+    )
+    d = mc.decode_gif_frames(pay)
+    composite = d["frames"][1]
+    n_colors = len(np.unique(composite.reshape(-1, 3), axis=0))
+    assert n_colors > 256, n_colors  # the scenario ADVICE describes
+    media = _media_df(spark, [(1, pay)])
+    rows = {
+        r.frame_no: bytes(r.frame)
+        for r in M.sample_frames(media, every_n=1, use_stub=False).collect()
+    }
+    assert sorted(rows) == [0, 1]
+    assert mc.sniff_mime(rows[0]) == "image/gif"
+    assert mc.sniff_mime(rows[1]) == "image/png"  # lossless fallback
+    assert np.array_equal(mc.decode_pixels(rows[0]), d["frames"][0])
+    assert np.array_equal(mc.decode_pixels(rows[1]), composite)
 
 
 def test_gif_interlaced_decode():
@@ -1646,6 +1722,29 @@ def test_tiff_errors_are_loud():
         mc.decode_tiff(bytes(bad))
     with pytest.raises(ValueError, match="expected .h, w"):
         mc.encode_tiff(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_tiff_ifd_cycle_is_loud():
+    """A crafted next-IFD pointer looping back to an earlier IFD must
+    raise (r10 ADVICE #2), not hang the executor — on every chain
+    walk: page count, page decode, and the encoder's last-IFD seek."""
+    two = mc.encode_tiff(
+        [np.zeros((4, 4), np.uint8), np.full((4, 4), 7, np.uint8)]
+    )
+    (first_ifd,) = struct.unpack_from("<I", two, 4)
+    bad = bytearray(two)
+    # rewrite page 2's next-IFD pointer to point back at page 1's IFD
+    (n1,) = struct.unpack_from("<H", bad, first_ifd)
+    (second_ifd,) = struct.unpack_from("<I", bad, first_ifd + 2 + 12 * n1)
+    (n2,) = struct.unpack_from("<H", bad, second_ifd)
+    struct.pack_into("<I", bad, second_ifd + 2 + 12 * n2, first_ifd)
+    bad = bytes(bad)
+    with pytest.raises(ValueError, match="IFD chain cycle"):
+        mc.decode_tiff(bad)
+    with pytest.raises(ValueError, match="IFD chain cycle"):
+        mc.decode_tiff_pages(bad)
+    with pytest.raises(ValueError, match="IFD chain cycle"):
+        mc._tiff_last_ifd(bad)
 
 
 def test_tiff_native_dispatch(spark):
