@@ -15,9 +15,10 @@ Scope (public spec, ITU-T T.81 / JFIF):
   sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0 via nearest-neighbor
   chroma upsample), Huffman tables from DHT (the file's own tables —
   DCT JPEGs always carry them), restart intervals (DRI + RSTn),
-  APPn/COM skipped by the marker walk. Lossless/hierarchical SOFs,
-  arithmetic coding, 12-bit precision, and 4-component (CMYK) files
-  raise ValueError — the callers' fallback seam.
+  APPn/COM parsed for APP14 "Adobe" (4-component CMYK/YCCK with the
+  Adobe inverted-sample convention), others skipped by the marker
+  walk. Lossless/hierarchical SOFs, arithmetic coding, and 12-bit
+  precision raise ValueError — the callers' fallback seam.
 - encode: JFIF with the Annex-K example Huffman tables (a flat custom
   AC table for progressive scans — Annex-K defines no EOBn symbols)
   and Annex-K quantization tables scaled by the public libjpeg
@@ -337,14 +338,25 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     successive: bool = False,
+    ycck: bool = False,
 ) -> bytes:
-    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> JFIF bytes.
+    """(h, w) uint8 gray, (h, w, 3) uint8 RGB, or (h, w, 4) uint8
+    CMYK -> JFIF bytes.
 
     subsample=(1, 1) is 4:4:4; (2, 2) is 4:2:0 (chroma averaged over
     2x2, luma MCUs of 16x16); (2, 1) is 4:2:2. Gray input ignores
     subsample. A nonzero
     restart_interval writes DRI and emits RSTn every that-many MCUs
     (baseline only).
+
+    CMYK input follows the Adobe convention real CMYK JPEGs use
+    (Photoshop et al.): an APP14 "Adobe" marker is written and the
+    stored samples are INVERTED (255 − value). ``ycck=True``
+    additionally routes the inverted C/M/Y through the YCbCr forward
+    transform (Adobe transform 2 — the wire format most CMYK photos
+    ship with, since YCC decorrelates); default is transform 0
+    (4:4:4 CMYK planes). CMYK is always encoded 4:4:4 with the luma
+    quant/Huffman tables on all four components.
 
     progressive=True writes SOF2 with a spectral-selection script
     (interleaved DC scan, then one full 1-63 AC scan per component);
@@ -363,17 +375,21 @@ def encode_jpeg(
         ncomp = 1
     elif px.ndim == 3 and px.shape[2] == 3:
         ncomp = 3
+    elif px.ndim == 3 and px.shape[2] == 4:
+        ncomp = 4
     else:
         raise ValueError(
-            "encode_jpeg: expected (h, w) gray or (h, w, 3) RGB, got "
-            f"shape {px.shape}"
+            "encode_jpeg: expected (h, w) gray, (h, w, 3) RGB or "
+            f"(h, w, 4) CMYK, got shape {px.shape}"
         )
+    if ycck and ncomp != 4:
+        raise ValueError("encode_jpeg: ycck requires (h, w, 4) CMYK input")
     hs, vs = subsample
     if (hs, vs) not in ((1, 1), (2, 2), (2, 1)):
         raise ValueError(
             "encode_jpeg: subsample must be (1,1), (2,2) or (2,1)"
         )
-    if ncomp == 1:
+    if ncomp in (1, 4):
         hs = vs = 1
     h, w = px.shape[:2]
     if h == 0 or w == 0:
@@ -386,6 +402,17 @@ def encode_jpeg(
         samps = [(1, 1)]
         qtabs = [qluma]
         qids = [0]
+    elif ncomp == 4:
+        inv = 255.0 - px.astype(np.float64)  # Adobe inversion
+        if ycck:
+            ycc = rgb_to_ycbcr(np.clip(inv[..., :3], 0, 255).astype(np.uint8))
+            chans = [ycc[..., 0], ycc[..., 1], ycc[..., 2], inv[..., 3]]
+        else:
+            chans = [inv[..., c] for c in range(4)]
+        planes = [_pad_to(c - 128.0, 8, 8) for c in chans]
+        samps = [(1, 1)] * 4
+        qtabs = [qluma] * 4
+        qids = [0] * 4
     else:
         ycc = rgb_to_ycbcr(px)
         ypl = _pad_to(ycc[..., 0] - 128.0, 8 * vs, 8 * hs)
@@ -419,6 +446,9 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    if ncomp == 4:  # APP14 "Adobe": version 100, flags 0, transform
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" \
+            + struct.pack(">HHHB", 100, 0, 0, 2 if ycck else 0)
     for tid, qt in ((0, qluma),) + (((1, qchroma),) if ncomp == 3 else ()):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) \
             + bytes(int(v) for v in qt[ZIGZAG])
@@ -450,7 +480,10 @@ def encode_jpeg(
     ac_l = _build_codes(ac_bits_l, ac_vals_l)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(ac_bits_c, ac_vals_c)
-    ctabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    if ncomp == 4:  # luma tables on every component (only pair written)
+        ctabs = [(dc_l, ac_l)] * 4
+    else:
+        ctabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
     mcux = planes[0].shape[1] // (8 * hs)
     mcuy = planes[0].shape[0] // (8 * vs)
 
@@ -465,7 +498,7 @@ def encode_jpeg(
     # --- baseline: ONE entropy-coded scan, MCU-interleaved
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for i in range(ncomp):
-        td_ta = 0x00 if i == 0 else 0x11
+        td_ta = 0x00 if (i == 0 or ncomp == 4) else 0x11
         out += bytes([i + 1, td_ta])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
     writer = _BitWriter()
@@ -619,7 +652,10 @@ def _write_progressive_scans(
     hs = max(s[0] for s in samps)
     vs = max(s[1] for s in samps)
     al1 = 1 if successive else 0
-    comp_specs = [(i + 1, 0x00 if i == 0 else 0x10) for i in range(ncomp)]
+    comp_specs = [
+        (i + 1, 0x00 if (i == 0 or ncomp == 4) else 0x10)
+        for i in range(ncomp)
+    ]
 
     def dc_scan(ah, al):
         out.extend(_sos_header(comp_specs, 0, 0, ah, al))
@@ -652,8 +688,12 @@ def _write_progressive_scans(
 
     def ac_scan(ci, ah, al):
         cid = ci + 1
-        out.extend(_sos_header([(cid, 0x00 if ci == 0 else 0x01)],
-                               1, 63, ah, al))
+        out.extend(
+            _sos_header(
+                [(cid, 0x00 if (ci == 0 or ncomp == 4) else 0x01)],
+                1, 63, ah, al,
+            )
+        )
         writer = _BitWriter()
         prog = _ProgACWriter(writer, ctabs[ci][1])
         for bidx in _used_blocks(ci, samps, hs, vs, dims, bw[ci]):
@@ -809,9 +849,12 @@ def decode_jpeg(payload: bytes) -> dict:
     (SOF2: spectral selection + successive approximation, DC and AC
     first/refinement scans, EOB runs) — together the overwhelming
     majority of real-corpus JPEGs. pixels is (h, w) uint8 for
-    1-component files, (h, w, 3) uint8 RGB for 3-component YCbCr.
-    Raises ValueError for anything outside that scope (lossless /
-    hierarchical SOFs, arithmetic coding, 12-bit, CMYK) or for
+    1-component files, (h, w, 3) uint8 RGB for 3-component YCbCr,
+    (h, w, 4) uint8 CMYK for 4-component files (APP14 "Adobe"
+    transform 0/2 honored, including the Adobe sample inversion; an
+    unmarked 4-component file decodes as plain CMYK, the libjpeg
+    assumption). Raises ValueError for anything outside that scope
+    (lossless / hierarchical SOFs, arithmetic coding, 12-bit) or for
     malformed/truncated payloads — the callers' fallback seam.
     """
     b = bytes(payload)
@@ -823,6 +866,7 @@ def decode_jpeg(payload: bytes) -> dict:
     grids: list[np.ndarray] = []  # per component, (gh*gw, 64) zigzag coefs
     restart_interval = 0
     scans_done = 0
+    adobe_transform = None  # APP14 transform byte (None = no marker)
     i = 2
     while i + 2 <= len(b):
         if b[i] != 0xFF:
@@ -876,7 +920,7 @@ def decode_jpeg(payload: bytes) -> dict:
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("decode_jpeg: only 8-bit precision")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise ValueError(f"decode_jpeg: {nc}-component unsupported")
             if fh == 0 or fw == 0:
                 raise ValueError("decode_jpeg: empty frame")
@@ -926,11 +970,16 @@ def decode_jpeg(payload: bytes) -> dict:
             )
             scans_done += 1
             continue
-        # APPn / COM / anything else: skipped
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: transform byte governs 4-component color handling
+            # (0 = CMYK, 2 = YCCK), and its PRESENCE signals the Adobe
+            # inverted-sample convention
+            adobe_transform = seg[11]
+        # other APPn / COM / anything else: skipped
         i = seg_end
     if frame is None or scans_done == 0:
         raise ValueError("decode_jpeg: no SOS marker found")
-    return _finalize(frame, grids, qtabs)
+    return _finalize(frame, grids, qtabs, adobe_transform)
 
 
 def _comp_geometry(frame, ci):
@@ -1118,7 +1167,7 @@ def _ac_refine(reader, zz, ss, se, al, ac_tab, eobrun):
     return eobrun
 
 
-def _finalize(frame, grids, qtabs):
+def _finalize(frame, grids, qtabs, adobe_transform=None):
     """Dequantize + batched IDCT + upsample + color transform."""
     fh, fw = frame["h"], frame["w"]
     comps = frame["comps"]
@@ -1147,6 +1196,20 @@ def _finalize(frame, grids, qtabs):
     if len(planes) == 1:
         px = planes[0].astype(np.uint8)
         return {"width": fw, "height": fh, "channels": 1, "pixels": px}
+    if len(planes) == 4:
+        # Adobe CMYK/YCCK: transform 2 routes C/M/Y through the YCbCr
+        # inverse first; an APP14 marker (however transformed) means
+        # the stored samples are inverted (the Photoshop convention —
+        # unmarked 4-component files are taken as plain CMYK, the
+        # libjpeg assumption)
+        stack = np.stack(planes, axis=-1)
+        if adobe_transform == 2:
+            cmy = ycbcr_to_rgb(stack[..., :3]).astype(np.float64)
+            stack = np.concatenate([cmy, stack[..., 3:]], axis=-1)
+        if adobe_transform is not None:
+            stack = 255.0 - stack
+        px = np.clip(stack, 0, 255).astype(np.uint8)
+        return {"width": fw, "height": fh, "channels": 4, "pixels": px}
     ycc = np.stack(planes, axis=-1)
     return {
         "width": fw,

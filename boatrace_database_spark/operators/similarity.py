@@ -241,6 +241,47 @@ def ann_nprobe(n_cells: int, fraction: float = 0.5, floor: int = 8) -> int:
     return min(n_cells, max(floor, round(n_cells * fraction)))
 
 
+def pq_subspaces_for_target(dim: int, target_recall: float) -> int:
+    """Derive the PQ subspace count from an ADC recall target — the
+    measured code-budget knee as a caller-visible contract (r10
+    verdict item #4) instead of a BENCHNOTES footnote. Anchors
+    (BENCHNOTES §41, dim-64 corpus at sf1 density, nprobe at the
+    derived fraction):
+
+    | dims/subspace | compression | sf1 ADC recall |
+    |---|---|---|
+    | 4 (S = dim/4) | 16x | 0.54 |
+    | 2 (S = dim/2) | 8x  | 0.87 (probe FASTER: fewer refuted) |
+
+    The rule keys on dims-per-subspace, not the absolute subspace
+    count, because quantization error per code is set by how many
+    dimensions one byte must describe — that is what transfers across
+    dims. Targets above the 2-dim anchor are NOT reachable by raw ADC
+    at high density (a fixed code budget cannot discriminate shrinking
+    neighbor gaps); the builder raises and points at the re-rank path,
+    `ivfpq_probe`'s default refine depth, measured 0.94 at the same
+    operating point."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"pq_subspaces_for_target: target_recall={target_recall} "
+            "must be in (0, 1]"
+        )
+    if target_recall > 0.87:
+        raise ValueError(
+            f"pq_subspaces_for_target: ADC alone cannot hold recall "
+            f"{target_recall} at scale (2-dim subspace anchor: 0.87); "
+            "use ivfpq_probe's refine path (default depth, measured "
+            "0.94) over a target_recall<=0.87 code budget"
+        )
+    d_sub = 4 if target_recall <= 0.54 else 2
+    if dim % d_sub:
+        raise ValueError(
+            f"pq_subspaces_for_target: dim={dim} not divisible by the "
+            f"derived {d_sub}-dim subspace width"
+        )
+    return dim // d_sub
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1730,6 +1771,7 @@ def ivfpq_build_index(
     n_codes: int = 256,
     sample_per_cell: int = 256,
     by_residual: bool = True,
+    target_recall: float | None = None,
 ) -> tuple[DataFrame, DataFrame, "np.ndarray"]:
     """IVF-PQ index build: the IVF inverted file for pruning + PQ codes
     for in-cell compression. Returns ``(codes, centroids, books)``
@@ -1737,6 +1779,12 @@ def ivfpq_build_index(
     vectors are GONE from the index, which is the point: the persisted
     footprint per vector is the id + n_subspaces dictionary-packed
     bytes, vs dim floats.
+
+    ``target_recall``: the code-budget contract — derives
+    ``n_subspaces`` from the vector dimension via
+    `pq_subspaces_for_target`'s measured knee (BENCHNOTES §41) instead
+    of taking a subspace count. Mutually exclusive with an explicit
+    ``n_subspaces`` (pass one dial, not two).
 
     ``by_residual=True`` (default, matching FAISS) trains the shared
     codebooks on and encodes ``x − centroid[cell]`` — more precision
@@ -1746,6 +1794,14 @@ def ivfpq_build_index(
     `ivfpq_write_index`/`ivfpq_read_index` preserves it.
     """
     spark = corpus.sparkSession
+    if target_recall is not None:
+        if n_subspaces != 8:
+            raise ValueError(
+                "ivfpq_build_index: pass target_recall OR n_subspaces, "
+                "not both"
+            )
+        dim = len(corpus.select(vec_col).first()[0])
+        n_subspaces = pq_subspaces_for_target(dim, target_recall)
     # ONE corpus count for both trainers, and ONE training-sample scan
     # when the two would provably draw the identical set: equal target
     # sizes, or a corpus small enough that both take every row (the

@@ -2119,6 +2119,47 @@ def test_ivfpq_recall_floor_and_determinism(spark):
     assert rec > 0.40, f"IVF-PQ mean recall {rec:.3f}"
 
 
+def test_pq_target_recall_contract(spark):
+    """r10 verdict item #4: the measured code-budget knee (BENCHNOTES
+    §41) is a caller-visible contract. Both demo anchors pin the dial
+    choice: 16x compression (4-dim subspaces, sf1 ADC 0.54) for low
+    targets, 8x (2-dim subspaces, sf1 ADC 0.87) above the S=16 anchor;
+    targets past the 2-dim anchor must point at the refine path, not
+    silently under-deliver."""
+    import numpy as np
+
+    # dial choice at the two measured anchors (dim-64 demo corpus)
+    assert SIM.pq_subspaces_for_target(64, 0.54) == 16
+    assert SIM.pq_subspaces_for_target(64, 0.50) == 16
+    assert SIM.pq_subspaces_for_target(64, 0.87) == 32
+    assert SIM.pq_subspaces_for_target(64, 0.70) == 32
+    assert SIM.pq_subspaces_for_target(128, 0.80) == 64  # dim-relative
+    with pytest.raises(ValueError, match="refine"):
+        SIM.pq_subspaces_for_target(64, 0.95)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        SIM.pq_subspaces_for_target(64, 0.0)
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_subspaces_for_target(63, 0.8)
+
+    # builder contract: target_recall derives S end-to-end, and the
+    # codes really are S bytes per vector
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    codes, _, books = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_codes=16, target_recall=0.8
+    )
+    assert books.shape[0] == 32 and books.shape[2] == 2
+    assert {len(r.codes) for r in codes.limit(5).collect()} == {32}
+    # equivalence: target_recall=0.8 is exactly the explicit S=32 build
+    _, _, books32 = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_subspaces=32, n_codes=16
+    )
+    assert np.array_equal(books, books32)
+    with pytest.raises(ValueError, match="not both"):
+        SIM.ivfpq_build_index(
+            emb, n_cells=4, n_subspaces=16, target_recall=0.8
+        )
+
+
 def test_ivfpq_shared_sample_preserves_codebooks(spark):
     """r6 ADVICE: ivfpq_build_index now threads one corpus count and
     (when provably identical) one training sample through both the IVF

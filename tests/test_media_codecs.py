@@ -794,7 +794,7 @@ def test_jpeg_errors_are_loud():
     with pytest.raises(ValueError, match="uint8"):
         J.encode_jpeg(np.zeros((8, 8), np.float64))
     with pytest.raises(ValueError, match="expected .h, w."):
-        J.encode_jpeg(np.zeros((8, 8, 4), np.uint8))
+        J.encode_jpeg(np.zeros((8, 8, 2), np.uint8))
     with pytest.raises(ValueError, match="subsample"):
         J.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsample=(1, 2))
 
@@ -1092,6 +1092,65 @@ def test_jpeg_progressive_golden_fixture():
     w = np.arange(d["pixels"].size, dtype=np.int64) + 1
     assert int(w @ d["pixels"].reshape(-1).astype(np.int64)) % 2**31 \
         == 62720817
+
+
+def test_jpeg_cmyk_adobe_roundtrip():
+    """4-component Adobe CMYK/YCCK decode (r10 verdict item #5 — the
+    one deliberately-raised class with real corpus frequency): encode
+    writes APP14 + inverted samples (the Photoshop convention), decode
+    honors transform 0 (CMYK planes) and 2 (YCCK); progressive is the
+    same entropy reordering; a file WITHOUT the Adobe marker decodes
+    as plain uninverted CMYK (libjpeg's assumption)."""
+    rng = np.random.default_rng(11)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 256, (4, 5, 4), np.uint8), 8, 0), 8, 1
+    )
+    # transform 0, flat 8x8 blocks at q95: the quantizer floor is
+    # exact, so the round-trip is lossless
+    d = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert d["channels"] == 4
+    assert np.array_equal(d["pixels"], img)
+    # YCCK (transform 2): the color transform adds <=1 lsb
+    dy = J.decode_jpeg(J.encode_jpeg(img, quality=95, ycck=True))
+    assert np.abs(dy["pixels"].astype(int) - img.astype(int)).max() <= 1
+    # progressive + successive approximation: identical pixels
+    for ycck in (False, True):
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=80, ycck=ycck))
+        prog = J.decode_jpeg(
+            J.encode_jpeg(
+                img, quality=80, progressive=True, successive=True,
+                ycck=ycck,
+            )
+        )
+        assert np.array_equal(base["pixels"], prog["pixels"])
+    # strip APP14: same codes, now plain CMYK (uninverted)
+    pay = J.encode_jpeg(img, quality=95)
+    i = pay.find(b"\xff\xee")
+    seglen = int.from_bytes(pay[i + 2 : i + 4], "big")
+    unmarked = pay[:i] + pay[i + 2 + seglen :]
+    assert np.array_equal(
+        J.decode_jpeg(unmarked)["pixels"], 255 - J.decode_jpeg(pay)["pixels"]
+    )
+    with pytest.raises(ValueError, match="ycck requires"):
+        J.encode_jpeg(img[..., :3], ycck=True)
+
+
+def test_jpeg_cmyk_extract_features(spark):
+    """The production seam end-to-end: a CMYK JPEG through
+    extract_features(use_stub=False) reports channels=4 and the
+    pixel mean of the decoded CMYK planes."""
+    img = np.repeat(
+        np.repeat(
+            np.random.default_rng(5).integers(0, 256, (2, 3, 4), np.uint8),
+            8, 0,
+        ), 8, 1,
+    )
+    pay = J.encode_jpeg(img, quality=95)
+    media = _media_df(spark, [(3, pay)])
+    row = M.extract_features(media, use_stub=False).collect()[0]
+    assert (row.width, row.height, row.channels) == (24, 16, 4)
+    want = float(J.decode_jpeg(pay)["pixels"].mean())
+    assert abs(row.content_mean - want) < 1e-6
 
 
 def test_jpeg_fill_bytes_before_marker():
