@@ -415,10 +415,54 @@ def semantic_dedup_recall(
     return {"semantic_dedup_recall": recall}
 
 
+def media_pair_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Planted-pair recall of the perceptual media dedup family (r10
+    verdict item #6 — the sf1 quality anchors text/embedding dedup
+    already have). Ground truth is the catalog entries' own synthesis
+    construction: `media_dedup_dhash` plants groups of FIVE documents
+    sharing a base image (each take perturbing one cell),
+    `media_audio_dedup` plants groups of THREE takes of one recording
+    — so the planted positives are exactly the within-group pairs,
+    counted in closed form from the doc count. Recall = found
+    within-group pairs / planted pairs; both numbers are Spark-side
+    aggregates (the pair outputs are group-bounded, never collected at
+    corpus width). Measures the full pipeline — codec round-trip,
+    fingerprint robustness, candidate lookup, verify threshold — at
+    whatever scale `sf_dir` holds."""
+    from boatrace_database_spark.queries.llm import (
+        media_audio_dedup,
+        media_dedup_dhash,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    def planted(group: int) -> int:
+        full, rem = divmod(n, group)
+        return full * group * (group - 1) // 2 + rem * (rem - 1) // 2
+
+    out: dict[str, float] = {}
+    for key, fn, group in (
+        ("dhash_pair_recall", media_dedup_dhash, 5),
+        ("audio_pair_recall", media_audio_dedup, 3),
+    ):
+        found = (
+            fn(spark, sf_dir)
+            .where(
+                (F.col("id_a") / group).cast("long")
+                == (F.col("id_b") / group).cast("long")
+            )
+            .count()
+        )
+        denom = planted(group)
+        out[key] = round(found / denom, 4) if denom else None
+    return out
+
+
 def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     out.update(ann_recalls(spark, sf_dir))
     out.update(dedup_recalls(spark, sf_dir))
     out.update(lsh_cosine_pairs_recall(spark, sf_dir))
     out.update(semantic_dedup_recall(spark, sf_dir))
+    out.update(media_pair_recalls(spark, sf_dir))
     return out

@@ -889,9 +889,11 @@ def stream_dedup_exact(
     keeper again (asserted in tests/test_streaming.py). That trade —
     bounded state for bounded lookback — is the standard unbounded-
     stream posture; pick the TTL from the duplicate-arrival-lag
-    distribution. (The richer per-element TTL of
-    ``transformWithStateInPandas`` needs protobuf, unavailable here —
-    see r4 commits 45d9d59/7b5dd6e.)
+    distribution. (The ``transformWithStateInPandas`` state-v2 vehicle
+    is adjudicated closed — its worker protocol needs the
+    google.protobuf runtime, absent from this image; this operator's
+    per-group TTL expresses the same surface. ARCHITECTURE.md has the
+    full adjudication.)
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
