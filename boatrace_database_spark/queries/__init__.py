@@ -37,7 +37,9 @@ for mod in (relational, analytics, advanced, llm, domain):
 # + 12 rows-only = 149/149). Tiering:
 #   tier 1 = the round-11 NEW/CHANGED entries: audio_features (NEW —
 #            oracle-backed promotion of the late-r10 audio
-#            descriptors, verdict item #1), media_audio_dedup (the
+#            descriptors, verdict item #1), media_decode_cmyk (NEW —
+#            Adobe 4-component decode under the oracle gate, verdict
+#            item #5), media_audio_dedup (the
 #            streaming twin's batch face; H-K band-edge fix),
 #            media_frame_sample (multi-page-TIFF branch landed after
 #            the r10 driver run; GIF >256-color composite fallback),
@@ -46,7 +48,9 @@ for mod in (relational, analytics, advanced, llm, domain):
 #   tier 2 = the r7-green rows (4 rounds stale — the frontier);
 #   tier 3 = the r8-green rows (3 rounds stale), the nine SURVEY-§2
 #            reference-parity entries first (verdict item #2);
-#   tier 3 tail = 7-row least-loss overflow past the ~50 budget:
+#   tier 3 tail = 8-row least-loss overflow past the ~50 budget
+#            (window_value_funcs joins it for the media_decode_cmyk
+#            slot — the window family keeps 5 fresher r9/r10 rows):
 #            dedup_minhash_lsh / dedup_simhash (rows-only by nature —
 #            a re-check re-witnesses determinism, not values),
 #            approx_distinct_quantile / freq_items_heavy_hitters
@@ -59,8 +63,8 @@ for mod in (relational, analytics, advanced, llm, domain):
 #   tier 4 = the r9-refreshed rows; tier 5 = the r10 rows (freshest).
 _ORDER = [
     # ---- tier 1: round-11 new/changed ----
-    "audio_features", "media_audio_dedup", "media_frame_sample",
-    "media_decode_jpeg", "media_decode_tiff",
+    "audio_features", "media_decode_cmyk", "media_audio_dedup",
+    "media_frame_sample", "media_decode_jpeg", "media_decode_tiff",
     # ---- tier 2: the r7-green rows (4 rounds stale) ----
     "asof_join_events", "career_class_transitions", "date_battery",
     "dedup_exact", "dedup_ngram_jaccard", "embedding_cosine_topk",
@@ -80,8 +84,8 @@ _ORDER = [
     "pii_redact_scrub", "q1_pricing_summary", "q3_shipping_priority",
     "q5_region_revenue", "repetition_profile", "split_train_eval",
     "token_count_battery", "training_data_pipeline", "union_distinct",
+    # ---- tier 3 tail: the 8-row least-loss overflow (see note) ----
     "window_value_funcs",
-    # ---- tier 3 tail: the 7-row least-loss overflow (see note) ----
     "dedup_minhash_lsh", "dedup_simhash", "approx_distinct_quantile",
     "freq_items_heavy_hitters", "media_decode_roundtrip",
     "embedding_project_jl", "global_shuffle_order",

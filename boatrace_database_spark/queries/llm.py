@@ -2225,6 +2225,122 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
+def media_decode_cmyk(spark, sf_dir):
+    """REAL Adobe-CMYK JPEG decode, driver-checked (round 11 — closes
+    the r10 verdict's item #5 with a driver row, not just pytest: the
+    one deliberately-raised 4-component class with real corpus
+    frequency now runs the full decode path under the oracle gate).
+    Each document gets a deterministic 8x16 four-component JPEG of two
+    flat 8x8 blocks PER CHANNEL, ``v(c, 0) = (doc_id*23 + 53*c) mod
+    256`` and ``v(c, 1) = (v(c, 0) + 101) mod 256``, encoded at
+    quality 90 by the native encoder with the APP14 Adobe marker and
+    the Adobe sample INVERSION (stored = 255 - v). Flat blocks are
+    DC-only, so each channel reconstructs through the same closed form
+    as `media_decode_jpeg` — applied to the INVERTED value and
+    un-inverted on output: ``out = 255 - r(255 - v)`` — which the SQL
+    oracle computes in exact arithmetic. Every third document is
+    encoded progressive (SOF2 + successive approximation), exercising
+    4-component multi-scan decode at zero oracle cost. The second
+    Arrow pass emits the position-weighted pixel sum over row-major
+    INTERLEAVED positions (h, w, channel) — channel-order, geometry,
+    or inversion drift breaks the hash even when the plain mean
+    survives; `extract_features(use_stub=False)` supplies the
+    channels=4 feature columns through the production seam."""
+    import numpy as np
+    import pandas as pd
+
+    from boatrace_database_spark.operators import jpeg as JC
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.empty((8, 16, 4), dtype=np.uint8)
+                for c in range(4):
+                    v0 = (did * 23 + 53 * c) % 256
+                    img[:, :8, c] = v0
+                    img[:, 8:, c] = (v0 + 101) % 256
+                prog = did % 3 == 0
+                payloads.append(
+                    bytes(
+                        JC.encode_jpeg(
+                            img, quality=90,
+                            progressive=prog, successive=prog,
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"mime": "image/jpeg", "source": s, "n_bytes": len(p)}
+                        for s, p in zip(pdf["source"], payloads)
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA).localCheckpoint(
+        eager=False
+    )
+
+    def weighted(batches):
+        w = np.arange(512, dtype=np.int64) + 1
+        for pdf in batches:
+            sums = [
+                int(
+                    (w * JC.decode_jpeg(bytes(p))["pixels"]
+                        .reshape(-1).astype(np.int64)).sum() % 2**31
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "weighted_sum": sums})
+
+    wdf = media.mapInPandas(weighted, "media_id long, weighted_sum long")
+    return (
+        M.extract_features(media, use_stub=False)
+        .select(
+            "media_id",
+            "mime",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("channels").cast("int").alias("channels"),
+            F.round("content_mean", 6).alias("content_mean"),
+        )
+        .join(wdf, on="media_id")
+        .orderBy("media_id")
+    )
+
+
+# CMYK reconstruction: the media_decode_jpeg closed form applied to
+# the Adobe-INVERTED stored sample, un-inverted on output
+_CMYK_R = f"255 - {_JPEG_R.format(v='(255 - ({v}))')}"
+MEDIA_DECODE_CMYK_SQL = f"""
+WITH rec AS (
+  SELECT doc_id, c.c AS c,
+         {_CMYK_R.format(v="(doc_id * 23 + 53 * c.c) % 256")} AS r0,
+         {_CMYK_R.format(v="((doc_id * 23 + 53 * c.c) % 256 + 101) % 256")}
+           AS r1
+  FROM documents, range(4) c(c)
+),
+px AS (
+  SELECT rec.doc_id, rec.c + p.p * 4 AS p,
+         CASE WHEN (p.p % 16) < 8 THEN rec.r0 ELSE rec.r1 END AS v
+  FROM rec, range(128) p(p)
+)
+SELECT doc_id AS media_id,
+       'image/jpeg' AS mime,
+       16 AS width, 8 AS height, 4 AS channels,
+       round(sum(v) / 512.0, 6) AS content_mean,
+       CAST(CAST(sum((p + 1) * v) AS BIGINT) % 2147483648 AS BIGINT)
+         AS weighted_sum
+FROM px GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def media_gif_animation(spark, sf_dir):
     """REAL animated-GIF pipeline, driver-checked (round 10 — the GIF
     face of the media family, LOSSLESS so the oracle is exact): each
@@ -4147,6 +4263,7 @@ QUERIES = {
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_decode_png": media_decode_png,
     "media_decode_jpeg": media_decode_jpeg,
+    "media_decode_cmyk": media_decode_cmyk,
     "media_gif_animation": media_gif_animation,
     "media_decode_tiff": media_decode_tiff,
     "media_audio_dedup": media_audio_dedup,
@@ -4239,6 +4356,7 @@ ORACLES = {
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "media_decode_png": MEDIA_DECODE_PNG_SQL,
     "media_decode_jpeg": MEDIA_DECODE_JPEG_SQL,
+    "media_decode_cmyk": MEDIA_DECODE_CMYK_SQL,
     "media_gif_animation": MEDIA_GIF_ANIMATION_SQL,
     "media_decode_tiff": MEDIA_DECODE_TIFF_SQL,
     "audio_features": AUDIO_FEATURES_SQL,
