@@ -348,12 +348,27 @@ def ivf_build_index(
     # NOTE: leave the centroid table a plain LocalRelation — Catalyst
     # inlines it into broadcast exchanges driver-side. Wrapping it in
     # coalesce(1) or localCheckpoint "to optimize" forces real jobs and
-    # measured 4-6x SLOWER probes.
+    # measured 4-6x SLOWER probes. The cell COUNT is stamped into the
+    # column metadata so nprobe derivation is a schema read: counting
+    # even this 16-row LocalRelation launches a real job (measured
+    # 0.43-0.48 s under load — the r10 probe regression, r11 §45).
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "cell INT, centroid ARRAY<DOUBLE>",
+    ).select(
+        F.col("cell").alias("cell", metadata={"n_cells": n_cells}),
+        "centroid",
     )
     return indexed, cent_df
+
+
+def _centroid_cells(centroids: DataFrame) -> int:
+    """Cell count of a centroid table: the build-time metadata stamp
+    when present (a driver-side schema read — no job), else one count
+    (externally-assembled tables)."""
+    meta = centroids.schema["cell"].metadata or {}
+    n = meta.get("n_cells")
+    return int(n) if n is not None else centroids.count()
 
 
 def ivf_probe(
@@ -373,9 +388,9 @@ def ivf_probe(
     the index's cell count at constant probed fraction (`ann_nprobe`),
     so the dial scales with an `ann_cells`-derived quantizer."""
     if nprobe is None:
-        # the centroid table is a tiny LocalRelation — counting it is
-        # a driver-side no-op, not a job
-        nprobe = ann_nprobe(centroids.count())
+        # schema-metadata read, NOT a count: even a 16-row
+        # LocalRelation count launches a job (~0.45 s — r11 §45)
+        nprobe = ann_nprobe(_centroid_cells(centroids))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     # rank cells per query by centroid distance; keep nprobe cells
     qc = q.crossJoin(F.broadcast(centroids)).select(
@@ -1474,8 +1489,9 @@ def semantic_pairs(
     spark = indexed.sparkSession
     if n_assign is None:
         # derive the recall dial from the cell count actually in the
-        # index (centroid table is a tiny LocalRelation — driver-side)
-        n_assign = semantic_assign(centroids.count())
+        # index — schema-metadata read, not a count (see
+        # _centroid_cells: a LocalRelation count is still a ~0.45 s job)
+        n_assign = semantic_assign(_centroid_cells(centroids))
 
     # ---- assignment --------------------------------------------------
     if n_assign == 1:
@@ -1959,9 +1975,9 @@ def ivfpq_probe(
 
     spark = codes.sparkSession
     if nprobe is None:
-        # constant-fraction default, like ivf_probe (centroid table is
-        # a tiny LocalRelation; counting it stays driver-side)
-        nprobe = ann_nprobe(centroids.count())
+        # constant-fraction default, like ivf_probe — a schema-
+        # metadata read, not a count (see _centroid_cells)
+        nprobe = ann_nprobe(_centroid_cells(centroids))
     code_meta = codes.schema["codes"].metadata or {}
     by_residual = bool(code_meta.get("by_residual", False))
     q = queries.select(

@@ -2379,6 +2379,44 @@ def test_ivfpq_persist_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_centroid_cells_metadata_no_count(spark, tmp_path):
+    """r11 §45: deriving nprobe from the centroid table must be a
+    schema-metadata read, never a count — counting even a 16-row
+    LocalRelation launches a real job, measured at ~0.45 s per probe
+    (the whole r10 ann probe regression). The build stamps n_cells
+    into the cell column's metadata, the stamp survives the parquet
+    round-trip, and derived-dial probes never call .count() on the
+    centroid table."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx, cents = SIM.ivf_build_index(emb, n_cells=4)
+    assert cents.schema["cell"].metadata == {"n_cells": 4}
+    assert SIM._centroid_cells(cents) == 4
+    path = str(tmp_path / "cents")
+    cents.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert SIM._centroid_cells(back) == 4  # stamp survives parquet
+
+    # derived probes never fall back to the count job
+    class _NoCount:
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            if name == "count":
+                raise AssertionError("probe called centroids.count()")
+            return getattr(self._df, name)
+
+    q = emb.where(F.col("vec_id") < 3)
+    got = SIM.ivf_probe(idx, _NoCount(cents), q, k=3, nprobe=None).collect()
+    want = SIM.ivf_probe(idx, cents, q, k=3, nprobe=SIM.ann_nprobe(4)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # a stampless table (externally assembled) still works via count
+    stripped = cents.select(
+        F.col("cell").alias("cell", metadata={}), "centroid"
+    )
+    assert SIM._centroid_cells(stripped) == 4
+
+
 def test_ivfpq_dim_not_divisible_raises(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ValueError, match="divisible"):
