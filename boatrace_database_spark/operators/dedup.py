@@ -790,6 +790,7 @@ def hamming_pairs_banded(
     max_bucket: int = 256,
     bits: int = 64,
     chunk_bits: int = 8,
+    key_chunks: int = 1,
 ) -> DataFrame:
     """Generic banded Hamming join over any integer-signature table —
     the blocking core of `simhash_pairs`, factored out (round 9) so
@@ -798,12 +799,60 @@ def hamming_pairs_banded(
     bits/chunk_bits exploded chunk keys, capped buckets, equi-join on
     (chunk, key), exact bit_count(xor) filter BEFORE the pair-dedup
     shuffle. Pigeonhole completeness: a pair within Hamming distance
-    < n_chunks shares at least one chunk exactly, so results with
-    ``max_hamming < bits/chunk_bits`` EQUAL the all-pairs brute force
-    (what lets a SQL oracle verify the banded plan)."""
+    ``d`` damages at most ``d`` chunks, so with ``max_hamming <
+    n_chunks`` it shares at least one chunk exactly and the banded
+    result EQUALS the all-pairs brute force (what lets a SQL oracle
+    verify the banded plan).
+
+    ``key_chunks`` (round 11): band keys built from COMBINATIONS of
+    ``key_chunks`` distinct chunks — the scale lever for narrow
+    chunks. A single ``chunk_bits``-bit key space saturates at
+    ``2^chunk_bits`` buckets, so past ~``max_bucket * 2^chunk_bits``
+    rows EVERY bucket overflows the cap and the join silently loses
+    pairs (measured: the 7-bit dHash bands at sf1's 50k images →
+    planted-pair recall 0.13). Pairing chunks squares the key space
+    (and triples-plus beyond) while completeness still holds: a pair
+    within ``max_hamming`` keeps ``n_chunks − max_hamming`` chunks
+    intact, and any ``key_chunks``-subset of those is a shared band —
+    requires ``key_chunks <= n_chunks − max_hamming`` (validated).
+    ``key_chunks=1`` is the original plan, byte-identical."""
+    from itertools import combinations
+
     n_chunks = bits // chunk_bits
+    if key_chunks < 1 or key_chunks > n_chunks:
+        raise ValueError(
+            f"hamming_pairs_banded: key_chunks={key_chunks} out of "
+            f"range 1..{n_chunks}"
+        )
+    if key_chunks > 1 and key_chunks > n_chunks - max_hamming:
+        # key_chunks=1 may run as APPROXIMATE blocking past the
+        # pigeonhole bound (simhash's documented mode); multi-chunk
+        # keys exist only to keep the COMPLETE plan scalable, so a
+        # non-complete combination is a caller error, not a mode
+        raise ValueError(
+            f"hamming_pairs_banded: key_chunks={key_chunks} breaks "
+            f"pigeonhole completeness (need key_chunks <= "
+            f"n_chunks - max_hamming = {n_chunks - max_hamming})"
+        )
+    if chunk_bits * key_chunks > 63:
+        raise ValueError(
+            "hamming_pairs_banded: packed band key exceeds 63 bits"
+        )
     chunk_mask = (1 << chunk_bits) - 1
     base = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
+
+    def _chunk_val(c: int):
+        return F.shiftright("sim", c * chunk_bits).bitwiseAND(F.lit(chunk_mask))
+
+    def _packed_key(combo: tuple) -> "F.Column":
+        key = _chunk_val(combo[0]).cast("long")
+        for j, c in enumerate(combo[1:], start=1):
+            key = key + F.shiftleft(
+                _chunk_val(c).cast("long"), j * chunk_bits
+            )
+        return key
+
+    combos = list(combinations(range(n_chunks), key_chunks))
     chunked = base.select(
         "id",
         "sim",
@@ -811,12 +860,10 @@ def hamming_pairs_banded(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", c * chunk_bits)
-                        .bitwiseAND(F.lit(chunk_mask))
-                        .alias("key"),
+                        F.lit(i).alias("chunk"),
+                        _packed_key(combo).alias("key"),
                     )
-                    for c in range(n_chunks)
+                    for i, combo in enumerate(combos)
                 ]
             )
         ).alias("cc"),

@@ -423,28 +423,33 @@ def media_pair_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     sharing a base image (each take perturbing one cell),
     `media_audio_dedup` plants groups of THREE takes of one recording
     — so the planted positives are exactly the within-group pairs,
-    counted in closed form from the doc count. Recall = found
-    within-group pairs / planted pairs; both numbers are Spark-side
-    aggregates (the pair outputs are group-bounded, never collected at
-    corpus width). Measures the full pipeline — codec round-trip,
-    fingerprint robustness, candidate lookup, verify threshold — at
-    whatever scale `sf_dir` holds."""
+    counted from the ids actually present (Σ C(group size, 2) — NOT a
+    closed form in the doc count: sharded id spaces like the sf1
+    builder's 10^7 offsets split the groups that straddle a shard
+    boundary, and a doc-count formula silently overcounts the truth).
+    Recall = found within-group pairs / planted pairs; both numbers
+    are Spark-side aggregates (the pair outputs are group-bounded,
+    never collected at corpus width). Measures the full pipeline —
+    codec round-trip, fingerprint robustness, candidate lookup,
+    verify threshold — at whatever scale `sf_dir` holds."""
     from boatrace_database_spark.queries.llm import (
         media_audio_dedup,
         media_dedup_dhash,
     )
 
-    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-
-    def planted(group: int) -> int:
-        full, rem = divmod(n, group)
-        return full * group * (group - 1) // 2 + rem * (rem - 1) // 2
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     out: dict[str, float] = {}
     for key, fn, group in (
         ("dhash_pair_recall", media_dedup_dhash, 5),
         ("audio_pair_recall", media_audio_dedup, 3),
     ):
+        denom = (
+            docs.groupBy((F.col("doc_id") / group).cast("long").alias("g"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("planted"))
+            .collect()[0]["planted"]
+        )
         found = (
             fn(spark, sf_dir)
             .where(
@@ -453,7 +458,6 @@ def media_pair_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             )
             .count()
         )
-        denom = planted(group)
         out[key] = round(found / denom, 4) if denom else None
     return out
 

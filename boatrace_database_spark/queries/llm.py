@@ -2700,22 +2700,35 @@ FROM p ORDER BY media_id
 
 def media_dedup_dhash(spark, sf_dir):
     """Perceptual IMAGE near-dup dedup, driver-checked end-to-end
-    (round 9 — the image face of the dedup family): each document gets
-    a deterministic 7×8 grayscale PGM whose pixels are the closed form
-    ``v(d, p) = ((d//5·131 + 17)·(p+1) + 29·p² + [p = d%5]·101) mod
-    256`` — groups of five documents share a base pattern and differ
-    in ONE perturbed cell each, so within-group images are perceptual
-    near-dups (dHash Hamming ≤ 4) while cross-group gradients scramble
-    the comparisons (~mean 24/49 bits apart). The pipeline is the real
-    one at every step: native PGM encode → `decode_pixels` →
-    `dhash_media` (hash_size=7: 49 bits, sign-safe in BIGINT for the
-    SQL twin) → `dedup.hamming_pairs_banded` (7 chunks × 7 bits;
-    max_hamming=4 < 7 chunks ⇒ pigeonhole-COMPLETE, so the banded plan
-    equals brute force and the oracle can verify it by brute force).
-    The oracle re-derives pixels, hash bits, and bit_count(xor)
-    distances from the closed form — a drift anywhere in the encoder,
-    decoder, grayscale/resize conventions, bit order, or blocking
-    breaks the hash."""
+    (round 9; rebuilt round 11 after the sf1 quality anchor caught the
+    original at 0.13 planted-pair recall): each document gets a
+    deterministic 7×8 grayscale PGM whose pixels are the closed form
+    ``v(d, p) = ((knuth(d//5) >> (5p mod 24)) + 29·p² + [p = d%5]·101)
+    mod 256`` with ``knuth(x) = x·2654435761 mod 2³²`` — groups of
+    five documents share a base pattern and differ in ONE perturbed
+    cell each, so within-group images are perceptual near-dups (two
+    one-cell perturbations touch ≤4 dHash comparisons ⇒ Hamming ≤ 4,
+    structurally, at ANY scale) while the multiplicative hash
+    decollides base patterns across groups. The r9 formula was a
+    POLYNOMIAL in the group id, and any polynomial taken mod 256 is
+    periodic in g with period 256 — at sf1's 10k groups that meant
+    ~256 base-pattern classes, ~4.9M true cross-group pairs, and 7-bit
+    band buckets of ~390 > the 256 cap, silently dropping candidates
+    (recall 0.13). The Knuth mix is injective in g (odd multiplier mod
+    2³²) and byte windows shift per pixel, so hashes are near-uniform:
+    measured at sf1, 40,435 distinct hashes / 50k docs, 105,600 true
+    pairs (100k planted + 5.6k accidental near-dups), recall 1.0.
+    The pipeline is the real one at every step: native PGM encode →
+    `decode_pixels` → `dhash_media` (hash_size=7: 49 bits, sign-safe
+    in BIGINT for the SQL twin) → `dedup.hamming_pairs_banded` with
+    ``key_chunks=2`` (21 chunk-PAIR bands of 14 bits: max_hamming=4
+    damages ≤4 of 7 chunks, leaving ≥3 intact chunks ⇒ ≥3 shared
+    chunk-pairs ⇒ pigeonhole-COMPLETE, and the 16k-key band space
+    keeps buckets ~3 rows at sf1 where single 7-bit chunks saturate
+    at 128 buckets). The oracle re-derives pixels, hash bits, and
+    bit_count(xor) distances from the closed form — a drift anywhere
+    in the encoder, decoder, grayscale/resize conventions, bit order,
+    or blocking breaks the hash."""
     import numpy as np
     import pandas as pd
 
@@ -2730,7 +2743,8 @@ def media_dedup_dhash(spark, sf_dir):
             for did in pdf["doc_id"]:
                 g, m = int(did) // 5, int(did) % 5
                 p = np.arange(56)
-                v = ((g * 131 + 17) * (p + 1) + 29 * p * p
+                k = g * 2654435761 % 2**32
+                v = ((k >> (5 * p % 24)) + 29 * p * p
                      + np.where(p == m, 101, 0)) % 256
                 payloads.append(bytes(MC.encode_pgm(v.astype(np.uint8).reshape(7, 8))))
             yield pd.DataFrame(
@@ -2748,14 +2762,17 @@ def media_dedup_dhash(spark, sf_dir):
     media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
     hashes = M.dhash_media(media, hash_size=7)
     return DD.hamming_pairs_banded(
-        hashes, "media_id", "dhash", max_hamming=4, bits=49, chunk_bits=7
+        hashes, "media_id", "dhash", max_hamming=4, bits=49, chunk_bits=7,
+        key_chunks=2,
     ).orderBy("id_a", "id_b")
 
 
 MEDIA_DEDUP_DHASH_SQL = """
 WITH px AS (
   SELECT d.doc_id, p.p AS p,
-         (((d.doc_id // 5) * 131 + 17) * (p.p + 1) + 29 * p.p * p.p
+         ((((d.doc_id // 5) * 2654435761 % 4294967296)
+             >> (5 * p.p % 24))
+          + 29 * p.p * p.p
           + CASE WHEN p.p = d.doc_id % 5 THEN 101 ELSE 0 END) % 256 AS v
   FROM documents d, range(56) p(p)
 ),

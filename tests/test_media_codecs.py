@@ -668,6 +668,29 @@ def test_hamming_pairs_banded_equals_brute_force(spark):
     }
     assert got == want and want, f"{len(got)} vs {len(want)}"
 
+    # key_chunks=2 (round 11 — the band keys that survive saturation):
+    # chunk-pair bands are complete too (<=4 damaged of 7 chunks
+    # leaves >=3 intact => >=3 shared pairs), so results are identical
+    got2 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D2.hamming_pairs_banded(
+            df, "id", "sim", max_hamming=4, bits=49, chunk_bits=7,
+            key_chunks=2,
+        ).collect()
+    }
+    assert got2 == want
+    # non-complete multi-chunk keys are a caller error, not a mode
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D2.hamming_pairs_banded(
+            df, "id", "sim", max_hamming=6, bits=49, chunk_bits=7,
+            key_chunks=2,
+        )
+    with pytest.raises(ValueError, match="out of range"):
+        D2.hamming_pairs_banded(
+            df, "id", "sim", max_hamming=4, bits=49, chunk_bits=7,
+            key_chunks=0,
+        )
+
 
 # ---------------------------------------------------------------------------
 # JPEG (round 10 — baseline sequential DCT from ITU-T T.81, closing
