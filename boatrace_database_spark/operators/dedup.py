@@ -756,6 +756,7 @@ def simhash_pairs(
     max_bucket: int = 256,
     bits: int = 64,
     chunk_bits: int = 8,
+    key_chunks: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded on signature
     chunks.
@@ -774,11 +775,16 @@ def simhash_pairs(
     At much larger corpora raise ``chunk_bits`` to 16 (4 chunks,
     2^-16 chunk-collision noise) to keep candidate volume — which
     grows with per-bucket occupancy squared — in check, trading away
-    the pigeonhole guarantee for distances >= 4.
+    the pigeonhole guarantee for distances >= 4 — or, when a COMPLETE
+    join at a tighter max_hamming is wanted, drop max_hamming to <= 6
+    and pass ``key_chunks=2`` (chunk-pair bands square the key space
+    so buckets never saturate the cap; see `hamming_pairs_banded` and
+    the dHash sf1 case, BENCHNOTES §45b).
     """
     sig = simhash_table(df, id_col, text_col, shingle_n, bits)
     return hamming_pairs_banded(
-        sig, "id", "sim", max_hamming, max_bucket, bits, chunk_bits
+        sig, "id", "sim", max_hamming, max_bucket, bits, chunk_bits,
+        key_chunks,
     )
 
 
