@@ -2008,20 +2008,26 @@ FROM px GROUP BY doc_id ORDER BY media_id
 
 
 def media_frame_sample(spark, sf_dir):
-    """Video-style frame sampling, driver-checked end-to-end (round 9
-    — the third real-decode media face beside BMP/PNG decode and dHash
-    dedup): each document gets a concatenated-P6 ANIMATION of
-    ``(doc_id mod 4) + 3`` frames (the classic raw container: frames
-    simply appended), every 2×2 RGB frame's 12 pixel bytes the closed
-    form ``(doc_id·13 + frame·31 + p·7) mod 256``. The real pipeline:
-    native P6 encode per frame → concatenate →
-    `multimodal.sample_frames(use_stub=False)` (header-splitting every
-    2nd frame as a standalone payload, clip partitioning preserved) →
-    native re-decode of each sampled frame → per-frame content mean +
-    position-weighted pixel sum. The oracle re-derives frame counts,
-    the every-2nd sampling grid, and both per-frame statistics from
-    the closed form — a drift in the splitter (offsets, trailing-byte
-    handling), the sampler stride, or the decoder breaks the hash."""
+    """Video-style frame sampling, driver-checked end-to-end (round 9;
+    round 11 routes every ODD document through the multi-page-TIFF
+    container so the late-r10 IFD-chain page branch runs under the
+    driver gate, not just pytest — r10 verdict item #1): each document
+    gets an ANIMATION of ``(doc_id mod 4) + 3`` frames, every 2×2 RGB
+    frame's 12 pixel bytes the closed form ``(doc_id·13 + frame·31 +
+    p·7) mod 256``. EVEN documents ship as concatenated-P6 streams
+    (the classic raw container: frames simply appended); ODD documents
+    ship the SAME frames as a multi-page TIFF (LZW-compressed IFD
+    chain — the scanned-document/fax container). The real pipeline:
+    native encode per frame → container assembly →
+    `multimodal.sample_frames(use_stub=False)` (header-splitting /
+    IFD-walking every 2nd frame into a standalone payload, clip
+    partitioning preserved) → sniff-dispatched native re-decode of
+    each sampled frame (`decode_pixels`: PPM or single-page TIFF) →
+    per-frame content mean + position-weighted pixel sum. BOTH
+    containers carry the same lossless pixels, so ONE oracle covers
+    the two decode paths — a drift in the P6 splitter, the TIFF page
+    walk, LZW, the sampler stride, or either decoder breaks the
+    hash."""
     import numpy as np
     import pandas as pd
 
@@ -2031,28 +2037,29 @@ def media_frame_sample(spark, sf_dir):
 
     def synth(batches):
         for pdf in batches:
-            payloads = []
+            payloads, mimes = [], []
             for did in pdf["doc_id"]:
-                n_frames = int(did) % 4 + 3
-                clip = b"".join(
-                    bytes(
-                        MC.encode_ppm(
-                            (
-                                (int(did) * 13 + f * 31 + np.arange(12) * 7) % 256
-                            ).astype(np.uint8).reshape(2, 2, 3)
-                        )
+                did = int(did)
+                frames = [
+                    ((did * 13 + f * 31 + np.arange(12) * 7) % 256)
+                    .astype(np.uint8).reshape(2, 2, 3)
+                    for f in range(did % 4 + 3)
+                ]
+                if did % 2:
+                    payloads.append(bytes(MC.encode_tiff(frames, compression=5)))
+                    mimes.append("image/tiff")
+                else:
+                    payloads.append(
+                        b"".join(bytes(MC.encode_ppm(fr)) for fr in frames)
                     )
-                    for f in range(n_frames)
-                )
-                payloads.append(clip)
+                    mimes.append("image/x-portable-pixmap")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "payload": pd.Series(payloads, dtype="object"),
                     "meta": [
-                        {"mime": "image/x-portable-pixmap", "source": s,
-                         "n_bytes": len(pl)}
-                        for s, pl in zip(pdf["source"], payloads)
+                        {"mime": mm, "source": s, "n_bytes": len(pl)}
+                        for mm, s, pl in zip(mimes, pdf["source"], payloads)
                     ],
                 }
             )
@@ -2065,7 +2072,7 @@ def media_frame_sample(spark, sf_dir):
         for pdf in batches:
             means, wsums = [], []
             for fr in pdf["frame"]:
-                px = MC.decode_ppm(bytes(fr))["pixels"].reshape(-1).astype(np.int64)
+                px = MC.decode_pixels(bytes(fr)).reshape(-1).astype(np.int64)
                 means.append(round(float(px.mean()), 6))
                 wsums.append(int((w * px).sum() % 2**31))
             yield pd.DataFrame(
