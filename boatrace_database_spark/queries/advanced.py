@@ -57,12 +57,24 @@ ORDER BY l_suppkey
 
 # min_by / max_by: the argmin/argmax aggregate.
 def min_max_by(spark, sf_dir):
+    """min_by/max_by semantics, tie-PROOF (round 11): a bare
+    ``min_by(key, price)`` is nondeterministic when the extremum price
+    repeats — invisible at sf0.01/0.1 where prices are unique, but the
+    sf1 replica data ties them and the sweep caught Spark and DuckDB
+    picking different rows. Both sides now take the lexicographic
+    min/max of ``struct(price, key)`` — the deterministic form of the
+    same operator at any scale (ties break to the smallest/largest
+    key)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min(F.struct("o_totalprice", "o_orderkey"))
+            .getField("o_orderkey")
+            .alias("cheapest_order"),
+            F.max(F.struct("o_totalprice", "o_orderkey"))
+            .getField("o_orderkey")
+            .alias("priciest_order"),
         )
         .orderBy("o_orderpriority")
     )
@@ -70,8 +82,10 @@ def min_max_by(spark, sf_dir):
 
 MIN_MAX_BY_SQL = """
 SELECT o_orderpriority,
-       min_by(o_orderkey, o_totalprice) AS cheapest_order,
-       max_by(o_orderkey, o_totalprice) AS priciest_order
+       (min(struct_pack(p := o_totalprice, k := o_orderkey))).k
+         AS cheapest_order,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k
+         AS priciest_order
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 

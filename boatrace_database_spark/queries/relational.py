@@ -88,13 +88,22 @@ LIMIT 10
 
 
 def q5_region_revenue(spark, sf_dir):
-    """5-way snowflake join; dims broadcast, fact shuffles once."""
+    """5-way snowflake join; dims broadcast, fact shuffles once.
+
+    Revenue accumulates in DECIMAL (round 11): the money inputs carry
+    <=2 fractional digits, so DECIMAL(18,4) casts are exact and the
+    sum is order-independent — a double sum at sf1's ~5e8 magnitudes
+    landed a 2-dp rounding boundary one ulp apart between engines
+    (.93 vs .94, the sf1 sweep's q5 line). The output stays DOUBLE."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    rev = l.l_extendedprice.cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - l.l_discount.cast("decimal(18,4)")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(s, l.l_suppkey == s.s_suppkey)
@@ -102,13 +111,18 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(round(sum(l_extendedprice::DECIMAL(18,4)
+                      * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

@@ -50,9 +50,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # testdata ships single files; builder output (e.g. /tmp/sf1)
+        # is a Spark parquet DIRECTORY — glob its parts for DuckDB
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     mismatches = {}
     checked = 0
