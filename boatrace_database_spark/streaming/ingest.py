@@ -2236,3 +2236,84 @@ def stream_decontaminate_semantic(
         .queryName(query_name)
         .start()
     )
+
+
+def stream_ivfpq_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    codes: DataFrame,
+    centroids: DataFrame,
+    books: "object",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_name: str = "ivfpq_ingest",
+) -> StreamingQuery:
+    """Streaming IVF-PQ index maintenance — the streaming face of
+    `similarity.ivfpq_add_to_index`: arriving vectors are assigned to
+    the EXISTING cells and PQ-encoded against the EXISTING codebooks
+    (no retrain — the coarse quantizer and codebooks only need the
+    broad distribution, the same build-once contract every batch
+    maintenance note documents), emitting index rows (neighbor_id,
+    cell, codes[, norm]) ready to append to the cell-partitioned
+    index table.
+
+    ``codes`` is the BUILT index the stream extends: its column
+    metadata supplies the by_residual mode and its schema says whether
+    exact norms are stored — the stream cannot misconfigure itself
+    against the index it feeds. Stream-static and STATELESS like
+    `stream_decontaminate_semantic`: assignment and encoding reuse the
+    batch Arrow kernels verbatim (`_nearest_cell_udf`,
+    `_pq_encode_udf` — both deterministic), so every emitted row is
+    byte-identical to what `ivfpq_add_to_index` would append for the
+    same vector: exact batch parity under ANY arrival order, no
+    state, no shuffle, no watermark; throughput is scan-bound with
+    one broadcast of the centroid matrix + codebook tensor per query.
+
+    At 100 TB this is the continuous-embedding-ingest shape: the sink
+    appends to the parquet index partitioned by `cell`, probes read
+    the next snapshot, and `ivf_cell_stats` on the accumulating index
+    is the retrain signal (ballooning max_cell = distribution drift),
+    exactly as the batch twin documents."""
+    from boatrace_database_spark.operators.similarity import (
+        _nearest_cell_udf,
+        _pq_encode_udf,
+        centroid_matrix,
+    )
+
+    meta = codes.schema["codes"].metadata or {}
+    by_residual = bool(meta.get("by_residual", False))
+    has_norm = "norm" in codes.columns
+    C = centroid_matrix(centroids)
+    enc = _pq_encode_udf(spark, books, C if by_residual else None)
+
+    vecs = spark.readStream.schema(schema).parquet(source_dir)
+    assigned = vecs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+    ).withColumn("cell", _nearest_cell_udf(spark, C)(F.col("cvec")))
+    code_col = (
+        enc(F.col("cvec"), F.col("cell")) if by_residual else enc(F.col("cvec"))
+    )
+    cols = [
+        F.col("neighbor_id"),
+        F.col("cell"),
+        code_col.alias("codes", metadata={"by_residual": by_residual}),
+    ]
+    if has_norm:
+        cols.append(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cvec", lambda x: x.cast("double") * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("norm")
+        )
+    return (
+        assigned.select(*cols)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

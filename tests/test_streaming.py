@@ -2907,3 +2907,70 @@ def test_stream_dedup_audio_matches_batch(spark, tmp_path):
     }
     assert {(a, b) for a, b, _ in batch} == {(1, 2), (1, 4), (2, 4)}
     assert got == batch
+
+
+def test_stream_ivfpq_ingest_matches_batch_add(spark, tmp_path):
+    """Round-11 streaming ANN-index maintenance: arriving vectors
+    assigned + PQ-encoded against the FROZEN quantizer must emit rows
+    byte-identical to what batch ivfpq_add_to_index appends for the
+    same vectors (same Arrow kernels, stateless => parity under any
+    arrival order, split mid-corpus here), and the streamed rows must
+    be a USABLE index: probing base+streamed equals probing the
+    batch-extended index."""
+    from boatrace_database_spark.operators import similarity as SIM
+    from boatrace_database_spark.streaming.ingest import stream_ivfpq_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.where(F.col("vec_id") < 120)
+    new = emb.where(F.col("vec_id") >= 120)
+    codes, cents, books = SIM.ivfpq_build_index(
+        base, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    codes = codes.localCheckpoint(eager=True)
+
+    src = str(tmp_path / "ivfpq_src")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_ivfpq_ingest(
+        spark, src, emb.schema, codes, cents, books, query_name="pq_ing"
+    )
+    try:
+        mid = 300
+        deliver(new.where(F.col("vec_id") < mid), "p1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(new.where(F.col("vec_id") >= mid), "p2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        streamed = spark.table("pq_ing").localCheckpoint(eager=True)
+        got = {
+            r.neighbor_id: (r.cell, bytes(r.codes), round(r.norm, 9))
+            for r in streamed.collect()
+        }
+    finally:
+        q.stop()
+
+    extended = SIM.ivfpq_add_to_index(codes, cents, books, new)
+    want = {
+        r.neighbor_id: (r.cell, bytes(r.codes), round(r.norm, 9))
+        for r in extended.where(F.col("neighbor_id") >= 120).collect()
+    }
+    assert got == want and len(got) == new.count()
+
+    # the streamed rows form a working index: probe parity with the
+    # batch-extended index (metadata re-attached on the union)
+    union = codes.unionByName(streamed).select(
+        "neighbor_id",
+        "cell",
+        F.col("codes").alias(
+            "codes",
+            metadata={"by_residual": codes.schema["codes"].metadata["by_residual"]},
+        ),
+        "norm",
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    p1 = sorted(
+        map(tuple, SIM.ivfpq_probe(union, cents, books, queries, k=3).collect())
+    )
+    p2 = sorted(
+        map(tuple, SIM.ivfpq_probe(extended, cents, books, queries, k=3).collect())
+    )
+    assert p1 == p2
