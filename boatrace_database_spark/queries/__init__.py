@@ -30,7 +30,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 11: 150 queries, 138 oracle-backed.
+# lever. Catalog after round 11: 151 queries, 139 oracle-backed.
 #
 # Round-11 rotation. State after r10: nothing is red (42 oracle-green
 # + 8 rows-only of the 50 checked; union across rounds 137 oracle-PASS

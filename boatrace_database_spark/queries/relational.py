@@ -19,21 +19,37 @@ from boatrace_database_spark.queries._util import load_table as _t
 # --------------------------------------------------------------------------
 # Flagship: TPC-H Q1 shape — partial-aggregate-friendly wide agg.
 def q1_pricing_summary(spark, sf_dir):
-    """Wide hash aggregate with map-side partial aggregation (A1 analog)."""
+    """Wide hash aggregate with map-side partial aggregation (A1
+    analog). Money accumulates in DECIMAL (round 11, the q5 class
+    proactively applied: every input carries 2 fractional digits —
+    verified against the data — so the casts are exact, products stay
+    exact at (24,6), and the sums are order-independent at ANY scale;
+    a double sum's 2-dp rounding can flip one ulp between engines at
+    sf1+ magnitudes). Averages divide the EXACT decimal sum as double
+    by the count — the same double on both sides. Outputs stay
+    DOUBLE."""
     l = _t(spark, sf_dir, "lineitem")
-    disc_price = l.l_extendedprice * (1 - l.l_discount)
+    qty = l.l_quantity.cast("decimal(12,2)")
+    price = l.l_extendedprice.cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - l.l_discount.cast("decimal(4,2)"))
+    charge = disc_price * (one + l.l_tax.cast("decimal(4,2)"))
+    cnt = F.count("*")
     return (
         l.where(l.l_shipdate <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + l.l_tax)), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(
+                F.sum(l.l_discount.cast("decimal(4,2)")).cast("double") / cnt,
+                4,
+            ).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -41,13 +57,22 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(l_quantity::DECIMAL(12,2)), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice::DECIMAL(12,2)), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(round(sum(l_extendedprice::DECIMAL(12,2)
+                      * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(l_extendedprice::DECIMAL(12,2)
+                      * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))
+                      * (1::DECIMAL(3,2) + l_tax::DECIMAL(4,2))), 2)
+            AS DOUBLE) AS sum_charge,
+       round(CAST(sum(l_quantity::DECIMAL(12,2)) AS DOUBLE) / count(*), 4)
+         AS avg_qty,
+       round(CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / count(*), 4)
+         AS avg_price,
+       round(CAST(sum(l_discount::DECIMAL(4,2)) AS DOUBLE) / count(*), 4)
+         AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -57,17 +82,20 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark, sf_dir):
-    """3-way join + agg + deterministic top-10 (broadcast the dim side)."""
+    """3-way join + agg + deterministic top-10 (broadcast the dim
+    side). Revenue accumulates in DECIMAL — the q1/q5 order-
+    independence treatment; output stays DOUBLE."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1996-03-15")
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-03-15")
+    rev = l.l_extendedprice.cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - l.l_discount.cast("decimal(4,2)")
+    )
     return (
         l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(
-            F.round(F.sum(l.l_extendedprice * (1 - l.l_discount)), 2).alias("revenue")
-        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -75,7 +103,9 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(l_extendedprice::DECIMAL(12,2)
+                      * (1::DECIMAL(3,2) - l_discount::DECIMAL(4,2))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
