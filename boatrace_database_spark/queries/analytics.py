@@ -116,17 +116,20 @@ ORDER BY o.o_orderkey
 def roi_simulation(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     hit = F.col("l_returnflag") == "N"
+    # decimal money sum (round-11 q5 class): the 2-3 status groups sum
+    # the whole fact table, the highest-magnitude rounding exposure
+    payout_dec = F.sum(
+        F.when(hit, l.l_extendedprice.cast("decimal(18,2)")).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
     return (
         l.groupBy("l_linestatus")
         .agg(
             F.count("*").alias("n_bets"),
-            F.round(F.sum(F.when(hit, l.l_extendedprice).otherwise(0.0)), 2).alias(
-                "payout"
-            ),
+            F.round(payout_dec, 2).cast("double").alias("payout"),
             F.round(
-                F.sum(F.when(hit, l.l_extendedprice).otherwise(0.0))
-                / (100.0 * F.count("*")),
-                6,
+                payout_dec.cast("double") / (100.0 * F.count("*")), 6
             ).alias("roi"),
         )
         .orderBy("l_linestatus")
@@ -136,8 +139,12 @@ def roi_simulation(spark, sf_dir):
 ROI_SQL = """
 SELECT l_linestatus,
        count(*) AS n_bets,
-       round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0.0 END), 2) AS payout,
-       round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0.0 END)
+       CAST(round(sum(CASE WHEN l_returnflag = 'N'
+                           THEN l_extendedprice::DECIMAL(18,2)
+                           ELSE 0::DECIMAL(18,2) END), 2) AS DOUBLE) AS payout,
+       round(CAST(sum(CASE WHEN l_returnflag = 'N'
+                           THEN l_extendedprice::DECIMAL(18,2)
+                           ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
              / (100.0 * count(*)), 6) AS roi
 FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 """
@@ -238,7 +245,14 @@ def rollup_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            # decimal money sum: order-independent at the ALL row's
+            # whole-table magnitude (round-11 q5 class; inputs 2-dp)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -252,7 +266,8 @@ def rollup_agg(spark, sf_dir):
 ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
-       count(*) AS n, round(sum(o_totalprice), 2) AS total
+       count(*) AS n,
+       CAST(round(sum(o_totalprice::DECIMAL(18,2)), 2) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
 """

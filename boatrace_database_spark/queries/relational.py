@@ -175,14 +175,19 @@ def join_single_key(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # decimal money sum — 5 segment groups over all orders
+            # (round-11 q5 class)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
         )
         .orderBy("c_mktsegment")
     )
 
 
 JOIN_SINGLE_SQL = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice::DECIMAL(18,2)), 2) AS DOUBLE) AS total
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -269,7 +274,12 @@ def append_union(spark, sf_dir):
     return (
         a.unionByName(b)
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
         .orderBy("o_orderstatus")
     )
 
@@ -280,7 +290,8 @@ WITH u AS (
   UNION ALL
   SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
 )
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, count(*) AS n,
+       CAST(round(sum(o_totalprice::DECIMAL(18,2)), 2) AS DOUBLE) AS total
 FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
