@@ -1870,6 +1870,33 @@ def ivfpq_build_index(
     return codes, centroids, books
 
 
+def index_remove(
+    index: DataFrame,
+    ids: DataFrame,
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Targeted deletion from an inverted-file index (IVF `indexed` or
+    IVF-PQ `codes` — any table keyed by ``neighbor_id``): drop the
+    rows whose id appears in ``ids`` — the forget-these-vectors
+    maintenance path (takedowns / GDPR erasure / revoked documents),
+    completing the build → add → REMOVE lifecycle. A left-anti join on
+    the id: the delete list is typically tiny (broadcast), nothing
+    else moves, cells/codes/norms of survivors are untouched — so
+    probes simply stop returning the removed ids, with no quantizer or
+    codebook change (removal never needs retraining; only DRIFT does,
+    see `ivf_add_to_index`'s cell-stats note). Column metadata (the
+    by_residual stamp probes read) survives the anti-join. With a
+    persisted index the equivalent is a delete against the
+    cell-partitioned table — cells are untouched, so only the
+    partitions holding removed ids rewrite."""
+    key = ids.columns[0]
+    return index.join(
+        F.broadcast(ids.select(F.col(key).alias(id_col)).distinct()),
+        on=id_col,
+        how="left_anti",
+    )
+
+
 def ivfpq_write_index(
     corpus: DataFrame,
     path: str,

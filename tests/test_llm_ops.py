@@ -2417,6 +2417,41 @@ def test_centroid_cells_metadata_no_count(spark, tmp_path):
     assert SIM._centroid_cells(stripped) == 4
 
 
+def test_index_remove_lifecycle(spark):
+    """build -> add -> REMOVE: the anti-join delete drops exactly the
+    targeted ids, survivors' rows are byte-identical (cells, codes,
+    norms untouched — no retrain on removal), the by_residual metadata
+    stamp survives for probes, and a probe over the pruned index never
+    returns a removed id while survivor-only queries rank unchanged."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    codes, cents, books = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    codes = codes.localCheckpoint(eager=True)
+    drop = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    pruned = SIM.index_remove(codes, drop)
+    assert pruned.schema["codes"].metadata == codes.schema["codes"].metadata
+    before = {r.neighbor_id: (r.cell, bytes(r.codes)) for r in codes.collect()}
+    after = {r.neighbor_id: (r.cell, bytes(r.codes)) for r in pruned.collect()}
+    dropped = {r.vec_id for r in drop.collect()}
+    assert set(after) == set(before) - dropped
+    assert all(after[k] == before[k] for k in after)  # survivors untouched
+
+    queries = emb.where(F.col("vec_id").isin(3, 5, 6))  # non-dropped ids
+    got = SIM.ivfpq_probe(pruned, cents, books, queries, k=5).collect()
+    assert got and not ({r.neighbor_id for r in got} & dropped)
+    # ranking over survivors is unchanged vs manually filtered index
+    manual = codes.where(~F.col("neighbor_id").isin(*dropped))
+    want = SIM.ivfpq_probe(manual, cents, books, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # works on the IVF inverted file too (same id key)
+    indexed, cents2 = SIM.ivf_build_index(emb, n_cells=4)
+    pruned2 = SIM.index_remove(indexed, drop)
+    assert pruned2.where(F.col("neighbor_id").isin(*dropped)).count() == 0
+
+
 def test_ivfpq_dim_not_divisible_raises(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ValueError, match="divisible"):
