@@ -507,11 +507,14 @@ def _hk_subfingerprints(
     edge exactly frame_len/4."""
     import numpy as _np
 
-    if frame_len // 4 - frame_len // 32 < n_bands + 1:
+    # frame_len >= 32 keeps frame_len//32 >= 1 — below that, geomspace
+    # would be fed a 0 start and raise an opaque "cannot include zero"
+    # instead of this contract error (r11 ADVICE #3)
+    if frame_len < 32 or frame_len // 4 - frame_len // 32 < n_bands + 1:
         raise ValueError(
             f"_hk_subfingerprints: frame_len={frame_len} cannot fit "
             f"{n_bands} strictly increasing bands in bins "
-            "frame_len/32..frame_len/4"
+            "frame_len/32..frame_len/4 (frame_len must be >= 32)"
         )
     x = _np.asarray(samples, dtype=_np.float64)
     if x.ndim == 2:
@@ -529,6 +532,16 @@ def _hk_subfingerprints(
     ):
         prev = max(prev + 1, int(round(v)))
         edges[j] = prev
+    # the forward +1 cascade can overshoot the top edge by a step when
+    # rounding collisions pile up near frame_len/4 (small frame_len);
+    # a backward clamp restores the documented invariant — strictly
+    # increasing edges ending EXACTLY at frame_len//4 — and is a no-op
+    # for the default 1024/33 geometry (r11 ADVICE #3). Feasibility is
+    # the guard above: span >= n_bands+1 bins leaves room for every
+    # edge after clamping.
+    edges[n_bands] = frame_len // 4
+    for j in range(n_bands - 1, -1, -1):
+        edges[j] = min(edges[j], edges[j + 1] - 1)
     energies = _np.add.reduceat(spec, edges[:-1], axis=1)
     diff = energies[:, :-1] - energies[:, 1:]  # (n_frames, n_bands-1)
     return (diff[1:] - diff[:-1]) > 0

@@ -365,7 +365,19 @@ def ivf_build_index(
 def _centroid_cells(centroids: DataFrame) -> int:
     """Cell count of a centroid table: the build-time metadata stamp
     when present (a driver-side schema read — no job), else one count
-    (externally-assembled tables)."""
+    (externally-assembled tables).
+
+    CONTRACT (r11 ADVICE #2): the stamp is trusted, and Spark
+    propagates column metadata through select/filter/union — so the
+    derived-dial path requires the UNMODIFIED build output (including
+    its parquet round-trip, which preserves metadata). A centroid
+    table you subset or assembled by unioning two indexes keeps a
+    stale stamp; for such tables strip the stamp
+    (``df.select(F.col("cell").alias("cell", metadata={}), ...)``)
+    to fall back to the count, or pass ``nprobe``/``n_assign``
+    explicitly. Validating the stamp would itself cost the count job
+    the stamp exists to avoid (a 16-row LocalRelation count measured
+    0.43–0.48 s per probe, r11 §45)."""
     meta = centroids.schema["cell"].metadata or {}
     n = meta.get("n_cells")
     return int(n) if n is not None else centroids.count()
@@ -1783,7 +1795,7 @@ def ivfpq_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int | None = None,
-    n_subspaces: int = 8,
+    n_subspaces: int | None = None,
     n_codes: int = 256,
     sample_per_cell: int = 256,
     by_residual: bool = True,
@@ -1800,7 +1812,11 @@ def ivfpq_build_index(
     ``n_subspaces`` from the vector dimension via
     `pq_subspaces_for_target`'s measured knee (BENCHNOTES §41) instead
     of taking a subspace count. Mutually exclusive with an explicit
-    ``n_subspaces`` (pass one dial, not two).
+    ``n_subspaces`` (pass one dial, not two — both default to None so
+    an EXPLICIT n_subspaces always raises alongside target_recall; the
+    r11 form special-cased the default value 8, which let an explicit
+    ``n_subspaces=8`` be silently overridden, r11 ADVICE #1). Neither
+    given -> n_subspaces = 8.
 
     ``by_residual=True`` (default, matching FAISS) trains the shared
     codebooks on and encodes ``x − centroid[cell]`` — more precision
@@ -1811,13 +1827,15 @@ def ivfpq_build_index(
     """
     spark = corpus.sparkSession
     if target_recall is not None:
-        if n_subspaces != 8:
+        if n_subspaces is not None:
             raise ValueError(
                 "ivfpq_build_index: pass target_recall OR n_subspaces, "
                 "not both"
             )
         dim = len(corpus.select(vec_col).first()[0])
         n_subspaces = pq_subspaces_for_target(dim, target_recall)
+    elif n_subspaces is None:
+        n_subspaces = 8
     # ONE corpus count for both trainers, and ONE training-sample scan
     # when the two would provably draw the identical set: equal target
     # sizes, or a corpus small enough that both take every row (the
@@ -1874,6 +1892,7 @@ def index_remove(
     index: DataFrame,
     ids: DataFrame,
     id_col: str = "neighbor_id",
+    ids_col: str | None = None,
 ) -> DataFrame:
     """Targeted deletion from an inverted-file index (IVF `indexed` or
     IVF-PQ `codes` — any table keyed by ``neighbor_id``): drop the
@@ -1888,8 +1907,25 @@ def index_remove(
     by_residual stamp probes read) survives the anti-join. With a
     persisted index the equivalent is a delete against the
     cell-partitioned table — cells are untouched, so only the
-    partitions holding removed ids rewrite."""
-    key = ids.columns[0]
+    partitions holding removed ids rewrite.
+
+    ``ids_col`` names the delete-key column in ``ids``; with a
+    single-column delete list it defaults to that column, but a
+    multi-column ``ids`` (say, a slice of the corpus table) must name
+    it — silently taking column 0 joined on whatever happened to be
+    first and deleted nothing, or the wrong rows (r11 ADVICE #4)."""
+    if ids_col is None:
+        if len(ids.columns) != 1:
+            raise ValueError(
+                "index_remove: ids has columns "
+                f"{ids.columns} — pass ids_col to name the delete key"
+            )
+        ids_col = ids.columns[0]
+    elif ids_col not in ids.columns:
+        raise ValueError(
+            f"index_remove: ids_col={ids_col!r} not in {ids.columns}"
+        )
+    key = ids_col
     return index.join(
         F.broadcast(ids.select(F.col(key).alias(id_col)).distinct()),
         on=id_col,

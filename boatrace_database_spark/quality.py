@@ -458,7 +458,11 @@ def media_pair_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             )
             .count()
         )
-        out[key] = round(found / denom, 4) if denom else None
+        # vacuous recall when nothing was planted (denominator 0):
+        # 1.0, not None — quality_metrics is declared dict[str, float]
+        # and its JSON consumers (bench quality line, sf1 anchors)
+        # expect numbers, not nulls (r11 ADVICE #5)
+        out[key] = round(found / denom, 4) if denom else 1.0
     return out
 
 

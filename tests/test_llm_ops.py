@@ -2452,6 +2452,41 @@ def test_index_remove_lifecycle(spark):
     assert pruned2.where(F.col("neighbor_id").isin(*dropped)).count() == 0
 
 
+def test_index_remove_ids_col_contract(spark):
+    """r11 ADVICE #4: a multi-column delete list must NAME the id
+    column — position-0 guessing deleted nothing (or the wrong rows)
+    when the id wasn't first. Named column works regardless of
+    position; unnamed multi-column raises; a bogus name raises."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    indexed, _ = SIM.ivf_build_index(emb, n_cells=4)
+    indexed = indexed.localCheckpoint(eager=True)
+    # id NOT in position 0
+    drop = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.lit("x").alias("why"), F.col("vec_id")
+    )
+    with pytest.raises(ValueError, match="pass ids_col"):
+        SIM.index_remove(indexed, drop)
+    with pytest.raises(ValueError, match="not in"):
+        SIM.index_remove(indexed, drop, ids_col="nope")
+    pruned = SIM.index_remove(indexed, drop, ids_col="vec_id")
+    dropped = {r.vec_id for r in drop.collect()}
+    assert dropped
+    survivors = {r.neighbor_id for r in pruned.collect()}
+    assert not (survivors & dropped)
+    assert len(survivors) == indexed.count() - len(dropped)
+
+
+def test_ivfpq_target_recall_explicit_default_raises(spark):
+    """r11 ADVICE #1: n_subspaces=8 passed EXPLICITLY alongside
+    target_recall must raise, not be silently overridden (the old
+    sentinel was the default value itself)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not both"):
+        SIM.ivfpq_build_index(
+            emb, n_cells=4, n_subspaces=8, target_recall=0.8
+        )
+
+
 def test_ivfpq_dim_not_divisible_raises(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     with pytest.raises(ValueError, match="divisible"):

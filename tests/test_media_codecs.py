@@ -1645,6 +1645,26 @@ def test_hk_subfingerprints_properties():
     assert (bits4 == bits5).mean() > 0.98
 
 
+def test_hk_subfingerprints_frame_len_guard():
+    """r11 ADVICE #3: frame_len < 32 must raise the contract error
+    (frame_len//32 == 0 previously reached geomspace and raised an
+    opaque 'cannot include zero'), and a small-but-feasible frame_len
+    — where geomspace rounding collisions cascade +1 pushes toward the
+    top edge — still produces fingerprints (the backward clamp keeps
+    edges strictly increasing and ending exactly at frame_len//4,
+    inside rfft's frame_len//2+1 bins)."""
+    x = np.random.default_rng(7).standard_normal(4096)
+    for bad in (16, 24, 31):
+        with pytest.raises(ValueError, match="cannot fit"):
+            M._hk_subfingerprints(x, frame_len=bad, n_bands=3)
+    # 256: span = 64-8 = 56 bins >= 34 edges, heavy rounding collisions
+    bits = M._hk_subfingerprints(x, frame_len=256, hop=128, n_bands=33)
+    assert bits.shape[1] == 32 and bits.shape[0] > 0
+    # minimal feasible span: n_bands pinned to exactly fitting
+    bits2 = M._hk_subfingerprints(x, frame_len=128, hop=64, n_bands=23)
+    assert bits2.shape[1] == 22 and bits2.dtype == bool
+
+
 def test_audio_dedup_pairs_planted(spark):
     """12 clips = 4 recordings x 3 takes: the candidate equi-join +
     BER verify must find exactly the 12 within-recording pairs."""
