@@ -755,36 +755,197 @@ def simhash_pairs(
     shingle_n: int = 2,
     max_bucket: int = 256,
     bits: int = 64,
-    chunk_bits: int = 8,
-    key_chunks: int = 1,
+    chunk_bits: int | None = None,
+    key_chunks: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded on signature
     chunks.
 
     Blocking: bits/chunk_bits chunks — a pair within Hamming distance <
     n_chunks must share at least one chunk exactly (pigeonhole; the
-    64/8 default guarantees distance <= 7 and covers max_hamming=8 with
-    high probability), and wider distances still collide often. Random
-    non-dup pairs share a given chunk w.p. 2^-chunk_bits, so candidate
-    noise stays small; degenerate buckets are capped (_cap_buckets).
+    64/8 small-corpus plan guarantees distance <= 7 and covers
+    max_hamming=8 with high probability), and wider distances still
+    collide often. Random non-dup pairs share a given chunk w.p.
+    2^-chunk_bits, so candidate noise stays small; degenerate buckets
+    are capped (_cap_buckets).
 
-    Defaults are the 64-bit operating point (max_hamming 8/64 ~= the
-    old 4/32 similarity cutoff): the 10x scale probe
+    Banding dials are SIZE-DERIVED by default (round 12, closing the
+    r11 verdict's one silent-cap survivor): ``chunk_bits=None,
+    key_chunks=None`` hands the geometry to `derive_hamming_banding` —
+    under ~52k docs that returns the historical ``(8, 1)`` plan
+    byte-identically, and past it escalates to combinatorial
+    chunk-subset bands (Manku et al.'s permute-and-split shape) that
+    are pigeonhole-COMPLETE for the full ``max_hamming`` and keep
+    projected bucket occupancy at 4× headroom under the cap. The old
+    fixed default silently dropped EVERY bucket past
+    ~``max_bucket·2^8`` ≈ 65k docs — the defect class measured on
+    dHash at sf1 (recall 0.13, BENCHNOTES §45b), one decade above
+    simhash's own anchor. Deriving costs one count of the (eagerly
+    checkpointed, then reused) signature table; pass ``n_docs`` to
+    skip it, or explicit dials to pin a geometry.
+
+    64-bit signatures are the scale-safe width: the 10x scale probe
     (scripts/scale_dedup_bench.py) showed 32-bit random collisions
     tripling the pair count at 50k docs; 64-bit restores linearity.
-    At much larger corpora raise ``chunk_bits`` to 16 (4 chunks,
-    2^-16 chunk-collision noise) to keep candidate volume — which
-    grows with per-bucket occupancy squared — in check, trading away
-    the pigeonhole guarantee for distances >= 4 — or, when a COMPLETE
-    join at a tighter max_hamming is wanted, drop max_hamming to <= 6
-    and pass ``key_chunks=2`` (chunk-pair bands square the key space
-    so buckets never saturate the cap; see `hamming_pairs_banded` and
-    the dHash sf1 case, BENCHNOTES §45b).
     """
     sig = simhash_table(df, id_col, text_col, shingle_n, bits)
     return hamming_pairs_banded(
         sig, "id", "sim", max_hamming, max_bucket, bits, chunk_bits,
-        key_chunks,
+        key_chunks, n_rows=n_docs,
+    )
+
+
+def derive_hamming_banding(
+    n_rows: int,
+    bits: int = 64,
+    max_hamming: int = 8,
+    max_bucket: int = 256,
+) -> tuple[int, int]:
+    """Size the banded-Hamming-join dials (``chunk_bits``,
+    ``key_chunks``) from the corpus size — the r11-verdict pattern
+    (derive every scale knob, the way `ann_nprobe` derives from the
+    centroid stamp) applied to the one knob that was still a manual
+    kwarg. The failure mode being designed out: a band's key space is
+    ``2^(chunk_bits·key_chunks)`` buckets, so past ~``max_bucket ×
+    keyspace`` rows EVERY bucket overflows `_cap_buckets` and the join
+    silently returns nothing (measured: 7-bit dHash bands at 50k
+    images → planted-pair recall 0.13, BENCHNOTES §45b; the simhash
+    default sat one decade from the same cliff).
+
+    Two regimes:
+
+    * STAY — while projected uniform occupancy ``n_rows/2^8`` is
+      within 80% of ``max_bucket``, return the historical
+      ``(8, 1)`` plan unchanged (byte-identical demo points; sf1's
+      50k-doc anchor sits at 0.76·max_bucket and reads recall 1.0).
+    * ESCALATE — enumerate pigeonhole-COMPLETE configs
+      (``key_chunks ≤ bits//chunk_bits − max_hamming``, packed key
+      ≤ 63 bits) whose key space keeps projected occupancy under
+      ``max_bucket/4`` (4× headroom — derived plans must not sit at a
+      cliff), and pick the one exploding the fewest bands
+      (``C(n_chunks, key_chunks)``), tie-broken toward fewer chunks
+      per key then wider chunks. Escalation is strictly better than
+      the stay plan: complete for the FULL ``max_hamming`` (the (8,1)
+      64-bit default is only high-probability at d=8).
+
+    Raises when no complete config can hold the corpus (defaults top
+    out around ``64·2^32`` ≈ 2.7e11 rows) — lower ``max_hamming`` or
+    raise ``max_bucket`` explicitly; silent saturation is the one
+    outcome this function exists to prevent.
+    """
+    from math import comb
+
+    if n_rows < 0:
+        raise ValueError(f"derive_hamming_banding: n_rows={n_rows} < 0")
+    if bits >= 8 and n_rows * 5 <= max_bucket * (1 << 8) * 4:
+        return 8, 1
+    occ_target = max(1, max_bucket // 4)
+    best = None
+    best_key = None
+    for cb in range(3, min(16, bits) + 1):
+        n_chunks = bits // cb
+        max_kc = n_chunks - max_hamming
+        for kc in range(1, max_kc + 1):
+            if cb * kc > 63:
+                break
+            if n_rows > occ_target * (1 << (cb * kc)):
+                continue
+            cand_key = (comb(n_chunks, kc), kc, -cb)
+            if best is None or cand_key < best_key:
+                best, best_key = (cb, kc), cand_key
+    if best is None:
+        raise ValueError(
+            f"derive_hamming_banding: no pigeonhole-complete banding "
+            f"holds {n_rows} rows at bits={bits}, "
+            f"max_hamming={max_hamming}, max_bucket={max_bucket} — "
+            "lower max_hamming or raise max_bucket"
+        )
+    return best
+
+
+def _hamming_chunked(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    chunk_bits: int,
+    key_chunks: int,
+) -> DataFrame:
+    """The pre-cap banded table of `hamming_pairs_banded`: one row per
+    (id, band) with the packed ``key_chunks``-chunk band key — factored
+    out so `banding_cap_stats` can measure what the cap WILL drop on
+    the identical plan the join runs."""
+    from itertools import combinations
+
+    chunk_mask = (1 << chunk_bits) - 1
+    base = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
+
+    def _chunk_val(c: int):
+        return F.shiftright("sim", c * chunk_bits).bitwiseAND(F.lit(chunk_mask))
+
+    def _packed_key(combo: tuple) -> "F.Column":
+        key = _chunk_val(combo[0]).cast("long")
+        for j, c in enumerate(combo[1:], start=1):
+            key = key + F.shiftleft(
+                _chunk_val(c).cast("long"), j * chunk_bits
+            )
+        return key
+
+    n_chunks = bits // chunk_bits
+    combos = list(combinations(range(n_chunks), key_chunks))
+    return base.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        _packed_key(combo).alias("key"),
+                    )
+                    for i, combo in enumerate(combos)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", "cc.chunk", "cc.key")
+
+
+def banding_cap_stats(
+    banded: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """One-row report of what `_cap_buckets`/`_drop_fat_buckets` WILL
+    drop from a banded table at ``max_bucket`` — the observability
+    face of the cap (r11 verdict item #2: cap drops were silent, so
+    band-key saturation was only ever found by planted-pair anchors).
+    Columns: ``rows`` (banded rows), ``dropped_rows`` (rows in
+    over-cap buckets), ``buckets``, ``dropped_buckets``, and
+    ``capped_row_frac`` = dropped_rows/rows (0.0 when empty) — the
+    number the bench quality dict carries per banding family. One
+    map-side-combined aggregate over the banded table, no joins."""
+    over = F.col("_bsz") > max_bucket
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .agg(
+            F.coalesce(F.sum("_bsz"), F.lit(0)).cast("long").alias("rows"),
+            F.coalesce(F.sum(F.when(over, F.col("_bsz"))), F.lit(0))
+            .cast("long")
+            .alias("dropped_rows"),
+            F.count(F.lit(1)).cast("long").alias("buckets"),
+            F.coalesce(F.sum(F.when(over, 1)), F.lit(0))
+            .cast("long")
+            .alias("dropped_buckets"),
+        )
+        .select(
+            "rows",
+            "dropped_rows",
+            "buckets",
+            "dropped_buckets",
+            F.when(F.col("rows") > 0, F.col("dropped_rows") / F.col("rows"))
+            .otherwise(F.lit(0.0))
+            .alias("capped_row_frac"),
+        )
     )
 
 
@@ -795,8 +956,9 @@ def hamming_pairs_banded(
     max_hamming: int = 8,
     max_bucket: int = 256,
     bits: int = 64,
-    chunk_bits: int = 8,
-    key_chunks: int = 1,
+    chunk_bits: int | None = 8,
+    key_chunks: int | None = 1,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Generic banded Hamming join over any integer-signature table —
     the blocking core of `simhash_pairs`, factored out (round 9) so
@@ -821,8 +983,29 @@ def hamming_pairs_banded(
     within ``max_hamming`` keeps ``n_chunks − max_hamming`` chunks
     intact, and any ``key_chunks``-subset of those is a shared band —
     requires ``key_chunks <= n_chunks − max_hamming`` (validated).
-    ``key_chunks=1`` is the original plan, byte-identical."""
-    from itertools import combinations
+    ``key_chunks=1`` is the original plan, byte-identical.
+
+    ``chunk_bits=None, key_chunks=None`` (round 12): SIZE-DERIVED
+    dials via `derive_hamming_banding` — the signature table is
+    checkpointed and counted ONCE (a batch entry point's one-time
+    count, not the r10 probe-path per-query count class), then the
+    dial pair comes from the corpus size. Pass ``n_rows`` to skip
+    even that count when the caller already knows the size. Mixing
+    one explicit dial with one None raises — the pair is a single
+    geometry decision."""
+    if (chunk_bits is None) != (key_chunks is None):
+        raise ValueError(
+            "hamming_pairs_banded: chunk_bits and key_chunks are one "
+            "geometry decision — pass both or neither (None, None "
+            "derives both from the corpus size)"
+        )
+    if chunk_bits is None:
+        if n_rows is None:
+            sig = sig.localCheckpoint(eager=True)
+            n_rows = sig.count()
+        chunk_bits, key_chunks = derive_hamming_banding(
+            n_rows, bits, max_hamming, max_bucket
+        )
 
     n_chunks = bits // chunk_bits
     if key_chunks < 1 or key_chunks > n_chunks:
@@ -844,36 +1027,7 @@ def hamming_pairs_banded(
         raise ValueError(
             "hamming_pairs_banded: packed band key exceeds 63 bits"
         )
-    chunk_mask = (1 << chunk_bits) - 1
-    base = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
-
-    def _chunk_val(c: int):
-        return F.shiftright("sim", c * chunk_bits).bitwiseAND(F.lit(chunk_mask))
-
-    def _packed_key(combo: tuple) -> "F.Column":
-        key = _chunk_val(combo[0]).cast("long")
-        for j, c in enumerate(combo[1:], start=1):
-            key = key + F.shiftleft(
-                _chunk_val(c).cast("long"), j * chunk_bits
-            )
-        return key
-
-    combos = list(combinations(range(n_chunks), key_chunks))
-    chunked = base.select(
-        "id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"),
-                        _packed_key(combo).alias("key"),
-                    )
-                    for i, combo in enumerate(combos)
-                ]
-            )
-        ).alias("cc"),
-    ).select("id", "sim", "cc.chunk", "cc.key")
+    chunked = _hamming_chunked(sig, id_col, sig_col, bits, chunk_bits, key_chunks)
     chunked = _cap_buckets(chunked, ["chunk", "key"], max_bucket).localCheckpoint(
         eager=False
     )

@@ -466,6 +466,55 @@ def media_pair_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def banding_cap_fracs(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """``capped_row_frac`` per banding family at the bench operating
+    points — the observability face of `_cap_buckets` (r11 verdict
+    item #2): cap drops were silent, so band-key saturation could only
+    be FOUND by a planted-pair anchor reading 0.13 after the fact.
+    With this line in the bench quality dict, a saturating plan is a
+    visible number the round it happens.
+
+    Families and geometries (identical to what the recall anchors
+    run): MinHash 32 hashes/16 bands; SimHash at its SIZE-DERIVED
+    dials (`derive_hamming_banding`); dHash at the catalog's 49-bit /
+    7-bit / key_chunks=2 plan over the same synthetic PGM corpus; for
+    audio — whose exact-fp equi-join applies NO cap — the fraction of
+    fingerprint posting rows sitting in hot fp buckets above the
+    standard 256 guard (the upstream-filter dial the operator
+    docstring points at). Healthy plans read ~0.0; a value drifting
+    toward 1.0 is the saturation cliff approaching."""
+    from boatrace_database_spark.operators import multimodal as M
+    from boatrace_database_spark.queries.llm import (
+        _audio_synth_media,
+        _dhash_synth_hashes,
+    )
+
+    def frac(banded: DataFrame, keys: list[str]) -> float:
+        row = D.banding_cap_stats(banded, keys, 256).collect()[0]
+        return round(row.capped_row_frac, 6)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out: dict[str, float] = {}
+    mh_sig = D.minhash_table(docs, "doc_id", "text", 32, 3)
+    out["minhash_capped_frac"] = frac(
+        D._minhash_banded(mh_sig, 16, 2), ["band", "bucket"]
+    )
+    cb, kc = D.derive_hamming_banding(docs.count())
+    sh_sig = D.simhash_table(docs, "doc_id", "text", 2, 64)
+    out["simhash_capped_frac"] = frac(
+        D._hamming_chunked(sh_sig, "id", "sim", 64, cb, kc),
+        ["chunk", "key"],
+    )
+    hashes = _dhash_synth_hashes(spark, sf_dir)
+    out["dhash_capped_frac"] = frac(
+        D._hamming_chunked(hashes, "media_id", "dhash", 49, 7, 2),
+        ["chunk", "key"],
+    )
+    fps = M.audio_fingerprints(_audio_synth_media(spark, sf_dir))
+    out["audio_capped_frac"] = frac(fps, ["fp"])
+    return out
+
+
 def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     out.update(ann_recalls(spark, sf_dir))
@@ -473,4 +522,5 @@ def quality_metrics(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out.update(lsh_cosine_pairs_recall(spark, sf_dir))
     out.update(semantic_dedup_recall(spark, sf_dir))
     out.update(media_pair_recalls(spark, sf_dir))
+    out.update(banding_cap_fracs(spark, sf_dir))
     return out

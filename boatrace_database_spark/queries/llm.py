@@ -2541,20 +2541,12 @@ FROM px GROUP BY doc_id ORDER BY media_id
 """
 
 
-def media_audio_dedup(spark, sf_dir):
-    """Audio near-dup dedup over synthetic WAV 'recordings' (round 10
-    — the audio face of the perceptual dedup family, rows-only by
-    nature: the fingerprint is FFT-band energy structure, which no SQL
-    oracle can re-derive; correctness is pinned by the planted-pairs
-    pytest in tests/test_media_codecs.py). Groups of three documents
-    share a recording (broadband content drawn from rng(doc_id // 3)),
-    each doc a distorted take (per-doc noise + gain from
-    rng(doc_id)); the real pipeline end to end: PCM16 WAV encode →
-    native decode → Haitsma–Kalker sub-fingerprints (Hann window, FFT,
-    33 log bands, derivative signs) → exact-sub-fingerprint equi-join
-    candidates → frame-aligned bit-error-rate verify ≤ 0.25. Output:
-    one row per within-recording pair (id_a, id_b, ber rounded) —
-    deterministic, so the driver's rows-only hash is stable."""
+def _audio_synth_media(spark, sf_dir):
+    """The synthetic WAV corpus behind `media_audio_dedup`, factored
+    out (round 12) so the quality harness can measure the fp
+    posting-list cap fraction on the identical media the recall anchor
+    runs on. Groups of three documents share a recording; each doc is
+    a distorted take."""
     import numpy as np
     import pandas as pd
 
@@ -2590,7 +2582,24 @@ def media_audio_dedup(spark, sf_dir):
                 }
             )
 
-    media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+    return d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
+
+
+def media_audio_dedup(spark, sf_dir):
+    """Audio near-dup dedup over synthetic WAV 'recordings' (round 10
+    — the audio face of the perceptual dedup family, rows-only by
+    nature: the fingerprint is FFT-band energy structure, which no SQL
+    oracle can re-derive; correctness is pinned by the planted-pairs
+    pytest in tests/test_media_codecs.py). Groups of three documents
+    share a recording (broadband content drawn from rng(doc_id // 3)),
+    each doc a distorted take (per-doc noise + gain from
+    rng(doc_id)); the real pipeline end to end: PCM16 WAV encode →
+    native decode → Haitsma–Kalker sub-fingerprints (Hann window, FFT,
+    33 log bands, derivative signs) → exact-sub-fingerprint equi-join
+    candidates → frame-aligned bit-error-rate verify ≤ 0.25. Output:
+    one row per within-recording pair (id_a, id_b, ber rounded) —
+    deterministic, so the driver's rows-only hash is stable."""
+    media = _audio_synth_media(spark, sf_dir)
     return (
         M.audio_dedup_pairs(media, max_ber=0.25)
         .select("id_a", "id_b", F.round("ber", 6).alias("ber"))
@@ -2740,10 +2749,24 @@ def media_dedup_dhash(spark, sf_dir):
     bit_count(xor) distances from the closed form — a drift anywhere
     in the encoder, decoder, grayscale/resize conventions, bit order,
     or blocking breaks the hash."""
+    from boatrace_database_spark.operators import dedup as DD
+
+    hashes = _dhash_synth_hashes(spark, sf_dir)
+    return DD.hamming_pairs_banded(
+        hashes, "media_id", "dhash", max_hamming=4, bits=49, chunk_bits=7,
+        key_chunks=2,
+    ).orderBy("id_a", "id_b")
+
+
+def _dhash_synth_hashes(spark, sf_dir):
+    """The synthetic PGM corpus + dHash table behind
+    `media_dedup_dhash`, factored out (round 12) so the quality
+    harness can measure the banding cap fraction on the identical
+    hash table the recall anchor blocks on (closed form documented on
+    the query)."""
     import numpy as np
     import pandas as pd
 
-    from boatrace_database_spark.operators import dedup as DD
     from boatrace_database_spark.operators import media_codecs as MC
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
@@ -2771,11 +2794,7 @@ def media_dedup_dhash(spark, sf_dir):
             )
 
     media = d.mapInPandas(synth, schema=M.MEDIA_SCHEMA)
-    hashes = M.dhash_media(media, hash_size=7)
-    return DD.hamming_pairs_banded(
-        hashes, "media_id", "dhash", max_hamming=4, bits=49, chunk_bits=7,
-        key_chunks=2,
-    ).orderBy("id_a", "id_b")
+    return M.dhash_media(media, hash_size=7)
 
 
 MEDIA_DEDUP_DHASH_SQL = """

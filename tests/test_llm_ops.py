@@ -52,6 +52,88 @@ def test_simhash_flags_exact_near_dups(docs, exact_pairs):
     )
 
 
+def test_derive_hamming_banding_regimes():
+    """r11 verdict item #1: banding dials derived from corpus size.
+    STAY regime returns the historical (8,1) plan byte-identically at
+    every demo point (sf0.1 ~5k docs, sf1 ~50k); ESCALATE picks a
+    pigeonhole-complete geometry with 4x occupancy headroom under the
+    cap; impossible demands raise instead of silently saturating."""
+    for n in (0, 500, 5_000, 50_000):
+        assert D.derive_hamming_banding(n) == (8, 1)
+    for n in (65_536, 200_000, 1_000_000, 16_000_000):
+        cb, kc = D.derive_hamming_banding(n)
+        n_chunks = 64 // cb
+        assert 1 <= kc <= n_chunks - 8  # complete for the full d<=8
+        assert cb * kc <= 63
+        assert n <= 64 * (1 << (cb * kc))  # occupancy <= max_bucket/4
+    assert D.derive_hamming_banding(200_000) == (6, 2)
+    assert D.derive_hamming_banding(1_000_000) == (5, 3)
+    assert D.derive_hamming_banding(16_000_000) == (5, 4)
+    with pytest.raises(ValueError, match="no pigeonhole-complete"):
+        D.derive_hamming_banding(10**15)
+    with pytest.raises(ValueError, match="no pigeonhole-complete"):
+        D.derive_hamming_banding(100_000, bits=16, max_hamming=8)
+
+
+def test_hamming_banded_mixed_none_raises(spark):
+    sig = spark.range(4).select("id", F.col("id").alias("sim"))
+    with pytest.raises(ValueError, match="one geometry decision"):
+        D.hamming_pairs_banded(sig, chunk_bits=None, key_chunks=1)
+    with pytest.raises(ValueError, match="one geometry decision"):
+        D.hamming_pairs_banded(sig, chunk_bits=8, key_chunks=None)
+
+
+def test_simhash_derived_equals_explicit_at_demo_scale(docs):
+    """Under the stay threshold the derived default must be
+    byte-identical to the historical explicit (8,1) plan — the sf0.01
+    demo point the driver hashes."""
+    derived = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_pairs(
+            docs, "doc_id", "text", chunk_bits=8, key_chunks=1
+        ).collect()
+    }
+    assert derived == explicit
+
+
+def test_derived_dials_defeat_band_saturation_at_200k(spark):
+    """The r11 verdict's ordered done-criterion: 200k signatures with
+    100k planted Hamming-5 pairs. The OLD fixed default (chunk_bits=8,
+    key_chunks=1) saturates its 256-key band spaces — uniform
+    occupancy ~781 > max_bucket=256, _cap_buckets drops EVERY bucket —
+    and returns zero pairs; the size-derived plan ((6,2): 45
+    chunk-pair bands of 12 bits, occupancy ~49) is pigeonhole-complete
+    for d<=8 and finds every planted pair."""
+    n = 200_000
+    mask = (1 << 3) | (1 << 17) | (1 << 33) | (1 << 48) | (1 << 60)
+    base = F.xxhash64(F.col("id") - (F.col("id") % 2))
+    sig = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, base)
+        .otherwise(base.bitwiseXOR(F.lit(mask)))
+        .alias("sim"),
+    ).localCheckpoint(eager=True)
+    old = D.hamming_pairs_banded(sig, chunk_bits=8, key_chunks=1)
+    assert old.count() == 0  # the silent-saturation defect, pinned
+    new = D.hamming_pairs_banded(
+        sig, chunk_bits=None, key_chunks=None, n_rows=n
+    )
+    assert D.derive_hamming_banding(n) == (6, 2)
+    planted = new.where(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    )
+    n_found = planted.count()
+    n_total = new.count()
+    assert n_found == n // 2  # recall 1.0 on every planted pair
+    # the only extras are true accidental near-dups of the random
+    # 64-bit signatures (expected ~6 at this n)
+    assert n_total - n_found < 100
+
+
 def test_quality_lsh_cosine_pairs_recall(spark):
     """The driver-visible quality metric (numpy exact ground truth vs
     the banded path) must clear the same bar the operator-level
@@ -3011,3 +3093,45 @@ def test_anchored_recall_parity_above_gate(spark, tmp_path):
     assert restricted, "corpus must contain anchor-touching pairs at θ=0.45"
     touching = {p for p in approx if p[0] in anchor_ids or p[1] in anchor_ids}
     assert recall == round(len(restricted & touching) / len(restricted), 4)
+
+
+# --------------------------------------------------------------------------
+# round-12: cap-drop observability (r11 verdict item #2) — what
+# _cap_buckets silently discards becomes a measured number.
+def test_banding_cap_stats_counts(spark):
+    rows = (
+        [("b0", i) for i in range(5)]
+        + [("b1", i) for i in range(3)]
+        + [("b2", 0)]
+    )
+    banded = spark.createDataFrame(rows, "key string, id int")
+    r = D.banding_cap_stats(banded, ["key"], 3).collect()[0]
+    assert (r.rows, r.dropped_rows, r.buckets, r.dropped_buckets) == (
+        9, 5, 3, 1,
+    )
+    assert abs(r.capped_row_frac - 5 / 9) < 1e-12
+    # parity: the report predicts exactly what the cap drops
+    kept = D._cap_buckets(banded, ["key"], 3).count()
+    assert kept == r.rows - r.dropped_rows
+    kept2 = D._drop_fat_buckets(banded, ["key"], 3).count()
+    assert kept2 == kept
+    e = D.banding_cap_stats(banded.where("id < 0"), ["key"], 3).collect()[0]
+    assert (e.rows, e.dropped_rows, e.capped_row_frac) == (0, 0, 0.0)
+
+
+def test_banding_cap_fracs_healthy_at_demo_scale(spark):
+    """The four bench quality-dict lines exist and read ~0 on the
+    healthy demo corpus — the same numbers BENCH quality carries so a
+    saturating plan surfaces as a fraction, not a planted-pair
+    surprise a round later."""
+    from boatrace_database_spark.quality import banding_cap_fracs
+
+    out = banding_cap_fracs(spark, SF)
+    assert set(out) == {
+        "minhash_capped_frac",
+        "simhash_capped_frac",
+        "dhash_capped_frac",
+        "audio_capped_frac",
+    }
+    for k, v in out.items():
+        assert 0.0 <= v < 0.2, (k, v)
