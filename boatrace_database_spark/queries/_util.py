@@ -26,3 +26,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col, digits: int = 2):
+    """Exact fixed-point LONG for a money column: ``round(col·10^d)``.
+
+    The money columns carry ≤``digits`` fractional digits, so the
+    double product ``col·10^d`` sits within one ulp of an integer and
+    ``round`` recovers it exactly (valid while |col|·10^d < 2^53 —
+    twelve orders of magnitude above TPC-H prices). Long arithmetic
+    then sums exactly, order-independently, at near the speed of a
+    plain double sum — where DECIMAL(20,6) sums (the round-11 shape)
+    fall off Spark's long-backed Decimal fast path into
+    java.math.BigDecimal and measured 2.3× on q1
+    (scripts/money_sum_bench.py: decimal 1.066 s / long 0.643 s /
+    two-level 0.681 s at sf0.1, identical value hashes).
+
+    Overflow discipline (why callers pick between ONE flat sum and the
+    TWO-LEVEL shape, e.g. `q1_pricing_summary`): a flat long sum is exact
+    while a GROUP's total fits 2^63 — fine for bounded groups
+    (per-order, per-customer), but a whole-table group at ~100 TB
+    (~1e12 lineitem rows × 1e7 cents ≳ 2^63) would overflow — loudly,
+    since ANSI mode throws on long overflow, but still a failure. Those
+    aggregates sum long partials per (group, spark_partition_id()) —
+    bounded by rows-per-TASK (~5e6 × 1e11 per-row charge units = 5e17,
+    ~20× headroom even for the 1e-6-unit charge term), then combine
+    the tiny partial table in DECIMAL(38,0): exact at ANY scale, same
+    shuffle volume as the flat sum (map-side combine already emits one
+    row per (key, partition)), and measured within 6% of flat long.
+    """
+    from pyspark.sql import functions as F
+
+    return F.round(col * (10 ** digits)).cast("long")
+
+
+def decsum(col_name: str):
+    """Combine-side of the two-level exact money sum: DECIMAL(38,0)
+    over the per-(group, spark_partition_id()) LONG partials — a
+    handful of rows per group, so the BigDecimal cost the round-11
+    whole-scan decimal sums paid (2.3× on q1) never touches the fact
+    table. See `cents` for the full overflow discipline."""
+    from pyspark.sql import functions as F
+
+    return F.sum(F.col(col_name).cast("decimal(38,0)"))

@@ -9,14 +9,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from boatrace_database_spark.queries._util import cents as _cents
 from boatrace_database_spark.queries._util import load_table as _t
 
 
 # correlated scalar subquery: orders priced above their customer's average.
 def correlated_scalar_subquery(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # exact flat LONG cent sum (round 12, `_util.cents`): groups are
+    # per-CUSTOMER (bounded order counts), so overflow headroom is ~9
+    # orders of magnitude and no two-level shape is needed; the cast
+    # to double happens on the exact per-customer total, matching the
+    # oracle's CAST(sum(...) AS DOUBLE) on the same exact value
     avg_per_cust = o.groupBy("o_custkey").agg(
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        ((F.sum(_cents(F.col("o_totalprice"))) / 100).cast("double")
          / F.count(F.lit(1))).alias("cust_avg")
     )
     return (

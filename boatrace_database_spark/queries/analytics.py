@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 
 from boatrace_database_spark.operators import text as TX
+from boatrace_database_spark.queries._util import cents as _cents
+from boatrace_database_spark.queries._util import decsum as _decsum
 from boatrace_database_spark.queries._util import load_table as _t
 
 
@@ -25,7 +27,9 @@ def agg_features(spark, sf_dir):
             F.count("*").alias("n_orders"),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
             F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
-            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            # exact flat LONG cent sum (round 12): bounded per-customer
+            # groups, ~9 orders of magnitude of headroom (`_util.cents`)
+            ((F.sum(_cents(F.col("o_totalprice"))) / 100)
              / F.count(F.lit(1))).alias("avg_price"),
         )
         .orderBy("o_custkey")
@@ -83,7 +87,8 @@ def feature_assembly(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     feats = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        # exact flat LONG cent sum (round 12; bounded per-customer groups)
+        ((F.sum(_cents(F.col("o_totalprice"))) / 100)
              / F.count(F.lit(1))).alias("avg_price"),
     )
     return (
@@ -116,20 +121,22 @@ ORDER BY o.o_orderkey
 def roi_simulation(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     hit = F.col("l_returnflag") == "N"
-    # decimal money sum (round-11 q5 class): the 2-3 status groups sum
-    # the whole fact table, the highest-magnitude rounding exposure
-    payout_dec = F.sum(
-        F.when(hit, l.l_extendedprice.cast("decimal(18,2)")).otherwise(
-            F.lit(0).cast("decimal(18,2)")
-        )
+    # two-level exact money sum (round 12, the q1 shape): the 2-3
+    # status groups sum the whole fact table — long cent partials per
+    # (status, task), decimal combine; exact at any scale at long speed
+    payout_c = F.sum(
+        F.when(hit, _cents(l.l_extendedprice)).otherwise(F.lit(0).cast("long"))
     )
+    payout_dec = _decsum("pc") / 100
     return (
-        l.groupBy("l_linestatus")
+        l.groupBy("l_linestatus", F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n"), payout_c.alias("pc"))
+        .groupBy("l_linestatus")
         .agg(
-            F.count("*").alias("n_bets"),
+            F.sum("n").alias("n_bets"),
             F.round(payout_dec, 2).cast("double").alias("payout"),
             F.round(
-                payout_dec.cast("double") / (100.0 * F.count("*")), 6
+                payout_dec.cast("double") / (100.0 * F.sum("n")), 6
             ).alias("roi"),
         )
         .orderBy("l_linestatus")
@@ -243,15 +250,23 @@ ORDER BY o_custkey, o_orderkey
 # grouping sets / rollup / cube.
 def rollup_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    # two-level exact money sum under ROLLUP (round 12, the q1 shape):
+    # the ALL row carries whole-table magnitude, so cent partials are
+    # pre-reduced per (status, priority, task) — a PLAIN groupBy, NOT a
+    # rollup, so each input row feeds exactly one partial — and the
+    # rollup's grouping-set expansion runs over the tiny partial table
+    # with decimal combines
+    partial = o.groupBy(
+        "o_orderstatus", "o_orderpriority", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("tc"),
+    )
     return (
-        o.rollup("o_orderstatus", "o_orderpriority")
+        partial.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count("*").alias("n"),
-            # decimal money sum: order-independent at the ALL row's
-            # whole-table magnitude (round-11 q5 class; inputs 2-dp)
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total"),
+            F.sum("pn").alias("n"),
+            F.round(_decsum("tc") / 100, 2).cast("double").alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),

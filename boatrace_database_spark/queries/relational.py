@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+from boatrace_database_spark.queries._util import cents as _cents
+from boatrace_database_spark.queries._util import decsum as _decsum
 from boatrace_database_spark.queries._util import load_table as _t
 
 
@@ -20,35 +22,65 @@ from boatrace_database_spark.queries._util import load_table as _t
 # Flagship: TPC-H Q1 shape — partial-aggregate-friendly wide agg.
 def q1_pricing_summary(spark, sf_dir):
     """Wide hash aggregate with map-side partial aggregation (A1
-    analog). Money accumulates in DECIMAL (round 11, the q5 class
-    proactively applied: every input carries 2 fractional digits —
-    verified against the data — so the casts are exact, products stay
-    exact at (24,6), and the sums are order-independent at ANY scale;
-    a double sum's 2-dp rounding can flip one ulp between engines at
-    sf1+ magnitudes). Averages divide the EXACT decimal sum as double
-    by the count — the same double on both sides. Outputs stay
-    DOUBLE."""
+    analog). Money accumulates EXACTLY at long speed (round 12, buying
+    back the round-11 decimal tax — q1 measured 2.3× under whole-scan
+    DECIMAL(20,6) sums): inputs carry ≤2 fractional digits, so
+    fixed-point LONGs (`_util.cents`) are exact, products stay exact
+    longs in 1e-4/1e-6 units, and the hot scan runs codegen'd long
+    sums. Order-independence + any-scale exactness come from the
+    TWO-LEVEL shape: long partials per (group, spark_partition_id())
+    — bounded by rows-per-task, ~20× headroom at a 100 TB task sizing,
+    ANSI-loud if ever exceeded — then a DECIMAL(38,0) combine over the
+    tiny partial table (same shuffle volume as the flat agg; measured
+    0.68 s vs decimal's 1.07 s and flat-long's 0.64 s at sf0.1,
+    identical value hashes — scripts/money_sum_bench.py). Averages
+    divide the exact sum as double by the count — the same double on
+    both sides. Outputs stay DOUBLE."""
     l = _t(spark, sf_dir, "lineitem")
-    qty = l.l_quantity.cast("decimal(12,2)")
-    price = l.l_extendedprice.cast("decimal(12,2)")
-    one = F.lit(1).cast("decimal(3,2)")
-    disc_price = price * (one - l.l_discount.cast("decimal(4,2)"))
-    charge = disc_price * (one + l.l_tax.cast("decimal(4,2)"))
-    cnt = F.count("*")
-    return (
+    qty_c = _cents(l.l_quantity)
+    price_c = _cents(l.l_extendedprice)
+    disc_c = _cents(l.l_discount)
+    disc_price_u4 = price_c * (F.lit(100).cast("long") - disc_c)
+    charge_u6 = disc_price_u4 * (F.lit(100).cast("long") + _cents(l.l_tax))
+    partial = (
         l.where(l.l_shipdate <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("_pid"),
+        )
         .agg(
-            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / cnt, 4).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / cnt, 4).alias("avg_price"),
-            F.round(
-                F.sum(l.l_discount.cast("decimal(4,2)")).cast("double") / cnt,
-                4,
-            ).alias("avg_disc"),
+            F.sum(qty_c).alias("qc"),
+            F.sum(price_c).alias("pc"),
+            F.sum(disc_c).alias("dc"),
+            F.sum(disc_price_u4).alias("dpc"),
+            F.sum(charge_u6).alias("chc"),
+            F.count("*").alias("n"),
+        )
+    )
+    cnt = F.sum("n")
+    return (
+        partial.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_decsum("qc") / 100, 2).cast("double").alias("sum_qty"),
+            F.round(_decsum("pc") / 100, 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(_decsum("dpc") / 10000, 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(_decsum("chc") / 1000000, 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round((_decsum("qc") / 100).cast("double") / cnt, 4).alias(
+                "avg_qty"
+            ),
+            F.round((_decsum("pc") / 100).cast("double") / cnt, 4).alias(
+                "avg_price"
+            ),
+            F.round((_decsum("dc") / 100).cast("double") / cnt, 4).alias(
+                "avg_disc"
+            ),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -83,19 +115,32 @@ ORDER BY l_returnflag, l_linestatus
 
 def q3_shipping_priority(spark, sf_dir):
     """3-way join + agg + deterministic top-10 (broadcast the dim
-    side). Revenue accumulates in DECIMAL — the q1/q5 order-
-    independence treatment; output stays DOUBLE."""
+    side). Revenue accumulates as exact fixed-point LONG in 1e-4
+    units (round 12): groups are per-ORDER (≤7 lineitems), so a flat
+    long sum has ~10 orders of magnitude of overflow headroom at any
+    conceivable scale — no two-level shape needed (`_util.cents`
+    discipline); exact and order-independent like the round-11
+    decimal form it replaces, at codegen'd long speed. Output stays
+    DOUBLE."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1996-03-15")
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-03-15")
-    rev = l.l_extendedprice.cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - l.l_discount.cast("decimal(4,2)")
+    rev_u4 = _cents(l.l_extendedprice) * (
+        F.lit(100).cast("long") - _cents(l.l_discount)
     )
     return (
         l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        # display rounding happens in DECIMAL on the exact long sum —
+        # a double /1e4 can sit one ulp under a .xx5 boundary and flip
+        # the 2-dp round vs the oracle (the q5 sf1 class); the decimal
+        # cast touches only the per-group OUTPUT rows, not the scan
+        .agg(
+            F.round(F.sum(rev_u4).cast("decimal(38,0)") / 10000, 2)
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -120,19 +165,23 @@ LIMIT 10
 def q5_region_revenue(spark, sf_dir):
     """5-way snowflake join; dims broadcast, fact shuffles once.
 
-    Revenue accumulates in DECIMAL (round 11): the money inputs carry
-    <=2 fractional digits, so DECIMAL(18,4) casts are exact and the
-    sum is order-independent — a double sum at sf1's ~5e8 magnitudes
-    landed a 2-dp rounding boundary one ulp apart between engines
-    (.93 vs .94, the sf1 sweep's q5 line). The output stays DOUBLE."""
+    Revenue accumulates exactly at long speed (round 12 — the q1
+    two-level shape; this query is where the exactness requirement was
+    first measured: a double sum at sf1's ~5e8 magnitudes landed a
+    2-dp rounding boundary one ulp apart between engines, .93 vs .94).
+    Per-nation groups carry whole-table magnitude, so the flat long
+    sum that serves q3's bounded groups would overflow at ~100 TB:
+    1e-4-unit long partials per (nation, spark_partition_id()) —
+    bounded by rows-per-task — then a DECIMAL(38,0) combine over the
+    tiny partial table. The output stays DOUBLE."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    rev = l.l_extendedprice.cast("decimal(18,4)") * (
-        F.lit(1).cast("decimal(18,4)") - l.l_discount.cast("decimal(18,4)")
+    rev_u4 = _cents(l.l_extendedprice) * (
+        F.lit(100).cast("long") - _cents(l.l_discount)
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -140,9 +189,11 @@ def q5_region_revenue(spark, sf_dir):
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", F.spark_partition_id().alias("_pid"))
+        .agg(F.sum(rev_u4).alias("rc"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev), 2).cast("double").alias("revenue")
+            F.round(_decsum("rc") / 10000, 2).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -172,14 +223,18 @@ def join_single_key(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        # two-level exact money sum (round 12, the q1 shape): 5
+        # segment groups carry whole-table magnitude — long partials
+        # per (segment, task), decimal combine over the tiny partials
+        .groupBy("c_mktsegment", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("tc"),
+        )
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").alias("n_orders"),
-            # decimal money sum — 5 segment groups over all orders
-            # (round-11 q5 class)
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total"),
+            F.sum("n").alias("n_orders"),
+            F.round(_decsum("tc") / 100, 2).cast("double").alias("total"),
         )
         .orderBy("c_mktsegment")
     )
@@ -273,12 +328,17 @@ def append_union(spark, sf_dir):
     b = o.where(F.col("o_orderdate") >= "2000-01-01")
     return (
         a.unionByName(b)
+        # two-level exact money sum (round 12, the q1 shape): 3 status
+        # groups carry whole-table magnitude
+        .groupBy("o_orderstatus", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("tc"),
+        )
         .groupBy("o_orderstatus")
         .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total"),
+            F.sum("pn").alias("n"),
+            F.round(_decsum("tc") / 100, 2).cast("double").alias("total"),
         )
         .orderBy("o_orderstatus")
     )
