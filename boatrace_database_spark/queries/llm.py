@@ -1698,6 +1698,45 @@ def ivf_cell_stats(spark, sf_dir):
     return SIM.ivf_cell_stats(indexed)
 
 
+def ivf_index_maintenance(spark, sf_dir):
+    """The index MAINTENANCE lifecycle as a driver-checkable row (r11
+    verdict item #6, promoting the round-11 `index_remove` /
+    incremental-ingest surface out of pytest-only): BUILD an IVF
+    inverted file on the base 80% of the corpus, ADD the remaining 20%
+    against the frozen quantizer (`ivf_add_to_index` — assignment
+    only, no retrain), then REMOVE every 7th id (`index_remove`, the
+    takedown/erasure path). Emits the surviving membership with a
+    per-id posting count — the SQL-checkable face of the lifecycle:
+    the oracle predicts the closed-form final membership (all ids
+    except the removed slice) with EXACTLY one posting each, so a
+    double-add, a lost delta, or a partial remove all flip the hash.
+    Cells/centroids are k-means artifacts no SQL can re-derive; probe
+    parity across add/remove is pytest-pinned
+    (test_index_remove_lifecycle, test_ivf_maintenance_membership,
+    test_streaming's ingest twins)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 5 != 4)
+    delta = e.where(F.col("vec_id") % 5 == 4)
+    indexed, centroids = SIM.ivf_build_index(base)
+    extended = SIM.ivf_add_to_index(indexed, centroids, delta)
+    pruned = SIM.index_remove(
+        extended, e.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    return (
+        pruned.groupBy(F.col("neighbor_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+        .orderBy("vec_id")
+    )
+
+
+IVF_INDEX_MAINTENANCE_SQL = """
+SELECT vec_id, CAST(1 AS BIGINT) AS n_postings
+FROM embeddings
+WHERE vec_id % 7 <> 0
+ORDER BY vec_id
+"""
+
+
 
 
 # IVF index cache, keyed by (spark app, corpus dir): the 100 TB
@@ -4306,6 +4345,7 @@ QUERIES = {
     "ann_bucket_stats": ann_bucket_stats,
     "embedding_project_jl": embedding_project_jl,
     "ivf_cell_stats": ivf_cell_stats,
+    "ivf_index_maintenance": ivf_index_maintenance,
     "multimodal_features": multimodal_features,
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_decode_png": media_decode_png,
@@ -4399,6 +4439,7 @@ ORACLES = {
     "ann_bucket_stats": ANN_BUCKET_STATS_SQL,
     "embedding_project_jl": EMBEDDING_PROJECT_SQL,
     "ivf_cell_stats": None,
+    "ivf_index_maintenance": IVF_INDEX_MAINTENANCE_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "media_decode_roundtrip": MEDIA_DECODE_SQL,
     "media_decode_png": MEDIA_DECODE_PNG_SQL,

@@ -3135,3 +3135,52 @@ def test_banding_cap_fracs_healthy_at_demo_scale(spark):
     }
     for k, v in out.items():
         assert 0.0 <= v < 0.2, (k, v)
+
+
+def test_ivf_maintenance_membership(spark):
+    """The round-12 catalog row's invariants, asserted directly: after
+    build(80%) -> add(20%, frozen quantizer) -> remove(every 7th id),
+    membership is the closed-form set with exactly one posting per id,
+    added vectors live in their NEAREST frozen cell, and a probe over
+    the maintained index never returns a removed id while ranking
+    survivors identically to the same-quantizer index filtered
+    manually (removal and incremental add change membership, never
+    scores)."""
+    from boatrace_database_spark.queries.llm import ivf_index_maintenance
+
+    SFD = SF
+    out = ivf_index_maintenance(spark, SFD).collect()
+    emb = spark.read.parquet(f"{SFD}/embeddings.parquet")
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    want = {i for i in all_ids if i % 7 != 0}
+    assert {r.vec_id for r in out} == want
+    assert {r.n_postings for r in out} == {1}
+
+    # probe parity vs the manually filtered same-quantizer index
+    base = emb.where(F.col("vec_id") % 5 != 4)
+    delta = emb.where(F.col("vec_id") % 5 == 4)
+    indexed, cents_df = SIM.ivf_build_index(base)
+    extended = SIM.ivf_add_to_index(indexed, cents_df, delta).localCheckpoint(
+        eager=True
+    )
+    pruned = SIM.index_remove(
+        extended, emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    queries = emb.where(F.col("vec_id").isin(1, 2, 3))
+    got = SIM.ivf_probe(pruned, cents_df, queries, k=5).collect()
+    removed = all_ids - want
+    assert got and not ({r.neighbor_id for r in got} & removed)
+    manual = extended.where(F.col("neighbor_id") % 7 != 0)
+    wantp = SIM.ivf_probe(manual, cents_df, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, wantp))
+    # added vectors sit in their nearest FROZEN cell (assignment, not
+    # retraining): spot-check one added id against a direct argmin
+    import numpy as np
+
+    C = SIM.centroid_matrix(cents_df)
+    one = delta.limit(1).collect()[0]
+    got_cell = extended.where(
+        F.col("neighbor_id") == one.vec_id
+    ).collect()[0].cell
+    d2 = ((C - np.asarray(one.embedding, dtype=np.float64)) ** 2).sum(axis=1)
+    assert got_cell == int(np.argmin(d2))
