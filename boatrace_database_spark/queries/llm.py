@@ -4086,6 +4086,14 @@ def chunk_dedup_pipeline(spark, sf_dir):
     )
 
 
+# r12 (verdict item #7): set sizes ride the posting rows via a window
+# BEFORE the self-join instead of joining `sizes` back onto `inter`
+# afterwards — DuckDB 1.0 planned one of those two post-aggregation
+# joins as a NESTED_LOOP over 16M x 1M rows at sf1 and the sweep died
+# in temp spill after 9+ minutes; with every column already on the
+# joined rows the plan is pure hash join + group-by and the sf1 oracle
+# runs in 4.6 s with zero spill. Byte-identical output at sf0.01 and
+# sf0.1 (verified against the old form).
 CHUNK_DEDUP_SQL = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -4105,23 +4113,24 @@ sh AS (
   SELECT DISTINCT chunk_key, doc_id, array_to_string(cw[j:j+2], ' ') AS shingle
   FROM chunks, unnest(generate_series(1, greatest(len(cw) - 2, 0))) AS t(j)
 ),
-sizes AS (
-  SELECT chunk_key, any_value(doc_id) AS doc_id, count(*) AS set_size
-  FROM sh GROUP BY chunk_key
+shs AS (
+  SELECT chunk_key, doc_id, shingle,
+         count(*) OVER (PARTITION BY chunk_key) AS set_size
+  FROM sh
 ),
 inter AS (
-  SELECT a.chunk_key AS id_a, b.chunk_key AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.chunk_key < b.chunk_key
+  SELECT a.chunk_key AS id_a, b.chunk_key AS id_b,
+         any_value(a.doc_id) AS da, any_value(b.doc_id) AS db,
+         any_value(a.set_size) AS ssa, any_value(b.set_size) AS ssb,
+         count(*) AS n_inter
+  FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.chunk_key < b.chunk_key
   GROUP BY 1, 2
 ),
 pairs AS (
-  SELECT sa.doc_id AS da, sb.doc_id AS db,
-         round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+  SELECT da, db, round(n_inter / (ssa + ssb - n_inter), 6) AS jaccard
   FROM inter
-  JOIN sizes sa ON id_a = sa.chunk_key
-  JOIN sizes sb ON id_b = sb.chunk_key
-  WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.8
-    AND sa.doc_id <> sb.doc_id
+  WHERE round(n_inter / (ssa + ssb - n_inter), 6) >= 0.8
+    AND da <> db
 )
 SELECT CAST(least(da, db) AS BIGINT) AS doc_a,
        CAST(greatest(da, db) AS BIGINT) AS doc_b,
