@@ -1383,7 +1383,16 @@ def tfidf_related_docs(spark, sf_dir):
     doc→doc). Bigram terms on this corpus because every UNIGRAM
     appears in ~every doc (df = N ⇒ idf exactly 0 — tf-idf's stopword
     self-pruning would empty the vectors; the bigram vocabulary is
-    where the signal lives)."""
+    where the signal lives).
+
+    Oracle scale note (r12): the SQL oracle runs whole at the sf0.01
+    driver gate and sf0.1; a decade up DuckDB 1.0 cannot finish any
+    pure-SQL top-k consolidation of the ~206M symmetrized pair rows
+    (measured: window, grouped list(), and lateral-unnest forms all
+    exceed 9 min into tens of GB of temp spill), so the two-decade
+    sweep (scripts/oracle_parity_sweep.py `HEAVY_ORACLES`) keeps the
+    pairs stage in DuckDB — the same CTE text, sliced from this very
+    string — and consolidates top-5 in numpy, bit-identical."""
     d = _t(spark, sf_dir, "documents")
     return (
         R.tfidf_related_topk(d, "doc_id", "text", k=5, ngram=2)
