@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 
@@ -155,6 +156,10 @@ def main():
     import duckdb
 
     con = duckdb.connect()
+    # builder output (e.g. /tmp/sf1) is a Spark parquet DIRECTORY
+    lpath = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(lpath):
+        lpath = f"{lpath}/*.parquet"
     ref = con.execute(
         f"""
         SELECT l_returnflag, l_linestatus,
@@ -169,7 +174,7 @@ def main():
                round(CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / count(*), 4),
                round(CAST(sum(l_discount::DECIMAL(4,2)) AS DOUBLE) / count(*), 4),
                count(*)
-        FROM '{sf_dir}/lineitem.parquet'
+        FROM '{lpath}'
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
