@@ -42,14 +42,20 @@ for mod in (relational, analytics, advanced, llm, domain):
 #            long, two-level for whole-table groups — q1/q3/q5/rollup/
 #            roi/join_single_key/append_union/correlated/agg_features/
 #            feature_assembly), dedup_simhash (size-derived banding
-#            dials, verdict item #1; rows-only by nature), and
+#            dials, verdict item #1; rows-only by nature),
 #            media_dedup_dhash (synth factored out for the cap-frac
-#            quality line — output-identical, re-witnessed cheaply);
+#            quality line — output-identical, re-witnessed cheaply),
+#            and the three remaining whole-scan decimal money sums
+#            converted late in the round (moving_avg_rows,
+#            salted_skew_agg, unpivot_stack);
 #   tier 2 = the 7 remaining r8-stale rows (verdict item #4; the 8th,
 #            dedup_simhash, sits in tier 1);
 #   tier 3 = the r9-green rows (now the stalest block, 3 rounds), 30
 #            of 39 kept under the budget;
-#   tier 4 = the 10-row least-loss overflow from the r9 block, chosen
+#   tier 4 = the 10-row least-loss overflow from the r9 block (+2
+#            trimmed when the late money conversions grew tier 1:
+#            distinct_pairs / having_filter — both families exercised
+#            by kept rows), chosen
 #            where a family keeps fresher witnesses: windows keep
 #            window_value_funcs (tier 2) + rank/range rows; setops
 #            keep semi/anti/outer/distinct + r11's union_distinct;
@@ -57,7 +63,7 @@ for mod in (relational, analytics, advanced, llm, domain):
 #            keeps r10's reservoir/weighted rows; scalars keep r11's
 #            date/null batteries; pivot family keeps pivot_wide +
 #            json_extract; top-k is plan-asserted and ubiquitous.
-#            These 10 top the r13 frontier;
+#            These 12 top the r13 frontier;
 #   tier 5 = the r10-green rows (2 rounds stale);
 #   tier 6 = the r11-green rows (freshest).
 # Expected cut line at a ~50 budget: end of tier 3.
@@ -68,6 +74,7 @@ _ORDER = [
     "rollup_agg", "roi_simulation", "join_single_key", "append_union",
     "correlated_scalar_subquery", "agg_features", "feature_assembly",
     "dedup_simhash", "media_dedup_dhash",
+    "moving_avg_rows", "salted_skew_agg", "unpivot_stack",
     # ---- tier 2: the remaining r8-stale rows ----
     "window_value_funcs", "dedup_minhash_lsh", "approx_distinct_quantile",
     "freq_items_heavy_hitters", "media_decode_roundtrip",
@@ -75,17 +82,17 @@ _ORDER = [
     # ---- tier 3: the r9-green rows (stalest block), 30 kept ----
     "accuracy_metrics", "ann_bucket_stats", "ann_lsh_topk", "anti_join",
     "count_distinct_agg", "date_range_explode", "dedup_embedding_cosine",
-    "distinct_pairs", "full_select", "grouping_sets", "having_filter",
+    "full_select", "grouping_sets",
     "join_composite_key", "json_extract", "last_value_propagation",
     "min_max_by", "outer_join", "percentile_quantile", "pivot_wide",
     "range_join", "retrieval_eval_metrics", "retrieval_mmr_diversified",
     "running_counter", "semi_join", "stanza_lookahead",
     "string_agg_sorted", "table_audit_orders", "text_rolling_hash",
     "time_tumble", "window_range_frame", "window_rank_per_group",
-    # ---- tier 4: the 10-row least-loss r9 overflow (r13 frontier) ----
-    "ntile_cume", "moving_avg_rows", "window_lag_lead",
+    # ---- tier 4: the least-loss r9 overflow (r13 frontier) ----
+    "ntile_cume", "window_lag_lead",
     "intersect_setop", "except_setop", "cube_agg", "sample_systematic",
-    "scalar_battery", "unpivot_stack", "topk_orders",
+    "scalar_battery", "topk_orders", "distinct_pairs", "having_filter",
     # ---- tier 5: the r10-green rows ----
     "ann_ivf_topk", "ann_ivfpq_topk", "attribution_last_touch",
     "bm25_index_stats", "bm25_topk_docs", "bpe_token_count",
@@ -113,7 +120,7 @@ _ORDER = [
     "embedding_norm_stats", "flag_timing_features",
     "mixture_temperature_resample", "multimodal_features",
     "packed_split_pipeline", "racer_first_win_cohort",
-    "racer_podium_funnel", "salted_skew_agg", "sessionize_gaps",
+    "racer_podium_funnel", "sessionize_gaps",
     "text_profile",
     "regex_gate", "regex_extract", "concat_key", "sentinel_fill",
     "prefix_filter", "prefix_filter_disjunction", "udtf_tokenize",

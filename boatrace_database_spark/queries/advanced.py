@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from boatrace_database_spark.queries._util import cents as _cents
+from boatrace_database_spark.queries._util import decsum as _decsum
 from boatrace_database_spark.queries._util import load_table as _t
 
 
@@ -149,10 +150,13 @@ FROM events ORDER BY user_id, event_id
 def moving_avg_rows(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
-    # exact decimal sum / count: engines disagree rounding doubles at
-    # the .xx5 boundary, exact sums never reach it
+    # exact fixed-point LONG frame sum (round 12, `_util.cents`): the
+    # 3-row frame bounds the sum trivially, and the sliding decimal
+    # accumulator it replaces paid BigDecimal per row; /100 is IEEE
+    # correctly-rounded onto the exact cent total, matching the
+    # oracle's CAST(exact-decimal AS DOUBLE) bit for bit
     ma3 = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        (F.sum(_cents(F.col("o_totalprice"))).over(w) / 100)
         / F.count(F.lit(1)).over(w)
     )
     return (
@@ -242,15 +246,18 @@ FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
 def salted_skew_agg(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+    # the salt split IS the two-level money shape (round 12): exact
+    # LONG cent partials per (type, salt) on the hot scan, DECIMAL
+    # combine over the 8-per-type partial rows
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        F.sum(_cents(F.col("value"))).alias("vc"),
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("n").alias("n"),
-            (F.sum("v").cast("double")).alias("total_value"),
+            (_decsum("vc") / 100).cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )

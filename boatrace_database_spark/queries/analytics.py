@@ -597,10 +597,12 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 def unpivot_stack(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    # exact flat LONG cent sum (round 12): per-nation balance groups
+    # are far inside the flat-form headroom (`_util.cents`)
+    bal_c = _cents(F.col("c_acctbal"))
     wide = c.groupBy("c_nationkey").agg(
-        F.sum(bal).cast("double").alias("total_bal"),
-        (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+        (F.sum(bal_c) / 100).alias("total_bal"),
+        ((F.sum(bal_c) / 100) / F.count(F.lit(1))).alias("avg_bal"),
     )
     return (
         wide.selectExpr(
