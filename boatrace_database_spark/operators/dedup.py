@@ -758,6 +758,7 @@ def simhash_pairs(
     chunk_bits: int | None = None,
     key_chunks: int | None = None,
     n_docs: int | None = None,
+    skew: float = 1.0,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded on signature
     chunks.
@@ -792,7 +793,7 @@ def simhash_pairs(
     sig = simhash_table(df, id_col, text_col, shingle_n, bits)
     return hamming_pairs_banded(
         sig, "id", "sim", max_hamming, max_bucket, bits, chunk_bits,
-        key_chunks, n_rows=n_docs,
+        key_chunks, n_rows=n_docs, skew=skew,
     )
 
 
@@ -801,6 +802,7 @@ def derive_hamming_banding(
     bits: int = 64,
     max_hamming: int = 8,
     max_bucket: int = 256,
+    skew: float = 1.0,
 ) -> tuple[int, int]:
     """Size the banded-Hamming-join dials (``chunk_bits``,
     ``key_chunks``) from the corpus size — the r11-verdict pattern
@@ -833,11 +835,28 @@ def derive_hamming_banding(
     out around ``64·2^32`` ≈ 2.7e11 rows) — lower ``max_hamming`` or
     raise ``max_bucket`` explicitly; silent saturation is the one
     outcome this function exists to prevent.
+
+    ``skew`` (round 12, BENCHNOTES §47): the occupancy model above
+    assumes UNIFORM band keys, but real corpora skew them — sf1's
+    bench quality line read ``simhash_capped_frac`` 0.193 at the (8,1)
+    stay plan where uniform keys predict ~0. ``skew`` multiplies the
+    projected occupancy (both the stay threshold and the escalation
+    head-room), shifting every decision earlier by that factor. The
+    honest way to pick it: run `banding_cap_stats` (or read the bench
+    quality fraction) on a sample at the current geometry and pass
+    p99_bucket/avg_bucket — the default 1.0 keeps the uniform model
+    (and the byte-identical demo points).
     """
     from math import comb
 
     if n_rows < 0:
         raise ValueError(f"derive_hamming_banding: n_rows={n_rows} < 0")
+    if skew < 1.0:
+        raise ValueError(
+            f"derive_hamming_banding: skew={skew} < 1 — skew can only "
+            "make saturation EARLIER than the uniform model"
+        )
+    n_rows = int(n_rows * skew)
     if bits >= 8 and n_rows * 5 <= max_bucket * (1 << 8) * 4:
         return 8, 1
     occ_target = max(1, max_bucket // 4)
@@ -959,6 +978,7 @@ def hamming_pairs_banded(
     chunk_bits: int | None = 8,
     key_chunks: int | None = 1,
     n_rows: int | None = None,
+    skew: float = 1.0,
 ) -> DataFrame:
     """Generic banded Hamming join over any integer-signature table —
     the blocking core of `simhash_pairs`, factored out (round 9) so
@@ -990,9 +1010,11 @@ def hamming_pairs_banded(
     checkpointed and counted ONCE (a batch entry point's one-time
     count, not the r10 probe-path per-query count class), then the
     dial pair comes from the corpus size. Pass ``n_rows`` to skip
-    even that count when the caller already knows the size. Mixing
-    one explicit dial with one None raises — the pair is a single
-    geometry decision."""
+    even that count when the caller already knows the size, and
+    ``skew`` (measured p99/avg bucket, `derive_hamming_banding`) when
+    the key distribution is known non-uniform. Mixing one explicit
+    dial with one None raises — the pair is a single geometry
+    decision."""
     if (chunk_bits is None) != (key_chunks is None):
         raise ValueError(
             "hamming_pairs_banded: chunk_bits and key_chunks are one "
@@ -1004,7 +1026,7 @@ def hamming_pairs_banded(
             sig = sig.localCheckpoint(eager=True)
             n_rows = sig.count()
         chunk_bits, key_chunks = derive_hamming_banding(
-            n_rows, bits, max_hamming, max_bucket
+            n_rows, bits, max_hamming, max_bucket, skew
         )
 
     n_chunks = bits // chunk_bits

@@ -3184,3 +3184,37 @@ def test_ivf_maintenance_membership(spark):
     ).collect()[0].cell
     d2 = ((C - np.asarray(one.embedding, dtype=np.float64)) ** 2).sum(axis=1)
     assert got_cell == int(np.argmin(d2))
+
+
+def test_derive_hamming_banding_skew():
+    """§47 follow-through: real corpora skew band keys (sf1 measured
+    simhash_capped_frac 0.193 where the uniform model predicts ~0), so
+    the derivation takes a measured skew factor that shifts every
+    decision earlier. skew=1.0 is the uniform model (byte-identical
+    defaults); skew < 1 is rejected — skew can only HURT occupancy."""
+    # 50k stays at the historical plan under the uniform model...
+    assert D.derive_hamming_banding(50_000) == (8, 1)
+    # ...but a measured 3x skew (p99/avg) escalates it
+    cb, kc = D.derive_hamming_banding(50_000, skew=3.0)
+    assert (cb, kc) != (8, 1)
+    assert kc <= (64 // cb) - 8  # still pigeonhole-complete
+    # skewed occupancy gets the same 4x headroom on the scaled rows
+    assert 150_000 <= 64 * (1 << (cb * kc))
+    with pytest.raises(ValueError, match="skew"):
+        D.derive_hamming_banding(50_000, skew=0.5)
+
+
+def test_escalated_plan_reads_zero_cap_frac(spark):
+    """Observability meets derivation: on the 200k corpus where the
+    old (8,1) plan drops EVERY row (capped_row_frac 1.0 — the silent
+    defect as a visible number), the derived (6,2) plan's fraction
+    reads ~0 — exactly what the bench quality line is for."""
+    n = 200_000
+    sig = spark.range(n).select("id", F.xxhash64("id").alias("sim"))
+    old = D._hamming_chunked(sig, "id", "sim", 64, 8, 1)
+    r_old = D.banding_cap_stats(old, ["chunk", "key"], 256).collect()[0]
+    assert r_old.capped_row_frac == 1.0
+    cb, kc = D.derive_hamming_banding(n)
+    new = D._hamming_chunked(sig, "id", "sim", 64, cb, kc)
+    r_new = D.banding_cap_stats(new, ["chunk", "key"], 256).collect()[0]
+    assert r_new.capped_row_frac < 0.01
