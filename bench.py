@@ -129,6 +129,21 @@ def main() -> None:
         .select(_warm(col("id").cast("double")))
         .count()
     )
+    # idle-window discipline (r12 verdict item #6): two consecutive
+    # rounds of the official artifact regressed on host load alone and
+    # were un-regressed by idle re-brackets — so the bench now WAITS
+    # for a quiet host before timing anything, bounded so a driver run
+    # can never stall: poll 1-min loadavg until it drops under
+    # $SPARK_GRAFT_IDLE_LOAD (default 8.0 — a quarter of the 32 cores;
+    # the builder's idle brackets read ~0.8) or $SPARK_GRAFT_IDLE_WAIT
+    # seconds (default 240) elapse. The wait itself is recorded so the
+    # artifact says whether it started quiet or gave up waiting.
+    idle_load = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "8.0"))
+    idle_budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "240"))
+    idle_waited = 0.0
+    while os.getloadavg()[0] > idle_load and idle_waited < idle_budget:
+        time.sleep(10)
+        idle_waited += 10
     # host-noise fingerprint: r3's driver bench swung +43% on untouched
     # queries (isolated re-runs implicated host contention). loadavg +
     # a fixed trivial-query reference time make each bench run
@@ -141,8 +156,12 @@ def main() -> None:
         ).collect()
         return time.perf_counter() - t0
 
+    # scalar 1-min loadavg (r13): the 5/15-min components never carried
+    # adjudication weight and the line must stay under the driver's
+    # 2000-char tail capture with the grown quality dict
     host = {
-        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_start": round(os.getloadavg()[0], 2),
+        "idle_waited_sec": round(idle_waited, 1),
         "ref_query_sec": round(min(_ref_query() for _ in range(3)), 3),
     }
 
@@ -232,7 +251,7 @@ def main() -> None:
     else:
         quality = {}
     print(f"quality: {quality}", file=sys.stderr)
-    host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    host["loadavg_end"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     # one-time index builds get their own lines (§40a) so probes measure

@@ -758,7 +758,7 @@ def simhash_pairs(
     chunk_bits: int | None = None,
     key_chunks: int | None = None,
     n_docs: int | None = None,
-    skew: float = 1.0,
+    skew: float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded on signature
     chunks.
@@ -771,20 +771,26 @@ def simhash_pairs(
     2^-chunk_bits, so candidate noise stays small; degenerate buckets
     are capped (_cap_buckets).
 
-    Banding dials are SIZE-DERIVED by default (round 12, closing the
-    r11 verdict's one silent-cap survivor): ``chunk_bits=None,
-    key_chunks=None`` hands the geometry to `derive_hamming_banding` —
-    under ~52k docs that returns the historical ``(8, 1)`` plan
-    byte-identically, and past it escalates to combinatorial
-    chunk-subset bands (Manku et al.'s permute-and-split shape) that
-    are pigeonhole-COMPLETE for the full ``max_hamming`` and keep
-    projected bucket occupancy at 4× headroom under the cap. The old
-    fixed default silently dropped EVERY bucket past
-    ~``max_bucket·2^8`` ≈ 65k docs — the defect class measured on
-    dHash at sf1 (recall 0.13, BENCHNOTES §45b), one decade above
-    simhash's own anchor. Deriving costs one count of the (eagerly
+    Banding dials are SIZE- and OCCUPANCY-derived by default (rounds
+    12-13, closing the r11 verdict's one silent-cap survivor and the
+    r12 skew loop): ``chunk_bits=None, key_chunks=None`` hands the
+    geometry to `resolve_hamming_banding` — under ~52k docs the
+    uniform model returns the historical ``(8, 1)`` plan
+    byte-identically, past it escalates to combinatorial chunk-subset
+    bands (Manku et al.'s permute-and-split shape) that are
+    pigeonhole-COMPLETE for the full ``max_hamming`` — and the
+    candidate plan's REAL bucket occupancy is then probed with one
+    aggregate, re-deriving once with the measured p99/avg skew when
+    the uniform assumption would drop rows (sf1's real text read
+    ``simhash_capped_frac`` 0.193 at the uniform stay plan; r12 only
+    measured that number, r13 feeds it back). The old fixed default
+    silently dropped EVERY bucket past ~``max_bucket·2^8`` ≈ 65k docs
+    — the defect class measured on dHash at sf1 (recall 0.13,
+    BENCHNOTES §45b), one decade above simhash's own anchor. Deriving
+    costs one count + one occupancy aggregate over the (eagerly
     checkpointed, then reused) signature table; pass ``n_docs`` to
-    skip it, or explicit dials to pin a geometry.
+    skip the count, an explicit ``skew`` to pin the multiplier, or
+    explicit dials to pin a geometry.
 
     64-bit signatures are the scale-safe width: the 10x scale probe
     (scripts/scale_dedup_bench.py) showed 32-bit random collisions
@@ -930,6 +936,126 @@ def _hamming_chunked(
     ).select("id", "sim", "cc.chunk", "cc.key")
 
 
+def measured_banding_skew(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+    model_occupancy: float | None = None,
+) -> tuple[float, float]:
+    """Measure what the uniform occupancy model cannot see: returns
+    ``(capped_row_frac, skew)`` of a banded table in ONE aggregate —
+    the fraction of banded rows sitting in buckets `_cap_buckets` will
+    drop at ``max_bucket``, and the measured-skew factor for
+    `derive_hamming_banding`: the ROW-WEIGHTED p99 bucket size (exact
+    ``percentile(size, 0.99, size)`` — the bucket size at the 99th
+    percentile of ROWS, not of buckets) over the occupancy the UNIFORM
+    MODEL predicts for this geometry (``model_occupancy`` = n_rows /
+    keyspace; falls back to the observed average when not given).
+
+    Both choices matter: p99-of-BUCKETS is blind when the fat buckets
+    are few but hold most rows (37.5% of rows in 0.7% of buckets reads
+    a bucket-p99 of ~avg), and p99/observed-avg reads ~1.0 for a
+    low-cardinality key distribution (a few uniformly-FAT buckets —
+    e.g. signatures drawn from a small alphabet), exactly the regime
+    where the model is most wrong. Row-weighted p99 over the model
+    occupancy sees both.
+
+    The r13 feedback loop (r12 verdict item #2): round 12 made cap
+    drops OBSERVABLE (`banding_cap_stats` → the bench's
+    ``*_capped_frac`` quality keys, sf1 simhash reading 0.193 at the
+    uniform-model stay plan) but the auto path still defaulted to
+    uniform — the caller had to read the bench line and pass ``skew``
+    by hand. This is the measurement that closes the loop inside
+    `hamming_pairs_banded`."""
+    row = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .agg(
+            F.coalesce(F.sum("_bsz"), F.lit(0)).cast("long").alias("rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bsz") > max_bucket, F.col("_bsz"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dropped"),
+            F.avg("_bsz").alias("avg_bucket"),
+            # exact percentile with frequency=_bsz: row-weighted; its
+            # state is a (size -> freq) map, small because distinct
+            # bucket SIZES are few regardless of bucket count
+            F.expr("percentile(_bsz, 0.99, _bsz)").alias("p99_bucket"),
+        )
+        .collect()[0]
+    )
+    frac = row.dropped / row.rows if row.rows else 0.0
+    denom = model_occupancy if model_occupancy else row.avg_bucket
+    skew = (
+        max(1.0, float(row.p99_bucket) / float(denom)) if denom else 1.0
+    )
+    return frac, skew
+
+
+def resolve_hamming_banding(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sim",
+    max_hamming: int = 8,
+    max_bucket: int = 256,
+    bits: int = 64,
+    n_rows: int | None = None,
+    skew: float | None = None,
+    max_capped_frac: float = 0.001,
+) -> tuple[int, int]:
+    """Resolve the banded-Hamming-join dials for a signature table —
+    the auto path of `hamming_pairs_banded`, exposed so the quality
+    harness measures the cap fraction at the geometry the join will
+    ACTUALLY run.
+
+    ``skew=None`` (default, round 13) closes the r12 skew loop: derive
+    a candidate geometry under the uniform occupancy model, measure
+    its real occupancy on the identical banded plan
+    (`measured_banding_skew` — one aggregate over the exploded chunk
+    table), and if the cap would drop more than ``max_capped_frac`` of
+    banded rows, re-derive ONCE with the measured p99/avg skew (lifted
+    just past the current plan's escape threshold if the ratio alone
+    would not move the decision — a saturating plan must not be
+    re-picked). Uniform corpora measure ~0 drops and keep the
+    uniform-model plan byte-identically; sf1's real text (19.3%
+    dropped at the stay plan) escalates without any manual dial.
+
+    One documented non-goal: buckets fat with IDENTICAL signatures
+    (exact-duplicate-heavy corpora) share every chunk, so no geometry
+    separates them — run `exact_dedup` first; the cap fraction stays
+    visible in `banding_cap_stats` either way.
+
+    An explicit ``skew`` pins the multiplier (the round-12 manual
+    contract, byte-identical); the measurement job is skipped.
+    """
+    if n_rows is None:
+        n_rows = sig.count()
+    if skew is not None:
+        return derive_hamming_banding(n_rows, bits, max_hamming, max_bucket, skew)
+    cb, kc = derive_hamming_banding(n_rows, bits, max_hamming, max_bucket, 1.0)
+    probe = _hamming_chunked(sig, id_col, sig_col, bits, cb, kc)
+    frac, m_skew = measured_banding_skew(
+        probe, ["chunk", "key"], max_bucket,
+        model_occupancy=n_rows / (1 << (cb * kc)),
+    )
+    if frac <= max_capped_frac:
+        return cb, kc
+    # minimal skew that escapes the CURRENT plan's acceptance test in
+    # derive_hamming_banding (stay threshold for (8,1); the 4x-headroom
+    # occupancy bound for an escalated plan) — p99/avg is the measured
+    # shape, but when drops are real the re-derivation must not hand
+    # back the same saturating geometry
+    if (cb, kc) == (8, 1):
+        escape = max_bucket * (1 << 8) * 4 / (5 * n_rows)
+    else:
+        escape = max(1, max_bucket // 4) * (1 << (cb * kc)) / n_rows
+    return derive_hamming_banding(
+        n_rows, bits, max_hamming, max_bucket, max(m_skew, escape * 1.01)
+    )
+
+
 def banding_cap_stats(
     banded: DataFrame, keys: list[str], max_bucket: int
 ) -> DataFrame:
@@ -978,7 +1104,7 @@ def hamming_pairs_banded(
     chunk_bits: int | None = 8,
     key_chunks: int | None = 1,
     n_rows: int | None = None,
-    skew: float = 1.0,
+    skew: float | None = None,
 ) -> DataFrame:
     """Generic banded Hamming join over any integer-signature table —
     the blocking core of `simhash_pairs`, factored out (round 9) so
@@ -1006,27 +1132,43 @@ def hamming_pairs_banded(
     ``key_chunks=1`` is the original plan, byte-identical.
 
     ``chunk_bits=None, key_chunks=None`` (round 12): SIZE-DERIVED
-    dials via `derive_hamming_banding` — the signature table is
+    dials via `resolve_hamming_banding` — the signature table is
     checkpointed and counted ONCE (a batch entry point's one-time
     count, not the r10 probe-path per-query count class), then the
-    dial pair comes from the corpus size. Pass ``n_rows`` to skip
-    even that count when the caller already knows the size, and
-    ``skew`` (measured p99/avg bucket, `derive_hamming_banding`) when
-    the key distribution is known non-uniform. Mixing one explicit
+    dial pair comes from the corpus size AND (round 13) the measured
+    bucket occupancy: the uniform-model candidate plan is probed with
+    one aggregate and re-derived once with the measured p99/avg skew
+    when it would actually drop rows (the r12 skew loop, closed —
+    sf1's stay plan silently dropped 19.3% of banded rows under the
+    uniform assumption). Pass ``n_rows`` to skip the count when the
+    caller already knows the size, and an explicit ``skew`` to pin
+    the multiplier and skip the measurement job. Mixing one explicit
     dial with one None raises — the pair is a single geometry
-    decision."""
+    decision — and passing ``n_rows``/``skew`` alongside explicit
+    dials raises too (r13 ADVICE #4: they would be silently ignored,
+    the inconsistent sibling of the mixed-None contract)."""
     if (chunk_bits is None) != (key_chunks is None):
         raise ValueError(
             "hamming_pairs_banded: chunk_bits and key_chunks are one "
             "geometry decision — pass both or neither (None, None "
             "derives both from the corpus size)"
         )
+    if chunk_bits is not None and (n_rows is not None or skew is not None):
+        raise ValueError(
+            "hamming_pairs_banded: n_rows/skew feed the size-derived "
+            "geometry and have no effect with explicit chunk_bits/"
+            "key_chunks — drop them or pass chunk_bits=key_chunks=None"
+        )
     if chunk_bits is None:
-        if n_rows is None:
+        if n_rows is None or skew is None:
+            # the count AND the occupancy-measurement aggregate both
+            # re-scan the signature table before the join does
             sig = sig.localCheckpoint(eager=True)
+        if n_rows is None:
             n_rows = sig.count()
-        chunk_bits, key_chunks = derive_hamming_banding(
-            n_rows, bits, max_hamming, max_bucket, skew
+        chunk_bits, key_chunks = resolve_hamming_banding(
+            sig, id_col, sig_col, max_hamming, max_bucket, bits,
+            n_rows=n_rows, skew=skew,
         )
 
     n_chunks = bits // chunk_bits

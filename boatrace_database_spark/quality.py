@@ -48,17 +48,24 @@ def ann_recalls(
     cosine (the tests/test_llm_ops.py definitions, bounded query set so
     the exact baseline stays cheap at sf0.1)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
     queries = emb.where(F.col("vec_id") < n_queries)
     exact = _topk_sets(SIM.cosine_topk(emb, queries, k=k).collect())
-    # the candidate set feeds BOTH numbers (recall's scoring input and
-    # the cost-side count), so generate it once and persist
-    cand = SIM.lsh_ann_candidates(emb, queries, n_planes=6).persist()
+    # SIZE-DERIVED geometry (round 13, the r12 verdict's finding #1):
+    # the harness measures the catalog's ACTUAL operating point —
+    # `lsh_ann_geometry(n)`, the (6, H2, L=4) committed demo plan at
+    # sf <= 0.1 and escalated planes/tables past it — instead of a
+    # pinned n_planes=6 whose candidate set converges on the whole
+    # corpus as n grows (16,092 of 20,000 per query at sf1).
+    # The candidate set feeds BOTH numbers (recall's scoring input and
+    # the cost-side count), so generate it once and persist.
+    cand = SIM.lsh_ann_candidates(emb, queries, n=n).persist()
     # the cost side of the recall levers: distinct candidates actually
-    # scored per query at the same defaults (bounded by
-    # n_tables·(1+probes)·bucket size; full corpus = n-1 per query)
+    # scored per query at the derived geometry (bounded by
+    # n_tables·(1+probes)·target bucket size; full corpus = n-1/query)
     n_cand = cand.count()
     lsh = _topk_sets(
-        SIM.lsh_ann_topk(emb, queries, k=k, n_planes=6, candidates=cand).collect()
+        SIM.lsh_ann_topk(emb, queries, k=k, n=n, candidates=cand).collect()
     )
     cand.unpersist()
     # size-derived dials throughout (round 10): n_cells from
@@ -86,7 +93,6 @@ def ann_recalls(
     # the raw table; depth holds a constant FRACTION of the probed set
     # (50 of sf0.1's ~1000 probed = 5%, the committed demo point) so
     # the re-rank survives density decade-ups like every other dial
-    n = emb.count()
     refine = max(50, n // 40)
     ivfpq_ref = _topk_sets(
         SIM.ivfpq_probe(
@@ -100,9 +106,14 @@ def ann_recalls(
             corpus=emb,
         ).collect()
     )
+    cand_per_query = n_cand / max(len(exact), 1)
     return {
         "ann_lsh_recall": round(_mean_recall(exact, lsh), 4),
-        "ann_lsh_candidates_per_query": round(n_cand / max(len(exact), 1), 1),
+        "ann_lsh_candidates_per_query": round(cand_per_query, 1),
+        # the watched number for the derived geometry (r12 finding #1):
+        # a fixed-plane plan holds this flat (0.80 at every decade); the
+        # derived plan must show it SHRINKING as n grows
+        "ann_lsh_candidate_frac": round(cand_per_query / max(n, 1), 4),
         "ann_ivf_recall": round(_mean_recall(exact, ivf), 4),
         "ann_ivfpq_recall": round(_mean_recall(exact, ivfpq), 4),
         "ann_ivfpq_refine_recall": round(_mean_recall(exact, ivfpq_ref), 4),
@@ -202,9 +213,20 @@ def dedup_recalls(
             docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.5
         ).collect()
     }
+    # skew=1.0 PINS the uniform-model geometry here: this harness point
+    # (max_hamming=12) is the documented APPROXIMATE blocking mode —
+    # (8,1) is pigeonhole-complete only to d=7 — measured against the
+    # Jaccard truth, and r12 measured recall 1.0 at sf1 WITH the 19.3%
+    # cap drops. Letting the r13 occupancy feedback engage would demand
+    # a pigeonhole-complete d=12 plan (C(16,3)=560 bands, measured 81 s
+    # at sf1) to tighten an anchor that is not loose. The CATALOG
+    # operating point (d=8, auto) runs the full feedback loop and is
+    # what `simhash_capped_frac` below reports.
     sh = {
         (r.id_a, r.id_b)
-        for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()
+        for r in D.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=12, skew=1.0
+        ).collect()
     }
     if anchored:
         mh = {p for p in mh if p[0] in anchor_ids or p[1] in anchor_ids}
@@ -461,8 +483,12 @@ def media_pair_recalls(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         # vacuous recall when nothing was planted (denominator 0):
         # 1.0, not None — quality_metrics is declared dict[str, float]
         # and its JSON consumers (bench quality line, sf1 anchors)
-        # expect numbers, not nulls (r11 ADVICE #5)
+        # expect numbers, not nulls (r11 ADVICE #5). The DENOMINATOR
+        # rides alongside (r13 ADVICE #1) so a synth regression that
+        # plants zero pairs reads as `*_planted: 0` next to the 1.0
+        # instead of masquerading as perfect recall.
         out[key] = round(found / denom, 4) if denom else 1.0
+        out[key.replace("_pair_recall", "_planted")] = int(denom or 0)
     return out
 
 
@@ -499,8 +525,14 @@ def banding_cap_fracs(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     out["minhash_capped_frac"] = frac(
         D._minhash_banded(mh_sig, 16, 2), ["band", "bucket"]
     )
-    cb, kc = D.derive_hamming_banding(docs.count())
-    sh_sig = D.simhash_table(docs, "doc_id", "text", 2, 64)
+    # the RESOLVED geometry — size + measured-occupancy feedback (r13:
+    # the r12 form measured the frac at the uniform-model dials, i.e.
+    # reported the saturation the auto path then ran straight into;
+    # sf1 read 0.193 here while dedup_simhash silently dropped rows)
+    sh_sig = D.simhash_table(docs, "doc_id", "text", 2, 64).localCheckpoint(
+        eager=True
+    )
+    cb, kc = D.resolve_hamming_banding(sh_sig, "id", "sim")
     out["simhash_capped_frac"] = frac(
         D._hamming_chunked(sh_sig, "id", "sim", 64, cb, kc),
         ["chunk", "key"],

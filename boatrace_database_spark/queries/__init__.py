@@ -30,70 +30,35 @@ for mod in (relational, analytics, advanced, llm, domain):
 
 # Evaluation order. The driver walks queries() in dict order under a
 # bounded budget (~50 rows per round), so ordering is the coverage
-# lever. Catalog after round 12: 152 queries, 140 oracle-backed.
+# lever. Catalog after round 13: 153 queries, 140 oracle-backed.
 #
-# Round-12 rotation. State after r11: nothing is red (48 oracle-green
-# + 1 rows-only of the 49 checked; union across rounds 139 oracle-PASS
-# + 12 rows-only = 151/151). Tiering:
-#   tier 1 = round-12 NEW/CHANGED entries, all of which MUST re-check:
-#            ivf_index_maintenance (NEW — verdict item #6, the
-#            build->add->remove lifecycle row), the ten money-sum
-#            conversions (verdict item #3: decimal -> exact fixed-point
-#            long, two-level for whole-table groups — q1/q3/q5/rollup/
-#            roi/join_single_key/append_union/correlated/agg_features/
-#            feature_assembly), dedup_simhash (size-derived banding
-#            dials, verdict item #1; rows-only by nature),
-#            media_dedup_dhash (synth factored out for the cap-frac
-#            quality line — output-identical, re-witnessed cheaply),
-#            and the three remaining whole-scan decimal money sums
-#            converted late in the round (moving_avg_rows,
-#            salted_skew_agg, unpivot_stack);
-#   tier 2 = the 7 remaining r8-stale rows (verdict item #4; the 8th,
-#            dedup_simhash, sits in tier 1);
-#   tier 3 = the r9-green rows (now the stalest block, 3 rounds), 30
-#            of 39 kept under the budget;
-#   tier 4 = the 10-row least-loss overflow from the r9 block (+2
-#            trimmed when the late money conversions grew tier 1:
-#            distinct_pairs / having_filter — both families exercised
-#            by kept rows), chosen
-#            where a family keeps fresher witnesses: windows keep
-#            window_value_funcs (tier 2) + rank/range rows; setops
-#            keep semi/anti/outer/distinct + r11's union_distinct;
-#            grouping keeps tier-1 rollup_agg + grouping_sets; sampling
-#            keeps r10's reservoir/weighted rows; scalars keep r11's
-#            date/null batteries; pivot family keeps pivot_wide +
-#            json_extract; top-k is plan-asserted and ubiquitous.
-#            These 12 top the r13 frontier;
-#   tier 5 = the r10-green rows (2 rounds stale);
-#   tier 6 = the r11-green rows (freshest).
-# Expected cut line at a ~50 budget: end of tier 3.
+# Round-13 rotation. State after r12: nothing is red (46 oracle-green
+# + 4 rows-only of the 50 checked; union across rounds 140 oracle-PASS
+# + 12 rows-only = 152/152). Tiering:
+#   tier 1 = round-13 NEW/CHANGED entries, all of which MUST re-check:
+#            ann_ivfpq_refined (NEW — r12 verdict item #5, the refine
+#            operating point the target_recall contract routes to),
+#            ann_lsh_topk (size-derived plane geometry, verdict item
+#            #1 — the floor regime reproduces the shipped oracle's
+#            plan byte-identically at driver scale), and dedup_simhash
+#            (the measured-occupancy skew loop, verdict item #2;
+#            rows-only by nature — identical at sf0.01 where the
+#            uniform plan measures clean, escalates at sf1);
+#   tier 2 = the 10-row r9-stale tier-4 frontier (verdict item #3 —
+#            the documented least-loss rotation overflow, now the
+#            stalest rows in the catalog at 4 rounds);
+#   tier 3 = the r10-green rows (3 rounds stale), as many as fit the
+#            ~50 budget — expected cut line lands inside this block;
+#   tier 4 = the r11-green rows (2 rounds stale);
+#   tier 5 = the r12-green rows (freshest — checked last round).
 _ORDER = [
-    # ---- tier 1: round-12 new/changed ----
-    "ivf_index_maintenance",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "rollup_agg", "roi_simulation", "join_single_key", "append_union",
-    "correlated_scalar_subquery", "agg_features", "feature_assembly",
-    "dedup_simhash", "media_dedup_dhash",
-    "moving_avg_rows", "salted_skew_agg", "unpivot_stack",
-    # ---- tier 2: the remaining r8-stale rows ----
-    "window_value_funcs", "dedup_minhash_lsh", "approx_distinct_quantile",
-    "freq_items_heavy_hitters", "media_decode_roundtrip",
-    "embedding_project_jl", "global_shuffle_order",
-    # ---- tier 3: the r9-green rows (stalest block), 30 kept ----
-    "accuracy_metrics", "ann_bucket_stats", "ann_lsh_topk", "anti_join",
-    "count_distinct_agg", "date_range_explode", "dedup_embedding_cosine",
-    "full_select", "grouping_sets",
-    "join_composite_key", "json_extract", "last_value_propagation",
-    "min_max_by", "outer_join", "percentile_quantile", "pivot_wide",
-    "range_join", "retrieval_eval_metrics", "retrieval_mmr_diversified",
-    "running_counter", "semi_join", "stanza_lookahead",
-    "string_agg_sorted", "table_audit_orders", "text_rolling_hash",
-    "time_tumble", "window_range_frame", "window_rank_per_group",
-    # ---- tier 4: the least-loss r9 overflow (r13 frontier) ----
+    # ---- tier 1: round-13 new/changed ----
+    "ann_ivfpq_refined", "ann_lsh_topk", "dedup_simhash",
+    # ---- tier 2: the r9-stale frontier (r12 verdict item #3) ----
     "ntile_cume", "window_lag_lead",
     "intersect_setop", "except_setop", "cube_agg", "sample_systematic",
     "scalar_battery", "topk_orders", "distinct_pairs", "having_filter",
-    # ---- tier 5: the r10-green rows ----
+    # ---- tier 3: the r10-green rows (3 rounds stale) ----
     "ann_ivf_topk", "ann_ivfpq_topk", "attribution_last_touch",
     "bm25_index_stats", "bm25_topk_docs", "bpe_token_count",
     "chunk_dedup_pipeline", "cohort_retention", "compression_quality",
@@ -112,7 +77,7 @@ _ORDER = [
     "tfidf_related_docs", "tfidf_top_terms_per_doc", "time_hopping",
     "time_session", "token_budget_head", "token_budget_mixture",
     "width_normalize_battery",
-    # ---- tier 6: the r11-green rows (freshest) ----
+    # ---- tier 4: the r11-green rows (2 rounds stale) ----
     "audio_features", "media_decode_cmyk", "media_audio_dedup",
     "media_frame_sample", "media_decode_jpeg", "media_decode_tiff",
     "asof_join_events", "career_class_transitions", "date_battery",
@@ -130,6 +95,25 @@ _ORDER = [
     "null_battery", "pack_materialize", "pack_sequences_windows",
     "pii_redact_scrub", "repetition_profile", "split_train_eval",
     "token_count_battery", "training_data_pipeline", "union_distinct",
+    # ---- tier 5: the r12-green rows (freshest) ----
+    "ivf_index_maintenance",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "rollup_agg", "roi_simulation", "join_single_key", "append_union",
+    "correlated_scalar_subquery", "agg_features", "feature_assembly",
+    "media_dedup_dhash",
+    "moving_avg_rows", "salted_skew_agg", "unpivot_stack",
+    "window_value_funcs", "dedup_minhash_lsh", "approx_distinct_quantile",
+    "freq_items_heavy_hitters", "media_decode_roundtrip",
+    "embedding_project_jl", "global_shuffle_order",
+    "accuracy_metrics", "ann_bucket_stats", "anti_join",
+    "count_distinct_agg", "date_range_explode", "dedup_embedding_cosine",
+    "full_select", "grouping_sets",
+    "join_composite_key", "json_extract", "last_value_propagation",
+    "min_max_by", "outer_join", "percentile_quantile", "pivot_wide",
+    "range_join", "retrieval_eval_metrics", "retrieval_mmr_diversified",
+    "running_counter", "semi_join", "stanza_lookahead",
+    "string_agg_sorted", "table_audit_orders", "text_rolling_hash",
+    "time_tumble", "window_range_frame", "window_rank_per_group",
 ]
 
 

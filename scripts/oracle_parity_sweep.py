@@ -94,6 +94,52 @@ def _tfidf_related_heavy(con):
 HEAVY_ORACLES = {"tfidf_related_docs": _tfidf_related_heavy}
 
 
+def _python_type_class(v) -> str:
+    """Type class of a HEAVY_ORACLES row value — derived from the
+    actual python/numpy objects the heavy path returns, NOT mirrored
+    from the Spark schema (r13 ADVICE #3: copying Spark's own classes
+    made the drift check vacuous for the heavy rows — a dtype
+    regression there could only surface as a value-hash mismatch).
+    Same class vocabulary as _spark_type_class/_arrow_type_class."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "b"
+    if isinstance(v, (int, np.integer)):
+        return "i"
+    if isinstance(v, (float, np.floating)):
+        return "f"
+    if isinstance(v, decimal.Decimal):
+        return "d"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, datetime.datetime):
+        return "ts"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    return type(v).__name__
+
+
+def _duckdb_mem_limit() -> str:
+    """DuckDB memory cap for the sweep: $SWEEP_DUCKDB_MEM when set,
+    else ~40% of currently-available RAM (leaving room for the Spark
+    JVM sharing the host) — the r12 form hardcoded '48GB', which
+    assumed one specific host size (r13 ADVICE #2)."""
+    env = os.environ.get("SWEEP_DUCKDB_MEM")
+    if env:
+        return env
+    try:
+        avail = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_AVPHYS_PAGES")
+        return f"{max(4, int(avail * 0.4 / 2**30))}GB"
+    except (ValueError, OSError):
+        return "16GB"
+
+
 def main() -> None:
     import duckdb
 
@@ -119,8 +165,14 @@ def main() -> None:
     # host; an explicit temp_directory keeps any residual spill out of
     # the repo cwd (DuckDB defaults to ./.tmp) and is cleaned on exit.
     con.execute("SET preserve_insertion_order=false")
-    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET memory_limit='{_duckdb_mem_limit()}'")
     con.execute(f"SET temp_directory='{_TEMP_DIR}'")
+    # temp-spill cleanup must survive a mid-sweep crash too — a failed
+    # heavy oracle used to leave tens of GB in /tmp (r13 ADVICE #2)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, _TEMP_DIR, ignore_errors=True)
     for t in TABLES:
         # testdata ships single files; builder output (e.g. /tmp/sf1)
         # is a Spark parquet DIRECTORY — glob its parts for DuckDB
@@ -130,9 +182,27 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_docs = con.execute("SELECT count(*) FROM documents").fetchall()[0][0]
+
+    # `ann_lsh_topk`'s geometry is size-derived (round 13): the shipped
+    # ORACLES string is generated at the floor-regime demo plan
+    # (n <= 2048 -> (6, H2, L=4), the driver's sf0.01 gate), so at a
+    # sweep scale whose derived plan differs the oracle must be
+    # regenerated for THAT corpus size — same generator, same plane
+    # stream, different literals — or parity would test a plan the
+    # engine no longer runs.
+    from boatrace_database_spark.operators.similarity import lsh_ann_geometry
+    from boatrace_database_spark.queries.llm import _ann_lsh_topk_oracle_sql
+
+    oracles = dict(ORACLES)
+    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchall()[0][0]
+    planes, probe, tables = lsh_ann_geometry(n_vecs)
+    oracles["ann_lsh_topk"] = _ann_lsh_topk_oracle_sql(
+        n_planes=planes, n_tables=tables, probe_hamming=probe
+    )
+
     mismatches = {}
     checked = 0
-    for name, sql in ORACLES.items():
+    for name, sql in oracles.items():
         n_rows = None
         try:
             sdf = QUERIES[name](spark, SF_DIR)
@@ -157,14 +227,27 @@ def main() -> None:
                     f.name: _spark_type_class(f.dataType)
                     for f in sdf.schema.fields
                 }
-                dclasses = (
-                    {c: sclasses[c] for c in dcols}
-                    if atable is None  # heavy override: python-typed rows
-                    else {
+                if atable is None:
+                    # heavy override: classes from the ACTUAL python/
+                    # numpy row values (first non-None per column), so
+                    # a dtype regression in the heavy path is caught by
+                    # the drift report, not only the value hash (r13
+                    # ADVICE #3). An all-None column falls back to the
+                    # Spark class (nothing to type against).
+                    dclasses = {}
+                    for ci, c in enumerate(dcols):
+                        val = next(
+                            (r[ci] for r in drows if r[ci] is not None), None
+                        )
+                        dclasses[c] = (
+                            sclasses[c] if val is None
+                            else _python_type_class(val)
+                        )
+                else:
+                    dclasses = {
                         fld.name: _arrow_type_class(fld.type)
                         for fld in atable.schema
                     }
-                )
                 drift = {
                     c: (sclasses[c], dclasses[c])
                     for c in sclasses
@@ -191,9 +274,6 @@ def main() -> None:
         "sf_dir": SF_DIR, "checked": checked,
         "n_mismatches": len(mismatches), "mismatches": mismatches,
     }))
-    import shutil
-
-    shutil.rmtree(_TEMP_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":

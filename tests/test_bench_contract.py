@@ -33,6 +33,7 @@ def _max_width_payload() -> dict:
     quality = {
         "ann_lsh_recall": 0.9999,
         "ann_lsh_candidates_per_query": 99999.9,
+        "ann_lsh_candidate_frac": 0.9999,
         "ann_ivf_recall": 0.9999,
         "ann_ivfpq_recall": 0.9999,
         "ann_ivfpq_refine_recall": 0.9999,
@@ -41,11 +42,20 @@ def _max_width_payload() -> dict:
         "lsh_cosine_pairs_recall": 0.9999,
         "pair_recall_baseline": "anchored",
         "semantic_dedup_recall": 0.9999,
+        "dhash_pair_recall": 0.9999,
+        "dhash_planted": 999999,
+        "audio_pair_recall": 0.9999,
+        "audio_planted": 999999,
+        "minhash_capped_frac": 0.999999,
+        "simhash_capped_frac": 0.999999,
+        "dhash_capped_frac": 0.999999,
+        "audio_capped_frac": 0.999999,
     }
     host = {
-        "loadavg_start": [99.99, 99.99, 99.99],
+        "loadavg_start": 99.99,
+        "idle_waited_sec": 999.9,
         "ref_query_sec": 99.999,
-        "loadavg_end": [99.99, 99.99, 99.99],
+        "loadavg_end": 99.99,
     }
     return {
         "metric": "headline_queries_total",
