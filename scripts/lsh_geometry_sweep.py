@@ -70,10 +70,58 @@ def sweep(spark, sf_dir: str) -> None:
     emb.unpersist()
 
 
+def clustered_anchor(spark, n: int, sigma: float = 0.06) -> None:
+    """Recall of the DERIVED geometry on a clustered corpus — the
+    regime hyperplane LSH exists for (near neighbors at high cosine),
+    vs the driver corpus's near-isotropic worst case where sf1 top-10
+    neighbors sit at cosine ≈ 0.5. Deterministic Gaussian mixture:
+    n/100 unit centers, per-point noise sigma. Backs the
+    `lsh_ann_geometry` docstring's clustered-regime 1.0 claim
+    (BENCHNOTES §48)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    dim, n_centers = 64, max(1, n // 100)
+    C = rng.randn(n_centers, dim)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    X = C[rng.randint(0, n_centers, n)] + sigma * rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = _topk_sets(SIM.cosine_topk(emb, queries, k=K).collect())
+    p, h, t = SIM.lsh_ann_geometry(n)
+    cand = SIM.lsh_ann_candidates(
+        emb, queries, n_planes=p, probe_hamming=h, n_tables=t
+    ).persist()
+    n_cand = cand.count()
+    approx = _topk_sets(
+        SIM.lsh_ann_topk(
+            emb, queries, k=K, n_planes=p, probe_hamming=h, n_tables=t,
+            candidates=cand,
+        ).collect()
+    )
+    cpq = n_cand / max(len(exact), 1)
+    print(json.dumps({
+        "corpus": f"clustered(n={n}, sigma={sigma})",
+        "planes": p, "probe_hamming": h, "tables": t, "derived": True,
+        "recall": round(_mean_recall(exact, approx), 4),
+        "cand_per_query": round(cpq, 1),
+        "cand_frac": round(cpq / n, 4),
+    }))
+    cand.unpersist()
+    emb.unpersist()
+
+
 def main() -> None:
     spark = get_spark("lsh-geometry-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    for sf_dir in sys.argv[1:] or ["/root/testdata/sf0.1"]:
+    args = sys.argv[1:]
+    if args and args[0] == "--clustered":
+        clustered_anchor(spark, int(args[1]) if len(args) > 1 else 20000)
+        return
+    for sf_dir in args or ["/root/testdata/sf0.1"]:
         sweep(spark, sf_dir)
 
 
