@@ -45,6 +45,14 @@ same pipeline incremental:
   streams appending (or partition-replacing) newly arriving files into
   the warehouse via foreachBatch (exactly-once per epoch for an
   idempotent sink).
+- `stream_ivfpq_ingest` / `stream_ann_serve` / `stream_bm25_serve`:
+  the online faces of the retrieval indexes — ANN maintenance
+  (arriving vectors encoded against the frozen quantizer, stateless,
+  byte-parity with batch add) and query serving for BOTH families
+  (arriving queries answered top-k via the batch `ivfpq_probe` /
+  `bm25_topk_prebuilt` per epoch inside foreachBatch; exact batch
+  parity by per-query independence, bucket-pruned index scans per
+  epoch on the lexical side).
 
 All are file-source streams, so local tests drive them synchronously
 with processAllAvailable(); on a cluster the same code tails a bucket
@@ -2315,5 +2323,153 @@ def stream_ivfpq_ingest(
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
+        .start()
+    )
+
+
+def stream_ann_serve(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    codes: DataFrame,
+    centroids: DataFrame,
+    books: "object",
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int | None = None,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    query_name: str = "ann_serve",
+) -> StreamingQuery:
+    """Streaming ANN query SERVING — the query-side complement of
+    `stream_ivfpq_ingest` (which maintains the index): arriving query
+    vectors are answered with their top-k neighbors from the static
+    IVF-PQ index, appended to ``sink_dir`` as (query_id, neighbor_id,
+    score, rk) rows.
+
+    Mechanics: each micro-batch runs the batch `similarity.ivfpq_probe`
+    VERBATIM inside foreachBatch — a query row's result depends only on
+    its own vector and the frozen index (per-query independence), so
+    stream results are byte-identical to the batch probe over the same
+    queries under ANY arrival order or batch split: exact parity with
+    zero state, no watermark. ``refine=R`` carries the FAISS refinement
+    stage through (exact re-rank of the ADC short-list against
+    ``corpus``) — the `target_recall=` operating point served online.
+
+    foreachBatch (not a streaming-DF transform) because top-k per query
+    is a rank-per-group — not expressible as a stateless append-mode
+    streaming plan — while per-epoch it is ordinary batch work. The
+    parquet append is idempotent per epoch only WITH a checkpoint, so
+    ``checkpoint_dir`` is required (`stream_dedup_exact`'s documented
+    restart contract).
+
+    At 100 TB this is the online-retrieval shape: queries tail a topic,
+    each epoch broadcasts the per-query LUTs over the cell-partitioned
+    PQ index (n_subspaces x n_codes floats per query — never a raw
+    corpus scan), and the refinement stage touches only R x batch_size
+    raw rows in the cold vector table. Index updates arrive by
+    restarting the serve stream on the next index snapshot, exactly as
+    `stream_ivfpq_ingest` documents from the maintenance side."""
+    from boatrace_database_spark.operators.similarity import ivfpq_probe
+
+    def _serve(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = ivfpq_probe(
+            codes,
+            centroids,
+            books,
+            batch,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            nprobe=nprobe,
+            refine=refine,
+            corpus=corpus,
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_serve)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_bm25_serve(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    index_path: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    query_name: str = "bm25_serve",
+) -> StreamingQuery:
+    """Streaming BM25 query SERVING over a persisted index — the
+    lexical-retrieval sibling of `stream_ann_serve`: arriving query
+    texts are answered with their BM25 top-k from the index that
+    `bm25_write_index` wrote, appended to ``sink_dir`` as
+    (query_id, doc_id, score, rk) rows.
+
+    Mechanics: each micro-batch runs the batch `bm25_topk_prebuilt`
+    VERBATIM inside foreachBatch. BM25 is per-query independent — a
+    query's ranking reads only its own terms plus the FROZEN index
+    statistics (df/N/avgdl baked at build time) — so stream results
+    are byte-identical to the batch probe over the same queries under
+    ANY arrival order or batch split: exact parity, zero state, no
+    watermark. Growing the index concurrently is exactly the
+    `bm25_add_to_index` incremental contract and changes df/N, so (as
+    with the ANN serve twin) index updates arrive by restarting the
+    serve stream on the next index snapshot — never by mutating the
+    one being probed.
+
+    The per-epoch scan is the prebuilt path's bucket-pruned shape: the
+    epoch's distinct query-term buckets (a driver-bounded int list)
+    become a static IN-filter on the postings/df partition columns, so
+    each micro-batch reads only the index files its own vocabulary
+    touches — at 100 TB the serving cost scales with epoch vocabulary,
+    not index size. foreachBatch because top-k per query is a
+    rank-per-group (not a stateless append-mode streaming plan), and
+    the parquet append is idempotent per epoch only WITH a checkpoint,
+    so ``checkpoint_dir`` is required (`stream_dedup_exact`'s restart
+    contract)."""
+    from boatrace_database_spark.operators.retrieval import bm25_topk_prebuilt
+
+    def _serve(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        out = bm25_topk_prebuilt(
+            spark,
+            index_path,
+            batch,
+            query_id_col=query_id_col,
+            query_text_col=query_text_col,
+            k=k,
+            k1=k1,
+            b=b,
+            n_buckets=n_buckets,
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_serve)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
         .start()
     )

@@ -2974,3 +2974,98 @@ def test_stream_ivfpq_ingest_matches_batch_add(spark, tmp_path):
         map(tuple, SIM.ivfpq_probe(extended, cents, books, queries, k=3).collect())
     )
     assert p1 == p2
+
+
+def test_stream_ann_serve_matches_batch_probe(spark, tmp_path):
+    """Round-13 streaming ANN query SERVING: arriving query vectors
+    answered from the static IVF-PQ index must equal the batch
+    ivfpq_probe over the same queries — per-query independence makes
+    parity exact under any batch split (queries split 2/3 here), and
+    the refine stage (exact re-rank against the raw corpus) carries
+    through foreachBatch."""
+    from boatrace_database_spark.operators import similarity as SIM
+    from boatrace_database_spark.streaming.ingest import stream_ann_serve
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") >= 10).localCheckpoint(eager=True)
+    queries = emb.where(F.col("vec_id") < 10)
+    codes, cents, books = SIM.ivfpq_build_index(
+        corpus, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    codes = codes.localCheckpoint(eager=True)
+
+    src = str(tmp_path / "serve_src")
+    sink = str(tmp_path / "serve_sink")
+    ckpt = str(tmp_path / "serve_ckpt")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_ann_serve(
+        spark, src, emb.schema, codes, cents, books, sink, ckpt,
+        k=3, refine=20, corpus=corpus, query_name="ann_srv",
+    )
+    try:
+        deliver(queries.where(F.col("vec_id") < 4), "s1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(queries.where(F.col("vec_id") >= 4), "s2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.query_id, r.neighbor_id, round(r.score, 9), r.rk)
+            for r in spark.read.parquet(sink).collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.query_id, r.neighbor_id, round(r.score, 9), r.rk)
+        for r in SIM.ivfpq_probe(
+            codes, cents, books, queries, k=3, refine=20, corpus=corpus
+        ).collect()
+    }
+    assert got == want and len({g[0] for g in got}) == 10
+
+
+def test_stream_bm25_serve_matches_batch_prebuilt(spark, tmp_path):
+    """Round-13 streaming BM25 query SERVING: arriving query texts
+    answered from the persisted index must equal the batch
+    bm25_topk_prebuilt over the same queries — per-query independence
+    (frozen df/N/avgdl) makes parity exact under any batch split
+    (queries split 3/4 here), and each epoch's index scan stays
+    bucket-pruned (the prebuilt path's PartitionFilters shape)."""
+    from boatrace_database_spark.operators import retrieval as R
+    from boatrace_database_spark.streaming.ingest import stream_bm25_serve
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    queries = docs.where(F.col("doc_id") < 7).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    idx = str(tmp_path / "bm25_idx")
+    R.bm25_write_index(docs, idx, n_buckets=16)
+
+    src = str(tmp_path / "bm25_src")
+    sink = str(tmp_path / "bm25_sink")
+    ckpt = str(tmp_path / "bm25_ckpt")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_bm25_serve(
+        spark, src, queries.schema, idx, sink, ckpt,
+        k=5, n_buckets=16, query_name="bm25_srv",
+    )
+    try:
+        deliver(queries.where(F.col("query_id") < 3), "b1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(queries.where(F.col("query_id") >= 3), "b2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.query_id, r.doc_id, r.score, r.rk)
+            for r in spark.read.parquet(sink).collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.query_id, r.doc_id, r.score, r.rk)
+        for r in R.bm25_topk_prebuilt(
+            spark, idx, queries, k=5, n_buckets=16
+        ).collect()
+    }
+    assert got == want and len({g[0] for g in got}) == 7
