@@ -45,14 +45,15 @@ same pipeline incremental:
   streams appending (or partition-replacing) newly arriving files into
   the warehouse via foreachBatch (exactly-once per epoch for an
   idempotent sink).
-- `stream_ivfpq_ingest` / `stream_ann_serve` / `stream_bm25_serve`:
-  the online faces of the retrieval indexes — ANN maintenance
-  (arriving vectors encoded against the frozen quantizer, stateless,
-  byte-parity with batch add) and query serving for BOTH families
-  (arriving queries answered top-k via the batch `ivfpq_probe` /
-  `bm25_topk_prebuilt` per epoch inside foreachBatch; exact batch
-  parity by per-query independence, bucket-pruned index scans per
-  epoch on the lexical side).
+- `stream_ivfpq_ingest` / `stream_ann_serve` / `stream_bm25_serve` /
+  `stream_hybrid_serve`: the online faces of the retrieval indexes —
+  ANN maintenance (arriving vectors encoded against the frozen
+  quantizer, stateless, byte-parity with batch add) and query serving
+  for both families plus their RRF fusion (arriving queries answered
+  top-k via the batch `ivfpq_probe` / `bm25_topk_prebuilt` /
+  `rrf_fuse` per epoch inside foreachBatch; exact batch parity by
+  per-query independence, bucket-pruned index scans per epoch on the
+  lexical side).
 
 All are file-source streams, so local tests drive them synchronously
 with processAllAvailable(); on a cluster the same code tails a bucket
@@ -2463,6 +2464,109 @@ def stream_bm25_serve(
             n_buckets=n_buckets,
         )
         out.write.mode("append").parquet(sink_dir)
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_serve)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_hybrid_serve(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    codes: DataFrame,
+    centroids: DataFrame,
+    books: "object",
+    index_path: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    text_col: str = "query_text",
+    k: int = 10,
+    depth: int | None = None,
+    nprobe: int | None = None,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    k_rrf: int = 60,
+    query_name: str = "hybrid_serve",
+) -> StreamingQuery:
+    """Streaming HYBRID search serving — the online face of the
+    `retrieval_rrf_fusion` recipe: arriving queries carry BOTH a text
+    and an embedding; each micro-batch answers them with the
+    reciprocal-rank fusion of the dense IVF-PQ probe and the lexical
+    BM25 probe, appended to ``sink_dir`` as
+    (query_id, doc_id, rrf, rk) rows.
+
+    Mechanics: per epoch, `ivfpq_probe` (optional ``refine=`` exact
+    re-rank) and `bm25_topk_prebuilt` each produce a ``depth``-deep
+    ranking (default ``k``), and `rrf_fuse` combines them — all three
+    batch operators VERBATIM inside foreachBatch. Every stage is
+    per-query independent against FROZEN index snapshots, so the
+    fused stream output is byte-identical to the batch composition
+    over the same queries under any arrival order or batch split:
+    exact parity, zero state. Both index families update by
+    restarting the serve stream on the next snapshot (the
+    `stream_ann_serve` / `stream_bm25_serve` contract — this twin
+    simply holds the two snapshots TOGETHER so a fused epoch never
+    mixes index generations).
+
+    Scale shape per epoch: the dense side broadcasts per-query LUTs
+    over the cell-partitioned PQ index; the lexical side reads only
+    the epoch vocabulary's buckets; the fusion is a unionByName plus
+    one groupBy over 2·depth rows per query — trivial next to the
+    probes. ``checkpoint_dir`` required (idempotent-append restart
+    contract)."""
+    from boatrace_database_spark.operators.retrieval import (
+        bm25_topk_prebuilt,
+        rrf_fuse,
+    )
+    from boatrace_database_spark.operators.similarity import ivfpq_probe
+
+    d = depth or k
+
+    def _serve(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        dense = ivfpq_probe(
+            codes,
+            centroids,
+            books,
+            batch,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=d,
+            nprobe=nprobe,
+            refine=refine,
+            corpus=corpus,
+        ).select(
+            F.col("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk"),
+        )
+        lex = bm25_topk_prebuilt(
+            spark,
+            index_path,
+            batch,
+            query_id_col=id_col,
+            query_text_col=text_col,
+            k=d,
+            k1=k1,
+            b=b,
+            n_buckets=n_buckets,
+        ).select("query_id", "doc_id", "rk")
+        rrf_fuse([dense, lex], k=k, k_rrf=k_rrf).write.mode(
+            "append"
+        ).parquet(sink_dir)
 
     return (
         spark.readStream.schema(schema)

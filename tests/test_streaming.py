@@ -3069,3 +3069,71 @@ def test_stream_bm25_serve_matches_batch_prebuilt(spark, tmp_path):
         ).collect()
     }
     assert got == want and len({g[0] for g in got}) == 7
+
+
+def test_stream_hybrid_serve_matches_batch_fusion(spark, tmp_path):
+    """Round-13 streaming HYBRID serving: arriving (text, embedding)
+    queries answered by RRF-fusing the IVF-PQ probe with the BM25
+    prebuilt probe must equal the identical batch composition over the
+    same queries — all three stages are per-query independent against
+    frozen snapshots, so parity is exact under the 2/4 batch split."""
+    from boatrace_database_spark.operators import retrieval as R
+    from boatrace_database_spark.operators import similarity as SIM
+    from boatrace_database_spark.streaming.ingest import stream_hybrid_serve
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .where(F.col("doc_id") < 6)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+            "embedding",
+        )
+    )
+    codes, cents, books = SIM.ivfpq_build_index(
+        emb, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    codes = codes.localCheckpoint(eager=True)
+    idx = str(tmp_path / "hyb_bm25")
+    R.bm25_write_index(docs, idx, n_buckets=16)
+
+    def batch_fusion(q):
+        dense = SIM.ivfpq_probe(
+            codes, cents, books, q, id_col="query_id",
+            vec_col="embedding", k=8,
+        ).select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rk"
+        )
+        lex = R.bm25_topk_prebuilt(
+            spark, idx, q, k=8, n_buckets=16
+        ).select("query_id", "doc_id", "rk")
+        return R.rrf_fuse([dense, lex], k=5)
+
+    src = str(tmp_path / "hyb_src")
+    sink = str(tmp_path / "hyb_sink")
+    ckpt = str(tmp_path / "hyb_ckpt")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_hybrid_serve(
+        spark, src, queries.schema, codes, cents, books, idx, sink, ckpt,
+        k=5, depth=8, n_buckets=16, query_name="hyb_srv",
+    )
+    try:
+        deliver(queries.where(F.col("query_id") < 2), "h1", f"{src}/c1.parquet")
+        q.processAllAvailable()
+        deliver(queries.where(F.col("query_id") >= 2), "h2", f"{src}/c2.parquet")
+        q.processAllAvailable()
+        got = {
+            (r.query_id, r.doc_id, r.rrf, r.rk)
+            for r in spark.read.parquet(sink).collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.query_id, r.doc_id, r.rrf, r.rk)
+        for r in batch_fusion(queries).collect()
+    }
+    assert got == want and len({g[0] for g in got}) == 6
