@@ -52,6 +52,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="serve_tp_")
+    # cleanup must survive a mid-drive crash (the oracle sweep's
+    # r13-ADVICE lesson): a failed twin would otherwise leave the
+    # staged chunks + three parquet sinks in /tmp
+    import atexit
+
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -134,7 +140,6 @@ def main() -> None:
             ),
         ),
     }
-    shutil.rmtree(workdir, ignore_errors=True)
     print(
         json.dumps(
             {
