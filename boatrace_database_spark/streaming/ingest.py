@@ -45,15 +45,16 @@ same pipeline incremental:
   streams appending (or partition-replacing) newly arriving files into
   the warehouse via foreachBatch (exactly-once per epoch for an
   idempotent sink).
-- `stream_ivfpq_ingest` / `stream_ann_serve` / `stream_bm25_serve` /
-  `stream_hybrid_serve`: the online faces of the retrieval indexes —
-  ANN maintenance (arriving vectors encoded against the frozen
-  quantizer, stateless, byte-parity with batch add) and query serving
-  for both families plus their RRF fusion (arriving queries answered
-  top-k via the batch `ivfpq_probe` / `bm25_topk_prebuilt` /
-  `rrf_fuse` per epoch inside foreachBatch; exact batch parity by
-  per-query independence, bucket-pruned index scans per epoch on the
-  lexical side).
+- the online index matrix — maintenance AND serving for BOTH
+  retrieval families: `stream_ivfpq_ingest` / `stream_bm25_ingest`
+  extend a persisted index per epoch (vectors encoded against the
+  frozen quantizer / docs appended via the sidecar-guarded batch
+  add — both byte-parity with their batch twins), and
+  `stream_ann_serve` / `stream_bm25_serve` / `stream_hybrid_serve`
+  answer arriving queries top-k via the batch `ivfpq_probe` /
+  `bm25_topk_prebuilt` / `rrf_fuse` per epoch inside foreachBatch
+  (exact batch parity by per-query independence, bucket-pruned index
+  scans per epoch on the lexical side).
 
 All are file-source streams, so local tests drive them synchronously
 with processAllAvailable(); on a cluster the same code tails a bucket
@@ -2573,6 +2574,65 @@ def stream_hybrid_serve(
         .parquet(source_dir)
         .writeStream.outputMode("append")
         .foreachBatch(_serve)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_bm25_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    query_name: str = "bm25_ingest",
+) -> StreamingQuery:
+    """Streaming BM25 index maintenance — the lexical sibling of
+    `stream_ivfpq_ingest`, completing the maintenance/serving matrix
+    (both index families now have both online faces): arriving
+    document batches extend the persisted index at ``index_path`` by
+    running the batch `bm25_add_to_index` VERBATIM per micro-batch.
+
+    Parity: add ≡ full-rebuild is the batch op's tested contract, and
+    it composes across epochs — after streaming a corpus in ANY batch
+    split, `bm25_topk_prebuilt` rankings equal an index built from
+    the union corpus in one shot (tested). Exactly-once comes from
+    the batch op itself, not the checkpoint: the ``docids`` sidecar
+    filters already-indexed ids before the append, so a replayed or
+    double-delivered epoch appends nothing (the checkpoint still
+    bounds how much the source re-reads after a restart).
+
+    Unlike the PQ ingest twin there IS per-epoch global work — the
+    df/stats rebuild scans the merged postings (the batch op's
+    documented compaction-grade trade). At 100 TB, trigger this
+    stream on accumulated batches (processingTime minutes, not
+    seconds) or fold term deltas into df as the batch docstring
+    prescribes; the expensive part (tokenize + explode + tf groupBy)
+    touches only the arriving batch either way. Serving reads the
+    next index snapshot by restarting `stream_bm25_serve` — the
+    snapshot contract both serve twins document."""
+    from boatrace_database_spark.operators.retrieval import bm25_add_to_index
+
+    def _ingest(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bm25_add_to_index(
+            batch,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_ingest)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .start()

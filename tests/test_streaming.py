@@ -3137,3 +3137,70 @@ def test_stream_hybrid_serve_matches_batch_fusion(spark, tmp_path):
         for r in batch_fusion(queries).collect()
     }
     assert got == want and len({g[0] for g in got}) == 6
+
+
+def test_stream_bm25_ingest_matches_full_rebuild(spark, tmp_path):
+    """Round-13 streaming BM25 index maintenance: extending a
+    persisted index from a stream (2 micro-batches) must leave
+    rankings identical to an index built from the union corpus in one
+    shot — the batch add's add≡rebuild contract composed across
+    epochs. A redelivered chunk (copied into the source again under a
+    new name) appends nothing thanks to the docids sidecar guard."""
+    from boatrace_database_spark.operators import retrieval as R
+    from boatrace_database_spark.streaming.ingest import stream_bm25_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("doc_id") < 500
+    )
+    base = docs.where(F.col("doc_id") < 300)
+    inc = str(tmp_path / "inc_idx")
+    full = str(tmp_path / "full_idx")
+    R.bm25_write_index(base, inc, n_buckets=16)
+    R.bm25_write_index(docs, full, n_buckets=16)
+
+    src = str(tmp_path / "ing_src")
+    ckpt = str(tmp_path / "ing_ckpt")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_bm25_ingest(
+        spark, src, docs.schema, inc, ckpt, n_buckets=16,
+        query_name="bm25_ing",
+    )
+    try:
+        deliver(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+            "i1", f"{src}/c1.parquet",
+        )
+        q.processAllAvailable()
+        deliver(
+            docs.where(F.col("doc_id") >= 400), "i2", f"{src}/c2.parquet"
+        )
+        q.processAllAvailable()
+        # redelivery: the same 100 docs arrive again as a "new" file —
+        # the sidecar guard must append nothing
+        deliver(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)),
+            "i3", f"{src}/c3.parquet",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    got = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, inc, queries, k=10, n_buckets=16
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, full, queries, k=10, n_buckets=16
+        ).collect()
+    )
+    assert got == want and got
+    n_ids = spark.read.parquet(f"{inc}/docids").count()
+    assert n_ids == 500
