@@ -3204,3 +3204,69 @@ def test_stream_bm25_ingest_matches_full_rebuild(spark, tmp_path):
     assert got == want and got
     n_ids = spark.read.parquet(f"{inc}/docids").count()
     assert n_ids == 500
+
+
+def test_bm25_index_compaction_after_streamed_ingest(spark, tmp_path):
+    """The maintenance loop closes by composition: a streamed BM25
+    ingest appends at least one postings file per touched bucket per
+    epoch, and `warehouse.compact_partitions` (generic over the
+    partition column) rewrites the fragmented buckets back to
+    right-sized files — with `bm25_topk_prebuilt` rankings
+    byte-identical before/after and untouched buckets left alone."""
+    import glob
+
+    from boatrace_database_spark.operators import retrieval as R
+    from boatrace_database_spark.streaming.ingest import stream_bm25_ingest
+    from boatrace_database_spark.warehouse import compact_partitions
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("doc_id") < 400
+    )
+    idx = str(tmp_path / "cmp_idx")
+    R.bm25_write_index(docs.where(F.col("doc_id") < 100), idx, n_buckets=8)
+
+    src = str(tmp_path / "cmp_src")
+    ckpt = str(tmp_path / "cmp_ckpt")
+    os.makedirs(src)
+    deliver = _make_deliver(tmp_path)
+    q = stream_bm25_ingest(
+        spark, src, docs.schema, idx, ckpt, n_buckets=8,
+        query_name="bm25_cmp",
+    )
+    try:
+        for i, lo in enumerate((100, 200, 300)):
+            deliver(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+                ),
+                f"m{i}", f"{src}/c{i}.parquet",
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    queries = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    before = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, idx, queries, k=10, n_buckets=8
+        ).collect()
+    )
+    n_files_before = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    rewritten = compact_partitions(
+        spark, f"{idx}/postings", partition_col="bucket"
+    )
+    n_files_after = len(glob.glob(f"{idx}/postings/bucket=*/*.parquet"))
+    after = sorted(
+        tuple(r)
+        for r in R.bm25_topk_prebuilt(
+            spark, idx, queries, k=10, n_buckets=8
+        ).collect()
+    )
+    assert after == before and before
+    # 1 build + 3 epochs touched every bucket: all 8 fragmented, each
+    # rewritten to one right-sized file (tiny corpus)
+    assert rewritten and all(n == 1 for n in rewritten.values())
+    assert n_files_after < n_files_before
