@@ -70,8 +70,16 @@ def _index_components(
     the contractually-identical-rankings pair cannot desynchronize."""
     post = postings(docs, id_col, text_col).localCheckpoint(eager=False)
     dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # sum_dl (exact long) rides beside avgdl so incremental adds can
+    # FOLD stats instead of re-scanning postings, and avgdl is spelled
+    # exact-long-sum / count — ONE double division over exact integer
+    # aggregates (Spark's avg() accumulates longs in a double buffer,
+    # which is order-dependent) — so (old_sum + batch_sum) /
+    # (old_n + batch_n) reproduces the full-rebuild avgdl bit-for-bit
     stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     )  # 1 row — broadcast at scoring time, never a driver count()
     df_t = post.groupBy("term").agg(F.count("*").alias("df"))
     return post, dl, stats, df_t
@@ -198,6 +206,7 @@ def bm25_add_to_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    df_update: str = "delta",
 ) -> None:
     """Incrementally extend a persisted BM25 index with a new document
     batch, WITHOUT re-tokenizing the existing corpus (the retrieval
@@ -222,12 +231,26 @@ def bm25_add_to_index(
     transactional table format.
 
     Scale shape: the expensive part (tokenize + explode + tf groupBy)
-    touches ONLY the batch; the df/stats rebuild is a partial-agg scan
-    of the postings table — no re-shingling, no join against the old
-    corpus. At petabyte postings, rebuild df per-bucket or fold the
-    batch's term deltas into the stored df instead; the one-scan
-    rebuild keeps this function compaction-grade, not probe-grade.
+    touches ONLY the batch. ``df_update="delta"`` (default, round 13)
+    makes the df/stats refresh batch-sized too: the batch's per-term
+    df deltas FOLD into the stored df with one outer merge over the
+    VOCABULARY-sized df table (eagerly checkpointed before the
+    overwrite deletes its own input — the merge_upsert pattern), and
+    stats folds in O(1) from the exact ``sum_dl`` the builder stores
+    — avg over longs is one double division, so the folded avgdl is
+    bit-identical to a full recompute, and add ≡ full-rebuild stays
+    EXACT (tested both modes). ``df_update="scan"`` keeps the r11
+    one-scan-of-merged-postings rebuild (also the automatic fallback
+    for a legacy index whose stats predate ``sum_dl`` — its exact dl
+    sum is only recoverable from the postings). Per-epoch maintenance
+    cost is thus O(batch + vocabulary), never O(postings): the upgrade
+    from compaction-grade to probe-grade the r11 docstring deferred.
     """
+    if df_update not in ("delta", "scan"):
+        raise ValueError(
+            f"bm25_add_to_index: df_update must be 'delta' or 'scan', "
+            f"got {df_update!r}"
+        )
     spark = new_docs.sparkSession
     try:  # docids sidecar: O(n_docs) guard scan
         indexed_ids = spark.read.parquet(f"{path}/docids")
@@ -244,11 +267,59 @@ def bm25_add_to_index(
         new_docs[id_col] == dup_hits["doc_id"],
         "left_anti",
     )
-    post, dl, _stats, _df = _index_components(fresh, id_col, text_col)
+    post, dl, batch_stats, batch_df = _index_components(fresh, id_col, text_col)
     dl.select("doc_id").write.mode("append").parquet(f"{path}/docids")
     post.join(dl, "doc_id").withColumn(
         "bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    old_stats = spark.read.parquet(f"{path}/stats")
+    if df_update == "delta" and "sum_dl" not in old_stats.columns:
+        df_update = "scan"  # legacy index: its exact dl sum is only
+        # recoverable from the postings; the scan below writes sum_dl,
+        # so the NEXT add folds
+    if df_update == "delta":
+        # fold the batch's per-term df deltas into the stored df: one
+        # outer merge over the VOCABULARY-sized table, eagerly
+        # checkpointed because the overwrite deletes its own input
+        merged_df = (
+            spark.read.parquet(f"{path}/df")
+            .drop("bucket")
+            .join(batch_df.withColumnRenamed("df", "_delta"), "term", "full")
+            .select(
+                "term",
+                (
+                    F.coalesce("df", F.lit(0)) + F.coalesce("_delta", F.lit(0))
+                ).alias("df"),
+            )
+            .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+            .localCheckpoint(eager=True)
+        )
+        merged_df.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/df"
+        )
+        # stats folds in O(1): exact long sums add, then the single
+        # double division — bit-identical to the full recompute
+        folded = (
+            old_stats.crossJoin(
+                F.broadcast(
+                    batch_stats.select(
+                        F.col("n_docs").alias("_bn"),
+                        F.coalesce("sum_dl", F.lit(0)).alias("_bsum"),
+                    )
+                )
+            )
+            .select(
+                (F.col("n_docs") + F.col("_bn")).alias("n_docs"),
+                (
+                    (F.col("sum_dl") + F.col("_bsum")).cast("double")
+                    / (F.col("n_docs") + F.col("_bn"))
+                ).alias("avgdl"),
+                (F.col("sum_dl") + F.col("_bsum")).alias("sum_dl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        folded.write.mode("overwrite").parquet(f"{path}/stats")
+        return
     # df/stats rebuild READS postings and WRITES df/stats — no path
     # overlaps its own input, so plain overwrites are safe
     merged = spark.read.parquet(f"{path}/postings")
@@ -256,7 +327,9 @@ def bm25_add_to_index(
         "bucket", term_bucket(F.col("term"), n_buckets)
     ).write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/df")
     merged.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 

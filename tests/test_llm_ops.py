@@ -3347,3 +3347,64 @@ def test_escalated_plan_reads_zero_cap_frac(spark):
     new = D._hamming_chunked(sig, "id", "sim", 64, cb, kc)
     r_new = D.banding_cap_stats(new, ["chunk", "key"], 256).collect()[0]
     assert r_new.capped_row_frac < 0.01
+
+
+def test_bm25_add_delta_fold_equals_scan_and_rebuild(spark, tmp_path):
+    """Round-13 df_update="delta": folding the batch's term-df deltas
+    and the exact sum_dl stats must leave df and stats tables
+    VALUE-identical to both the r11 scan rebuild and a from-scratch
+    build — and a legacy index whose stats predate sum_dl silently
+    falls back to scan, upgrading itself so the next add folds."""
+    from boatrace_database_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    a = docs.where(F.col("doc_id") < 60)
+    b = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    c = docs.where(F.col("doc_id") >= 90)
+
+    def df_rows(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/df")
+            .select("term", "df", "bucket")
+            .collect()
+        )
+
+    def stats_row(path):
+        return [
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/stats")
+            .select("n_docs", "avgdl", "sum_dl")
+            .collect()
+        ]
+
+    delta, scan, full = (str(tmp_path / n) for n in ("d", "s", "f"))
+    R.bm25_write_index(a, delta, n_buckets=16)
+    R.bm25_write_index(a, scan, n_buckets=16)
+    R.bm25_write_index(docs, full, n_buckets=16)
+    for batch in (b, c):
+        R.bm25_add_to_index(batch, delta, n_buckets=16)  # default delta
+        R.bm25_add_to_index(batch, scan, n_buckets=16, df_update="scan")
+    assert df_rows(delta) == df_rows(scan) == df_rows(full)
+    # bit-identical stats incl. the double avgdl (exact-sum division)
+    assert stats_row(delta) == stats_row(scan) == stats_row(full)
+
+    # legacy fallback: strip sum_dl as an r11-era index would look
+    legacy = str(tmp_path / "legacy")
+    R.bm25_write_index(a, legacy, n_buckets=16)
+    st = spark.read.parquet(f"{legacy}/stats").drop("sum_dl").localCheckpoint(
+        eager=True
+    )
+    st.write.mode("overwrite").parquet(f"{legacy}/stats")
+    R.bm25_add_to_index(b, legacy, n_buckets=16)  # delta -> scan fallback
+    ab = docs.where(F.col("doc_id") < 90)
+    ref = str(tmp_path / "ref_ab")
+    R.bm25_write_index(ab, ref, n_buckets=16)
+    assert stats_row(legacy) == stats_row(ref)  # scan wrote sum_dl back
+    R.bm25_add_to_index(c, legacy, n_buckets=16)  # now folds
+    assert df_rows(legacy) == df_rows(full)
+    assert stats_row(legacy) == stats_row(full)
+
+    with pytest.raises(ValueError):
+        R.bm25_add_to_index(c, delta, df_update="bogus")
+
