@@ -3270,3 +3270,90 @@ def test_bm25_index_compaction_after_streamed_ingest(spark, tmp_path):
     # rewritten to one right-sized file (tiny corpus)
     assert rewritten and all(n == 1 for n in rewritten.values())
     assert n_files_after < n_files_before
+
+
+def test_ann_serve_snapshot_rotation_contract(spark, tmp_path):
+    """The index-update contract both serve twins document, pinned
+    end-to-end: a serve stream answers from the FROZEN snapshot it
+    was started on (results match the batch probe over that snapshot
+    even while an ingest stream is extending the index), and
+    restarting the serve on the next snapshot — base codes plus the
+    ingest stream's emitted rows — surfaces the newly ingested
+    vectors as neighbors."""
+    from boatrace_database_spark.operators import similarity as SIM
+    from boatrace_database_spark.streaming.ingest import (
+        stream_ann_serve,
+        stream_ivfpq_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    base = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 120))
+    arriving = emb.where(F.col("vec_id") >= 120)
+    codes, cents, books = SIM.ivfpq_build_index(
+        base, n_cells=4, n_subspaces=8, n_codes=16
+    )
+    codes = codes.localCheckpoint(eager=True)
+    deliver = _make_deliver(tmp_path)
+
+    # serve generation 1 on the base snapshot, ingest running alongside
+    src1, sink1, ck1 = (str(tmp_path / n) for n in ("s1", "k1", "c1"))
+    isrc = str(tmp_path / "isrc")
+    os.makedirs(src1)
+    os.makedirs(isrc)
+    qi = stream_ivfpq_ingest(
+        spark, isrc, emb.schema, codes, cents, books, query_name="rot_ing"
+    )
+    qs = stream_ann_serve(
+        spark, src1, emb.schema, codes, cents, books, sink1, ck1,
+        k=3, query_name="rot_s1",
+    )
+    try:
+        deliver(arriving, "ri", f"{isrc}/c1.parquet")
+        qi.processAllAvailable()
+        deliver(queries, "rq", f"{src1}/c1.parquet")
+        qs.processAllAvailable()
+        gen1 = {
+            (r.query_id, r.neighbor_id, round(r.score, 9), r.rk)
+            for r in spark.read.parquet(sink1).collect()
+        }
+        streamed = spark.table("rot_ing").localCheckpoint(eager=True)
+    finally:
+        qs.stop()
+        qi.stop()
+
+    want1 = {
+        (r.query_id, r.neighbor_id, round(r.score, 9), r.rk)
+        for r in SIM.ivfpq_probe(codes, cents, books, queries, k=3).collect()
+    }
+    # generation isolation: serving saw ONLY its snapshot even though
+    # the ingest ran concurrently in the same session
+    assert gen1 == want1
+    assert not any(n >= 120 for (_, n, _, _) in gen1)
+
+    # rotate: next snapshot = base codes + the ingest stream's rows
+    snap2 = codes.unionByName(streamed).localCheckpoint(eager=True)
+    src2, sink2, ck2 = (str(tmp_path / n) for n in ("s2", "k2", "c2"))
+    os.makedirs(src2)
+    qs2 = stream_ann_serve(
+        spark, src2, emb.schema, snap2, cents, books, sink2, ck2,
+        k=3, query_name="rot_s2",
+    )
+    try:
+        deliver(queries, "rq2", f"{src2}/c1.parquet")
+        qs2.processAllAvailable()
+        gen2 = {
+            (r.query_id, r.neighbor_id, round(r.score, 9), r.rk)
+            for r in spark.read.parquet(sink2).collect()
+        }
+    finally:
+        qs2.stop()
+
+    want2 = {
+        (r.query_id, r.neighbor_id, round(r.score, 9), r.rk)
+        for r in SIM.ivfpq_probe(snap2, cents, books, queries, k=3).collect()
+    }
+    assert gen2 == want2
+    # the rotated snapshot actually surfaces ingested vectors: with
+    # 110 base vs ~3880 arriving vectors, some top-3 is new
+    assert any(n >= 120 for (_, n, _, _) in gen2)
