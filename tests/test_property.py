@@ -685,3 +685,82 @@ def test_jpeg_roundtrip_invariants(case):
     bound = q00 // 16 + 2  # DC quant step /16 per sample, color adds ~1
     err = np.abs(df["pixels"].astype(int) - flat.astype(int)).max()
     assert err <= bound, (case, err, bound)
+
+
+# ---------------------------------------------------------------------------
+# round-13 derivation properties: every scale dial the engine derives from
+# corpus size must land inside its own validity envelope for ANY size
+
+
+@given(
+    n_rows=st.integers(0, 10**9),
+    bits=st.sampled_from([32, 64]),
+    max_hamming=st.integers(2, 10),
+    max_bucket=st.sampled_from([64, 256, 1024]),
+    skew=st.floats(1.0, 20.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_derive_hamming_banding_envelope(
+    n_rows, bits, max_hamming, max_bucket, skew
+):
+    """For any corpus size/geometry, the derived banding plan is either
+    the historical (8,1) stay plan inside its documented threshold, or
+    a pigeonhole-COMPLETE escalation with 4x occupancy headroom and a
+    packable band key — never a saturating or invalid pair."""
+    import pytest as _pytest
+
+    eff = int(n_rows * skew)
+    stay = bits >= 8 and eff * 5 <= max_bucket * (1 << 8) * 4
+    try:
+        cb, kc = D.derive_hamming_banding(
+            n_rows, bits, max_hamming, max_bucket, skew
+        )
+    except ValueError:
+        # only legal when NO complete config can hold the corpus; the
+        # stay regime must never raise
+        assert not stay
+        occ = max(1, max_bucket // 4)
+        for c in range(3, min(16, bits) + 1):
+            for k in range(1, bits // c - max_hamming + 1):
+                if c * k <= 63:
+                    assert eff > occ * (1 << (c * k))
+        return
+    if stay:
+        assert (cb, kc) == (8, 1)
+        return
+    n_chunks = bits // cb
+    assert 1 <= kc <= n_chunks - max_hamming  # pigeonhole-complete
+    assert cb * kc <= 63  # packs into a signed long band key
+    assert eff <= max(1, max_bucket // 4) * (1 << (cb * kc))  # headroom
+    # determinism
+    assert (cb, kc) == D.derive_hamming_banding(
+        n_rows, bits, max_hamming, max_bucket, skew
+    )
+
+
+@given(
+    n=st.integers(0, 10**12),
+    target=st.sampled_from([8, 32, 128]),
+    floor=st.sampled_from([4, 6, 8]),
+)
+@settings(max_examples=200, deadline=None)
+def test_lsh_ann_geometry_constant_occupancy(n, target, floor):
+    """The derived LSH geometry holds expected bucket occupancy at or
+    below target (within the int32 plane cap), never sizes below the
+    floor regime, keeps multiprobe at Hamming-2, and steps tables up
+    exactly with the planes added past the floor."""
+    import math as m
+
+    from boatrace_database_spark.operators.similarity import lsh_ann_geometry
+
+    planes, probe, tables = lsh_ann_geometry(n, target, floor)
+    assert probe == 2
+    assert tables == 4 + max(0, planes - floor)
+    assert planes >= floor
+    if n <= target * (1 << floor):
+        assert planes == floor  # demo regime: the committed r5 plan
+    elif planes < 30:  # below the int32 cap the occupancy bound holds
+        assert n / (1 << planes) <= target
+        # ceil-tightness: one fewer plane would overflow the target
+        assert n / (1 << (planes - 1)) > target
+    assert (planes, probe, tables) == lsh_ann_geometry(n, target, floor)
