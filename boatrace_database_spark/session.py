@@ -41,6 +41,14 @@ def get_spark(app_name: str = "boatrace_database_spark", master: str | None = No
         # -- python/arrow boundary ----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # One BLAS thread per Python worker: each worker is one slot of
+        # an already-parallel stage, so in-worker BLAS threading only
+        # oversubscribes (26 ms vs 1.4 ms per small GEMM measured in
+        # r13). Local mode inherits the driver env (set in __init__);
+        # executorEnv carries the same contract to real clusters.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # -- determinism for oracle comparison ----------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # -- testdata compatibility: events.parquet uses TIMESTAMP(NANOS)
