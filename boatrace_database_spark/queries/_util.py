@@ -16,6 +16,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 from boatrace_database_spark.timeutil import normalize_ts
 
+# Parquet-footer SCHEMA cache, keyed by (app, path). Schema inference
+# for an unknown parquet path runs a real 1-task Spark job per
+# spark.read.parquet call; with every catalog query re-reading 1-4
+# tables per invocation those inference jobs were ~10-20% of the wall
+# time of the small star-schema queries (r13 cost profile: q1 ran 6
+# jobs for 0.5 s of executor work). METADATA-only reuse — the same
+# class as Spark's own per-session file-index cache: every invocation
+# still scans the parquet data itself. Keyed by applicationId so a new
+# session (or a driver-supplied one) never sees a stale entry from a
+# previous app, and by full path so different sf_dirs never collide.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver calls queries() on ITS OWN session — pin the dynamic
@@ -24,8 +46,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_ts(_read_parquet(spark, f"{sf_dir}/events.parquet"))
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def cents(col, digits: int = 2):
