@@ -101,10 +101,25 @@ def dsir_log_weights(
     cannot flip an engine-parity comparison (and the Gumbel resample
     key downstream is built on the ROUNDED value for the same reason).
     """
-    doc_buckets = _doc_buckets(raw, id_col, text_col, m)
+    # r13: (a) single-file corpora arrive as ONE partition, which ran
+    # the tokenize+explode of the whole raw corpus on a single core
+    # (the profile read 1-task stages end to end); a narrow repartition
+    # buys full parallelism for every pass downstream. (b) the gram
+    # stream feeds BOTH the model pass and the scoring pass — Spark
+    # re-evaluates common subplans, so the corpus was tokenized twice;
+    # the lazy localCheckpoint materializes it once (the in-query
+    # persist the module docstring always prescribed at scale). Both
+    # are plan-shape changes only: per-doc gram rows and their order
+    # are unchanged, and log_w stays round(·, 6).
+    parallelism = raw.sparkSession.sparkContext.defaultParallelism
+    doc_buckets = _doc_buckets(
+        raw.repartition(parallelism, F.col(id_col)), id_col, text_col, m
+    ).localCheckpoint(eager=False)
     raw_counts = doc_buckets.groupBy("bucket").agg(F.count("*").alias("n_raw"))
     tgt_counts = (
-        _doc_buckets(target, id_col, text_col, m)
+        _doc_buckets(
+            target.repartition(parallelism, F.col(id_col)), id_col, text_col, m
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("n_tgt"))
     )

@@ -56,6 +56,14 @@ def get_spark(app_name: str = "boatrace_database_spark", master: str | None = No
         # -- storage ------------------------------------------------------
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # File LISTING stays driver-side below this many paths. The
+        # default (32) launches a whole Spark job of ~1 ms getFileStatus
+        # tasks whenever a glob matches >32 files — the year corpus'
+        # 732 archives paid a 732-task listing job per read (~0.3-0.5 s,
+        # r13 profile). Driver-side listing of up to 10k local/HDFS
+        # paths is microseconds each; truly huge tables (>10k files)
+        # still fan out.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # Single-JVM local mode: driver heap IS the executor heap. 16g
         # keeps localCheckpoint blocks + 32 task threads out of GC-churn
