@@ -179,7 +179,15 @@ def _bounded_training_sample(base: DataFrame, n: int, train_n: int):
     ~1.2·train_n filtered rows is cheap at any corpus size.
     """
     if n <= train_n:
-        return base.orderBy("neighbor_id").select("cvec").toPandas()
+        # driver-side sort, not orderBy: the whole-corpus branch is by
+        # definition <= train_n rows, and a Spark global sort pays a
+        # range-partitioning SAMPLE job plus a sort stage just to order
+        # what pandas sorts in microseconds (r13). neighbor_id is the
+        # unique row key, so the resulting row order — all the k-means
+        # init cares about — is identical.
+        pdf = base.select("neighbor_id", "cvec").toPandas()
+        pdf = pdf.sort_values("neighbor_id", kind="mergesort", ignore_index=True)
+        return pdf[["cvec"]]
     den = 1 << 20
     num = min(den, int(den * 1.2 * train_n / n) + 1)
     sample_pdf = (
