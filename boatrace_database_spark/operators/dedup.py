@@ -974,6 +974,25 @@ def measured_banding_skew(
     uniform — the caller had to read the bench line and pass ``skew``
     by hand. This is the measurement that closes the loop inside
     `hamming_pairs_banded`."""
+    rows, frac, skew = _banded_rows_frac_skew(
+        banded, max_bucket, lambda _rows: model_occupancy, keys=keys
+    )
+    return frac, skew
+
+
+def _banded_rows_frac_skew(
+    banded: DataFrame,
+    max_bucket: int,
+    occupancy_of_rows,
+    keys: list[str] = ("chunk", "key"),
+) -> tuple[int, float, float]:
+    """The one occupancy aggregate behind `measured_banding_skew`,
+    additionally returning the banded ROW COUNT so the auto-derive path
+    can fold its separate count job into the probe (every signature
+    explodes into a fixed band count, so n = rows / n_bands exactly).
+    ``occupancy_of_rows(rows)`` supplies the uniform-model occupancy
+    once the row count is known (None/0 falls back to the observed
+    average, exactly the prior contract)."""
     row = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -994,11 +1013,12 @@ def measured_banding_skew(
         .collect()[0]
     )
     frac = row.dropped / row.rows if row.rows else 0.0
+    model_occupancy = occupancy_of_rows(row.rows)
     denom = model_occupancy if model_occupancy else row.avg_bucket
     skew = (
         max(1.0, float(row.p99_bucket) / float(denom)) if denom else 1.0
     )
-    return frac, skew
+    return row.rows, frac, skew
 
 
 def resolve_hamming_banding(
@@ -1036,17 +1056,43 @@ def resolve_hamming_banding(
 
     An explicit ``skew`` pins the multiplier (the round-12 manual
     contract, byte-identical); the measurement job is skipped.
+
+    ``n_rows=None`` with ``skew=None`` (r13): ONE job instead of two —
+    the occupancy probe at the stay-candidate geometry (8, 1) already
+    knows the row count exactly (every signature explodes into
+    ``bits//8`` bands, so n = banded_rows / n_bands), so the separate
+    count job is folded into it. When the derived candidate turns out
+    to be a different geometry (the escalate regime), that geometry is
+    probed as before — the DECISIONS are a pure function of the same
+    (n, occupancy) measurements either way, pinned by
+    test_resolve_single_probe_matches_counted_path.
     """
-    if n_rows is None:
-        n_rows = sig.count()
-    if skew is not None:
-        return derive_hamming_banding(n_rows, bits, max_hamming, max_bucket, skew)
-    cb, kc = derive_hamming_banding(n_rows, bits, max_hamming, max_bucket, 1.0)
-    probe = _hamming_chunked(sig, id_col, sig_col, bits, cb, kc)
-    frac, m_skew = measured_banding_skew(
-        probe, ["chunk", "key"], max_bucket,
-        model_occupancy=n_rows / (1 << (cb * kc)),
-    )
+    frac = m_skew = None
+    if n_rows is None and skew is None and bits >= 8 and bits % 8 == 0:
+        probe = _hamming_chunked(sig, id_col, sig_col, bits, 8, 1)
+        n_bands = bits // 8
+        banded_rows, frac, m_skew = _banded_rows_frac_skew(
+            probe, max_bucket, lambda rows: (rows // n_bands) / (1 << 8)
+        )
+        n_rows = banded_rows // n_bands
+        cand = derive_hamming_banding(n_rows, bits, max_hamming, max_bucket, 1.0)
+        if cand != (8, 1):
+            frac = m_skew = None  # measured at the wrong geometry
+        cb, kc = cand
+    else:
+        if n_rows is None:
+            n_rows = sig.count()
+        if skew is not None:
+            return derive_hamming_banding(
+                n_rows, bits, max_hamming, max_bucket, skew
+            )
+        cb, kc = derive_hamming_banding(n_rows, bits, max_hamming, max_bucket, 1.0)
+    if frac is None:
+        probe = _hamming_chunked(sig, id_col, sig_col, bits, cb, kc)
+        frac, m_skew = measured_banding_skew(
+            probe, ["chunk", "key"], max_bucket,
+            model_occupancy=n_rows / (1 << (cb * kc)),
+        )
     if frac <= max_capped_frac:
         return cb, kc
     # minimal skew that escapes the CURRENT plan's acceptance test in
@@ -1168,11 +1214,11 @@ def hamming_pairs_banded(
         )
     if chunk_bits is None:
         if n_rows is None or skew is None:
-            # the count AND the occupancy-measurement aggregate both
-            # re-scan the signature table before the join does
+            # the count and/or occupancy-measurement aggregate re-scan
+            # the signature table before the join does
             sig = sig.localCheckpoint(eager=True)
-        if n_rows is None:
-            n_rows = sig.count()
+        # n_rows=None stays None: resolve_hamming_banding folds the
+        # count into its occupancy probe (one job, r13)
         chunk_bits, key_chunks = resolve_hamming_banding(
             sig, id_col, sig_col, max_hamming, max_bucket, bits,
             n_rows=n_rows, skew=skew,

@@ -3300,6 +3300,36 @@ def test_resolve_banding_escalates_on_measured_skew(spark):
     assert auto.where(planted).count() == 2000  # recall 1.0, no dial
 
 
+def test_resolve_single_probe_matches_counted_path(spark):
+    """r13 job fold: resolve with n_rows=None measures the row count
+    inside the (8,1) occupancy probe (n = banded_rows / n_bands) —
+    the returned dials must equal the counted path's on both regimes:
+    a uniform corpus (stay) and a key-skewed one (escalate)."""
+    import random
+
+    uniform = spark.createDataFrame(
+        [(i, random.Random(i).getrandbits(63)) for i in range(3000)],
+        "id LONG, sim LONG",
+    ).localCheckpoint(eager=True)
+    n = uniform.count()
+    assert D.resolve_hamming_banding(uniform, "id", "sim") == (
+        D.resolve_hamming_banding(uniform, "id", "sim", n_rows=n)
+    ) == (8, 1)
+    rng = random.Random(7)
+    skewed = spark.createDataFrame(
+        [
+            (i, ((i % 2) << 40) | rng.getrandbits(24))
+            for i in range(4000)
+        ],
+        "id LONG, sim LONG",
+    ).localCheckpoint(eager=True)
+    probed = D.resolve_hamming_banding(skewed, "id", "sim", max_hamming=5)
+    counted = D.resolve_hamming_banding(
+        skewed, "id", "sim", max_hamming=5, n_rows=skewed.count()
+    )
+    assert probed == counted
+
+
 def test_hamming_banded_rejects_dials_plus_derivation_inputs(spark):
     """r13 ADVICE #4: n_rows/skew feed the size-derived geometry; with
     explicit dials they were silently ignored — now they raise, the
