@@ -27,6 +27,22 @@ from boatrace_database_spark.operators.joins import asof_join
 from boatrace_database_spark.queries._util import load_table as _t
 
 
+def _media_docs(spark, sf_dir):
+    """(doc_id, source) seed rows for the synthetic-media family,
+    repartitioned to the session parallelism: the single-file documents
+    scan is 1-4 partitions, and every media query's expensive work is
+    pure-Python encode/decode inside mapInPandas — without the narrow
+    repartition the whole codec pass ran near-serial (r13 profile:
+    media_decode_cmyk 18.4 s wall on 4 tasks with 32 cores idle). Row
+    set and all downstream results are unchanged (per-doc deterministic
+    synthesis, final orderBy)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 def dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1927,7 +1943,7 @@ def media_decode_roundtrip(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2023,7 +2039,7 @@ def media_decode_png(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2120,7 +2136,7 @@ def media_frame_sample(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2229,7 +2245,7 @@ def media_decode_jpeg(spark, sf_dir):
 
     from boatrace_database_spark.operators import jpeg as JC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2345,7 +2361,7 @@ def media_decode_cmyk(spark, sf_dir):
 
     from boatrace_database_spark.operators import jpeg as JC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2455,7 +2471,7 @@ def media_gif_animation(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
     pal = (np.arange(8)[:, None] * np.array([37, 59, 83])) % 256
 
     def synth(batches):
@@ -2552,7 +2568,7 @@ def media_decode_tiff(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2635,7 +2651,7 @@ def _audio_synth_media(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2730,7 +2746,7 @@ def audio_features(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -2852,7 +2868,7 @@ def _dhash_synth_hashes(spark, sf_dir):
 
     from boatrace_database_spark.operators import media_codecs as MC
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    d = _media_docs(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
