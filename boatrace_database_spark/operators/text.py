@@ -560,14 +560,22 @@ def repetition_profile(
         if n == 1:
             arr = words
         else:
+            # r13: zip_with over n shifted views — O(len) per document.
+            # The prior transform(sequence(1,k), concat_ws(slice(words,
+            # i, n))) re-sliced the word array at EVERY position:
+            # O(len²) per doc, 128 s of executor CPU at sf0.1. The
+            # produced strings are identical (concat_ws of the same n
+            # words, same order).
             k = F.size(words) - (n - 1)
-            arr = F.when(
-                k >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), k),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            shifted = [F.slice(words, j + 1, k) for j in range(n)]
+            joined = shifted[0]
+            for nxt in shifted[1:]:
+                joined = F.zip_with(
+                    joined, nxt, lambda a, b: F.concat_ws(" ", a, b)
+                )
+            arr = F.when(k >= 1, joined).otherwise(
+                F.array().cast("array<string>")
+            )
         return F.transform(arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
 
     parallelism = df.sparkSession.sparkContext.defaultParallelism

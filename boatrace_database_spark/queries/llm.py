@@ -514,6 +514,10 @@ def udtf_tokenize(spark, sf_dir):
 
     spark.udtf.register("tokenize_udtf", Tokenize)
     d = _t(spark, sf_dir, "documents")
+    # the per-row Python eval loop is the cost — spread the 1-4
+    # scan partitions across the worker pool first (r13; ORDER BY
+    # fixes the output order either way)
+    d = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     d.createOrReplaceTempView("documents_for_udtf")
     return spark.sql(
         "SELECT doc_id, pos, token "
