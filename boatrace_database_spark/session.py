@@ -45,10 +45,22 @@ def get_spark(app_name: str = "boatrace_database_spark", master: str | None = No
         # an already-parallel stage, so in-worker BLAS threading only
         # oversubscribes (26 ms vs 1.4 ms per small GEMM measured in
         # r13). Local mode inherits the driver env (set in __init__);
-        # executorEnv carries the same contract to real clusters.
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # executorEnv carries the same contract to real clusters —
+        # FORWARDING the driver env (which __init__ setdefault'ed to 1)
+        # instead of a hard-coded "1", so a caller's exported thread
+        # count governs executors too (ADVICE r13).
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ.get("OPENBLAS_NUM_THREADS", "1"),
+        )
+        .config(
+            "spark.executorEnv.OMP_NUM_THREADS",
+            os.environ.get("OMP_NUM_THREADS", "1"),
+        )
+        .config(
+            "spark.executorEnv.MKL_NUM_THREADS",
+            os.environ.get("MKL_NUM_THREADS", "1"),
+        )
         # -- determinism for oracle comparison ----------------------------
         .config("spark.sql.session.timeZone", "UTC")
         # -- testdata compatibility: events.parquet uses TIMESTAMP(NANOS)

@@ -71,7 +71,11 @@ def main() -> None:
             "exec_cpu": round(cpu, 1),
             "tasks": ntasks,
             "jobs": jobs1 - jobs0,
-            "driver_gap": round(wall - run / 32, 2),
+            # executor slots from the session, not a literal core count
+            # (ADVICE r13): the attribution must hold on any master
+            "driver_gap": round(
+                wall - run / spark.sparkContext.defaultParallelism, 2
+            ),
         }
         print(f"{name:28s} {out[name]}", file=sys.stderr)
     print(json.dumps(out))

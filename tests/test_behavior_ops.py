@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from boatrace_database_spark.operators import behavior
@@ -26,6 +27,7 @@ def _ts(s):
     return dt.datetime.fromisoformat(s)
 
 
+@pytest.mark.slow
 def test_funnel_order_matters(spark):
     rows = [
         # u1 completes all three in order

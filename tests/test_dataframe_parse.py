@@ -74,6 +74,7 @@ def test_malformed_header_drops_section_in_both_paths(spark):
 
 # --------------------------------------------------------------------------
 # pluggable Spark 4 Python Data Source (sources/datasource.py)
+@pytest.mark.slow
 def test_boatrace_datasource_matches_kernel_path(spark):
     from boatrace_database_spark.parse.kernel import parse_txt_files
     from boatrace_database_spark.sources.datasource import register

@@ -100,6 +100,7 @@ def test_simhash_derived_equals_explicit_at_demo_scale(docs):
     assert derived == explicit
 
 
+@pytest.mark.slow
 def test_derived_dials_defeat_band_saturation_at_200k(spark):
     """The r11 verdict's ordered done-criterion: 200k signatures with
     100k planted Hamming-5 pairs. The OLD fixed default (chunk_bits=8,
@@ -134,6 +135,7 @@ def test_derived_dials_defeat_band_saturation_at_200k(spark):
     assert n_total - n_found < 100
 
 
+@pytest.mark.slow
 def test_quality_lsh_cosine_pairs_recall(spark):
     """The driver-visible quality metric (numpy exact ground truth vs
     the banded path) must clear the same bar the operator-level
@@ -1202,6 +1204,7 @@ def test_semantic_pairs_string_ids_both_strategies(spark):
         assert r.keeper_id <= r.id  # lexicographic min keeper
 
 
+@pytest.mark.slow
 def test_zero_norm_vectors_produce_no_pairs_any_strategy(spark):
     """Engine-wide zero-norm policy: a padding / failed-encode vector
     (all zeros) yields NO pairs and NO crash on every scoring path —
@@ -1487,6 +1490,7 @@ def test_incremental_minhash_cap_is_conservative_not_lossy(spark):
     assert ids2 == {0}, ids2
 
 
+@pytest.mark.slow
 def test_bm25_add_to_index_equals_full_rebuild(spark, tmp_path):
     """Incremental index extension contract: build(half A) +
     add(half B) probes identically to build(A ∪ B)."""
@@ -1528,6 +1532,7 @@ def test_drop_fat_buckets_equals_cap_buckets(spark):
     assert a == b and a  # some buckets survive, fat ones dropped in both
 
 
+@pytest.mark.slow
 def test_bm25_add_to_index_retry_is_idempotent(spark, tmp_path):
     """Double-delivering the same batch to bm25_add_to_index appends
     nothing the second time: probes after the retry equal probes after
@@ -1558,6 +1563,7 @@ def test_bm25_add_to_index_retry_is_idempotent(spark, tmp_path):
     assert once == twice and once
 
 
+@pytest.mark.slow
 def test_incremental_minhash_probe_plan_shape(spark, tmp_path):
     """The seen band table's 100 TB contract, plan-asserted (the
     fuzzy twin of the incremental-exact plan test): the persisted seen
@@ -2373,6 +2379,7 @@ def test_rotation_preserves_exact_search(spark):
     assert raw == rr
 
 
+@pytest.mark.slow
 def test_rotation_lifts_pq_recall_on_decaying_spectrum(spark):
     """The OPQ-lite claim, in-engine: on a decaying-variance corpus
     (realistic embedding spectra — contiguous subspaces starve), the
@@ -2405,6 +2412,7 @@ def test_rotation_lifts_pq_recall_on_decaying_spectrum(spark):
     assert r_rot > r_raw + 0.1, f"rotated {r_rot:.3f} vs raw {r_raw:.3f}"
 
 
+@pytest.mark.slow
 def test_opq_learned_rotation_beats_random(spark):
     """Round-9 OPQ proper (r8 verdict #8): the learned rotation
     (alternating PQ-fit / orthogonal Procrustes, seeded random init)
@@ -2639,6 +2647,7 @@ def test_pq_compression_stats_arithmetic():
     assert s64["raw_bytes"] == 256 and s64["code_bytes"] == 16
 
 
+@pytest.mark.slow
 def test_ivfpq_refine_recovers_clustered_ranking(spark):
     """The clustered-corpus finding (BENCHNOTES §29): with real cluster
     structure, cell pruning is nearly free but every candidate is
@@ -3080,6 +3089,7 @@ def test_anchored_jaccard_truth_matches_restricted_full(spark):
     assert t == {p for p in full if p[0] in aid or p[1] in aid}
 
 
+@pytest.mark.slow
 def test_anchored_recall_parity_above_gate(spark, tmp_path):
     """r9 verdict #6: the sf1 quality gate rests ENTIRELY on the
     anchored estimator, but its equivalence pytests above ran at demo
@@ -3379,6 +3389,7 @@ def test_escalated_plan_reads_zero_cap_frac(spark):
     assert r_new.capped_row_frac < 0.01
 
 
+@pytest.mark.slow
 def test_bm25_add_delta_fold_equals_scan_and_rebuild(spark, tmp_path):
     """Round-13 df_update="delta": folding the batch's term-df deltas
     and the exact sum_dl stats must leave df and stats tables

@@ -190,6 +190,7 @@ def test_contract_invariants():
     assert len(qs) >= 60
 
 
+@pytest.mark.slow
 def test_catalog_schemas_driver_canonicalizable(spark):
     """Round-7 failure class, pinned: the driver's pandas canonicalizer
     sorts every result column and dies on non-hashable cells

@@ -49,6 +49,7 @@ def asof_case(draw):
 
 @given(asof_case())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_asof_matches_pandas_merge_asof(spark, case):
     left, right = case
     ldf = spark.createDataFrame(
@@ -92,6 +93,7 @@ def corpus(draw):
 
 @given(corpus())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_jaccard_pairs_invariants(spark, docs):
     df = spark.createDataFrame(list(enumerate(docs)), "doc_id INT, text STRING")
     pairs = D.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
@@ -131,6 +133,7 @@ def mixture_case(draw):
 
 @given(mixture_case())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_mixture_resample_invariants(spark, case):
     """For every row: copies in {floor(w), ceil(w)}, copy ids are
     0..n-1, zero-weight strata vanish, and the hash decision matches
@@ -167,6 +170,7 @@ def pack_case(draw):
 
 @given(pack_case())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_pack_sequences_invariants(spark, case):
     """Offsets are the running token prefix-sum per group in id order;
     pack_id = offset // budget; groups are independent streams."""
@@ -204,6 +208,7 @@ def split_shuffle_case(draw):
 
 @given(split_shuffle_case())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_split_assign_matches_python_formula(spark, case):
     """Every row's split equals the documented hash formula recomputed
     in Python (cumulative-fraction intervals over the salted Knuth
@@ -233,6 +238,7 @@ def test_split_assign_matches_python_formula(spark, case):
 @given(st.lists(st.integers(0, 2**40), min_size=1, max_size=40, unique=True),
        st.integers(1, 7))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_global_shuffle_matches_python_rank(spark, ids, n_buckets):
     """shuffle_pos equals the Python-computed rank by (hash, id) for
     ANY bucket count — the bucketed prefix-sum is invisible."""
@@ -320,6 +326,7 @@ def tfidf_corpus(draw):
 
 @settings(**_SETTINGS)
 @given(docs=tfidf_corpus())
+@pytest.mark.slow
 def test_tfidf_related_matches_python_reference(spark, docs):
     """tfidf_related_topk against a pure-python tf-idf cosine: same
     pairs, same scores to 6 dp, plus the structural invariants
@@ -423,6 +430,7 @@ def bpe_corpus(draw):
 
 @settings(**_SETTINGS)
 @given(docs=bpe_corpus())
+@pytest.mark.slow
 def test_bpe_train_matches_python_trainer(spark, docs):
     """The ENTIRE distributed training loop equals a pure-python BPE
     trainer: same word-frequency table, same greedy pair counts, same
@@ -486,6 +494,7 @@ def mmr_case(draw):
 
 @settings(**_SETTINGS)
 @given(case=mmr_case())
+@pytest.mark.slow
 def test_mmr_matches_python_greedy(spark, case):
     """mmr_rerank against a pure-python greedy with the same objective
     (lam·rel − (1−lam)·max-sim-to-picked), first-max/low-id tie-break,
@@ -549,6 +558,7 @@ def dsir_corpus(draw):
 
 @settings(**_SETTINGS)
 @given(case=dsir_corpus())
+@pytest.mark.slow
 def test_dsir_matches_python_reference(spark, case):
     """dsir_log_weights + dsir_sample against a pure-python DSIR with
     the same md5 bucket hash, add-alpha models, and Knuth-Gumbel

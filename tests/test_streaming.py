@@ -150,6 +150,7 @@ def test_stream_ingest_appends_incrementally(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_boatrace_day_replay_equals_batch(spark, tmp_path):
     """Replaying the corpus day-by-day through the streaming ingest
     converges to the same warehouse as the one-shot batch build — the
@@ -396,6 +397,7 @@ def test_stream_dedup_shuffled_replay_invariants(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_minhash_matches_batch_pairs(spark, tmp_path):
     """Streaming MinHash near-dup over an id-ordered two-chunk replay
     yields exactly the batch minhash_lsh_pairs pair list: identical
@@ -443,6 +445,7 @@ def test_stream_minhash_matches_batch_pairs(spark, tmp_path):
         assert abs(got[pair] - est) < 1e-9, (pair, got[pair], est)
 
 
+@pytest.mark.slow
 def test_stream_simhash_matches_batch_pairs(spark, tmp_path):
     """Streaming SimHash over an id-ordered two-chunk replay equals the
     batch simhash_pairs pair list — identical bit votes, chunk
@@ -489,6 +492,7 @@ def test_stream_simhash_matches_batch_pairs(spark, tmp_path):
         assert got[pair] == h, (pair, got[pair], h)
 
 
+@pytest.mark.slow
 def test_stream_minhash_shuffled_replay_invariants(spark, tmp_path):
     """FIRST-SEEN contract for streaming near-dup, mirroring the exact
     dedup property test: under a deterministically shuffled, non-id-
@@ -574,6 +578,7 @@ def test_stream_asof_matches_batch_operator(spark, tmp_path):
     assert not diffs, list(diffs.items())[:5]
 
 
+@pytest.mark.slow
 def test_stream_counters_and_asof_ttl_eviction(spark, tmp_path):
     """state_ttl_ms contract for the two remaining stateful ops (r5
     verdict item 5), one shared TTL clock:
@@ -683,6 +688,7 @@ def test_stream_counters_and_asof_ttl_eviction(spark, tmp_path):
         qa.stop()
 
 
+@pytest.mark.slow
 def test_stream_dedup_ttl_eviction_and_readmission(spark, tmp_path):
     """State-lifecycle contract for ``state_ttl_ms`` (r4 verdict item 3):
 
@@ -773,6 +779,7 @@ def test_stream_dedup_ttl_eviction_and_readmission(spark, tmp_path):
     assert got[3] == (3, False), f"expected re-admission, got {got[3]}"
 
 
+@pytest.mark.slow
 def test_stream_minhash_ttl_eviction_and_readmission(spark, tmp_path):
     """TTL contract on the NEAR-dup streaming op (same state machinery
     as stream_dedup_exact, different observable): within the TTL an
@@ -1119,6 +1126,7 @@ def test_stream_dedup_minhash_string_ids_match_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_dedup_simhash_string_ids_match_batch(spark, tmp_path):
     from boatrace_database_spark.operators.dedup import simhash_pairs
     from boatrace_database_spark.streaming.ingest import stream_dedup_simhash
@@ -1154,6 +1162,7 @@ def test_stream_dedup_simhash_string_ids_match_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_funnel_and_edges_string_ids(spark, tmp_path):
     import datetime as dt
 
@@ -1354,6 +1363,7 @@ def test_stream_token_budget_string_id_parity(spark, tmp_path):
     assert got == batch, f"missing={batch - got} extra={got - batch}"
 
 
+@pytest.mark.slow
 def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
     """stream_token_budget's parity contract: when chunks arrive as
     hash-ordered slices (and the op replays each micro-batch in the
@@ -1420,6 +1430,7 @@ def test_stream_token_budget_matches_batch_under_hash_order(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_token_budget_ttl_reopens_budget(spark, tmp_path):
     """The family TTL contract on the budget gate: a stratum that
     exhausts its budget stays CLOSED while its state lives, and an
@@ -1850,6 +1861,7 @@ def test_session_window_exact_gap_merges(spark):
     assert got == {1: 1, 2: 2}
 
 
+@pytest.mark.slow
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join: with both sides fully delivered, the
     inner join must emit exactly the batch builder's rows (inner
@@ -1932,6 +1944,7 @@ def test_stream_cms_ingest_merge_equals_batch_sketch(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_interval_join_left_outer(spark, tmp_path):
     """Outer stream-stream join: matched rows equal the inner join
     immediately; unmatched purchases (NULL view, lag -1) emit only
@@ -2036,6 +2049,7 @@ def test_stream_histogram_ingest_merge_equals_batch_sketch(spark, tmp_path):
     assert len(qs) == 2 and all(r.est > 0 for r in qs)
 
 
+@pytest.mark.slow
 def test_stream_dedup_within_watermark_event_time_contract(spark, tmp_path):
     """The native event-time dedup: (a) duplicates within the delay of
     the first occurrence are suppressed, across and within
@@ -2483,6 +2497,7 @@ def test_stream_cohort_activity_ordered_replay_matches_batch_grid(
     assert dup == []
 
 
+@pytest.mark.slow
 def test_stream_funnel_cross_batch_order_guard(spark, tmp_path):
     """A click arriving in a later batch but timestamped BEFORE the
     user's recorded first view must not complete stage 2; a genuinely
@@ -2536,6 +2551,7 @@ def test_stream_funnel_cross_batch_order_guard(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_funnel_ttl_eviction_and_restart(spark, tmp_path):
     """state_ttl_ms on stream_funnel: a user idle past the TTL loses
     funnel progress (eviction), and their next event restarts the
@@ -2615,6 +2631,7 @@ def test_stream_funnel_ttl_eviction_and_restart(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_cohort_ttl_eviction_and_readmission(spark, tmp_path):
     """stream_cohort_activity's TTL contract (the family's standard
     re-admission semantics): after eviction, a bare activity event is
@@ -2688,6 +2705,7 @@ def test_stream_cohort_ttl_eviction_and_readmission(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_funnel_conversion_window(spark, tmp_path):
     """within_seconds on stream_funnel matches the batch semantics: a
     click past the horizon of the user's funnel entry never converts,
@@ -2794,6 +2812,7 @@ def test_stream_event_edges_ordered_replay_matches_batch_pairs(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_dedup_dhash_matches_batch(spark, tmp_path):
     """Round-9 image-dedup twin: streaming dHash over arriving media
     payloads (decoded by the SAME dhash_media transform) must emit
@@ -2853,6 +2872,7 @@ def test_stream_dedup_dhash_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_dedup_audio_matches_batch(spark, tmp_path):
     """Round-10 audio-dedup twin: arriving WAV clips fingerprint with
     the SAME Haitsma-Kalker transform, meet in exact-fp state buckets
@@ -3024,6 +3044,7 @@ def test_stream_ann_serve_matches_batch_probe(spark, tmp_path):
     assert got == want and len({g[0] for g in got}) == 10
 
 
+@pytest.mark.slow
 def test_stream_bm25_serve_matches_batch_prebuilt(spark, tmp_path):
     """Round-13 streaming BM25 query SERVING: arriving query texts
     answered from the persisted index must equal the batch
@@ -3071,6 +3092,7 @@ def test_stream_bm25_serve_matches_batch_prebuilt(spark, tmp_path):
     assert got == want and len({g[0] for g in got}) == 7
 
 
+@pytest.mark.slow
 def test_stream_hybrid_serve_matches_batch_fusion(spark, tmp_path):
     """Round-13 streaming HYBRID serving: arriving (text, embedding)
     queries answered by RRF-fusing the IVF-PQ probe with the BM25
@@ -3139,6 +3161,7 @@ def test_stream_hybrid_serve_matches_batch_fusion(spark, tmp_path):
     assert got == want and len({g[0] for g in got}) == 6
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_matches_full_rebuild(spark, tmp_path):
     """Round-13 streaming BM25 index maintenance: extending a
     persisted index from a stream (2 micro-batches) must leave
@@ -3206,6 +3229,7 @@ def test_stream_bm25_ingest_matches_full_rebuild(spark, tmp_path):
     assert n_ids == 500
 
 
+@pytest.mark.slow
 def test_bm25_index_compaction_after_streamed_ingest(spark, tmp_path):
     """The maintenance loop closes by composition: a streamed BM25
     ingest appends at least one postings file per touched bucket per
@@ -3272,6 +3296,7 @@ def test_bm25_index_compaction_after_streamed_ingest(spark, tmp_path):
     assert n_files_after < n_files_before
 
 
+@pytest.mark.slow
 def test_ann_serve_snapshot_rotation_contract(spark, tmp_path):
     """The index-update contract both serve twins document, pinned
     end-to-end: a serve stream answers from the FROZEN snapshot it

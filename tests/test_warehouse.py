@@ -285,6 +285,7 @@ def test_train_win_model(spark, wh):
     assert auc > 0.7, auc
 
 
+@pytest.mark.slow
 def test_train_win_model_gbt_beats_lr(spark, wh):
     """A5 parity: the reference's published model is LightGBM (boosted
     trees, README.md:9,20); the GBT variant must train on the golden
@@ -384,6 +385,7 @@ def test_merge_upsert_cross_partition_move(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["race_date"] == "2020-08-02"
 
 
+@pytest.mark.slow
 def test_merge_upsert_emptied_partition(spark, tmp_path):
     """A correction that moves EVERY row out of a partition: dynamic
     partition overwrite never rewrites a partition absent from the
@@ -413,6 +415,7 @@ def test_merge_upsert_emptied_partition(spark, tmp_path):
     assert not os.path.exists(f"{env_dir}/race_date={victim}")
 
 
+@pytest.mark.slow
 def test_compact_partitions_merges_small_files_only(spark, tmp_path):
     """Fragmented partitions collapse to the byte-sized file count with
     identical data; right-sized partitions are left byte-for-byte
@@ -460,6 +463,7 @@ def test_compact_partitions_merges_small_files_only(spark, tmp_path):
     assert compact_partitions(spark, table, target_bytes=64 * 1024 * 1024) == {}
 
 
+@pytest.mark.slow
 def test_compact_partitions_skips_on_concurrent_append(spark, tmp_path):
     """The race guard: a file appended between staging and the
     overwrite must make compaction SKIP that partition — the appended
@@ -521,6 +525,7 @@ def test_compact_partitions_null_partition(spark, tmp_path):
     } == before
 
 
+@pytest.mark.slow
 def test_compact_partitions_native_date_partition_and_no_conf_leak(
     spark, tmp_path
 ):
