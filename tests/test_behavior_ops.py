@@ -57,6 +57,7 @@ def test_funnel_order_matters(spark):
     assert by_stage[3].avg_hours_from_entry == 3.0
 
 
+@pytest.mark.slow
 def test_funnel_same_timestamp_counts(spark):
     rows = [
         (_ts("2024-01-01 10:00:00"), 1, "view"),
@@ -219,6 +220,7 @@ def test_pmi_single_token_docs_ignored(spark):
     assert out[0].pmi == round(math.log(9.0), 4)
 
 
+@pytest.mark.slow
 def test_funnel_window_hand_checked_and_fold_chain_parity(spark):
     rows = [
         # u1 converts inside the 1h window

@@ -24,6 +24,7 @@ def both(spark):
 
 
 @pytest.mark.parametrize("table", ["schedule", "result", "env", "odds"])
+@pytest.mark.slow
 def test_dataframe_parse_equals_kernel(both, table):
     declarative, kernel = both
     a = sorted(tuple(r) for r in declarative[table].collect())
@@ -88,6 +89,7 @@ def test_boatrace_datasource_matches_kernel_path(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_boatrace_datasource_reads_lzh_archives(spark):
     from boatrace_database_spark.parse.kernel import parse_lzh_files
     from boatrace_database_spark.sources.datasource import register

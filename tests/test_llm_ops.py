@@ -334,6 +334,7 @@ def test_minhash_on_chunk_table_recall(spark):
     assert recall >= 0.95, f"chunk-level MinHash recall {recall:.3f}"
 
 
+@pytest.mark.slow
 def test_minhash_max_df_drops_boilerplate(spark):
     """Corpus-ubiquitous boilerplate inflates MinHash similarity between
     unrelated documents; max_df must remove the false pair while a true
@@ -780,6 +781,7 @@ def test_ivf_recall_vs_brute_force(spark):
     assert mean_recall > 0.30, f"IVF mean recall {mean_recall:.3f}"
 
 
+@pytest.mark.slow
 def test_clustered_corpus_recall(spark):
     """Designed-regime floor (r5 verdict item 4, BENCHNOTES §15): on a
     corpus WITH cluster structure — the premise of IVF and SemDeDup —
@@ -1175,6 +1177,7 @@ def test_semantic_pairs_prebuilt_index_matches_in_call_build(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_semantic_pairs_string_ids_both_strategies(spark):
     """semantic_pairs is the second caller of _broadcast_pair_scores:
     string ids must survive the whole chain (IVF build's orderBy +
@@ -1320,6 +1323,7 @@ def test_rrf_fusion_hand_computed(spark):
         R.rrf_fuse([])
 
 
+@pytest.mark.slow
 def test_bm25_prebuilt_index_matches_and_prunes(spark, tmp_path):
     """The persisted BM25 index returns byte-identical rankings to the
     in-memory path, and its postings/df scans carry a bucket
@@ -1342,6 +1346,7 @@ def test_bm25_prebuilt_index_matches_and_prunes(spark, tmp_path):
     assert rows_disk == rows_mem and rows_disk
 
 
+@pytest.mark.slow
 def test_bm25_prebuilt_bucket_mismatch_is_safe(spark, tmp_path):
     """Probing with a WRONG n_buckets must never return wrong scores —
     each term either matches with the CORRECT score (its recomputed
@@ -1378,6 +1383,7 @@ def test_bm25_prebuilt_bucket_mismatch_is_safe(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_incremental_minhash_dedup_replay(spark):
     """Near-dup twin of the incremental-exact replay contract: batch
     docs matching a PREVIOUSLY KEPT doc drop, within-batch near-dups
@@ -2233,6 +2239,7 @@ def test_ivfpq_lossless_equals_exact(spark):
     assert pq == exact
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_floor_and_determinism(spark):
     """Lossy operating point (the catalog demo's S=16/K=256,
     nprobe=8/16) on the near-isotropic corpus — PQ's adversarial
@@ -2334,6 +2341,7 @@ def test_ivfpq_shared_sample_preserves_codebooks(spark):
     assert cells1 == cells2
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_beats_raw_recall(spark):
     """The r7-verdict lift: IVFADC residual encoding (x − C[cell])
     must out-recall raw-vector PQ at the same operating point on the
@@ -2467,6 +2475,7 @@ def test_opq_learned_rotation_beats_random(spark):
     assert r_opq > r_rand + 0.03, f"opq {r_opq:.3f} vs random {r_rand:.3f}"
 
 
+@pytest.mark.slow
 def test_ivfpq_add_to_index_equals_full_encode(spark):
     """Incremental maintenance contract (round 8): building on half
     the corpus and appending the other half must produce EXACTLY the
@@ -2502,6 +2511,7 @@ def test_ivfpq_add_to_index_equals_full_encode(spark):
     assert any(v % 2 == 1 for v in neigh)
 
 
+@pytest.mark.slow
 def test_ivfpq_persist_roundtrip(spark, tmp_path):
     """write -> read -> probe must equal the in-memory probe row for
     row (codes partitioned by cell; codebook tensor reassembled
@@ -2933,6 +2943,7 @@ def test_lsh_band_geometry_matches_committed_oracle(spark):
     assert SIM.lsh_band_geometry(0.45, n) == (_EMB_B, _EMB_R)
 
 
+@pytest.mark.slow
 def test_cosine_pairs_lsh_derived_default_matches_explicit(spark):
     """bands/rows_per_band = None derives (8, 2) at this corpus size,
     so the derived-default call is row-identical to the pinned one."""
@@ -2983,6 +2994,7 @@ def test_semantic_pairs_derived_cells_match_explicit(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_gram_strategy_matches_join_fallback(spark):
     """The default per-cell Gram scoring (round 10) must produce
     row-identical output to the candidate-join fallback
@@ -3182,6 +3194,7 @@ def test_banding_cap_stats_counts(spark):
     assert (e.rows, e.dropped_rows, e.capped_row_frac) == (0, 0, 0.0)
 
 
+@pytest.mark.slow
 def test_banding_cap_fracs_healthy_at_demo_scale(spark):
     """The four bench quality-dict lines exist and read ~0 on the
     healthy demo corpus — the same numbers BENCH quality carries so a
@@ -3200,6 +3213,7 @@ def test_banding_cap_fracs_healthy_at_demo_scale(spark):
         assert 0.0 <= v < 0.2, (k, v)
 
 
+@pytest.mark.slow
 def test_ivf_maintenance_membership(spark):
     """The round-12 catalog row's invariants, asserted directly: after
     build(80%) -> add(20%, frozen quantizer) -> remove(every 7th id),
@@ -3267,6 +3281,7 @@ def test_derive_hamming_banding_skew():
         D.derive_hamming_banding(50_000, skew=0.5)
 
 
+@pytest.mark.slow
 def test_resolve_banding_escalates_on_measured_skew(spark):
     """The r12 verdict's item-#2 done-criterion: a skewed corpus must
     ESCALATE without a manual ``skew=`` argument. Signature shape
@@ -3310,6 +3325,7 @@ def test_resolve_banding_escalates_on_measured_skew(spark):
     assert auto.where(planted).count() == 2000  # recall 1.0, no dial
 
 
+@pytest.mark.slow
 def test_resolve_single_probe_matches_counted_path(spark):
     """r13 job fold: resolve with n_rows=None measures the row count
     inside the (8,1) occupancy probe (n = banded_rows / n_bands) —
@@ -3351,6 +3367,7 @@ def test_hamming_banded_rejects_dials_plus_derivation_inputs(spark):
         D.hamming_pairs_banded(sig, chunk_bits=8, key_chunks=1, skew=2.0)
 
 
+@pytest.mark.slow
 def test_measured_banding_skew_model_denominator(spark):
     """p99/avg is blind to a low-cardinality key distribution (a few
     uniformly-fat buckets read skew ~1.0); against the MODEL occupancy
@@ -3373,6 +3390,7 @@ def test_measured_banding_skew_model_denominator(spark):
     assert blind < 2.0
 
 
+@pytest.mark.slow
 def test_escalated_plan_reads_zero_cap_frac(spark):
     """Observability meets derivation: on the 200k corpus where the
     old (8,1) plan drops EVERY row (capped_row_frac 1.0 — the silent

@@ -114,6 +114,7 @@ def test_compression_profile_ordering_bounds_determinism(spark):
     assert again == {i: out[i].zlib_ratio for i in out}
 
 
+@pytest.mark.slow
 def test_decontaminate_corpus_drops_and_audits(spark, contam_frames):
     """Removal direction: with the roles flipped (corpus scored against
     a benchmark), docs over the rate bar are dropped, survivors keep
@@ -345,6 +346,7 @@ def test_split_assign_incomplete_fractions_raise(spark):
         C.split_assign(df, "id", {"train": 1.5, "val": -0.5})
 
 
+@pytest.mark.slow
 def test_split_exact_sizes_are_exact(spark):
     """split_exact's whole point: every split's size is exactly
     ⌊f·n⌋ or ⌈f·n⌉ (cumulative-floor boundaries), for awkward n that
@@ -476,6 +478,7 @@ def test_materialize_packs_partition_and_token_closure(spark):
             assert assigned[i] == r.pack_id, (i, assigned[i], r.pack_id)
 
 
+@pytest.mark.slow
 def test_take_token_budget_coverage_and_naive_parity(spark):
     """The kept set covers the budget with at most one doc of
     overshoot (total-before-last < budget <= total unless the corpus
@@ -560,6 +563,7 @@ def test_take_token_budget_stratified_per_source_coverage(spark):
         )
 
 
+@pytest.mark.slow
 def test_global_shuffle_exact_permutation_and_naive_parity(spark):
     """shuffle_pos must be exactly 0..n-1, equal to the naive global
     row_number rank, and invariant to n_buckets and input partitioning
@@ -916,6 +920,7 @@ def test_mixture_temperature_smooths_toward_sqrt(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+@pytest.mark.slow
 def test_weighted_sample_per_group_favors_heavy_rows(spark):
     """A-ES weighted reservoir: across many salts, weight-3 rows must
     be drawn ~3x as often as weight-1 rows (loose 2x bound — the test

@@ -274,6 +274,7 @@ def chunk_case(draw):
 
 @given(chunk_case())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_chunk_documents_invariants(spark, case):
     """Chunks tile the token stream at the documented stride: chunk i
     holds tokens [i*stride, i*stride+chunk_tokens); the chunk count is

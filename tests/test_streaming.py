@@ -950,6 +950,7 @@ def test_stream_decontaminate_semantic_matches_batch(spark, tmp_path):
     assert any(f for _, f in batch.values()), "fixture must flag some rows"
 
 
+@pytest.mark.slow
 def test_stream_semantic_matches_batch_pairs(spark, tmp_path):
     """Streaming SemDeDup over an id-ordered two-chunk replay equals
     batch semantic_pairs given the SAME prebuilt quantizer (the
@@ -1064,6 +1065,7 @@ def test_stream_semantic_string_ids_match_batch(spark, tmp_path):
 # numeric order the first-seen contracts sort by.
 
 
+@pytest.mark.slow
 def test_stream_dedup_exact_string_ids(spark, tmp_path):
     from boatrace_database_spark.streaming.ingest import stream_dedup_exact
 
@@ -1091,6 +1093,7 @@ def test_stream_dedup_exact_string_ids(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_stream_dedup_minhash_string_ids_match_batch(spark, tmp_path):
     from boatrace_database_spark.operators.dedup import minhash_lsh_pairs
     from boatrace_database_spark.streaming.ingest import stream_dedup_minhash
@@ -1251,6 +1254,7 @@ def test_stream_funnel_and_edges_string_ids(spark, tmp_path):
     assert enriched == {"e-03": ("u-1", 1.0)}
 
 
+@pytest.mark.slow
 def test_stream_minhash_capped_bucket_over_emits(spark, tmp_path):
     """The capped-regime contract (r6 verdict #4): when a bucket is
     driven past max_members, BATCH drops the whole over-cap bucket (no
@@ -2134,6 +2138,7 @@ def test_stream_dedup_sink_without_checkpoint_refused(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_dedup_state_survives_restart(spark, tmp_path):
     """The restart contract: with a checkpoint, stopping the dedup
     query and starting a new one resumes BOTH source offsets and the
@@ -2187,6 +2192,7 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
         assert out[i] == (i, False)
 
 
+@pytest.mark.slow
 def test_stream_funnel_ordered_replay_matches_batch_fold(spark, tmp_path):
     """stream_funnel parity contract: with events delivered in
     event-time order across micro-batches (3 chunks split on global
@@ -2248,6 +2254,7 @@ def test_stream_funnel_ordered_replay_matches_batch_fold(spark, tmp_path):
         assert got[u] == (t1, t2, t3, reached), f"user {u}"
 
 
+@pytest.mark.slow
 def test_stream_sketch_rollup_matches_batch_sketches(spark, tmp_path):
     """stream_sketch_rollup parity: per-window distinct estimates from
     STREAM-built sketch rows equal the batch distinct_sketches rows
@@ -2338,6 +2345,7 @@ def test_stream_sketch_rollup_matches_batch_sketches(spark, tmp_path):
     assert union_stream == batch_union
 
 
+@pytest.mark.slow
 def test_stream_cms_rollup_matches_batch_cells(spark, tmp_path):
     """stream_cms_rollup parity: the finalized windows' cell rows are
     IDENTICAL to batch cms_sketches grouped on the same tumbling
@@ -2412,6 +2420,7 @@ def test_stream_cms_rollup_matches_batch_cells(spark, tmp_path):
     assert est(got_in) == est(batch_in)
 
 
+@pytest.mark.slow
 def test_stream_cohort_activity_ordered_replay_matches_batch_grid(
     spark, tmp_path
 ):
@@ -2762,6 +2771,7 @@ def test_stream_funnel_conversion_window(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_event_edges_ordered_replay_matches_batch_pairs(spark, tmp_path):
     """stream_event_edges under a 3-chunk ordered replay of sf0.001
     emits exactly the batch lead-window pair multiset (edges bridge
@@ -2929,6 +2939,7 @@ def test_stream_dedup_audio_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_stream_ivfpq_ingest_matches_batch_add(spark, tmp_path):
     """Round-11 streaming ANN-index maintenance: arriving vectors
     assigned + PQ-encoded against the FROZEN quantizer must emit rows
@@ -2996,6 +3007,7 @@ def test_stream_ivfpq_ingest_matches_batch_add(spark, tmp_path):
     assert p1 == p2
 
 
+@pytest.mark.slow
 def test_stream_ann_serve_matches_batch_probe(spark, tmp_path):
     """Round-13 streaming ANN query SERVING: arriving query vectors
     answered from the static IVF-PQ index must equal the batch

@@ -44,6 +44,7 @@ def test_day_slice_prunes(spark, wh):
     assert "PartitionFilters: [isnotnull(race_date" in plan
 
 
+@pytest.mark.slow
 def test_overwrite_rebuild_idempotent(spark, tmp_path):
     # own directory: rebuilding over existing files (S7 semantics) must
     # not disturb other tests' readers
